@@ -1,0 +1,189 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metrics follow BASELINE.md: exact-kNN sec/query, ANN-range sec/query +
+recall@10 vs exact, ANN-similarity sec/query, docs-read ratio, pipeline
+throughput (embed+index+merge docs/s), bulk-load throughput, plus the
+wider relational/dedup headline queries.
+
+Env: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+$SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from javascript_vector_database_spark import get_spark, registry  # noqa: E402
+from javascript_vector_database_spark.functions.embedding import embed_udf  # noqa: E402
+from javascript_vector_database_spark.operators import knn  # noqa: E402
+from javascript_vector_database_spark.operators.dml import ParquetTable  # noqa: E402
+from javascript_vector_database_spark.pivots import make_pivots  # noqa: E402
+from javascript_vector_database_spark.streaming.pipeline import (  # noqa: E402
+    Pipeline,
+    anti_join_new,
+)
+from javascript_vector_database_spark.tables import load_table  # noqa: E402
+
+N_SEARCH_QUERIES = 10
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="bench")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    pivots = make_pivots(dim)[:5]
+    indexed = knn.build_pivot_index(emb, pivots).cache()
+    indexed.count()  # build once, like the reference's write-time index
+
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(N_SEARCH_QUERIES).collect()
+    ]
+
+    results: dict[str, float] = {}
+
+    # exact kNN
+    t, exact_sets = _timed(
+        lambda: [
+            {r["vec_id"] for r in knn.exact_knn(emb, qv).collect()} for qv in qvecs
+        ]
+    )
+    results["knn_exact_sec_per_query"] = t / len(qvecs)
+
+    # ANN range (precomputed index) + recall
+    t, ann_sets = _timed(
+        lambda: [
+            {
+                r["vec_id"]
+                for r in knn.ann_index_range(indexed, qv, pivots, precomputed=True).collect()
+            }
+            for qv in qvecs
+        ]
+    )
+    results["ann_range_sec_per_query"] = t / len(qvecs)
+    results["ann_range_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(ann_sets, exact_sets)
+    ) / len(qvecs)
+
+    # ANN similarity
+    t, sim_sets = _timed(
+        lambda: [
+            {
+                r["vec_id"]
+                for r in knn.ann_index_similarity(
+                    indexed, qv, pivots, precomputed=True
+                ).collect()
+            }
+            for qv in qvecs
+        ]
+    )
+    results["ann_similarity_sec_per_query"] = t / len(qvecs)
+    results["ann_similarity_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(sim_sets, exact_sets)
+    ) / len(qvecs)
+
+    # docs-read ratio for the range ANN (reference docReads metric)
+    reads = knn.candidate_count(indexed, qvecs[0], pivots, precomputed=True)
+    results["ann_docs_read_ratio"] = reads / n_vec
+
+    # pipeline throughput: embed + pivot-index + merge, batch flavor
+    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"),
+            F.col("text").alias("body"),
+            F.col("doc_id").cast("double").alias("_lwt"),
+        )
+        src_path = os.path.join(tmp, "items")
+        docs.write.parquet(src_path)
+        n_docs = docs.count()
+        dest = ParquetTable(spark, os.path.join(tmp, "vectors"), "id")
+
+        def handler(batch):
+            new = anti_join_new(batch, dest, "id", "id")
+            e = new.withColumn("embedding", embed_udf(dim)(F.col("body")))
+            return knn.build_pivot_index(e, pivots).select(
+                "id", "embedding", *[f"idx{i}" for i in range(len(pivots))]
+            )
+
+        pipe = Pipeline(
+            spark, "bench", src_path, dest, handler,
+            os.path.join(tmp, "cp"), source_pk="id", batch_size=max(1000, n_docs // 4),
+        )
+        t, total = _timed(pipe.await_idle)
+        results["pipeline_docs_per_sec"] = total / t
+
+        # bulk-load throughput: two-table load (importData(true) path)
+        t, _ = _timed(
+            lambda: (
+                load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
+                    os.path.join(tmp, "load_docs")
+                ),
+                emb.write.mode("overwrite").parquet(os.path.join(tmp, "load_emb")),
+            )
+        )
+        results["bulk_load_rows_per_sec"] = (n_docs + n_vec) / t
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # headline registry queries (one pass each)
+    queries: dict[str, float] = {}
+    for name in [
+        "flagship_search",
+        "knn_exact",
+        "knn_ann_range",
+        "knn_ann_similarity",
+        "agg_pricing_summary",
+        "agg_top_revenue_orders",
+        "window_top_customers_per_nation",
+        "events_windowed_agg",
+        "dedup_exact_groups",
+        "dedup_minhash_signatures",
+        "dedup_lsh_pairs",
+        "dedup_simhash",
+        "dedup_cosine_pairs",
+        "state_fold_last_per_user",
+        "changefeed_page",
+        "text_quality_score",
+    ]:
+        fn = registry.queries()[name]
+        t, _ = _timed(lambda fn=fn: fn(spark, sf_dir).collect())
+        queries[name] = round(t, 4)
+
+    total_sec = sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total_sec, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "extra": {k: round(v, 6) for k, v in results.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Write-path DML over parquet tables (SURVEY.md §2.10).
+
+The reference's write surface: insert/bulkInsert with per-row 409 conflict
+reports (MAP#rxdb/dist/esm/rx-collection.js:165-242), upsert/bulkUpsert
+(overwrite on conflict, :294-342), soft delete (`_deleted: true`,
+:243-289), optimistic revisions ``_rev`` bumped per write.
+
+Spark has no in-place mutation; a managed table here is a parquet
+directory rewritten via MERGE-shaped dataframe plans (Delta's MERGE INTO
+would do this transactionally at scale — same logical plan, the emulation
+is anti-join + union).  All operators are id-partition-shuffle joins;
+with Delta + bucketing they co-locate without a shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _rev_bump(prev_rev: F.Column, payload_hash: F.Column) -> F.Column:
+    """`_rev` = '<height>-<hash>' bumped per write
+    (MAP#rxdb/dist/esm/plugins/utils/utils-revision.js:1-41)."""
+    height = F.split(prev_rev, "-").getItem(0).cast("long")
+    return F.concat(
+        F.coalesce(height + 1, F.lit(1)).cast("string"), F.lit("-"), payload_hash
+    )
+
+
+class ParquetTable:
+    """A tiny managed table: parquet dir + PK, giving the reference's DML
+    verbs as atomic read-modify-write cycles (write temp, swap)."""
+
+    def __init__(self, spark: SparkSession, path: str, primary_key: str):
+        self.spark = spark
+        self.path = path
+        self.primary_key = primary_key
+
+    # -- read ---------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def docs(self) -> DataFrame:
+        """Non-deleted view (the implicit `_deleted=false` filter)."""
+        d = self.df()
+        return d.where(~F.col("_deleted")) if "_deleted" in d.columns else d
+
+    # -- write --------------------------------------------------------------
+
+    def _stamp(self, rows: DataFrame, lwt: float | None = None) -> DataFrame:
+        lwt = time.time() * 1000.0 if lwt is None else lwt
+        out = rows
+        if "_deleted" not in rows.columns:
+            out = out.withColumn("_deleted", F.lit(False))
+        return out.withColumn("_lwt", F.lit(float(lwt)))
+
+    def _swap_in(self, new_df: DataFrame) -> None:
+        tmp = self.path + ".tmp"
+        new_df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)
+
+    def bulk_insert(self, rows: DataFrame, lwt: float | None = None) -> dict[str, int]:
+        """Insert; rows whose PK already exists are rejected per-row (the
+        reference's 409 conflict category) while the rest succeed."""
+        pk = self.primary_key
+        rows = self._stamp(rows, lwt)
+        if not self.exists():
+            self._swap_in(rows)
+            return {"success": rows.count() if rows.isStreaming is False else -1, "conflict": 0}
+        cur = self.df()
+        accepted = rows.join(cur.select(pk), pk, "left_anti")
+        n_acc = accepted.count()
+        n_conf = rows.count() - n_acc
+        self._swap_in(cur.unionByName(accepted, allowMissingColumns=True))
+        return {"success": n_acc, "conflict": n_conf}
+
+    def bulk_upsert(self, rows: DataFrame, lwt: float | None = None) -> None:
+        """MERGE: matched -> replace with new state, not matched -> insert
+        (reference bulkUpsert, rx-collection.js:294-342)."""
+        pk = self.primary_key
+        rows = self._stamp(rows, lwt)
+        if not self.exists():
+            self._swap_in(rows)
+            return
+        cur = self.df()
+        kept = cur.join(rows.select(pk), pk, "left_anti")
+        self._swap_in(kept.unionByName(rows, allowMissingColumns=True))
+
+    def bulk_remove(self, ids: list, lwt: float | None = None) -> None:
+        """Soft delete: set `_deleted = true`, keep the row for the change
+        feed (reference rx-collection.js:243-289)."""
+        lwt = time.time() * 1000.0 if lwt is None else lwt
+        cur = self.df()
+        hit = F.col(self.primary_key).isin(ids)
+        self._swap_in(
+            cur.withColumn(
+                "_deleted", F.when(hit, F.lit(True)).otherwise(F.col("_deleted"))
+            ).withColumn(
+                "_lwt", F.when(hit, F.lit(float(lwt))).otherwise(F.col("_lwt"))
+            )
+        )

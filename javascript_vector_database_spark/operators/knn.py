@@ -1,0 +1,219 @@
+"""k-NN search strategies — the heart of the reference.
+
+Three strategies, mirroring reference src/search.ts:
+
+* ``exact_knn``            ≡ vectorSearchFullScan    (src/search.ts:5-17)
+* ``ann_index_range``      ≡ vectorSearchIndexRange  (src/search.ts:19-54)
+* ``ann_index_similarity`` ≡ vectorSearchIndexSimilarity (src/search.ts:56-109)
+
+Spark-first design notes (scale: 100 TB, 1000 executors):
+
+* The query vector is a *parameter*: inlined as a literal array, so every
+  distance is a pure Column expression — no join, no shuffle for the scan
+  phase.  ``orderBy(distance).limit(k)`` compiles to
+  ``TakeOrderedAndProject`` — per-partition partial top-k, then a k-row
+  merge on the driver.  No full sort, no full shuffle, ever.
+* The reference issues 5 separate index-range queries and union-dedups
+  (src/search.ts:23-40).  On a columnar store one scan with an OR of the 5
+  range predicates is the same candidate set with 1/5 the reads; min-max
+  row-group skipping still applies per conjunct.  We keep the single-pass
+  plan and cite the equivalence.
+* Pivot-distance index columns are precomputed at write time
+  (``build_pivot_index``), exactly like the reference computes idx0..idx4
+  at pipeline time (src/database.ts:195-198).  At 100 TB these are plain
+  sortable DOUBLE columns -> parquet min/max skipping ≈ the reference's
+  IndexedDB key ranges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.functions.vector import (
+    euclidean_distance,
+    index_nr_to_string,
+)
+from javascript_vector_database_spark.pivots import (
+    DOCS_PER_INDEX_SIDE,
+    INDEX_DISTANCE,
+    TOP_K,
+)
+
+
+def _qvec_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def _py_euclid(a: list[float], b: list[float]) -> float:
+    # driver-side mirror for computing per-pivot query distances
+    s = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        s += d * d
+    return s**0.5
+
+
+def with_distance(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "distance",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Add the euclidean distance to the (literal) query vector."""
+    d = euclidean_distance(F.col(vec_col), _qvec_lit(query_vec))
+    if round_to is not None:
+        d = F.round(d, round_to)
+    return df.withColumn(out_col, d)
+
+
+def exact_knn(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN full scan: distance to all rows, ascending top-k with the
+    primary key as deterministic tiebreak (reference sorts then slices,
+    src/search.ts:10-14; PK tiebreak per rx-query-helper.js:128-136).
+
+    Plan: one scan -> TakeOrderedAndProject(k).  Returns (id, distance).
+    """
+    return (
+        with_distance(df, query_vec, vec_col)
+        .select(id_col, "distance")
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def build_pivot_index(
+    df: DataFrame,
+    pivots: list[list[float]],
+    vec_col: str = "embedding",
+    compat_strings: bool = False,
+) -> DataFrame:
+    """Add idx0..idxN distance-to-pivot columns (reference
+    src/database.ts:195-198).  DOUBLE columns are the fixed/scale mode; the
+    10-char compat string encoding (src/database.ts:223-225) is opt-in for
+    fidelity tests (see SURVEY.md §1.3 for why strings mis-sort).
+    """
+    out = df
+    for i, p in enumerate(pivots):
+        d = euclidean_distance(F.col(vec_col), _qvec_lit(p))
+        out = out.withColumn(f"idx{i}", d)
+        if compat_strings:
+            out = out.withColumn(f"idx{i}_str", index_nr_to_string(F.col(f"idx{i}")))
+    return out
+
+
+def ann_index_range(
+    df: DataFrame,
+    query_vec: list[float],
+    pivots: list[list[float]],
+    k: int = TOP_K,
+    index_distance: float = INDEX_DISTANCE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    precomputed: bool = False,
+) -> DataFrame:
+    """Pivot-range ANN (reference src/search.ts:19-54).
+
+    For each pivot i: d_i = dist(pivot_i, q); candidates have
+    idx_i in the OPEN interval (d_i - d_i*0.003, d_i + d_i*0.003).
+    The reference runs 5 index queries and union-dedups into a Set
+    (src/search.ts:21-40); a single scan with the OR of the 5 sargable
+    range predicates yields the identical candidate set (dedup implicit)
+    and touches the storage once.  Candidates are exactly re-ranked and
+    the top-k returned (src/search.ts:42-53).
+
+    With ``precomputed=True`` the df already carries idx0..idxN columns
+    (write-time index, the scale path — predicates push to parquet).
+    """
+    n = len(pivots)
+    src = df if precomputed else build_pivot_index(df, pivots, vec_col)
+    cond = None
+    for i, p in enumerate(pivots[:n]):
+        d_i = _py_euclid(p, query_vec)
+        lo, hi = d_i - d_i * index_distance, d_i + d_i * index_distance
+        c = (F.col(f"idx{i}") > F.lit(lo)) & (F.col(f"idx{i}") < F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return (
+        with_distance(src.where(cond), query_vec, vec_col)
+        .select(id_col, "distance")
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ann_index_similarity(
+    df: DataFrame,
+    query_vec: list[float],
+    pivots: list[list[float]],
+    k: int = TOP_K,
+    docs_per_side: int = DOCS_PER_INDEX_SIDE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    precomputed: bool = False,
+) -> DataFrame:
+    """Pivot-neighborhood ANN (reference src/search.ts:56-109).
+
+    Per pivot i, take the ``docs_per_side`` nearest index entries strictly
+    below d_i (idx desc) and strictly above d_i (idx asc) — the reference's
+    two Mango queries with $lt / $gt + limit (src/search.ts:63-82) — then
+    union-dedup, exact re-rank, top-k.
+
+    Each side compiles to TakeOrderedAndProject(docs_per_side): partial
+    top-k per partition, no full shuffle.  2·n_pivots bounded mini-scans
+    of a single (cached or columnar) source.
+    """
+    src = df if precomputed else build_pivot_index(df, pivots, vec_col)
+    keep = [id_col, vec_col]
+    sides: list[DataFrame] = []
+    for i, p in enumerate(pivots):
+        d_i = _py_euclid(p, query_vec)
+        below = (
+            src.where(F.col(f"idx{i}") < F.lit(d_i))
+            .orderBy(F.col(f"idx{i}").desc(), F.col(id_col).asc())
+            .limit(docs_per_side)
+            .select(*keep)
+        )
+        above = (
+            src.where(F.col(f"idx{i}") > F.lit(d_i))
+            .orderBy(F.col(f"idx{i}").asc(), F.col(id_col).asc())
+            .limit(docs_per_side)
+            .select(*keep)
+        )
+        sides.extend([below, above])
+    cands = sides[0]
+    for s in sides[1:]:
+        cands = cands.unionByName(s)
+    cands = cands.dropDuplicates([id_col])
+    return (
+        with_distance(cands, query_vec, vec_col)
+        .select(id_col, "distance")
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def candidate_count(
+    df: DataFrame,
+    query_vec: list[float],
+    pivots: list[list[float]],
+    index_distance: float = INDEX_DISTANCE,
+    vec_col: str = "embedding",
+    precomputed: bool = False,
+) -> int:
+    """docReads analog: rows touched by the range-ANN candidate predicate
+    (reference tracks docReads per search, src/search.ts:38,52)."""
+    src = df if precomputed else build_pivot_index(df, pivots, vec_col)
+    cond = None
+    for i, p in enumerate(pivots):
+        d_i = _py_euclid(p, query_vec)
+        lo, hi = d_i - d_i * index_distance, d_i + d_i * index_distance
+        c = (F.col(f"idx{i}") > F.lit(lo)) & (F.col(f"idx{i}") < F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return src.where(cond).count()

@@ -1,0 +1,276 @@
+"""§2.1/2.3/2.4/2.6/2.7 relational surface: scans, point lookups, joins
+(lookup/anti/zip), aggregation (incl. the reference's count fast mode),
+sort/skip/limit, set ops — plus the group-by/window/rollup extension
+surface the reference lacks but a 100 TB engine needs.
+
+Float policy for aggregates: sums are computed over DECIMAL casts (exact,
+order-independent — the only way two engines agree bit-for-bit on a 60k-row
+sum), then cast back to DOUBLE and rounded for the output column."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from javascript_vector_database_spark.registry import register
+from javascript_vector_database_spark.tables import load_table
+
+
+@register(
+    "scan_documents",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full collection scan with projection (reference `find().exec()`,
+    src/search.ts:6).  Column pruning reaches the parquet scan."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "point_lookup",
+    oracle=(
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id IN (3, 17, 42, 161, 499)"
+    ),
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Get-by-id bulk lookup (reference findDocumentsById,
+    MAP#rxdb/dist/esm/rx-query.js:95-120) — an IN-list predicate pushed to
+    the scan."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin(3, 17, 42, 161, 499))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "join_anti_missing_vectors",
+    oracle=(
+        "SELECT d.doc_id FROM documents d "
+        "WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)"
+    ),
+)
+def join_anti_missing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's idempotence anti-join: docs whose vector does not
+    exist yet (reference src/database.ts:184-192).  left_anti — Catalyst
+    broadcasts the smaller side."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return docs.join(emb, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "join_zip_documents_embeddings",
+    oracle=(
+        "SELECT d.doc_id, d.lang, e.label FROM documents d "
+        "JOIN embeddings e ON e.vec_id = d.doc_id"
+    ),
+)
+def join_zip_documents_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-aligned-collections 'zip join' (items.json + embeddings.json
+    keyed by the same id, reference src/database.ts:147-158) as an ordinary
+    equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs["doc_id"] == emb["vec_id"], "inner").select(
+        "doc_id", "lang", "label"
+    )
+
+
+@register(
+    "union_dedup",
+    oracle=(
+        "SELECT DISTINCT doc_id FROM ("
+        "SELECT doc_id FROM documents WHERE lang = 'en' "
+        "UNION ALL SELECT doc_id FROM documents WHERE n_chars < 200)"
+    ),
+)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + dedup of candidate sets (the reference's Set merge,
+    src/search.ts:21-40)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.where(F.col("lang") == "en").select("doc_id")
+    b = docs.where(F.col("n_chars") < 200).select("doc_id")
+    return a.unionByName(b).dropDuplicates(["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# aggregation / group-by extension surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: map-side partial aggregation, one
+    shuffle on a 2-column low-cardinality key.  DECIMAL sums keep the
+    result order-independent (AQE may split partials any way it likes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_top_revenue_orders",
+    oracle="""
+WITH rev AS (
+  SELECT l_orderkey,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, c.c_mktsegment, rev.revenue
+FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY rev.revenue DESC, o.o_orderkey ASC
+LIMIT 20
+""",
+)
+def agg_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: aggregate lineitem -> join orders -> broadcast-join the
+    small customer dim -> top-k (TakeOrderedAndProject, no full sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                "double"
+            ),
+            4,
+        ).alias("revenue")
+    )
+    return (
+        rev.join(orders, rev["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .select("o_orderkey", "c_mktsegment", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "window_top_customers_per_nation",
+    oracle="""
+SELECT n_name, c_custkey, c_acctbal, rn FROM (
+  SELECT n.n_name, c.c_custkey,
+         round(c.c_acctbal, 2) AS c_acctbal,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+) WHERE rn <= 3
+""",
+)
+def window_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number — the §2.5 extension surface.
+    One shuffle on the partition key; the dim join is broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "rollup_orders_by_status_priority",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_orders_by_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets extension (free in Spark, absent in the
+    reference — SURVEY.md §2.4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "events_windowed_agg",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream table — the batch
+    shape of the Structured Streaming windowed agg (same plan runs under
+    readStream + watermark; see streaming/pipeline.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )

@@ -1,0 +1,244 @@
+"""§2.8 vector-search surface: kNN/ANN strategies, flagship path, compat
+index encoding, docReads efficiency metric."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark import oracle as osql
+from javascript_vector_database_spark.functions.vector import index_nr_to_string
+from javascript_vector_database_spark.operators import knn
+from javascript_vector_database_spark.pivots import (
+    DOCS_PER_INDEX_SIDE,
+    INDEX_DISTANCE,
+    pivot_sql_literal,
+)
+from javascript_vector_database_spark.registry import (
+    get_query_vec,
+    register,
+    used_pivots,
+)
+from javascript_vector_database_spark.tables import load_table
+
+#: oracle SQL is generated against the driver's sf0.01 data (64-dim);
+#: the Spark side infers the dimension from the data at runtime.
+ORACLE_DIM = 64
+
+
+def _pivot_lits(dim: int) -> list[str]:
+    return [pivot_sql_literal(p) for p in used_pivots(dim)]
+
+
+# ---------------------------------------------------------------------------
+# exact kNN (vectorSearchFullScan, reference src/search.ts:5-17)
+# ---------------------------------------------------------------------------
+
+_KNN_EXACT_ORACLE = f"""
+WITH {osql.QVEC_CTE}
+SELECT vec_id, round({osql.sql_euclid('embedding', 'qv')}, 6) AS distance
+FROM embeddings, q
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_exact", oracle=_KNN_EXACT_ORACLE)
+def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 nearest by euclidean distance; one scan ->
+    TakeOrderedAndProject."""
+    qv = get_query_vec(spark, sf_dir)
+    return knn.exact_knn(load_table(spark, sf_dir, "embeddings"), qv)
+
+
+# ---------------------------------------------------------------------------
+# pivot-range ANN (vectorSearchIndexRange, src/search.ts:19-54)
+# ---------------------------------------------------------------------------
+
+
+def _ann_range_oracle(dim: int) -> str:
+    conds = []
+    for lit in _pivot_lits(dim):
+        d_i = osql.sql_euclid(lit, "qv")
+        e_i = osql.sql_euclid("embedding", lit)
+        conds.append(
+            f"({e_i} > {d_i} - {d_i} * {INDEX_DISTANCE}"
+            f" AND {e_i} < {d_i} + {d_i} * {INDEX_DISTANCE})"
+        )
+    cond = "\n   OR ".join(conds)
+    return f"""
+WITH {osql.QVEC_CTE}
+SELECT vec_id, round({osql.sql_euclid('embedding', 'qv')}, 6) AS distance
+FROM embeddings, q
+WHERE {cond}
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_ann_range", oracle=_ann_range_oracle(ORACLE_DIM))
+def knn_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-distance range candidates, exact re-rank, top-10.  Single scan
+    with the OR of 5 sargable range predicates ≡ the reference's 5-query
+    union-dedup (src/search.ts:21-40)."""
+    qv = get_query_vec(spark, sf_dir)
+    pivots = used_pivots(len(qv))
+    return knn.ann_index_range(load_table(spark, sf_dir, "embeddings"), qv, pivots)
+
+
+# ---------------------------------------------------------------------------
+# pivot-neighborhood ANN (vectorSearchIndexSimilarity, src/search.ts:56-109)
+# ---------------------------------------------------------------------------
+
+
+def _ann_similarity_oracle(dim: int) -> str:
+    lits = _pivot_lits(dim)
+    idx_cols = ", ".join(
+        f"{osql.sql_euclid('embedding', lit)} AS idx{i}" for i, lit in enumerate(lits)
+    )
+    d_cols = ", ".join(
+        f"{osql.sql_euclid(lit, 'qv')} AS d{i}" for i, lit in enumerate(lits)
+    )
+    arms = []
+    for i in range(len(lits)):
+        arms.append(
+            f"(SELECT vec_id, embedding, qv FROM emb, d WHERE idx{i} < d{i} "
+            f"ORDER BY idx{i} DESC, vec_id ASC LIMIT {DOCS_PER_INDEX_SIDE})"
+        )
+        arms.append(
+            f"(SELECT vec_id, embedding, qv FROM emb, d WHERE idx{i} > d{i} "
+            f"ORDER BY idx{i} ASC, vec_id ASC LIMIT {DOCS_PER_INDEX_SIDE})"
+        )
+    union = "\nUNION\n".join(arms)
+    return f"""
+WITH {osql.QVEC_CTE},
+emb AS (SELECT vec_id, embedding, qv, {idx_cols} FROM embeddings, q),
+d AS (SELECT {d_cols} FROM q),
+cand AS ({union})
+SELECT vec_id, round({osql.sql_euclid('embedding', 'qv')}, 6) AS distance
+FROM cand
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_ann_similarity", oracle=_ann_similarity_oracle(ORACLE_DIM))
+def knn_ann_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pivot bounded neighborhoods (100/side, $lt desc + $gt asc),
+    union-dedup, exact re-rank, top-10."""
+    qv = get_query_vec(spark, sf_dir)
+    pivots = used_pivots(len(qv))
+    return knn.ann_index_similarity(load_table(spark, sf_dir, "embeddings"), qv, pivots)
+
+
+# ---------------------------------------------------------------------------
+# docReads efficiency metric (reference src/search.ts:15,38,52)
+# ---------------------------------------------------------------------------
+
+
+def _doc_reads_oracle(dim: int) -> str:
+    conds = []
+    for lit in _pivot_lits(dim):
+        d_i = osql.sql_euclid(lit, "qv")
+        e_i = osql.sql_euclid("embedding", lit)
+        conds.append(
+            f"({e_i} > {d_i} - {d_i} * {INDEX_DISTANCE}"
+            f" AND {e_i} < {d_i} + {d_i} * {INDEX_DISTANCE})"
+        )
+    cond = "\n   OR ".join(conds)
+    return f"""
+WITH {osql.QVEC_CTE}
+SELECT count(*) AS doc_reads,
+       (SELECT count(*) FROM embeddings) AS total_docs
+FROM embeddings, q
+WHERE {cond}
+"""
+
+
+@register("ann_doc_reads", oracle=_doc_reads_oracle(ORACLE_DIM))
+def ann_doc_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate rows touched by the range-ANN predicate vs table size —
+    the reference's docReads efficiency counter."""
+    qv = get_query_vec(spark, sf_dir)
+    pivots = used_pivots(len(qv))
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = knn.build_pivot_index(emb, pivots)
+    cond = None
+    for i, p in enumerate(pivots):
+        d_i = knn._py_euclid(p, qv)
+        lo, hi = d_i - d_i * INDEX_DISTANCE, d_i + d_i * INDEX_DISTANCE
+        c = (F.col(f"idx{i}") > F.lit(lo)) & (F.col(f"idx{i}") < F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return src.where(cond).agg(
+        F.count(F.lit(1)).alias("doc_reads"),
+        F.lit(emb.count()).cast("long").alias("total_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# compat fixed-width index-key encoding (src/database.ts:223-225, §1.3 quirk)
+# ---------------------------------------------------------------------------
+
+
+def _compat_oracle(dim: int) -> str:
+    lit = _pivot_lits(dim)[0]
+    d = osql.sql_euclid("embedding", lit)
+    s = f"regexp_replace(CAST({d} * 10.0 AS VARCHAR), '\\.0$', '')"
+    return f"""
+SELECT vec_id,
+       rpad(substr({s}, 1, 10), 10, '0') AS idx0_str
+FROM embeddings
+"""
+
+
+@register("compat_index_string", oracle=_compat_oracle(ORACLE_DIM))
+def compat_index_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 10-char lexicographic index key, reproduced for
+    fidelity (`((nr*10)+'').slice(0,10).padEnd(10,'0')`)."""
+    qv = get_query_vec(spark, sf_dir)
+    pivots = used_pivots(len(qv))
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = knn.build_pivot_index(emb, pivots[:1])
+    return src.select(
+        "vec_id", index_nr_to_string(F.col("idx0")).alias("idx0_str")
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship: ANN search joined back to source documents (§3.1 end-to-end)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = f"""
+WITH {osql.QVEC_CTE},
+topk AS (
+  SELECT vec_id, round({osql.sql_euclid('embedding', 'qv')}, 6) AS distance
+  FROM embeddings, q
+  ORDER BY distance ASC, vec_id ASC
+  LIMIT 10
+)
+SELECT t.vec_id AS doc_id, t.distance, d.lang, d.source, d.n_chars
+FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+ORDER BY t.distance ASC, t.vec_id ASC
+"""
+
+
+@register("flagship_search", oracle=_FLAGSHIP_ORACLE)
+def flagship_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship read path end-to-end (src/index.ts:50-109):
+    embed query (here: stored vector) -> k-NN -> join source documents.
+    The 10-row top-k is broadcast into the join — no shuffle of
+    documents."""
+    qv = get_query_vec(spark, sf_dir)
+    topk = knn.exact_knn(load_table(spark, sf_dir, "embeddings"), qv)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(topk), docs["doc_id"] == topk["vec_id"], "inner")
+        .select(
+            topk["vec_id"].alias("doc_id"),
+            "distance",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+    )

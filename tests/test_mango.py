@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+import pytest
+
+from javascript_vector_database_spark import registry
+from javascript_vector_database_spark.operators.mango import MangoError, mango_to_column
+from tests.oracle_harness import compare
+
+MANGO_QUERIES = [
+    "mango_eq_ne",
+    "mango_range",
+    "mango_in_nin",
+    "mango_bool_combinators",
+    "mango_mod",
+    "mango_regex",
+    "mango_exists",
+    "mango_elemmatch_size",
+    "mango_sort_skip_limit",
+    "mango_count",
+]
+
+
+@pytest.mark.parametrize("name", MANGO_QUERIES)
+def test_mango_oracle(spark, sf_oracle, name):
+    compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
+def test_unsupported_operator_raises():
+    with pytest.raises(MangoError):
+        mango_to_column({"$where": "this.x > 1"})
+    with pytest.raises(MangoError):
+        mango_to_column({"x": {"$type": "string"}})
+
+
+def test_deleted_filter_applied(spark):
+    from javascript_vector_database_spark.operators.mango import find
+    from javascript_vector_database_spark.tables import with_meta
+
+    df = spark.createDataFrame(
+        [(1, "a", False), (2, "b", True), (3, "c", False)], "id int, v string, _deleted boolean"
+    )
+    got = {r["id"] for r in find(df).collect()}
+    assert got == {1, 3}
+    # with_meta adds the column when absent
+    df2 = spark.createDataFrame([(1, "a")], "id int, v string")
+    assert "_deleted" in with_meta(df2).columns

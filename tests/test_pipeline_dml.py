@@ -1,0 +1,140 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.functions.embedding import embed_udf
+from javascript_vector_database_spark.operators.dml import ParquetTable
+from javascript_vector_database_spark.operators.knn import build_pivot_index
+from javascript_vector_database_spark.pivots import make_pivots
+from javascript_vector_database_spark.sources.json_dump import export_json, import_json
+from javascript_vector_database_spark.streaming.pipeline import Pipeline, anti_join_new
+from javascript_vector_database_spark.streaming.state import RxState
+
+
+@pytest.fixture()
+def items(spark, tmp_path):
+    """A small items source table with (id, body, _lwt)."""
+    rows = [(i, f"doc body number {i} with words", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, body string, _lwt double")
+    path = str(tmp_path / "items")
+    df.write.parquet(path)
+    return path
+
+
+def _make_pipeline(spark, items, tmp_path, batch_size=6):
+    dest = ParquetTable(spark, str(tmp_path / "vectors"), "id")
+    pivots = make_pivots(8)[:2]
+
+    def handler(batch):
+        new = anti_join_new(batch, dest, "id", "id")
+        emb = new.withColumn("embedding", embed_udf(8)(F.col("body")))
+        return build_pivot_index(emb, pivots).select(
+            "id", "embedding", "idx0", "idx1"
+        )
+
+    return (
+        Pipeline(
+            spark,
+            "embed-pipeline",
+            items,
+            dest,
+            handler,
+            str(tmp_path / "cp"),
+            source_pk="id",
+            batch_size=batch_size,
+        ),
+        dest,
+    )
+
+
+def test_pipeline_drains_and_derives_all(spark, items, tmp_path):
+    pipe, dest = _make_pipeline(spark, items, tmp_path)
+    total = pipe.await_idle()
+    assert total == 20
+    assert dest.docs().count() == 20
+    # embeddings are unit-norm 8-dim
+    row = dest.docs().select("embedding").first()
+    assert len(row[0]) == 8
+    assert abs(sum(x * x for x in row[0]) - 1.0) < 1e-5
+
+
+def test_pipeline_checkpoint_resume_exactly_once(spark, items, tmp_path):
+    """Kill between batches, re-run, assert exactly-once derived rows
+    (SURVEY §5.4; reference checkpoint semantics rx-pipeline.js:62-95)."""
+    pipe, dest = _make_pipeline(spark, items, tmp_path, batch_size=6)
+    assert pipe.run_once() == 6  # batch 1
+    assert pipe.run_once() == 6  # batch 2, then "crash"
+
+    pipe2, dest2 = _make_pipeline(spark, items, tmp_path, batch_size=6)
+    total = pipe2.await_idle()
+    assert total == 8  # only the remaining rows
+    assert dest2.docs().count() == 20
+    assert dest2.docs().select("id").distinct().count() == 20
+
+
+def test_pipeline_rerun_is_idempotent(spark, items, tmp_path):
+    pipe, dest = _make_pipeline(spark, items, tmp_path)
+    pipe.await_idle()
+    assert pipe.await_idle() == 0  # drained: no new rows
+    assert dest.docs().count() == 20
+
+
+def test_bulk_insert_conflict_and_upsert(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), "id")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    res = t.bulk_insert(a, lwt=1.0)
+    assert res == {"success": 2, "conflict": 0}
+    b = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    res = t.bulk_insert(b, lwt=2.0)
+    assert res == {"success": 1, "conflict": 1}  # id=2 conflicts (409)
+    assert {r["v"] for r in t.docs().collect()} == {"a", "b", "c"}
+
+    t.bulk_upsert(
+        spark.createDataFrame([(2, "B2"), (4, "d")], "id long, v string"), lwt=3.0
+    )
+    got = {r["id"]: r["v"] for r in t.docs().collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_soft_delete_hides_but_keeps_rows(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), "id")
+    t.bulk_insert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), lwt=1.0
+    )
+    t.bulk_remove([1], lwt=2.0)
+    assert {r["id"] for r in t.docs().collect()} == {2}
+    assert t.df().count() == 2  # row kept for the change feed
+    dead = t.df().where(F.col("_deleted")).first()
+    assert dead["id"] == 1 and dead["_lwt"] == 2.0
+
+
+def test_rx_state_fold(spark, tmp_path):
+    st = RxState(spark, str(tmp_path / "state"))
+    assert st.get("importDone") is None
+    st.set("importDone", False)
+    st.set("progress", 5)
+    st.set("importDone", True)
+    snap = st.snapshot()
+    assert snap == {"importDone": True, "progress": 5}
+
+
+def test_json_dump_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "1-x"), (2, "b", "1-y")], "id long, v string, _rev string"
+    )
+    path = str(tmp_path / "dump")
+    export_json(df, path)
+    schema = "id long, v string"
+    back = import_json(spark, path, schema, lwt=42.0)
+    rows = {r["id"]: r for r in back.collect()}
+    assert set(rows) == {1, 2}
+    assert "_rev" not in back.columns  # stripped from the dump
+    assert rows[1]["_lwt"] == 42.0
+
+    with pytest.raises(ValueError, match="schema hash"):
+        import_json(spark, path, "id long, v string, extra int", lwt=0.0)
+    # need the meta file present
+    assert os.path.exists(os.path.join(path, "_dump_meta.json"))

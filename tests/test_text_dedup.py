@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark import registry
+from javascript_vector_database_spark.operators import dedup
+from javascript_vector_database_spark.tables import load_table
+from tests.oracle_harness import compare
+
+TEXT_QUERIES = [
+    "text_title_content_parse",
+    "text_token_count",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+]
+
+DEDUP_QUERIES = [
+    "dedup_exact_groups",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_cosine_pairs",
+]
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_text_oracle(spark, sf_oracle, name):
+    compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
+@pytest.mark.parametrize("name", DEDUP_QUERIES)
+def test_dedup_oracle(spark, sf_oracle, name):
+    compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
+def test_corpus_has_no_short_texts(spark, sf_oracle):
+    """The DuckDB shingle oracle assumes every doc has >= k tokens; guard it."""
+    docs = load_table(spark, sf_oracle, "documents")
+    n_short = docs.where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) < dedup.DEFAULT_SHINGLE
+    ).count()
+    assert n_short == 0
+
+
+def test_exact_dedup_keeps_one_per_text(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == docs.select("text").distinct().count()
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "an entirely different sentence about spark engines here"),
+        ],
+        "doc_id int, text string",
+    )
+    sigs = {r["doc_id"]: tuple(r[i] for i in range(1, 9)) for r in
+            dedup.minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = dedup.lsh_band_pairs(df, jaccard_threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == 1.0
