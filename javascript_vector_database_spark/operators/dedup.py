@@ -6,16 +6,22 @@ Strategies (each designed for 100 TB):
                            a 32-char key, map-side partial agg.
 * ``minhash_signatures`` — word-shingle MinHash computed entirely with
                            array expressions (NO explode, NO shuffle):
-                           per row, shingles -> H salted md5 min-hashes.
-                           The min of a fixed-width hex digest is a valid
-                           min-hash and is engine-portable (string min).
+                           ONE md5 per shingle -> two 32-bit ints -> all H
+                           hashes by double hashing (v1 + i*v2) mod P
+                           (Kirsch-Mitzenmacher), folded in a single
+                           ``aggregate`` pass.  One expression per row —
+                           critical because higher-order functions are
+                           interpreted (no codegen/CSE), so any plan that
+                           references the shingle array H times re-builds
+                           it H times after projection collapse.
 * ``lsh_band_pairs``     — banding: group signature rows into B bands,
                            hash each band, self-join on (band_idx, band
                            hash) to get candidate pairs, verify with exact
                            shingle Jaccard.  The only shuffle is on short
                            band-hash keys; candidate pairs ≪ n².
-* ``simhash``            — 16-bit SimHash from the same shingle hashes via
-                           per-bit weighted majority, array-expression only.
+* ``simhash``            — 16-bit SimHash from the same per-shingle ints
+                           via one aggregate pass (bit-count accumulator
+                           array), then weighted-majority finish.
 * ``cosine_near_dup``    — embedding near-duplicate pairs, blocked on a
                            coarse key (label / IVF cell) so the self-join
                            never goes quadratic.
@@ -40,6 +46,22 @@ DEFAULT_BANDS = 4  # rows-per-band = HASHES // BANDS
 
 def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input
+    arrives in fewer partitions.  Heavy row-local ops (shingle hashing)
+    otherwise run on however many file splits the scan produced — a small
+    single-row-group parquet file is ONE task no matter how many cores.
+    At 100 TB the scan already has >= cores partitions and this is a
+    no-op, so the shuffle cost is only paid when it buys parallelism.
+
+    NOTE: only call on plain scans/narrow plans — ``df.rdd`` under AQE
+    eagerly executes any shuffle stages already in the plan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +113,44 @@ def shingles(text: Column | str, k: int = DEFAULT_SHINGLE) -> Column:
     )
 
 
+#: modulus for double-hashed MinHash values (Mersenne prime 2^31 - 1)
+MINHASH_P = 2147483647
+
+
+def shingle_hash_pairs(
+    text: Column | str, shingle_k: int = DEFAULT_SHINGLE
+) -> Column:
+    """Per-shingle 64-bit material: ONE md5 per shingle, split into two
+    32-bit ints (hex chars 1-8 and 9-16).  array<struct<v1,v2>>."""
+    hs = F.transform(shingles(_as_col(text), shingle_k), lambda s: F.md5(s))
+    return F.transform(
+        hs,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("v1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("v2"),
+        ),
+    )
+
+
+def minhash_sig(
+    text: Column | str,
+    num_hashes: int = DEFAULT_HASHES,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> Column:
+    """All H min-hashes in ONE pass over the shingles: h_i(s) =
+    (v1 + i*v2) mod P (Kirsch-Mitzenmacher double hashing; no overflow:
+    v < 2^32, i < H so v1 + i*v2 < 2^36).  array<bigint> of length H."""
+    salts = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
+    return F.aggregate(
+        shingle_hash_pairs(text, shingle_k),
+        init,
+        lambda acc, x: F.zip_with(
+            acc, salts, lambda m, i: F.least(m, (x["v1"] + i * x["v2"]) % MINHASH_P)
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -98,20 +158,12 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_HASHES,
     shingle_k: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """Per-document MinHash signature: for salt i, min over shingles of
-    md5('<i>|' || shingle).  Output: (id, mh0..mh{H-1}).  Purely
-    row-local — scales linearly, zero shuffle."""
-    sh = shingles(_as_col(text_col), shingle_k)
-    out = df.select(F.col(id_col), sh.alias("__sh"))
-
-    def salted(salt: int):
-        # single-arg closure: a 2-arg lambda would make F.transform pass
-        # the array index as the second argument
-        return lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s))
-
-    for i in range(num_hashes):
-        out = out.withColumn(f"mh{i}", F.array_min(F.transform(F.col("__sh"), salted(i))))
-    return out.drop("__sh")
+    """Per-document MinHash signature.  Output: (id, mh array<bigint>[H]).
+    Purely row-local — scales linearly, one md5 + one arithmetic pass per
+    shingle; ``spread`` only shuffles when the scan under-partitions."""
+    return spread(df).select(
+        F.col(id_col), minhash_sig(_as_col(text_col), num_hashes, shingle_k).alias("mh")
+    )
 
 
 def lsh_band_pairs(
@@ -127,15 +179,36 @@ def lsh_band_pairs(
     with exact shingle Jaccard.  Output: (id_a, id_b[, jaccard]) with
     id_a < id_b, distinct."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
-        )
-    bands_df = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    # band keys are derived in the aggregate's FINISH lambda, where the
+    # signature is a bound value — computed once per row, not once per
+    # band (lambda bodies embed outer expression subtrees, so referencing
+    # the sig expression inside a per-band lambda would re-evaluate it)
+    band_idx = F.array(*[F.lit(b) for b in range(bands)])
+    salts = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
+    band_keys = F.aggregate(
+        shingle_hash_pairs(_as_col(text_col), shingle_k),
+        init,
+        lambda acc, x: F.zip_with(
+            acc, salts, lambda m, i: F.least(m, (x["v1"] + i * x["v2"]) % MINHASH_P)
+        ),
+        lambda sig: F.transform(
+            band_idx,
+            lambda b: F.struct(
+                b.alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band).cast(
+                            "array<string>"
+                        ),
+                        "|",
+                    )
+                ).alias("bh"),
+            ),
+        ),
+    )
+    bands_df = spread(df).select(
+        F.col(id_col), F.explode(band_keys).alias("bk")
     ).select(id_col, "bk.band", "bk.bh")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -220,35 +293,43 @@ SIMHASH_BITS = 16
 
 
 def simhash(text: Column | str, bits: int = SIMHASH_BITS, shingle_k: int = DEFAULT_SHINGLE) -> Column:
-    """SimHash over shingle md5s: bit b of the result is 1 iff the majority
-    of shingles have bit b set in their digest.  Uses the first bits/4 hex
-    chars of each md5; engine-portable (no 64-bit int ops)."""
-    sh = shingles(text, shingle_k)
-    hexes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, bits // 4))
-    total = F.size(hexes)
-    acc = F.lit(0).cast("long")
-    def bit_set(nib_idx: int, shift: int):
-        # single-arg closure (see minhash_signatures note on lambda arity)
-        return lambda h: (
-            F.floor(
-                F.conv(F.substring(h, nib_idx, 1), 16, 10).cast("long")
-                / F.lit(2**shift)
-            )
-            % 2
-            == 1
-        )
-
-    for b in range(bits):
-        ones = F.size(F.filter(hexes, bit_set(b // 4 + 1, 3 - (b % 4))))
-        bit = F.when(ones * 2 > total, F.lit(1)).otherwise(F.lit(0))
-        acc = acc + bit.cast("long") * F.lit(2 ** (bits - 1 - b))
-    return acc
+    """SimHash over shingle hashes: bit b of the result is 1 iff the
+    majority of shingles have bit b set in their 32-bit hash (v1 of the
+    md5 digest).  ONE aggregate pass: the accumulator is a per-bit
+    counter array + the shingle count; the finish step takes the weighted
+    majority.  Division by 2^b on integers < 2^32 is exact in doubles, so
+    floor(v / 2^b) % 2 is a safe engine-portable bit test."""
+    pows = F.array(*[F.lit(float(2**b)) for b in range(bits)])
+    weights = F.array(*[F.lit(2 ** (bits - 1 - b)).cast("long") for b in range(bits)])
+    init = F.struct(
+        F.array_repeat(F.lit(0).cast("long"), bits).alias("cnt"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    return F.aggregate(
+        shingle_hash_pairs(text, shingle_k),
+        init,
+        lambda acc, x: F.struct(
+            F.zip_with(
+                acc["cnt"], pows, lambda c, p: c + F.floor(x["v1"] / p).cast("long") % 2
+            ).alias("cnt"),
+            (acc["n"] + 1).alias("n"),
+        ),
+        lambda acc: F.aggregate(
+            F.zip_with(
+                acc["cnt"],
+                weights,
+                lambda c, w: F.when(c * 2 > acc["n"], w).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        ),
+    )
 
 
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return df.select(F.col(id_col), simhash(_as_col(text_col)).alias("simhash"))
+    return spread(df).select(F.col(id_col), simhash(_as_col(text_col)).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,7 +1,7 @@
 """Deduplication extension surface: exact, MinHash+LSH, n-gram Jaccard,
 SimHash, embedding-cosine near-dup — each with a DuckDB oracle built from
-the same engine-portable constructions (md5 string min-hashes, hex-nibble
-bit tests)."""
+the same engine-portable constructions (one md5 per shingle -> two 32-bit
+ints -> double-hashed min-hashes / bit-majority SimHash)."""
 
 from __future__ import annotations
 
@@ -31,8 +31,21 @@ def _sql_shingles(text: str, k: int = dedup.DEFAULT_SHINGLE) -> str:
     )
 
 
-def _sql_minhash(sh_expr: str, salt: int) -> str:
-    return f"list_aggregate(list_transform({sh_expr}, s -> md5('{salt}|' || s)), 'min')"
+#: per-shingle [v1, v2] 32-bit ints from ONE md5 (mirrors
+#: dedup.shingle_hash_pairs)
+def _sql_hash_pairs(sh_expr: str) -> str:
+    return (
+        f"list_transform(list_transform({sh_expr}, s -> md5(s)), "
+        f"h -> [('0x' || substr(h, 1, 8))::BIGINT, ('0x' || substr(h, 9, 8))::BIGINT])"
+    )
+
+
+def _sql_minhash(vs_expr: str, salt: int) -> str:
+    """Double-hashed min: min_s (v1 + salt*v2) mod P (mirrors dedup.minhash_sig)."""
+    return (
+        f"list_aggregate(list_transform({vs_expr}, "
+        f"v -> (v[1] + {salt} * v[2]) % {dedup.MINHASH_P}), 'min')"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -60,38 +73,37 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     sh = _sql_shingles("text")
-    cols = ", ".join(
-        f"{_sql_minhash('sh', i)} AS mh{i}" for i in range(dedup.DEFAULT_HASHES)
-    )
+    mh = ", ".join(_sql_minhash("vs", i) for i in range(dedup.DEFAULT_HASHES))
     return (
-        f"SELECT doc_id, {cols} "
-        f"FROM (SELECT doc_id, {sh} AS sh FROM documents)"
+        f"SELECT doc_id, [{mh}] AS mh "
+        f"FROM (SELECT doc_id, {_sql_hash_pairs('sh')} AS vs "
+        f"FROM (SELECT doc_id, {sh} AS sh FROM documents))"
     )
 
 
 @register("dedup_minhash_signatures", oracle=_minhash_oracle())
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signatures — row-local array expressions, zero
-    shuffle; the min of salted md5 digests is an engine-portable
-    min-hash."""
+    shuffle, one md5 + one arithmetic fold per shingle (double hashing)."""
     return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
 def _lsh_pairs_oracle() -> str:
     sh = _sql_shingles("text")
     rows = dedup.DEFAULT_HASHES // dedup.DEFAULT_BANDS
-    mh_cols = ", ".join(
-        f"{_sql_minhash('sh', i)} AS mh{i}" for i in range(dedup.DEFAULT_HASHES)
-    )
+    mh = ", ".join(_sql_minhash("vs", i) for i in range(dedup.DEFAULT_HASHES))
     band_rows = []
     for b in range(dedup.DEFAULT_BANDS):
-        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        parts = " || '|' || ".join(
+            f"CAST(mh[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
         band_rows.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
     bands = "\nUNION ALL\n".join(band_rows)
     return f"""
 WITH sigs AS (
-  SELECT doc_id, {mh_cols}
-  FROM (SELECT doc_id, {sh} AS sh FROM documents)
+  SELECT doc_id, [{mh}] AS mh
+  FROM (SELECT doc_id, {_sql_hash_pairs('sh')} AS vs
+        FROM (SELECT doc_id, {sh} AS sh FROM documents))
 ),
 bands AS ({bands})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -142,31 +154,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle(bits: int = dedup.SIMHASH_BITS) -> str:
     sh = _sql_shingles("text")
-    hexes = f"list_transform(sh, s -> substr(md5(s), 1, {bits // 4}))"
     terms = []
     for b in range(bits):
-        nib_idx = b // 4 + 1
-        shift = 3 - (b % 4)
-        nib = f"strpos('0123456789abcdef', substr(h, {nib_idx}, 1)) - 1"
-        bit_set = f"(CAST(floor(({nib}) / {2 ** shift}) AS BIGINT) % 2 = 1)"
-        ones = f"len(list_filter(hx, h -> {bit_set}))"
+        ones = f"len(list_filter(v1s, v -> (v // {2 ** b}) % 2 = 1))"
         terms.append(
-            f"(CASE WHEN {ones} * 2 > len(hx) THEN {2 ** (bits - 1 - b)} ELSE 0 END)"
+            f"(CASE WHEN {ones} * 2 > len(v1s) THEN {2 ** (bits - 1 - b)} ELSE 0 END)"
         )
     acc = " + ".join(terms)
     return f"""
-WITH hx AS (
-  SELECT doc_id, {hexes} AS hx
+WITH v1s AS (
+  SELECT doc_id, list_transform({_sql_hash_pairs('sh')}, v -> v[1]) AS v1s
   FROM (SELECT doc_id, {sh} AS sh FROM documents)
 )
-SELECT doc_id, CAST({acc} AS BIGINT) AS simhash FROM hx
+SELECT doc_id, CAST({acc} AS BIGINT) AS simhash FROM v1s
 """
 
 
 @register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash via per-bit weighted majority over shingle md5
-    nibbles — engine-portable, row-local."""
+    """16-bit SimHash via weighted bit-majority over per-shingle 32-bit
+    hashes — engine-portable, row-local, one md5 per shingle."""
     return dedup.simhash_table(load_table(spark, sf_dir, "documents"))
 
 

@@ -60,7 +60,7 @@ def test_minhash_identical_docs_share_signature(spark):
         ],
         "doc_id int, text string",
     )
-    sigs = {r["doc_id"]: tuple(r[i] for i in range(1, 9)) for r in
+    sigs = {r["doc_id"]: tuple(r["mh"]) for r in
             dedup.minhash_signatures(df).collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
