@@ -150,8 +150,11 @@ def main() -> None:
     for name in [
         "flagship_search",
         "knn_exact",
+        "knn_cosine",
         "knn_ann_range",
         "knn_ann_similarity",
+        "ann_ivf_search",
+        "ann_lsh_search",
         "agg_pricing_summary",
         "agg_top_revenue_orders",
         "window_top_customers_per_nation",
@@ -164,6 +167,7 @@ def main() -> None:
         "state_fold_last_per_user",
         "changefeed_page",
         "text_quality_score",
+        "multimodal_byte_stats",
     ]:
         fn = registry.queries()[name]
         t, _ = _timed(lambda fn=fn: fn(spark, sf_dir).collect())

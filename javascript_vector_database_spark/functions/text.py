@@ -38,6 +38,19 @@ def word_tokens(text: Column | str) -> Column:
     return F.split(F.trim(F.lower(_as_col(text))), r"\s+")
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+#: the split GPT-style BPE applies before merges.  Shared by Spark
+#: (regexp_extract_all) and DuckDB (same regex dialect for this class).
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Sub-word-style token count: letter runs + digit runs + punctuation
+    marks (whitespace dropped).  A deterministic proxy for a real BPE
+    vocabulary's pre-tokenization pass."""
+    return F.size(F.regexp_extract_all(_as_col(text), F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
 #: tiny stopword lists per language for the n-gram/lexicon language-ID
 #: heuristic.  Deliberately small and deterministic.
 _LANG_MARKERS = {
@@ -91,6 +104,10 @@ def fingerprint(text: Column | str) -> Column:
 
 
 # ---- DuckDB oracle SQL equivalents ---------------------------------------
+
+
+def sql_bpe_token_count(text: str) -> str:
+    return f"len(regexp_extract_all({text}, '{BPE_SPLIT_RE}'))"
 
 
 def sql_token_count(text: str) -> str:

@@ -36,21 +36,61 @@ def ivf_centroids(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedd
     )
 
 
+def collect_centroids(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    step: int = IVF_STEP,
+) -> list[tuple[int, list[float]]]:
+    """Centroid set, collected driver-side (it is tiny by construction —
+    n/step rows) and sorted by cid for deterministic tie-breaks."""
+    rows = ivf_centroids(emb, id_col, vec_col, step).collect()
+    return sorted((int(r["cid"]), [float(x) for x in r["cemb"]]) for r in rows)
+
+
+def ivf_cell_expr(vec: Column | str, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id as a pure Column expression: the centroids are
+    inlined as literals and the argmin is ONE fold over them — no join, no
+    shuffle, scan-only.  Ties go to the lowest cid (cents sorted).  This
+    is the 100 TB plan: assignment is embarrassingly parallel; the
+    downstream table is then written partitioned by ivf_cell."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(cid).cast("long").alias("cid"),
+            F.array(*[F.lit(x) for x in cemb]).alias("cemb"),
+        )
+        for cid, cemb in cents
+    ])
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("cid")
+    )
+    # least() on the (d, cid) struct = lexicographic argmin: smallest
+    # distance, ties to the lowest cid — one distance fold per centroid
+    return F.aggregate(
+        cent_arr,
+        init,
+        lambda acc, c: F.least(
+            acc,
+            F.struct(
+                euclidean_distance(vec, c["cemb"]).alias("d"), c["cid"].alias("cid")
+            ),
+        ),
+        lambda acc: acc["cid"],
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     step: int = IVF_STEP,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid: broadcast the (small)
-    centroid set, per-row argmin via min_by — one pass, no shuffle of the
-    big side beyond the final groupBy on (id)."""
-    cents = ivf_centroids(emb, id_col, vec_col, step)
-    d = euclidean_distance(F.col(vec_col), F.col("cemb"))
-    return (
-        emb.join(F.broadcast(cents))
-        .groupBy(id_col)
-        .agg(F.min_by(F.col("cid"), d).alias("ivf_cell"))
+    """Assign every vector to its nearest centroid — shuffle-free (see
+    ivf_cell_expr)."""
+    if cents is None:
+        cents = collect_centroids(emb, id_col, vec_col, step)
+    return emb.select(
+        F.col(id_col), ivf_cell_expr(F.col(vec_col), cents).alias("ivf_cell")
     )
 
 
@@ -63,17 +103,15 @@ def ivf_search(
     nprobe: int = N_PROBE,
     k: int = TOP_K,
 ) -> DataFrame:
-    """Probe the nprobe nearest cells, exact-rank inside them.  With the
-    assignment precomputed and the table partitioned by cell, the WHERE
+    """Probe the nprobe nearest cells, exact-rank inside them.  The cell
+    id is computed inline (scan-only, no join); with the assignment
+    precomputed and the table partitioned by cell, the WHERE
     ivf_cell IN (...) prunes partitions before any scan."""
-    cents = ivf_centroids(emb, id_col, vec_col, step).collect()
-    probed = sorted(
-        ((_py_euclid(list(r["cemb"]), query_vec), r["cid"]) for r in cents)
-    )[:nprobe]
+    cents = collect_centroids(emb, id_col, vec_col, step)
+    probed = sorted((_py_euclid(cemb, query_vec), cid) for cid, cemb in cents)[:nprobe]
     probe_ids = [cid for _, cid in probed]
-    assign = ivf_assign(emb, id_col, vec_col, step)
     return (
-        emb.join(assign, id_col)
+        emb.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), cents))
         .where(F.col("ivf_cell").isin(probe_ids))
         .withColumn(
             "distance",
@@ -111,3 +149,61 @@ def lsh_bucket_table(
         dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(dim, bits, seed)
     return emb.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+
+
+def _py_bucket(vec: list[float], planes: list[list[float]]) -> str:
+    """Driver-side bucket of the query vector — same sequential dot fold
+    as the Column expression."""
+    out = []
+    for h in planes:
+        s = 0.0
+        for a, b in zip(vec, h):
+            s += float(a) * float(b)
+        out.append("1" if s > 0 else "0")
+    return "".join(out)
+
+
+def lsh_probe_buckets(
+    query_vec: list[float],
+    planes: list[list[float]],
+    hamming: int = 1,
+) -> list[str]:
+    """Multi-probe bucket set: the query's bucket plus every bucket within
+    the given hamming distance (single-bit flips for hamming=1).  Probing
+    neighbors recovers most of the recall a single sign-bucket loses."""
+    qb = _py_bucket(query_vec, planes)
+    probes = [qb]
+    if hamming >= 1:
+        for j in range(len(qb)):
+            probes.append(qb[:j] + ("0" if qb[j] == "1" else "1") + qb[j + 1:])
+    return probes
+
+
+def lsh_search(
+    emb: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = LSH_BITS,
+    seed: int = LSH_SEED,
+    k: int = TOP_K,
+    hamming: int = 1,
+) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN: candidates = rows whose bucket is
+    within hamming distance of the query bucket, exact euclidean re-rank,
+    top-k.  Scan + IN-list filter + TakeOrderedAndProject — no shuffle;
+    with the bucket precomputed as a table column the IN-list prunes via
+    min/max stats or partitioning."""
+    planes = hyperplanes(len(query_vec), bits, seed)
+    probes = lsh_probe_buckets(query_vec, planes, hamming)
+    return (
+        emb.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        .where(F.col("bucket").isin(probes))
+        .withColumn(
+            "distance",
+            F.round(euclidean_distance(F.col(vec_col), _qvec_lit(query_vec)), 6),
+        )
+        .select(id_col, "distance")
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

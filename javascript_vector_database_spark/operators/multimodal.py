@@ -1,0 +1,195 @@
+"""Multimodal (image/audio/video) column surface for the training-data
+pipeline extension.
+
+The reference is text-only; this is the SURVEY §7.7 extension: media
+payloads ride as opaque ``binary`` columns with a typed metadata struct,
+and every per-item transform is an Arrow-batched ``mapInPandas`` over
+``(media_id, kind, payload, meta)`` — the schema, partitioning, UDF
+signatures and batch shapes are real and oracle-tested.  Only the actual
+codec calls are stubbed: the image/audio libraries are not in this
+container, so ``decode_image``/``resize_image`` raise a clearly-marked
+``NotImplementedError`` unless the deterministic fake is requested.
+
+Scale notes: payloads never pass through the driver; transforms are
+row-local (zero shuffle) and Arrow-batched; at 100 TB the media table is
+written partitioned by ``kind`` with payloads in their own parquet column
+chunk so metadata-only queries never read bytes (column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+#: modulus for payload checksums (fits in int32, portable to DuckDB)
+CHECKSUM_MOD = 2147483647
+#: byte-histogram bins: byte >> 6 -> 4 coarse bins
+N_HIST_BINS = 4
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, n_frames:int, sample_rate:int, fmt:string>"
+)
+
+BYTE_STATS_SCHEMA = "media_id long, n_bytes long, checksum long, hist array<long>"
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, n_frames int, n_sampled int, first_frame_checksum long"
+)
+
+
+def with_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Fabricate the canonical media table from ``documents``: payload =
+    utf-8 bytes of the text (a deterministic stand-in for real codec
+    output), meta derived from n_chars.  Pure Column expressions — the
+    fabrication itself never leaves the JVM."""
+    n = F.col("n_chars").cast("int")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.lit(16) + n % 32).alias("width"),
+            (F.lit(16) + n % 24).alias("height"),
+            (F.lit(1) + n % 8).alias("n_frames"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit("raw").alias("fmt"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (REAL: byte stats over the opaque payload)
+# ---------------------------------------------------------------------------
+
+
+def byte_stats(media: DataFrame) -> DataFrame:
+    """Per-item payload statistics via Arrow-batched ``mapInPandas``:
+    byte count, additive checksum mod P, and a 4-bin coarse byte
+    histogram (byte >> 6).  This is the shape of any real feature
+    extractor: binary in, fixed-width numeric features out, row-local."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b >> 6, minlength=N_HIST_BINS)[:N_HIST_BINS]
+                rows.append(
+                    (
+                        int(mid),
+                        int(b.size),
+                        int(b.sum() % CHECKSUM_MOD),
+                        [int(x) for x in hist],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "checksum", "hist"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=BYTE_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame sampling (REAL plumbing over the synthetic frame layout)
+# ---------------------------------------------------------------------------
+
+
+def frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Sample every ``stride``-th frame of a video payload.  The payload
+    is treated as ``meta.n_frames`` equal chunks (last chunk ragged);
+    returns per-item frame counts and the first sampled frame's checksum.
+    Row-local mapInPandas — the 100 TB shape for video pipelines."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                nf = int(meta["n_frames"])
+                frame_len = -(-b.size // nf)  # ceil division
+                frames = [
+                    b[j * frame_len : (j + 1) * frame_len] for j in range(nf)
+                ]
+                sampled = frames[::stride]
+                rows.append(
+                    (
+                        int(mid),
+                        nf,
+                        len(sampled),
+                        int(sampled[0].sum() % CHECKSUM_MOD) if sampled else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "n_sampled",
+                    "first_frame_checksum",
+                ],
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        sample, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# codec-backed ops (STUBBED: libraries not in this container)
+# ---------------------------------------------------------------------------
+
+
+def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode image payloads to pixel arrays.
+
+    Real path requires PIL (NOT installed here) -> NotImplementedError.
+    ``fake=True`` runs the deterministic stand-in: bytes reinterpreted as
+    a (height*width)-truncated/padded uint8 "pixel" grid, returning per
+    item ``(media_id, px_mean, px_std)`` — same schema and batch shape
+    the real decoder would produce."""
+    if not fake and not _HAS_PIL:
+        raise NotImplementedError(
+            "STUB: image decode requires PIL, which is not installed in "
+            "this container. Pass fake=True for the deterministic stand-in."
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_px = int(meta["width"]) * int(meta["height"])
+                px = np.resize(b, n_px).astype(np.float64)  # truncate/tile
+                rows.append((int(mid), float(px.mean()), float(px.std())))
+            yield pd.DataFrame(rows, columns=["media_id", "px_mean", "px_std"])
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        decode, schema="media_id long, px_mean double, px_std double"
+    )
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize image payloads.  Requires PIL -> stubbed in this container."""
+    raise NotImplementedError(
+        "STUB: image resize requires PIL, which is not installed in this "
+        "container. The plumbing shape is decode_image -> PIL.Image.resize "
+        "-> re-encode inside the same mapInPandas iterator."
+    )

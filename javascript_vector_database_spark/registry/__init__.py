@@ -73,9 +73,11 @@ def used_pivots(dim: int) -> list[list[float]]:
 
 # --- submodules register on import (register() must exist first) ----------
 from javascript_vector_database_spark.registry import (  # noqa: E402,F401
+    ann_scale_queries,
     dedup_queries,
     feed_state,
     mango_queries,
+    multimodal_queries,
     relational,
     text_queries,
     vector_search,

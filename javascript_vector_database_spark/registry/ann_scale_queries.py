@@ -1,0 +1,190 @@
+"""Scale-path similarity search surface (SURVEY §2.8 generalization):
+brute-force cosine top-k baseline, IVF coarse quantization, and
+multi-probe hyperplane LSH.
+
+The reference's pivot-distance index IS a fixed-pivot coarse quantizer
+(reference src/database.ts:195-198, src/search.ts:19-54); IVF and
+hyperplane LSH are its 100 TB generalizations.  Every oracle reproduces
+the exact assignment with the same sequential float folds."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark import oracle as osql
+from javascript_vector_database_spark.functions.vector import cosine_similarity
+from javascript_vector_database_spark.operators import ann_scale
+from javascript_vector_database_spark.operators.knn import _py_euclid
+from javascript_vector_database_spark.pivots import TOP_K, pivot_sql_literal
+from javascript_vector_database_spark.registry import get_query_vec, register
+from javascript_vector_database_spark.tables import load_table
+
+#: oracle SQL is generated against the driver's sf0.01 data (64-dim)
+ORACLE_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (the similarity-search baseline)
+# ---------------------------------------------------------------------------
+
+_KNN_COSINE_ORACLE = f"""
+WITH {osql.QVEC_CTE}
+SELECT vec_id, round({osql.sql_cosine('embedding', 'qv')}, 6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+@register("knn_cosine", oracle=_KNN_COSINE_ORACLE)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 by cosine similarity: one scan ->
+    TakeOrderedAndProject; the JVM-side zip_with/aggregate dot product
+    keeps the whole plan codegen-adjacent (no Python)."""
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        emb.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: assignment + probe search
+# ---------------------------------------------------------------------------
+
+_IVF_CENTS_CTE = (
+    f"cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings "
+    f"WHERE vec_id % {ann_scale.IVF_STEP} = 0)"
+)
+
+_IVF_ASSIGN_CTE = f"""
+assign AS (
+  SELECT vec_id, cid AS ivf_cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {osql.sql_euclid('e.embedding', 'c.cemb')} ASC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+
+_IVF_CELLS_ORACLE = f"""
+WITH {_IVF_CENTS_CTE},{_IVF_ASSIGN_CTE}
+SELECT ivf_cell, count(*) AS n_vectors
+FROM assign GROUP BY ivf_cell
+"""
+
+
+@register("ann_ivf_cells", oracle=_IVF_CELLS_ORACLE)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell histogram: nearest-centroid assignment is a pure Column
+    fold over inlined centroid literals — scan-only, shuffle only for the
+    tiny per-cell count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    return (
+        ann_scale.ivf_assign(emb, cents=cents)
+        .groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+_IVF_SEARCH_ORACLE = f"""
+WITH {osql.QVEC_CTE},
+{_IVF_CENTS_CTE},{_IVF_ASSIGN_CTE},
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY {osql.sql_euclid('cemb', 'qv')} ASC, cid ASC
+  LIMIT {ann_scale.N_PROBE}
+)
+SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'qv')}, 6) AS distance
+FROM embeddings e, q
+JOIN assign a ON a.vec_id = e.vec_id
+WHERE a.ivf_cell IN (SELECT cid FROM probe)
+ORDER BY distance ASC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+@register("ann_ivf_search", oracle=_IVF_SEARCH_ORACLE)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search: rank the nprobe nearest cells driver-side (the
+    centroid set is tiny), then exact re-rank inside the probed cells.
+    With the table written partitioned by ivf_cell the IN-list prunes
+    whole partitions."""
+    qv = get_query_vec(spark, sf_dir)
+    return ann_scale.ivf_search(load_table(spark, sf_dir, "embeddings"), qv)
+
+
+# ---------------------------------------------------------------------------
+# hyperplane LSH: bucket table + multi-probe search
+# ---------------------------------------------------------------------------
+
+
+def _lsh_sql_bucket(vec_expr: str, dim: int) -> str:
+    planes = ann_scale.hyperplanes(dim)
+    bits = [
+        f"CASE WHEN {osql.sql_dot(vec_expr, pivot_sql_literal(h))} > 0 "
+        f"THEN '1' ELSE '0' END"
+        for h in planes
+    ]
+    return " || ".join(bits)
+
+
+_LSH_BUCKETS_ORACLE = f"""
+SELECT {_lsh_sql_bucket('embedding', ORACLE_DIM)} AS bucket,
+       count(*) AS n_vectors
+FROM embeddings
+GROUP BY 1
+"""
+
+
+@register("ann_lsh_buckets", oracle=_LSH_BUCKETS_ORACLE)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit bucket histogram: 8 seeded hyperplanes -> 2^8 buckets.
+    The bucket string is one scan-local expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        ann_scale.lsh_bucket_table(emb)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def _lsh_search_oracle(dim: int) -> str:
+    bucket = _lsh_sql_bucket("embedding", dim)
+    qbucket = _lsh_sql_bucket("qv", dim)
+    flips = ["qb.b"]
+    for j in range(1, ann_scale.LSH_BITS + 1):
+        flip = (
+            f"substr(qb.b, 1, {j - 1}) || "
+            f"(CASE WHEN substr(qb.b, {j}, 1) = '1' THEN '0' ELSE '1' END) || "
+            f"substr(qb.b, {j + 1})"
+        )
+        flips.append(flip)
+    probes = ", ".join(flips)
+    return f"""
+WITH {osql.QVEC_CTE},
+qb AS (SELECT {qbucket} AS b FROM q)
+SELECT vec_id, round({osql.sql_euclid('embedding', 'qv')}, 6) AS distance
+FROM embeddings, q, qb
+WHERE ({bucket}) IN ({probes})
+ORDER BY distance ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+@register("ann_lsh_search", oracle=_lsh_search_oracle(ORACLE_DIM))
+def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: candidates within hamming distance 1 of the
+    query bucket, exact re-rank, top-10 — scan + IN-list, no shuffle."""
+    qv = get_query_vec(spark, sf_dir)
+    return ann_scale.lsh_search(load_table(spark, sf_dir, "embeddings"), qv)

@@ -40,6 +40,20 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_count",
+    oracle=(
+        f"SELECT doc_id, {T.sql_bpe_token_count('text')} AS n_bpe_tokens "
+        f"FROM documents"
+    ),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-style token count (BPE pre-tokenization proxy: letter
+    runs, digit runs, punctuation marks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+@register(
     "text_lang_id",
     oracle=(
         f"SELECT doc_id, lang, {T.sql_lang_id('text')} AS lang_guess FROM documents"

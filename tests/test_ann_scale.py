@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import pytest
+
+from javascript_vector_database_spark import registry
+from javascript_vector_database_spark.operators import ann_scale
+from javascript_vector_database_spark.registry import get_query_vec
+from javascript_vector_database_spark.tables import load_table
+from tests.oracle_harness import compare
+
+ANN_SCALE_QUERIES = [
+    "knn_cosine",
+    "ann_ivf_cells",
+    "ann_ivf_search",
+    "ann_lsh_buckets",
+    "ann_lsh_search",
+]
+
+
+@pytest.mark.parametrize("name", ANN_SCALE_QUERIES)
+def test_ann_scale_oracle(spark, sf_oracle, name):
+    compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
+def test_ivf_covers_all_vectors(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    assign = ann_scale.ivf_assign(emb)
+    assert assign.count() == emb.count()
+    assert assign.where("ivf_cell < 0").count() == 0
+
+
+def test_ivf_results_subset_of_exact_metric(spark, sf_oracle):
+    """IVF results are true distances: each returned distance must be >=
+    the exact kNN's distance at the same rank (ANN can only lose)."""
+    from javascript_vector_database_spark.operators import knn
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qv = get_query_vec(spark, sf_oracle)
+    exact = [r["distance"] for r in knn.exact_knn(emb, qv).collect()]
+    approx = [r["distance"] for r in ann_scale.ivf_search(emb, qv).collect()]
+    assert len(approx) > 0
+    for rank, d in enumerate(approx):
+        assert d >= exact[rank] - 1e-9
+
+
+def test_lsh_probe_buckets_hamming():
+    planes = ann_scale.hyperplanes(4, bits=3)
+    probes = ann_scale.lsh_probe_buckets([1.0, 0.0, 0.0, 0.0], planes)
+    assert len(probes) == 4  # exact + 3 single-bit flips
+    assert len(set(probes)) == 4
+    qb = probes[0]
+    for p in probes[1:]:
+        assert sum(a != b for a, b in zip(qb, p)) == 1

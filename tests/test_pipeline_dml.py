@@ -121,6 +121,41 @@ def test_rx_state_fold(spark, tmp_path):
     assert snap == {"importDone": True, "progress": 5}
 
 
+def test_streaming_pipeline_foreachbatch(spark, items, tmp_path):
+    """Structured Streaming flavor: file source -> foreachBatch handler ->
+    destination, exactly-once via Spark's checkpoint; processAllAvailable
+    is the awaitIdle barrier (SURVEY §2.9)."""
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    dest = ParquetTable(spark, str(tmp_path / "svectors"), "id")
+    pivots = make_pivots(8)[:2]
+
+    def handler(batch, batch_id):
+        new = anti_join_new(batch, dest, "id", "id")
+        emb = new.withColumn("embedding", embed_udf(8)(F.col("body")))
+        dest.bulk_upsert(
+            build_pivot_index(emb, pivots).select("id", "embedding", "idx0", "idx1")
+        )
+
+    q = streaming_pipeline(
+        spark, items, "id long, body string, _lwt double", handler,
+        str(tmp_path / "scp"),
+    )
+    q.awaitTermination(120)
+    assert dest.docs().count() == 20
+
+    # restart with the same checkpoint: no reprocessing, still 20 rows
+    q2 = streaming_pipeline(
+        spark, items, "id long, body string, _lwt double", handler,
+        str(tmp_path / "scp"),
+    )
+    q2.awaitTermination(120)
+    assert dest.docs().count() == 20
+    assert dest.docs().select("id").distinct().count() == 20
+
+
 def test_json_dump_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", "1-x"), (2, "b", "1-y")], "id long, v string, _rev string"

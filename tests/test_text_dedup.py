@@ -11,6 +11,7 @@ from tests.oracle_harness import compare
 TEXT_QUERIES = [
     "text_title_content_parse",
     "text_token_count",
+    "text_bpe_token_count",
     "text_lang_id",
     "text_quality_score",
     "text_fingerprint",
