@@ -96,20 +96,18 @@ class Pipeline:
         """One micro-batch: returns rows processed (0 = idle)."""
         batch = self._next_batch().cache()
         try:
-            tail = (
-                batch.orderBy(
-                    F.col(self.lwt_col).desc(), F.col(self.source_pk).desc()
-                )
-                .select(self.lwt_col, self.source_pk)
-                .first()
-            )
-            if tail is None:
+            # one job for batch size + checkpoint tail (max (lwt, id))
+            head = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.struct(self.lwt_col, self.source_pk)).alias("tail"),
+            ).first()
+            n = head["n"]
+            if n == 0:
                 return 0
-            n = batch.count()
             out = self.handler(batch)
             if out is not None:
                 self.destination.bulk_upsert(out)
-            self._write_checkpoint(float(tail[0]), tail[1])
+            self._write_checkpoint(float(head["tail"][0]), head["tail"][1])
             return n
         finally:
             batch.unpersist()
