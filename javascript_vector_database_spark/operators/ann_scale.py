@@ -6,10 +6,13 @@ is a fixed-pivot coarse quantizer.  These two operators are its
 the scalable generalization"):
 
 * **IVF**: partition vectors by nearest centroid; a query probes only the
-  ``nprobe`` nearest cells.  Centroids are deterministic data rows
-  (vec_id % step == 0) so the DuckDB oracle can reproduce the exact
-  assignment.  At scale: write the table partitioned by ``ivf_cell`` —
-  probing prunes whole partitions before any scan.
+  ``nprobe`` nearest cells.  Centroids are a FIXED-K deterministic sample
+  (the K rows with the smallest md5(vec_id) — a seeded uniform draw both
+  engines reproduce), so centroid count is O(1) in table size: the inlined
+  literal array, the per-row argmin fold, and the driver collect all stay
+  bounded no matter how large the table grows.  At scale: write the table
+  partitioned by ``ivf_cell`` — probing prunes whole partitions before any
+  scan; swap the sample for MLlib k-means‖ centers when recall matters.
 * **Hyperplane LSH**: sign-bit bucket of dot products against seeded
   hyperplanes; bucket-equality join gives candidates in one shuffle.
 """
@@ -23,26 +26,33 @@ from javascript_vector_database_spark.functions.vector import dot, euclidean_dis
 from javascript_vector_database_spark.operators.knn import _py_euclid, _qvec_lit
 from javascript_vector_database_spark.pivots import TOP_K, make_pivots
 
-IVF_STEP = 50  # centroids = rows with vec_id % IVF_STEP == 0
+IVF_K = 16  # fixed centroid count, independent of table size
 N_PROBE = 2
 LSH_SEED = 7
 LSH_BITS = 8
 
 
 def ivf_centroids(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-                  step: int = IVF_STEP) -> DataFrame:
-    return emb.where(F.col(id_col) % step == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb")
+                  k: int = IVF_K) -> DataFrame:
+    """Fixed-K deterministic centroid sample: the K rows with the smallest
+    md5 of the primary key — a uniform hash-order draw whose cost is one
+    TakeOrdered pass and whose size never grows with the table (the old
+    ``vec_id % step`` scheme made centroid count O(n), which made the
+    argmin fold O(n²/step) and the inlined literal unbounded)."""
+    return (
+        emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cemb"))
+        .orderBy(F.md5(F.col("cid").cast("string")).asc(), F.col("cid").asc())
+        .limit(k)
     )
 
 
 def collect_centroids(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    step: int = IVF_STEP,
+    k: int = IVF_K,
 ) -> list[tuple[int, list[float]]]:
-    """Centroid set, collected driver-side (it is tiny by construction —
-    n/step rows) and sorted by cid for deterministic tie-breaks."""
-    rows = ivf_centroids(emb, id_col, vec_col, step).collect()
+    """Centroid set, collected driver-side (K rows by construction) and
+    sorted by cid for deterministic tie-breaks."""
+    rows = ivf_centroids(emb, id_col, vec_col, k).collect()
     return sorted((int(r["cid"]), [float(x) for x in r["cemb"]]) for r in rows)
 
 
@@ -82,13 +92,13 @@ def ivf_assign(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    step: int = IVF_STEP,
+    k_cents: int = IVF_K,
     cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid — shuffle-free (see
     ivf_cell_expr)."""
     if cents is None:
-        cents = collect_centroids(emb, id_col, vec_col, step)
+        cents = collect_centroids(emb, id_col, vec_col, k_cents)
     return emb.select(
         F.col(id_col), ivf_cell_expr(F.col(vec_col), cents).alias("ivf_cell")
     )
@@ -99,7 +109,7 @@ def ivf_search(
     query_vec: list[float],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    step: int = IVF_STEP,
+    k_cents: int = IVF_K,
     nprobe: int = N_PROBE,
     k: int = TOP_K,
 ) -> DataFrame:
@@ -107,7 +117,7 @@ def ivf_search(
     id is computed inline (scan-only, no join); with the assignment
     precomputed and the table partitioned by cell, the WHERE
     ivf_cell IN (...) prunes partitions before any scan."""
-    cents = collect_centroids(emb, id_col, vec_col, step)
+    cents = collect_centroids(emb, id_col, vec_col, k_cents)
     probed = sorted((_py_euclid(cemb, query_vec), cid) for cid, cemb in cents)[:nprobe]
     probe_ids = [cid for _, cid in probed]
     return (

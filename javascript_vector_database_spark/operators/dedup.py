@@ -22,9 +22,10 @@ Strategies (each designed for 100 TB):
 * ``simhash``            — 16-bit SimHash from the same per-shingle ints
                            via one aggregate pass (bit-count accumulator
                            array), then weighted-majority finish.
-* ``cosine_near_dup``    — embedding near-duplicate pairs, blocked on a
-                           coarse key (label / IVF cell) so the self-join
-                           never goes quadratic.
+* ``cosine_near_dup``    — embedding near-duplicate pairs, blocked on the
+                           hyperplane-LSH sign bucket (2^bits cells) so
+                           the self-join never goes quadratic; norms are
+                           pre-projected so each pair costs ONE dot fold.
 
 The reference itself has no dedup surface; its union-dedup Set
 (reference src/search.ts:21,37) maps to ``dropDuplicates`` — used here and
@@ -37,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from javascript_vector_database_spark.functions.text import word_tokens
-from javascript_vector_database_spark.functions.vector import cosine_similarity
+from javascript_vector_database_spark.functions.vector import dot, l2_norm
 
 DEFAULT_SHINGLE = 3
 DEFAULT_HASHES = 8
@@ -48,20 +49,8 @@ def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's default parallelism when the input
-    arrives in fewer partitions.  Heavy row-local ops (shingle hashing)
-    otherwise run on however many file splits the scan produced — a small
-    single-row-group parquet file is ONE task no matter how many cores.
-    At 100 TB the scan already has >= cores partitions and this is a
-    no-op, so the shuffle cost is only paid when it buys parallelism.
-
-    NOTE: only call on plain scans/narrow plans — ``df.rdd`` under AQE
-    eagerly executes any shuffle stages already in the plan."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# re-exported for compatibility; see tables.spread for the scale rationale
+from javascript_vector_database_spark.tables import spread  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +246,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs.  Quadratic unless blocked —
     pass ``block_col`` (e.g. a source/label/LSH bucket) at scale."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
         shingles(_as_col(text_col), shingle_k).alias("sh"),
@@ -341,30 +330,66 @@ def cosine_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.2,
+    lsh_bits: int = 8,
+    lsh_seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked so the self-join is
-    per-block (at 100 TB the block key is an IVF/LSH cell; here the label
-    column stands in).  Output: (id_a, id_b, cos_sim)."""
-    cols = [F.col(id_col), F.col(vec_col)] + (
-        [F.col(block_col)] if block_col else []
+    per-block.  Output: (id_a, id_b, cos_sim).
+
+    Scale design (this is the 100 TB shape, not just the test shape):
+
+    * **Fine-grained blocking.** Default block key is the hyperplane-LSH
+      sign bucket (``ann_scale.lsh_bucket``, 2^bits cells) — within-block
+      pair count stays near-linear in n because bucket population is
+      n / 2^bits on average.  A coarse key (e.g. a 10-value label) makes
+      the join quadratic-within-block; pass ``block_col`` only when the
+      column really is fine-grained.
+    * **One fold per pair.** The L2 norm is pre-projected ONCE per row on
+      the scan side; the per-pair work is a single ``dot`` fold —
+      higher-order array functions are interpreted (no codegen/CSE), so
+      keeping the join/projection down to one fold matters.
+    * **No cosine in the join condition.** The join matches on the short
+      block key only; cos_sim is computed after, so the hash join stays a
+      cheap key-equality probe.
+    * **spread() the scan.** A small single-row-group parquet file is one
+      task no matter how many cores; at 100 TB this is a no-op.
+    """
+    if block_col is None:
+        # local import: ann_scale depends on knn, not on dedup — no cycle
+        from javascript_vector_database_spark.operators.ann_scale import (
+            hyperplanes,
+            lsh_bucket,
+        )
+
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = hyperplanes(dim, lsh_bits, lsh_seed)
+        block = lsh_bucket(F.col(vec_col), planes)
+    else:
+        block = F.col(block_col)
+    side = spread(df).select(
+        F.col(id_col),
+        F.col(vec_col),
+        block.alias("__blk"),
+        l2_norm(F.col(vec_col)).alias("__nrm"),
     )
-    side = df.select(*cols)
     a, b = side.alias("a"), side.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cond = (F.col("a.__blk") == F.col("b.__blk")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     return (
         a.join(b, cond)
-        .withColumn(
-            "cos_sim",
-            F.round(cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6),
-        )
-        .where(F.col("cos_sim") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "cos_sim",
+            F.round(
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__nrm") * F.col("b.__nrm")),
+                6,
+            ).alias("cos_sim"),
         )
+        .where(F.col("cos_sim") >= threshold)
     )

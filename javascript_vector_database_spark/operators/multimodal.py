@@ -82,20 +82,42 @@ def byte_stats(media: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(b >> 6, minlength=N_HIST_BINS)[:N_HIST_BINS]
-                rows.append(
-                    (
-                        int(mid),
-                        int(b.size),
-                        int(b.sum() % CHECKSUM_MOD),
-                        [int(x) for x in hist],
-                    )
+            # vectorized over the whole Arrow batch: concatenate every
+            # payload once, then segment-reduce with np.add.reduceat —
+            # no per-row Python loop in the hot path
+            bufs = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter(
+                (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+            )
+            cat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+            starts = np.zeros(len(bufs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            empty = lens == 0
+            if cat.size:
+                safe_starts = np.minimum(starts, cat.size - 1)
+                sums = np.add.reduceat(cat, safe_starts)
+                bins = cat >> 6
+                hist = np.stack(
+                    [
+                        np.add.reduceat((bins == k).astype(np.int64), safe_starts)
+                        for k in range(N_HIST_BINS)
+                    ],
+                    axis=1,
                 )
+                # reduceat on a zero-length segment returns the next
+                # segment's first element — zero those rows out
+                sums[empty] = 0
+                hist[empty] = 0
+            else:
+                sums = np.zeros(len(bufs), dtype=np.int64)
+                hist = np.zeros((len(bufs), N_HIST_BINS), dtype=np.int64)
             yield pd.DataFrame(
-                rows, columns=["media_id", "n_bytes", "checksum", "hist"]
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": lens,
+                    "checksum": sums % CHECKSUM_MOD,
+                    "hist": list(hist),
+                }
             )
 
     return media.select("media_id", "payload").mapInPandas(
@@ -170,15 +192,23 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             rows = []
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
                 n_px = int(meta["width"]) * int(meta["height"])
-                px = np.resize(b, n_px).astype(np.float64)  # truncate/tile
-                rows.append((int(mid), float(px.mean()), float(px.std())))
+                px = b[np.arange(n_px) % b.size]  # cyclic tile / truncate
+                # mean/std from EXACT integer sums so the arithmetic is a
+                # fixed sequence of IEEE double ops — bit-identical to the
+                # DuckDB oracle's sqrt((ssq - s*s/n)/n)
+                s, ssq = int(px.sum()), int((px * px).sum())
+                mean = s / n_px
+                std = math.sqrt((ssq - s * s / n_px) / n_px)
+                rows.append((int(mid), mean, std))
             yield pd.DataFrame(rows, columns=["media_id", "px_mean", "px_std"])
 
     return media.select("media_id", "payload", "meta").mapInPandas(

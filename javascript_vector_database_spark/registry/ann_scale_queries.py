@@ -59,9 +59,12 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF: assignment + probe search
 # ---------------------------------------------------------------------------
 
+# fixed-K hash-order centroid sample — same deterministic draw as
+# ann_scale.ivf_centroids, O(1) in table size
 _IVF_CENTS_CTE = (
     f"cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings "
-    f"WHERE vec_id % {ann_scale.IVF_STEP} = 0)"
+    f"ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC "
+    f"LIMIT {ann_scale.IVF_K})"
 )
 
 _IVF_ASSIGN_CTE = f"""

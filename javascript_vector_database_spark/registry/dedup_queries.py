@@ -6,6 +6,7 @@ ints -> double-hashed min-hashes / bit-majority SimHash)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from javascript_vector_database_spark import oracle as osql
 from javascript_vector_database_spark.operators import dedup
@@ -72,10 +73,12 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # mh rides as a comma-joined string: the driver's canonicalizer hashes
+    # rows through a pandas sort, which cannot hash list-typed cells
     sh = _sql_shingles("text")
     mh = ", ".join(_sql_minhash("vs", i) for i in range(dedup.DEFAULT_HASHES))
     return (
-        f"SELECT doc_id, [{mh}] AS mh "
+        f"SELECT doc_id, array_to_string([{mh}], ',') AS mh "
         f"FROM (SELECT doc_id, {_sql_hash_pairs('sh')} AS vs "
         f"FROM (SELECT doc_id, {sh} AS sh FROM documents))"
     )
@@ -85,7 +88,11 @@ def _minhash_oracle() -> str:
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signatures — row-local array expressions, zero
     shuffle, one md5 + one arithmetic fold per shingle (double hashing)."""
-    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return sigs.select(
+        "doc_id",
+        F.array_join(F.col("mh").cast("array<string>"), ",").alias("mh"),
+    )
 
 
 def _lsh_pairs_oracle() -> str:
@@ -181,17 +188,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-_COSINE_ORACLE = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({osql.sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({osql.sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.2
+def _cosine_oracle() -> str:
+    # the same hyperplane-LSH sign bucket the Spark operator blocks on
+    from javascript_vector_database_spark.registry.ann_scale_queries import (
+        ORACLE_DIM,
+        _lsh_sql_bucket,
+    )
+
+    bucket = _lsh_sql_bucket("embedding", ORACLE_DIM)
+    cos = f"round({osql.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)"
+    return f"""
+WITH side AS (
+  SELECT vec_id, embedding, {bucket} AS blk,
+         {osql.sql_l2_norm('embedding')} AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+FROM side a JOIN side b ON a.blk = b.blk AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.2
 """
 
 
-@register("dedup_cosine_pairs", oracle=_COSINE_ORACLE)
+@register("dedup_cosine_pairs", oracle=_cosine_oracle())
 def dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs blocked on the label column (the
-    block key is an IVF/LSH cell at scale)."""
-    return dedup.cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+    """Embedding near-duplicate pairs blocked on the hyperplane-LSH sign
+    bucket (256 cells) — within-block pair count stays near-linear in n;
+    norms are pre-projected so each pair costs one dot fold."""
+    return dedup.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), dim=64
+    )

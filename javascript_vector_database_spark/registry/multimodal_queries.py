@@ -8,24 +8,27 @@ byte-level statistic with ascii()/substr over the text column."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from javascript_vector_database_spark.operators import multimodal
 from javascript_vector_database_spark.registry import register
-from javascript_vector_database_spark.tables import load_table
+from javascript_vector_database_spark.tables import load_table, spread
 
 _CODES = (
     "list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)))"
 )
 
+# hist rides as a comma-joined string: the driver's canonicalizer hashes
+# rows through a pandas sort, which cannot hash list-typed cells
 _BYTE_STATS_ORACLE = f"""
 WITH codes AS (SELECT doc_id AS media_id, {_CODES} AS cs FROM documents)
 SELECT media_id,
        CAST(len(cs) AS BIGINT) AS n_bytes,
        CAST(list_sum(cs) % {multimodal.CHECKSUM_MOD} AS BIGINT) AS checksum,
-       [CAST(len(list_filter(cs, c -> c // 64 = 0)) AS BIGINT),
+       array_to_string([CAST(len(list_filter(cs, c -> c // 64 = 0)) AS BIGINT),
         CAST(len(list_filter(cs, c -> c // 64 = 1)) AS BIGINT),
         CAST(len(list_filter(cs, c -> c // 64 = 2)) AS BIGINT),
-        CAST(len(list_filter(cs, c -> c // 64 = 3)) AS BIGINT)] AS hist
+        CAST(len(list_filter(cs, c -> c // 64 = 3)) AS BIGINT)], ',') AS hist
 FROM codes
 """
 
@@ -35,8 +38,14 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction: documents -> media table
     (payload binary + meta struct) -> Arrow-batched mapInPandas computing
     byte count / checksum / coarse histogram.  Row-local, zero shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.byte_stats(multimodal.with_media(docs))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stats = multimodal.byte_stats(multimodal.with_media(docs))
+    return stats.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist"),
+    )
 
 
 _FRAME_SAMPLE_ORACLE = f"""
@@ -62,14 +71,41 @@ FROM f
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over the synthetic frame layout:
     payload split into meta.n_frames chunks, every 2nd frame kept."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return multimodal.frame_sample(multimodal.with_media(docs, kind="video"))
 
 
-@register("multimodal_decode_fake")
+# pixel grid = payload bytes tiled cyclically to width*height; mean/std
+# from exact integer sums so both engines run the same double arithmetic
+_DECODE_FAKE_ORACLE = f"""
+WITH codes AS (
+  SELECT doc_id AS media_id, {_CODES} AS cs,
+         (16 + CAST(n_chars AS INT) % 32) * (16 + CAST(n_chars AS INT) % 24)
+           AS n_px
+  FROM documents
+),
+px AS (
+  SELECT media_id, n_px,
+         list_transform(range(0, n_px), i -> cs[(i % len(cs)) + 1]) AS px
+  FROM codes
+),
+sums AS (
+  SELECT media_id, n_px,
+         CAST(list_sum(px) AS DOUBLE) AS s,
+         CAST(list_sum(list_transform(px, x -> x * x)) AS DOUBLE) AS ssq
+  FROM px
+)
+SELECT media_id,
+       s / n_px AS px_mean,
+       sqrt((ssq - s * s / n_px) / n_px) AS px_std
+FROM sums
+"""
+
+
+@register("multimodal_decode_fake", oracle=_DECODE_FAKE_ORACLE)
 def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake image decode (the real codec is stubbed — PIL
-    absent): pixel-grid mean/std per item.  Rows-only check: float tiling
-    semantics (np.resize) are not worth reproducing in SQL."""
-    docs = load_table(spark, sf_dir, "documents")
+    absent): payload bytes tiled to a width*height pixel grid, per-item
+    mean/std computed from exact integer sums (bit-identical in DuckDB)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return multimodal.decode_image(multimodal.with_media(docs), fake=True)

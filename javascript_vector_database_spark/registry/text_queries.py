@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from javascript_vector_database_spark.functions import text as T
 from javascript_vector_database_spark.registry import register
-from javascript_vector_database_spark.tables import load_table
+from javascript_vector_database_spark.tables import load_table, spread
 
 
 @register(
@@ -35,7 +35,7 @@ def text_title_content_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"SELECT doc_id, {T.sql_token_count('text')} AS n_tokens FROM documents",
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.token_count("text").alias("n_tokens"))
 
 
@@ -49,7 +49,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-style token count (BPE pre-tokenization proxy: letter
     runs, digit runs, punctuation marks)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.bpe_token_count("text").alias("n_bpe_tokens"))
 
 
@@ -61,7 +61,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-hit language-ID heuristic next to the ground-truth lang."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_guess"))
 
 
@@ -72,7 +72,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.quality_score("text").alias("quality"))
 
 
@@ -81,5 +81,5 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"SELECT doc_id, {T.sql_fingerprint('text')} AS fp FROM documents",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.fingerprint("text").alias("fp"))

@@ -53,6 +53,23 @@ PRIMARY_KEYS = {
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input
+    arrives in fewer partitions.  Heavy row-local ops (shingle hashing,
+    regex scoring, payload feature extraction) otherwise run on however
+    many file splits the scan produced — a small single-row-group parquet
+    file is ONE task no matter how many cores.  At 100 TB the scan already
+    has >= cores partitions and this is a no-op, so the shuffle cost is
+    only paid when it buys parallelism.
+
+    NOTE: only call on plain scans/narrow plans — ``df.rdd`` under AQE
+    eagerly executes any shuffle stages already in the plan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; Catalyst pushes filters/projections.
 
