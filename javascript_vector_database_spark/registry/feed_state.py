@@ -9,6 +9,8 @@ predicate drives streaming/pipeline.py's checkpoint loop.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,3 +92,98 @@ def state_fold_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", key).alias("last_type"),
         F.count(F.lit(1)).alias("n_ops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 reactive query (event-reduce IVM) + §2.4 incremental count
+# ---------------------------------------------------------------------------
+#
+# Scripted change-bulk sequence, derived from the documents table so both
+# engines reproduce it:
+#   bulk 1 (lwt=1): insert every document
+#   bulk 2 (lwt=2): update docs with doc_id%5==0 — lang becomes 'en' when
+#                   doc_id%10==0 else 'xx', n_chars += 1000 (drives both
+#                   enter-result and leave-result transitions)
+#   bulk 3 (lwt=3): soft-delete docs with doc_id%13==0
+# Live query: selector {lang: {$eq: 'en'}} — the maintained result set and
+# the ±1-per-transition count are folded bulk-by-bulk by ReactiveQuery,
+# never by re-scanning the collection.
+
+_REACTIVE_FINAL_CTE = """
+final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN (CASE WHEN doc_id % 10 = 0 THEN 'en' ELSE 'xx' END)
+              ELSE lang END AS lang,
+         CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END
+           AS n_chars,
+         (doc_id % 13 = 0) AS deleted
+  FROM documents
+)"""
+
+
+def _run_reactive_script(spark: SparkSession, sf_dir: str):
+    from javascript_vector_database_spark.streaming.reactive import ReactiveQuery
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    workdir = tempfile.mkdtemp(prefix="reactive_ivm_")
+    rq = ReactiveQuery(
+        spark, {"lang": {"$eq": "en"}}, workdir, id_col="doc_id"
+    )
+    bulk1 = docs.withColumn("_deleted", F.lit(False)).withColumn(
+        "_lwt", F.lit(1.0)
+    )
+    rq.apply_changes(bulk1)
+    bulk2 = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, F.lit("en"))
+            .otherwise(F.lit("xx"))
+            .alias("lang"),
+            (F.col("n_chars") + 1000).alias("n_chars"),
+        )
+        .withColumn("_deleted", F.lit(False))
+        .withColumn("_lwt", F.lit(2.0))
+    )
+    rq.apply_changes(bulk2)
+    bulk3 = (
+        docs.where(F.col("doc_id") % 13 == 0)
+        .withColumn("_deleted", F.lit(True))
+        .withColumn("_lwt", F.lit(3.0))
+    )
+    rq.apply_changes(bulk3)
+    return rq
+
+
+@register(
+    "reactive_query_ivm",
+    oracle=f"""
+WITH {_REACTIVE_FINAL_CTE}
+SELECT doc_id, lang, n_chars FROM final WHERE NOT deleted AND lang = 'en'
+""",
+)
+def reactive_query_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-reduce IVM (MAP#rxdb/dist/esm/rx-query.js:401-491): the live
+    query's maintained result set after folding three change bulks —
+    each fold touches only the bulk and the result table."""
+    rq = _run_reactive_script(spark, sf_dir)
+    return rq.results().select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "reactive_count_ivm",
+    oracle=f"""
+WITH {_REACTIVE_FINAL_CTE}
+SELECT count(*) AS n_results FROM final WHERE NOT deleted AND lang = 'en'
+""",
+)
+def reactive_count_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental count maintenance (MAP#rxdb/dist/esm/rx-query.js:
+    432-449): the count is bumped ±1 per matching state transition per
+    bulk, never recomputed — the returned value is the maintained
+    counter, not an aggregate over the result."""
+    rq = _run_reactive_script(spark, sf_dir)
+    return spark.createDataFrame([(rq.count(),)], "n_results long")

@@ -1,0 +1,181 @@
+"""Reactive (live) queries: event-reduce incremental view maintenance.
+
+Reference semantics: ``RxQuery.$`` re-emits maintained results per change
+bulk WITHOUT re-executing the query — ``_ensureEqual`` feeds each change
+bulk through the event-reduce algorithm against the previous result set
+(MAP#rxdb/dist/esm/rx-query.js:401-491); count queries maintain the count
+±1 per matching state transition (MAP#rxdb/dist/esm/rx-query.js:432-449);
+each event maps to an action on the previous results
+(MAP#rxdb/dist/esm/event-reduce.js:58-96).
+
+Spark-first mapping — the maintained result set is a keyed table and every
+update is a delta-only MERGE computed from the change bulk alone (never a
+re-scan of the base collection):
+
+* ``ReactiveQuery`` — batch flavor: explicit ``apply_changes(bulk)``,
+  exactly the reference loop (collapse bulk to latest-per-id, classify
+  each doc's transition, merge adds/updates, anti-merge removes, bump the
+  maintained count by adds − removes).  O(|bulk| + |result|) per bulk.
+* ``ReactiveQuery.start_stream`` — Structured Streaming flavor:
+  ``readStream -> foreachBatch(apply_changes)`` with Spark's checkpoint
+  log; each micro-batch is one change bulk.
+* ``streaming_live_count`` — pure-engine flavor: update-mode stateful
+  aggregation; Spark's state store IS the incremental count (per-batch
+  input rows are only the new events — asserted in tests via
+  ``lastProgress.numInputRows``).
+
+Scale: the result table is keyed by the primary key; with Delta the merge
+is ``MERGE INTO`` on the PK (bucketed → no shuffle).  The fallback the
+reference takes for sorted+limited live queries ("runFullQueryAgain",
+event-reduce.js:83-90) applies here too: a limit query's maintained set
+can shrink below the limit on removes, so ``limit`` queries re-run the
+bounded query against the result+bulk union — still never the base scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.operators.dml import ParquetTable
+from javascript_vector_database_spark.operators.mango import mango_to_column
+
+
+class ReactiveQuery:
+    """Event-reduce-maintained live Mango query over a change stream.
+
+    ``selector`` is a Mango selector dict (operators.mango surface); docs
+    also carry ``_deleted`` and ``_lwt`` change-event meta columns.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        selector: dict[str, Any],
+        workdir: str,
+        id_col: str = "id",
+    ):
+        self.spark = spark
+        self.selector = selector
+        self.id_col = id_col
+        self.result = ParquetTable(spark, os.path.join(workdir, "result"), id_col)
+        self._meta_path = os.path.join(workdir, "count.json")
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- maintained state ----------------------------------------------------
+
+    def count(self) -> int:
+        """The incrementally-maintained count (rx-query.js:432-449): never
+        recomputed from the result table, only bumped per bulk."""
+        if not os.path.exists(self._meta_path):
+            return 0
+        with open(self._meta_path) as f:
+            return int(json.load(f)["count"])
+
+    def _write_count(self, n: int) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"count": n}, f)
+        os.replace(tmp, self._meta_path)
+
+    def results(self) -> DataFrame:
+        """The maintained result set (RxQuery.$ emission)."""
+        if not self.result.exists():
+            return None
+        return self.result.docs()
+
+    # -- event-reduce (MAP#event-reduce.js:58-96) ----------------------------
+
+    def apply_changes(self, bulk: DataFrame) -> dict[str, int]:
+        """Fold one change bulk into the maintained result set.
+
+        Touches ONLY the bulk and the result table: latest state per id
+        within the bulk (a change bulk can carry several revisions of one
+        doc, last wins by (_lwt, id) like the reference's event buffer
+        ordering), then the four event-reduce outcomes collapse to two
+        delta sets — ``now_matching`` (insert-or-update) and
+        ``now_unmatching`` (remove if present)."""
+        id_col = self.id_col
+        others = [c for c in bulk.columns if c != id_col]
+        latest = (
+            bulk.groupBy(id_col)
+            .agg(F.max_by(F.struct(*others), F.col("_lwt")).alias("s"))
+            .select(id_col, "s.*")
+        )
+        match = mango_to_column(self.selector) & ~F.col("_deleted")
+        latest = latest.withColumn("__match", match).cache()
+        try:
+            now_matching = latest.where(F.col("__match")).drop("__match")
+            now_unmatching = latest.where(~F.col("__match")).drop("__match")
+
+            if not self.result.exists():
+                n_added = now_matching.count()
+                self.result.bulk_upsert(now_matching)
+                self._write_count(n_added)
+                return {"added": n_added, "removed": 0}
+
+            existing = self.result.docs().select(id_col)
+            n_added = now_matching.join(existing, id_col, "left_anti").count()
+            n_removed = (
+                now_unmatching.select(id_col)
+                .join(existing, id_col, "left_semi")
+                .count()
+            )
+            self.result.bulk_upsert(now_matching)
+            if n_removed:
+                # hard-remove from the maintained set via anti-join (the
+                # result table is a view, not the collection — no tombstone)
+                kept = self.result.df().join(
+                    now_unmatching.select(id_col), id_col, "left_anti"
+                )
+                self.result._swap_in(kept)
+            self._write_count(self.count() + n_added - n_removed)
+            return {"added": n_added, "removed": n_removed}
+        finally:
+            latest.unpersist()
+
+    # -- streaming flavor ----------------------------------------------------
+
+    def start_stream(self, source_dir: str, schema, checkpoint_dir: str):
+        """readStream(change bulks) -> foreachBatch(apply_changes): each
+        micro-batch is one change bulk; Spark's offset log makes the fold
+        exactly-once.  ``processAllAvailable()`` ≡ awaitIdle."""
+        stream = self.spark.readStream.schema(schema).parquet(source_dir)
+        # default micro-batch trigger (NOT availableNow): a live query keeps
+        # listening for later change bulks; processAllAvailable() is the
+        # awaitIdle barrier between bulks
+        return (
+            stream.writeStream.foreachBatch(
+                lambda batch, _epoch: self.apply_changes(batch)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+
+def streaming_live_count(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    group_col: str,
+    query_name: str = "live_count",
+):
+    """Engine-level incremental count: update-from-state aggregation over a
+    document stream.  Spark's stateful agg maintains per-group counts in
+    the state store — each micro-batch reads ONLY new rows
+    (``lastProgress.numInputRows``) and merges into state; this is the
+    §2.4 incremental-count analog at the engine level (complete-mode
+    memory sink so tests can read the maintained table)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

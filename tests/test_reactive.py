@@ -1,0 +1,196 @@
+"""Reactive/live query surface: event-reduce IVM, incremental count,
+streaming stateful count (SURVEY §2.9 reactive query, §2.4 incremental
+count; reference MAP#rxdb/dist/esm/rx-query.js:401-491, event-reduce.js)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark import registry
+from javascript_vector_database_spark.operators.mango import mango_to_column
+from javascript_vector_database_spark.streaming.reactive import (
+    ReactiveQuery,
+    streaming_live_count,
+)
+from tests.oracle_harness import compare
+
+DOC_SCHEMA = "id long, color string, score long, _deleted boolean, _lwt double"
+
+
+def _bulk(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_event_reduce_transitions(spark, tmp_path):
+    """All four event-reduce outcomes across bulks: enter (insert/update-in),
+    stay (update within), leave (update-out), delete."""
+    rq = ReactiveQuery(
+        spark, {"color": {"$eq": "red"}}, str(tmp_path / "rq"), id_col="id"
+    )
+    # bulk 1: two matching, one not
+    d1 = rq.apply_changes(
+        _bulk(
+            spark,
+            [
+                (1, "red", 10, False, 1.0),
+                (2, "red", 20, False, 1.0),
+                (3, "blue", 30, False, 1.0),
+            ],
+        )
+    )
+    assert d1 == {"added": 2, "removed": 0}
+    assert rq.count() == 2
+
+    # bulk 2: 3 enters (update-in), 1 leaves (update-out), 2 updates in place
+    d2 = rq.apply_changes(
+        _bulk(
+            spark,
+            [
+                (3, "red", 31, False, 2.0),
+                (1, "blue", 11, False, 2.0),
+                (2, "red", 99, False, 2.0),
+            ],
+        )
+    )
+    assert d2 == {"added": 1, "removed": 1}
+    assert rq.count() == 2
+    state = {r["id"]: r["score"] for r in rq.results().collect()}
+    assert state == {2: 99, 3: 31}
+
+    # bulk 3: delete 2 (soft), delete 1 (not in result: no-op), insert 4
+    d3 = rq.apply_changes(
+        _bulk(
+            spark,
+            [
+                (2, "red", 99, True, 3.0),
+                (1, "blue", 11, True, 3.0),
+                (4, "red", 40, False, 3.0),
+            ],
+        )
+    )
+    assert d3 == {"added": 1, "removed": 1}
+    assert rq.count() == 2
+    assert {r["id"] for r in rq.results().collect()} == {3, 4}
+
+
+def test_event_reduce_bulk_collapses_to_latest(spark, tmp_path):
+    """A bulk carrying several revisions of one doc folds to the latest by
+    (_lwt) — the reference's change-buffer ordering."""
+    rq = ReactiveQuery(
+        spark, {"color": {"$eq": "red"}}, str(tmp_path / "rq2"), id_col="id"
+    )
+    rq.apply_changes(
+        _bulk(
+            spark,
+            [
+                (1, "red", 1, False, 1.0),
+                (1, "blue", 2, False, 2.0),  # same doc, later rev: leaves
+                (2, "blue", 1, False, 1.0),
+                (2, "red", 2, False, 2.0),  # same doc, later rev: enters
+            ],
+        )
+    )
+    assert {r["id"] for r in rq.results().collect()} == {2}
+    assert rq.count() == 1
+
+
+def test_event_reduce_equals_full_requery(spark, sf_oracle, tmp_path):
+    """The reference's correctness contract: the maintained result equals a
+    full re-execution of the query on the current collection state."""
+    from javascript_vector_database_spark.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    selector = {"lang": {"$in": ["en", "de"]}, "n_chars": {"$gte": 200}}
+    rq = ReactiveQuery(spark, selector, str(tmp_path / "rq3"), id_col="doc_id")
+
+    bulk1 = docs.withColumn("_deleted", F.lit(False)).withColumn("_lwt", F.lit(1.0))
+    rq.apply_changes(bulk1)
+    bulk2 = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.lit("de").alias("lang"), (F.col("n_chars") - 150).alias("n_chars"))
+        .withColumn("_deleted", F.lit(False))
+        .withColumn("_lwt", F.lit(2.0))
+    )
+    rq.apply_changes(bulk2)
+
+    # full re-exec on the simulated current state
+    current = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("de")).otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars") - 150).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    expected = current.where(mango_to_column(selector))
+    got = {(r["doc_id"], r["lang"], r["n_chars"]) for r in rq.results().select("doc_id", "lang", "n_chars").collect()}
+    want = {(r["doc_id"], r["lang"], r["n_chars"]) for r in expected.collect()}
+    assert got == want
+    assert rq.count() == len(want)
+
+
+def test_streaming_live_count_is_incremental(spark, tmp_path):
+    """Engine-level incremental count: per micro-batch only NEW rows are
+    read (numInputRows), while the maintained per-group counts stay
+    correct across batches — no reprocessing of old data."""
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    schema = "id long, color string"
+
+    spark.createDataFrame(
+        [(1, "red"), (2, "red"), (3, "blue")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_live_count(spark, src, schema, "color", query_name="lc_test")
+    try:
+        q.processAllAvailable()
+        counts = {
+            r["color"]: r["n"] for r in spark.sql("SELECT * FROM lc_test").collect()
+        }
+        assert counts == {"red": 2, "blue": 1}
+
+        spark.createDataFrame([(4, "red"), (5, "green")], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        counts = {
+            r["color"]: r["n"] for r in spark.sql("SELECT * FROM lc_test").collect()
+        }
+        assert counts == {"red": 3, "blue": 1, "green": 1}
+        # incremental: the last progress only ingested the 2 new rows
+        batches = [p for p in (q.recentProgress or []) if p["numInputRows"] > 0]
+        assert batches and batches[-1]["numInputRows"] == 2
+    finally:
+        q.stop()
+
+
+def test_reactive_stream_foreachbatch(spark, tmp_path):
+    """Streaming flavor: change bulks arrive as files; foreachBatch folds
+    each into the maintained result."""
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    rq = ReactiveQuery(
+        spark, {"color": {"$eq": "red"}}, str(tmp_path / "rqs"), id_col="id"
+    )
+    _bulk(spark, [(1, "red", 1, False, 1.0), (2, "blue", 2, False, 1.0)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = rq.start_stream(src, DOC_SCHEMA, str(tmp_path / "cp"))
+    try:
+        q.processAllAvailable()
+        assert rq.count() == 1
+        _bulk(spark, [(2, "red", 2, False, 2.0), (1, "red", 9, True, 2.0)]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert rq.count() == 1
+        assert {r["id"] for r in rq.results().collect()} == {2}
+    finally:
+        q.stop()
+
+
+@pytest.mark.parametrize("name", ["reactive_query_ivm", "reactive_count_ivm"])
+def test_reactive_oracle(spark, sf_oracle, name):
+    compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
