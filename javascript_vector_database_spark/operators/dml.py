@@ -31,6 +31,14 @@ def _rev_bump(prev_rev: F.Column, payload_hash: F.Column) -> F.Column:
     )
 
 
+def _payload_hash(cols: list[str]) -> F.Column:
+    """Deterministic content hash of the user fields (name-sorted, meta
+    columns excluded) — the reference's revision hash analog; md5 over a
+    '|'-joined cast keeps it reproducible in the DuckDB oracle."""
+    user = sorted(c for c in cols if c not in ("_rev", "_deleted", "_lwt"))
+    return F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in user]))
+
+
 class ParquetTable:
     """A tiny managed table: parquet dir + PK, giving the reference's DML
     verbs as atomic read-modify-write cycles (write temp, swap)."""
@@ -71,9 +79,13 @@ class ParquetTable:
 
     def bulk_insert(self, rows: DataFrame, lwt: float | None = None) -> dict[str, int]:
         """Insert; rows whose PK already exists are rejected per-row (the
-        reference's 409 conflict category) while the rest succeed."""
+        reference's 409 conflict category) while the rest succeed.  New
+        rows are stamped `_rev = '1-<hash>'` (utils-revision.js:1-41)."""
         pk = self.primary_key
-        rows = self._stamp(rows, lwt)
+        rows = self._stamp(rows.drop("_rev"), lwt)
+        rows = rows.withColumn(
+            "_rev", F.concat(F.lit("1-"), _payload_hash(rows.columns))
+        )
         if not self.exists():
             self._swap_in(rows)
             return {"success": rows.count() if rows.isStreaming is False else -1, "conflict": 0}
@@ -86,26 +98,60 @@ class ParquetTable:
 
     def bulk_upsert(self, rows: DataFrame, lwt: float | None = None) -> None:
         """MERGE: matched -> replace with new state, not matched -> insert
-        (reference bulkUpsert, rx-collection.js:294-342)."""
+        (reference bulkUpsert, rx-collection.js:294-342).  `_rev` height is
+        bumped over the matched row's revision ('<h+1>-<hash>'), '1-<hash>'
+        for fresh inserts (utils-revision.js:1-41)."""
         pk = self.primary_key
-        rows = self._stamp(rows, lwt)
+        rows = self._stamp(rows.drop("_rev"), lwt)
         if not self.exists():
-            self._swap_in(rows)
+            self._swap_in(
+                rows.withColumn(
+                    "_rev", F.concat(F.lit("1-"), _payload_hash(rows.columns))
+                )
+            )
             return
         cur = self.df()
-        kept = cur.join(rows.select(pk), pk, "left_anti")
-        self._swap_in(kept.unionByName(rows, allowMissingColumns=True))
+        if "_rev" in cur.columns:
+            prev = cur.select(pk, F.col("_rev").alias("__prev_rev"))
+            merged = rows.join(prev, pk, "left")
+        else:
+            merged = rows.withColumn("__prev_rev", F.lit(None).cast("string"))
+        merged = merged.withColumn(
+            "_rev", _rev_bump(F.col("__prev_rev"), _payload_hash(rows.columns))
+        ).drop("__prev_rev")
+        kept = cur.join(merged.select(pk), pk, "left_anti")
+        self._swap_in(kept.unionByName(merged, allowMissingColumns=True))
 
-    def bulk_remove(self, ids: list, lwt: float | None = None) -> None:
+    def bulk_remove(self, ids, lwt: float | None = None) -> None:
         """Soft delete: set `_deleted = true`, keep the row for the change
-        feed (reference rx-collection.js:243-289)."""
+        feed (reference rx-collection.js:243-289), bump `_rev`.  ``ids``
+        is a Python list or a single-column DataFrame of keys (the scale
+        path — no driver round-trip)."""
         lwt = time.time() * 1000.0 if lwt is None else lwt
         cur = self.df()
-        hit = F.col(self.primary_key).isin(ids)
-        self._swap_in(
-            cur.withColumn(
-                "_deleted", F.when(hit, F.lit(True)).otherwise(F.col("_deleted"))
-            ).withColumn(
-                "_lwt", F.when(hit, F.lit(float(lwt))).otherwise(F.col("_lwt"))
-            )
+        pk = self.primary_key
+        user_cols = list(cur.columns)
+        if isinstance(ids, DataFrame):
+            key_df = ids.toDF(pk)
+            hit_col = "__hit"
+            cur = cur.join(
+                key_df.withColumn(hit_col, F.lit(True)), pk, "left"
+            ).withColumn(hit_col, F.coalesce(F.col(hit_col), F.lit(False)))
+            hit = F.col(hit_col)
+        else:
+            hit = F.col(pk).isin(ids)
+        out = cur.withColumn(
+            "_deleted", F.when(hit, F.lit(True)).otherwise(F.col("_deleted"))
+        ).withColumn(
+            "_lwt", F.when(hit, F.lit(float(lwt))).otherwise(F.col("_lwt"))
         )
+        if "_rev" in out.columns:
+            out = out.withColumn(
+                "_rev",
+                F.when(
+                    hit, _rev_bump(F.col("_rev"), _payload_hash(user_cols))
+                ).otherwise(F.col("_rev")),
+            )
+        if isinstance(ids, DataFrame):
+            out = out.drop("__hit")
+        self._swap_in(out)

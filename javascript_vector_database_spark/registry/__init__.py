@@ -75,6 +75,7 @@ def used_pivots(dim: int) -> list[list[float]]:
 from javascript_vector_database_spark.registry import (  # noqa: E402,F401
     ann_scale_queries,
     dedup_queries,
+    dml_queries,
     feed_state,
     mango_queries,
     multimodal_queries,

@@ -1,0 +1,99 @@
+"""Driver-verified write-path surface (SURVEY §2.10) + JSON dump round
+trip (§2.1): a scripted DML batch applied to a temp managed table, final
+state checked against a DuckDB oracle that computes the same end state
+analytically.
+
+Script (derived from the documents table so both engines reproduce it):
+
+1. ``bulk_insert`` docs with doc_id%2==0            (lwt=1) — all succeed
+2. ``bulk_insert`` docs with doc_id%4==0            (lwt=2) — ALL conflict
+   (409 per-row report; the table is unchanged)
+3. ``bulk_upsert`` docs with doc_id%3==0, n_chars+5000 (lwt=3) — updates
+   the even thirds (rev height 1→2), inserts the odd thirds (height 1)
+4. ``bulk_remove`` docs with doc_id%10==0           (lwt=4) — soft delete
+
+Final visible state = (evens ∪ thirds) minus tenths, with `_rev` =
+'<height>-<md5(doc_id|lang|n_chars)>' maintained per write
+(MAP#rxdb/dist/esm/plugins/utils/utils-revision.js:1-41).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.operators.dml import ParquetTable
+from javascript_vector_database_spark.registry import register
+from javascript_vector_database_spark.sources.json_dump import (
+    export_json,
+    import_json,
+)
+from javascript_vector_database_spark.tables import load_table
+
+_DML_ORACLE = """
+WITH final AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0 THEN n_chars + 5000 ELSE n_chars END
+           AS n_chars,
+         CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 2 ELSE 1 END
+           AS height
+  FROM documents
+  WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+)
+SELECT doc_id, lang, n_chars,
+       CAST(height AS VARCHAR) || '-' ||
+       md5(concat_ws('|', doc_id, lang, n_chars)) AS _rev
+FROM final
+WHERE NOT (doc_id % 10 = 0)
+"""
+
+
+@register("dml_roundtrip", oracle=_DML_ORACLE)
+def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insert / conflicting insert (409) / upsert-MERGE / soft delete on a
+    managed table, returning the final visible state with maintained
+    optimistic revisions (rx-collection.js:165-342)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = ParquetTable(
+        spark, tempfile.mkdtemp(prefix="dml_rt_") + "/t", "doc_id"
+    )
+    r1 = t.bulk_insert(docs.where(F.col("doc_id") % 2 == 0), lwt=1.0)
+    r2 = t.bulk_insert(docs.where(F.col("doc_id") % 4 == 0), lwt=2.0)
+    assert r2["success"] == 0 and r2["conflict"] > 0, (r1, r2)
+    t.bulk_upsert(
+        docs.where(F.col("doc_id") % 3 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 5000
+        ),
+        lwt=3.0,
+    )
+    t.bulk_remove(
+        docs.where(F.col("doc_id") % 10 == 0).select("doc_id"), lwt=4.0
+    )
+    return t.docs().select("doc_id", "lang", "n_chars", "_rev")
+
+
+_JSON_ORACLE = """
+SELECT doc_id, lang, source, n_chars, 42.0 AS _lwt
+FROM documents WHERE doc_id % 4 = 1
+"""
+
+
+@register("json_dump_roundtrip", oracle=_JSON_ORACLE)
+def json_dump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exportJSON -> importJSON round trip (MAP#rxdb/dist/esm/plugins/
+    json-dump/index.js:32-71): schema-hash-checked dump of a filtered
+    collection, re-imported with a fresh `_lwt` stamp."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).where(F.col("doc_id") % 4 == 1)
+    dump = tempfile.mkdtemp(prefix="json_dump_") + "/dump"
+    export_json(docs, dump)
+    back = import_json(
+        spark, dump, "doc_id long, lang string, source string, n_chars long",
+        lwt=42.0,
+    )
+    return back.select("doc_id", "lang", "source", "n_chars", "_lwt")

@@ -111,6 +111,38 @@ def test_soft_delete_hides_but_keeps_rows(spark, tmp_path):
     assert dead["id"] == 1 and dead["_lwt"] == 2.0
 
 
+def test_rev_maintenance(spark, tmp_path):
+    """Optimistic revisions: '<height>-<hash>' stamped on insert, height
+    bumped on upsert and remove (utils-revision.js:1-41)."""
+    t = ParquetTable(spark, str(tmp_path / "t"), "id")
+    t.bulk_insert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), lwt=1.0
+    )
+    revs = {r["id"]: r["_rev"] for r in t.df().collect()}
+    assert all(r.startswith("1-") for r in revs.values())
+    assert revs[1] != revs[2]  # hash covers the payload
+
+    t.bulk_upsert(
+        spark.createDataFrame([(2, "B2"), (3, "c")], "id long, v string"), lwt=2.0
+    )
+    revs2 = {r["id"]: r["_rev"] for r in t.df().collect()}
+    assert revs2[1] == revs[1]  # untouched row keeps its rev
+    assert revs2[2].startswith("2-") and revs2[2] != revs[2]
+    assert revs2[3].startswith("1-")
+
+    # identical payload re-upserted: height bumps, hash stays
+    t.bulk_upsert(
+        spark.createDataFrame([(3, "c")], "id long, v string"), lwt=3.0
+    )
+    rev3 = {r["id"]: r["_rev"] for r in t.df().collect()}[3]
+    assert rev3.startswith("2-")
+    assert rev3.split("-", 1)[1] == revs2[3].split("-", 1)[1]
+
+    t.bulk_remove([1], lwt=4.0)
+    rev1 = {r["id"]: r["_rev"] for r in t.df().collect()}[1]
+    assert rev1.startswith("2-")
+
+
 def test_rx_state_fold(spark, tmp_path):
     st = RxState(spark, str(tmp_path / "state"))
     assert st.get("importDone") is None
