@@ -6,12 +6,14 @@ fleet IS the worker pool: a vectorized pandas UDF embeds whole Arrow
 batches per partition; parallelism = partitions, exactly replacing the
 reference's round-robin worker scheduler (src/worker-scheduler.ts:5-26).
 
-The transformer runtime is not available in this container, so the model
-call is stubbed with a DETERMINISTIC fake: md5(text)-seeded Gaussian unit
-vector.  The Spark-side plumbing — Arrow batching, schema, normalization,
-determinism — is real and tested; swap ``_fake_model_batch`` for a
-sentence-transformers call (same public weights as the reference) to get
-real embeddings.
+Model resolution: if ``sentence-transformers`` is importable the real
+MiniLM path is used (same public weights as the reference's
+`Xenova/all-MiniLM-L6-v2`, src/vector.ts:8-19) whenever the requested
+dimension matches the model's 384.  Otherwise — as in this container,
+where the transformer runtime is absent — the model call falls back to a
+DETERMINISTIC fake: md5(text)-seeded Gaussian unit vector.  The
+Spark-side plumbing (Arrow batching, schema, normalization, determinism)
+is identical on both branches and fully tested.
 """
 
 from __future__ import annotations
@@ -23,7 +25,33 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+try:  # pragma: no cover - not installed in this container
+    from sentence_transformers import SentenceTransformer
+
+    _HAS_ST = True
+except Exception:  # pragma: no cover
+    _HAS_ST = False
+
 DEFAULT_DIM = 64  # test-data dimension; the reference model uses 384
+#: the reference's model, public weights (src/vector.ts:8 'Xenova/
+#: all-MiniLM-L6-v2' is the transformers.js port of this checkpoint)
+REFERENCE_MODEL = "sentence-transformers/all-MiniLM-L6-v2"
+REFERENCE_DIM = 384
+
+_model_cache: dict[str, object] = {}
+
+
+def _real_model_batch(texts: pd.Series, dim: int) -> list[list[float]]:
+    """MiniLM mean-pool + L2-normalize, exactly the reference's
+    getVectorFromText (src/vector.ts:24-39); executor-local model cache —
+    the executor fleet is the worker pool."""
+    if REFERENCE_MODEL not in _model_cache:
+        _model_cache[REFERENCE_MODEL] = SentenceTransformer(REFERENCE_MODEL)
+    model = _model_cache[REFERENCE_MODEL]
+    vecs = model.encode(
+        [t or "" for t in texts], normalize_embeddings=True
+    )
+    return [[float(x) for x in v] for v in vecs]
 
 
 def _fake_model_batch(texts: pd.Series, dim: int) -> list[list[float]]:
@@ -40,11 +68,18 @@ def _fake_model_batch(texts: pd.Series, dim: int) -> list[list[float]]:
     return out
 
 
-def embed_udf(dim: int = DEFAULT_DIM):
-    """Arrow-batched embedding UDF returning unit-norm array<float>."""
+def embed_udf(dim: int = DEFAULT_DIM, use_real_model: bool | None = None):
+    """Arrow-batched embedding UDF returning unit-norm array<float>.
+
+    ``use_real_model=None`` (default) auto-selects: the real MiniLM branch
+    when sentence-transformers is importable AND dim == 384, else the
+    deterministic fake."""
+    if use_real_model is None:
+        use_real_model = _HAS_ST and dim == REFERENCE_DIM
+    batch_fn = _real_model_batch if use_real_model else _fake_model_batch
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _embed(texts: pd.Series) -> pd.Series:
-        return pd.Series(_fake_model_batch(texts, dim))
+        return pd.Series(batch_fn(texts, dim))
 
     return _embed

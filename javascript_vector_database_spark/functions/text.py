@@ -67,8 +67,9 @@ def lang_id(text: Column | str) -> Column:
     toks = word_tokens(text)
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    # fold in reverse code order so earlier codes win ties via strict >
-    for code in sorted(_LANG_MARKERS, reverse=True):
+    # fold in forward code order: strict > keeps the incumbent on a tie,
+    # so the FIRST-processed (alphabetically earliest) code wins ties
+    for code in sorted(_LANG_MARKERS):
         markers = _LANG_MARKERS[code]
         score = F.size(
             F.filter(toks, lambda t: t.isin(markers))  # noqa: B023
@@ -129,9 +130,10 @@ def sql_lang_id(text: str) -> str:
         exprs.append(
             (code, f"len(list_filter({toks}, t -> t IN ({markers})))")
         )
-    # same fold as lang_id: reverse order, strict > keeps earlier codes on tie
+    # same fold as lang_id: forward order, strict > keeps the incumbent on
+    # a tie -> earliest code wins
     lang, score = "'und'", "0"
-    for code, s in sorted(exprs, reverse=True):
+    for code, s in sorted(exprs):
         lang = f"CASE WHEN {s} > {score} THEN '{code}' ELSE {lang} END"
         score = f"CASE WHEN {s} > {score} THEN {s} ELSE {score} END"
     return lang

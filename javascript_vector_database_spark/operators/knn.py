@@ -199,6 +199,54 @@ def ann_index_similarity(
     )
 
 
+def _py_index_string(nr: float) -> str:
+    """Driver-side mirror of index_nr_to_string (JS
+    ``((nr*10)+'').slice(0,10).padEnd(10,'0')``, src/database.ts:223-225):
+    Python repr() is shortest-roundtrip like JS number printing for the
+    [0, 20] value range these keys live in."""
+    s = repr(nr * 10.0)
+    if s.endswith(".0"):
+        s = s[:-2]
+    return s[:10].ljust(10, "0")
+
+
+def ann_index_range_compat(
+    df: DataFrame,
+    query_vec: list[float],
+    pivots: list[list[float]],
+    k: int = TOP_K,
+    index_distance: float = INDEX_DISTANCE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    precomputed: bool = False,
+) -> DataFrame:
+    """STRING-key range ANN — the mode the reference actually executes:
+    src/search.ts:27-36 range-scans the lexicographic ``idxN`` string
+    index with string bounds built by indexNrToString.  Faithfully
+    reproduces the §1.3 quirk: string comparison mis-orders across
+    integer-digit-count regimes ('9.50000000' > '14.1000000'), so whenever
+    (lo, hi) spans such a boundary the candidate set DIVERGES from the
+    double-key mode (``ann_index_range``, the consciously-fixed scale
+    path).  tests/test_knn.py::test_compat_string_range_divergence pins
+    the divergence down."""
+    src = df if precomputed else build_pivot_index(
+        df, pivots, vec_col, compat_strings=True
+    )
+    cond = None
+    for i, p in enumerate(pivots):
+        d_i = _py_euclid(p, query_vec)
+        lo = _py_index_string(d_i - d_i * index_distance)
+        hi = _py_index_string(d_i + d_i * index_distance)
+        c = (F.col(f"idx{i}_str") > F.lit(lo)) & (F.col(f"idx{i}_str") < F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return (
+        with_distance(src.where(cond), query_vec, vec_col)
+        .select(id_col, "distance")
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def candidate_count(
     df: DataFrame,
     query_vec: list[float],

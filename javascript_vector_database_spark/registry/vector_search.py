@@ -191,6 +191,44 @@ FROM embeddings
 """
 
 
+def _sql_index_string(d_expr: str) -> str:
+    """DuckDB mirror of index_nr_to_string over a distance expression."""
+    s = f"regexp_replace(CAST({d_expr} * 10.0 AS VARCHAR), '\\.0$', '')"
+    return f"rpad(substr({s}, 1, 10), 10, '0')"
+
+
+def _compat_range_oracle(dim: int) -> str:
+    conds = []
+    for lit in _pivot_lits(dim):
+        d_i = osql.sql_euclid(lit, "qv")
+        e_i = _sql_index_string(osql.sql_euclid("embedding", lit))
+        lo = _sql_index_string(f"({d_i} - {d_i} * {INDEX_DISTANCE})")
+        hi = _sql_index_string(f"({d_i} + {d_i} * {INDEX_DISTANCE})")
+        conds.append(f"({e_i} > {lo} AND {e_i} < {hi})")
+    cond = "\n   OR ".join(conds)
+    return f"""
+WITH {osql.QVEC_CTE}
+SELECT vec_id, round({osql.sql_euclid('embedding', 'qv')}, 6) AS distance
+FROM embeddings, q
+WHERE {cond}
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_ann_range_compat", oracle=_compat_range_oracle(ORACLE_DIM))
+def knn_ann_range_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-key range ANN, quirk-faithful (src/search.ts:27-36 over the
+    lexicographic 10-char keys of src/database.ts:223-225) — the mode the
+    reference actually runs; diverges from double mode across
+    digit-count regime boundaries (SURVEY §1.3)."""
+    qv = get_query_vec(spark, sf_dir)
+    pivots = used_pivots(len(qv))
+    return knn.ann_index_range_compat(
+        load_table(spark, sf_dir, "embeddings"), qv, pivots
+    )
+
+
 @register("compat_index_string", oracle=_compat_oracle(ORACLE_DIM))
 def compat_index_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 10-char lexicographic index key, reproduced for

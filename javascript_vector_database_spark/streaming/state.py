@@ -39,7 +39,15 @@ class RxState:
 
     def set(self, key: str, value) -> None:
         """Append one op doc (the reference's insert-with-retry collapses
-        to a plain append under a single writer — the Spark driver)."""
+        to a plain append under a single writer — the Spark driver).
+
+        ``value`` may be a MODIFIER closure ``old -> new`` exactly like the
+        reference's ``state.set(path, modifier)``
+        (MAP#rxdb/dist/esm/plugins/state/rx-state.js:46-52): it is applied
+        to the current folded value (None when unset) and the result is
+        appended as the op."""
+        if callable(value):
+            value = value(self.get(key))
         row = [(self._next_id(), self.writer_id, key, json.dumps(value))]
         df = self.spark.createDataFrame(
             row, "op_id long, sid string, k string, v string"

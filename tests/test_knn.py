@@ -77,3 +77,49 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) == 10
     assert rows[0]["distance"] == 0.0
+
+
+def test_compat_range_oracle(spark, sf_oracle):
+    compare(
+        spark,
+        sf_oracle,
+        registry.queries()["knn_ann_range_compat"],
+        registry.oracle_sql()["knn_ann_range_compat"],
+    )
+
+
+def test_compat_string_range_divergence(spark):
+    """Documents the §1.3 quirk: the lexicographic string index mis-orders
+    across integer-digit-count regimes.  With a pivot window whose key
+    bounds straddle the 1-digit/2-digit boundary (lo key '7.35...', hi key
+    '13.65...'), string comparison excludes EVERYTHING: any key > '7.35'
+    starts with '7'..'9' and therefore also sorts above '13.65'
+    ('9' > '1'), while keys in the '10.x'-'13.x' regime sort below '7.35'
+    ('1' < '7').  Double mode (the consciously-fixed scale path) returns
+    the true candidates."""
+    rows = [
+        (1, [2.05, 0.0]),  # dist to pivot = 1.05 -> key '10.5000000'
+        (2, [1.9, 0.0]),   # dist 0.9  -> key '9.00000000' (numeric window IN)
+        (3, [2.6, 0.0]),   # dist 1.6  -> key '16.0000000' (numeric OUT)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    pivots = [[1.0, 0.0]]
+    qv = [2.05, 0.0]  # d_pivot = 1.05; window +-0.3 -> (0.735, 1.365)
+    wide = 0.3
+    dbl = {
+        r["vec_id"]
+        for r in knn.ann_index_range(df, qv, pivots, index_distance=wide).collect()
+    }
+    compat = {
+        r["vec_id"]
+        for r in knn.ann_index_range_compat(
+            df, qv, pivots, index_distance=wide
+        ).collect()
+    }
+    assert dbl == {1, 2}
+    # the quirk: the string window across the digit-count boundary is
+    # lexicographically empty — the reference would MISS both candidates
+    assert compat == set()

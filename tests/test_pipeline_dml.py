@@ -153,6 +153,33 @@ def test_rx_state_fold(spark, tmp_path):
     assert snap == {"importDone": True, "progress": 5}
 
 
+def test_rx_state_modifier_closure(spark, tmp_path):
+    """The reference's state.set(path, modifier) functional form
+    (rx-state.js:46-52): modifier receives the current folded value."""
+    st = RxState(spark, str(tmp_path / "state_mod"))
+    st.set("counter", lambda old: (old or 0) + 1)
+    st.set("counter", lambda old: (old or 0) + 1)
+    st.set("counter", lambda old: old * 10)
+    assert st.get("counter") == 20
+
+
+def test_embed_udf_real_model_when_available(spark):
+    """Real-model branch: exercised only when sentence-transformers is
+    importable (public MiniLM weights, the reference's model) — asserts
+    384-dim unit-norm output; otherwise the deterministic fake branch is
+    asserted instead."""
+    from javascript_vector_database_spark.functions import embedding as E
+
+    df = spark.createDataFrame([("hello world",)], "body string")
+    if E._HAS_ST:
+        row = df.withColumn("e", E.embed_udf(E.REFERENCE_DIM)(F.col("body"))).first()
+        assert len(row["e"]) == 384
+    else:
+        row = df.withColumn("e", E.embed_udf(8)(F.col("body"))).first()
+        assert len(row["e"]) == 8
+    assert abs(sum(x * x for x in row["e"]) - 1.0) < 1e-4
+
+
 def test_streaming_pipeline_foreachbatch(spark, items, tmp_path):
     """Structured Streaming flavor: file source -> foreachBatch handler ->
     destination, exactly-once via Spark's checkpoint; processAllAvailable
