@@ -152,6 +152,7 @@ def main() -> None:
         "knn_exact",
         "knn_cosine",
         "knn_ann_range",
+        "knn_ann_range_compat",
         "knn_ann_similarity",
         "ann_ivf_search",
         "ann_lsh_search",

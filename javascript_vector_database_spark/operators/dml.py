@@ -122,6 +122,43 @@ class ParquetTable:
         kept = cur.join(merged.select(pk), pk, "left_anti")
         self._swap_in(kept.unionByName(merged, allowMissingColumns=True))
 
+    def incremental_modify(
+        self,
+        selector: dict,
+        set_exprs: dict[str, F.Column],
+        lwt: float | None = None,
+    ) -> None:
+        """UPDATE: apply column expressions to the rows matching a Mango
+        selector — the reference's incrementalModify/incrementalPatch
+        (MAP#rxdb/dist/esm/rx-document.js incremental ops; the
+        conflict-retry loop collapses to one atomic read-modify-write
+        under the single-writer driver, which is also why plain
+        incrementalUpsert degenerates to bulk_upsert here).  `_rev` height
+        is bumped on modified rows; soft-deleted rows are never touched."""
+        from javascript_vector_database_spark.operators.mango import (
+            mango_to_column,
+        )
+
+        lwt = time.time() * 1000.0 if lwt is None else lwt
+        cur = self.df()
+        user_cols = list(cur.columns)
+        hit = mango_to_column(selector) & ~F.col("_deleted")
+        out = cur.withColumn("__hit", hit)
+        for c, e in set_exprs.items():
+            out = out.withColumn(c, F.when(F.col("__hit"), e).otherwise(F.col(c)))
+        out = out.withColumn(
+            "_lwt", F.when(F.col("__hit"), F.lit(float(lwt))).otherwise(F.col("_lwt"))
+        )
+        if "_rev" in user_cols:
+            out = out.withColumn(
+                "_rev",
+                F.when(
+                    F.col("__hit"),
+                    _rev_bump(F.col("_rev"), _payload_hash(user_cols)),
+                ).otherwise(F.col("_rev")),
+            )
+        self._swap_in(out.drop("__hit"))
+
     def bulk_remove(self, ids, lwt: float | None = None) -> None:
         """Soft delete: set `_deleted = true`, keep the row for the change
         feed (reference rx-collection.js:243-289), bump `_rev`.  ``ids``

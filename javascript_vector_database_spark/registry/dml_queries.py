@@ -11,6 +11,9 @@ Script (derived from the documents table so both engines reproduce it):
 3. ``bulk_upsert`` docs with doc_id%3==0, n_chars+5000 (lwt=3) — updates
    the even thirds (rev height 1→2), inserts the odd thirds (height 1)
 4. ``bulk_remove`` docs with doc_id%10==0           (lwt=4) — soft delete
+5. ``incremental_modify`` selector {doc_id: {$mod: [7, 0]}},
+   n_chars += 7                                     (lwt=5) — UPDATE on
+   visible rows only (soft-deleted rows untouched), rev height +1
 
 Final visible state = (evens ∪ thirds) minus tenths, with `_rev` =
 '<height>-<md5(doc_id|lang|n_chars)>' maintained per write
@@ -36,8 +39,10 @@ _DML_ORACLE = """
 WITH final AS (
   SELECT doc_id, lang,
          CASE WHEN doc_id % 3 = 0 THEN n_chars + 5000 ELSE n_chars END
+         + CASE WHEN doc_id % 7 = 0 AND doc_id % 10 <> 0 THEN 7 ELSE 0 END
            AS n_chars,
          CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 2 ELSE 1 END
+         + CASE WHEN doc_id % 7 = 0 AND doc_id % 10 <> 0 THEN 1 ELSE 0 END
            AS height
   FROM documents
   WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
@@ -72,6 +77,11 @@ def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.bulk_remove(
         docs.where(F.col("doc_id") % 10 == 0).select("doc_id"), lwt=4.0
+    )
+    t.incremental_modify(
+        {"doc_id": {"$mod": [7, 0]}},
+        {"n_chars": F.col("n_chars") + 7},
+        lwt=5.0,
     )
     return t.docs().select("doc_id", "lang", "n_chars", "_rev")
 

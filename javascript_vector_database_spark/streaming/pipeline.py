@@ -80,6 +80,14 @@ class Pipeline:
     # -- drain loop (MAP#rx-pipeline.js:48-101) ------------------------------
 
     def _next_batch(self) -> DataFrame:
+        """Scale note: ``orderBy().limit()`` compiles to
+        TakeOrderedAndProject — a per-partition batch_size-heap + k-row
+        driver merge, NOT a full sort.  Each drain step still rescans the
+        source above the checkpoint, but the keyset predicate is sargable,
+        so with the source laid out by (lwt bucket) partitioning the scan
+        prunes to files past the checkpoint (Delta CDF analog).  For
+        unbounded sources the ``streaming_pipeline`` flavor below is the
+        real scale path — Spark's offset log replaces the rescan."""
         src = self.spark.read.parquet(self.source_path)
         cp = self._read_checkpoint()
         if cp is not None:
