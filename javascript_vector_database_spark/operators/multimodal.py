@@ -216,10 +216,43 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
-def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize image payloads.  Requires PIL -> stubbed in this container."""
-    raise NotImplementedError(
-        "STUB: image resize requires PIL, which is not installed in this "
-        "container. The plumbing shape is decode_image -> PIL.Image.resize "
-        "-> re-encode inside the same mapInPandas iterator."
+def resize_image(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize image payloads to (width, height).
+
+    Real path requires PIL (NOT installed here) -> NotImplementedError.
+    ``fake=True`` runs the deterministic stand-in on the fake pixel grid:
+    nearest-neighbor resampling with integer index math
+    (``src_y = y * H // h_out``, ``src_x = x * W // w_out``) — the same
+    mapInPandas shape, schema and batch layout the PIL kernel would use,
+    and exactly reproducible in SQL.  Returns per-item
+    ``(media_id, out_n_bytes, out_checksum)`` over the resized grid."""
+    if not fake and not _HAS_PIL:
+        raise NotImplementedError(
+            "STUB: image resize requires PIL, which is not installed in "
+            "this container. Pass fake=True for the deterministic stand-in."
+        )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                w_in, h_in = int(meta["width"]), int(meta["height"])
+                px = b[np.arange(w_in * h_in) % b.size].reshape(h_in, w_in)
+                ys = (np.arange(height) * h_in) // height
+                xs = (np.arange(width) * w_in) // width
+                out = px[np.ix_(ys, xs)]
+                rows.append(
+                    (int(mid), out.size, int(out.sum() % CHECKSUM_MOD))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "out_n_bytes", "out_checksum"]
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        resize, schema="media_id long, out_n_bytes long, out_checksum long"
     )

@@ -86,6 +86,57 @@ def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.docs().select("doc_id", "lang", "n_chars", "_rev")
 
 
+_PIPELINE_ORACLE = """
+SELECT doc_id AS id,
+       trim(coalesce(regexp_extract(text, 'Title:(.*?)Content:', 1), ''))
+         AS title,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+FROM documents
+"""
+
+
+@register("pipeline_roundtrip", oracle=_PIPELINE_ORACLE)
+def pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """addPipeline end-to-end (MAP#rxdb/dist/esm/plugins/pipeline/
+    rx-pipeline.js:48-173): documents play the items collection; the
+    checkpointed drain loop pulls (lwt, id)-ordered batches, the handler
+    derives (title, n_tokens) per doc with the idempotence anti-join, and
+    bulkUpsert lands them in the destination table.  Runs in 4 batches so
+    the checkpoint path is actually exercised; the final destination state
+    is oracle-checked analytically."""
+    from javascript_vector_database_spark.functions import text as T
+    from javascript_vector_database_spark.streaming.pipeline import (
+        Pipeline,
+        anti_join_new,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tmp = tempfile.mkdtemp(prefix="pipe_rt_")
+    src_path = tmp + "/items"
+    docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("body"),
+        F.col("doc_id").cast("double").alias("_lwt"),
+    ).write.parquet(src_path)
+    dest = ParquetTable(spark, tmp + "/derived", "id")
+
+    def handler(batch):
+        new = anti_join_new(batch, dest, "id", "id")
+        return new.select(
+            "id",
+            T.parse_title("body").alias("title"),
+            T.token_count("body").alias("n_tokens"),
+        )
+
+    pipe = Pipeline(
+        spark, "pipe_rt", src_path, dest, handler, tmp + "/cp",
+        source_pk="id", batch_size=max(1, -(-n_docs // 4)),
+    )
+    pipe.await_idle()
+    return dest.docs().select("id", "title", "n_tokens")
+
+
 _JSON_ORACLE = """
 SELECT doc_id, lang, source, n_chars, 42.0 AS _lwt
 FROM documents WHERE doc_id % 4 = 1

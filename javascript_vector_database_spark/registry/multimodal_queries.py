@@ -102,6 +102,45 @@ FROM sums
 """
 
 
+_RESIZE_W, _RESIZE_H = 12, 8
+
+# nearest-neighbor resample of the tiled pixel grid, pure integer math:
+# src pixel for out (y,x) is (y*h_in//h_out, x*w_in//w_out)
+_RESIZE_FAKE_ORACLE = f"""
+WITH codes AS (
+  SELECT doc_id AS media_id, {_CODES} AS cs,
+         16 + CAST(n_chars AS INT) % 32 AS w_in,
+         16 + CAST(n_chars AS INT) % 24 AS h_in
+  FROM documents
+),
+o AS (
+  SELECT media_id,
+         list_transform(
+           range(0, {_RESIZE_H} * {_RESIZE_W}),
+           i -> cs[((((i // {_RESIZE_W}) * h_in // {_RESIZE_H}) * w_in
+                     + ((i % {_RESIZE_W}) * w_in // {_RESIZE_W}))
+                    % len(cs)) + 1]
+         ) AS px
+  FROM codes
+)
+SELECT media_id,
+       CAST({_RESIZE_H} * {_RESIZE_W} AS BIGINT) AS out_n_bytes,
+       CAST(list_sum(px) % {multimodal.CHECKSUM_MOD} AS BIGINT) AS out_checksum
+FROM o
+"""
+
+
+@register("multimodal_resize_fake", oracle=_RESIZE_FAKE_ORACLE)
+def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake image resize (PIL absent): nearest-neighbor
+    resample of the tiled pixel grid via integer index math inside the
+    same mapInPandas plumbing the real kernel would use."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_image(
+        multimodal.with_media(docs), _RESIZE_W, _RESIZE_H, fake=True
+    )
+
+
 @register("multimodal_decode_fake", oracle=_DECODE_FAKE_ORACLE)
 def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake image decode (the real codec is stubbed — PIL

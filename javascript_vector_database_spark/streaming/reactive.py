@@ -157,6 +157,38 @@ class ReactiveQuery:
         )
 
 
+def streaming_windowed_count(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ts_col: str = "ts",
+    window_duration: str = "10 minutes",
+    watermark: str = "5 minutes",
+    query_name: str = "windowed_count",
+):
+    """Watermarked tumbling-window count, append mode — the late-data
+    discipline a 100 TB event pipeline needs (absent in the reference,
+    SURVEY §2.9; part of the beyond-reference streaming surface): events
+    older than (max event time − watermark) are DROPPED, and a window is
+    emitted exactly once, when the watermark passes its end."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("n"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def streaming_live_count(
     spark: SparkSession,
     source_dir: str,

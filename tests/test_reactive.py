@@ -194,3 +194,52 @@ def test_reactive_stream_foreachbatch(spark, tmp_path):
 @pytest.mark.parametrize("name", ["reactive_query_ivm", "reactive_count_ivm"])
 def test_reactive_oracle(spark, sf_oracle, name):
     compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """Watermarked windowed agg: a window finalizes once the watermark
+    passes its end, and events arriving after that are dropped — the
+    late-data contract for the 100 TB event pipeline."""
+    import datetime as dt
+
+    from javascript_vector_database_spark.streaming.reactive import (
+        streaming_windowed_count,
+    )
+
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "ts timestamp, user_id long"
+
+    def write(events):
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, *hm), uid) for hm, uid in events], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # window [10:00, 10:10): two on-time events
+    write([((10, 0), 1), ((10, 2), 2)])
+    q = streaming_windowed_count(spark, src, schema, query_name="wm_test")
+    try:
+        q.processAllAvailable()
+        # batch 2: event at 11:00 pushes the watermark to 10:55 ->
+        # the 10:00 window finalizes with n=2
+        write([((11, 0), 3)])
+        q.processAllAvailable()
+        rows = {
+            r["win_start"].strftime("%H:%M"): r["n"]
+            for r in spark.sql("SELECT * FROM wm_test").collect()
+        }
+        assert rows == {"10:00": 2}
+        # batch 3: a LATE event for the finalized window -> dropped
+        write([((10, 3), 4)])
+        q.processAllAvailable()
+        # batch 4: advance watermark far enough to finalize 11:00 too
+        write([((12, 0), 5)])
+        q.processAllAvailable()
+        rows = {
+            r["win_start"].strftime("%H:%M"): r["n"]
+            for r in spark.sql("SELECT * FROM wm_test").collect()
+        }
+        # the late 10:03 event did NOT reopen or bump the 10:00 window
+        assert rows == {"10:00": 2, "11:00": 1}
+    finally:
+        q.stop()
