@@ -1,0 +1,90 @@
+"""Physical-plan regression guards: the scale claims (§ "100 TB shape")
+pinned as assertions over `explain`, so a refactor that silently degrades
+a plan (full sort instead of top-k, lost pushdown, cartesian blowup,
+lost partition pruning) fails CI."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark import registry
+from javascript_vector_database_spark.operators import ann_scale
+from javascript_vector_database_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_knn_exact_is_take_ordered(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heap + k-row
+    driver merge), never a global Sort + Limit."""
+    plan = _plan(registry.queries()["knn_exact"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_mango_range_filter_pushed_to_scan(spark):
+    """Sargable Mango predicates must reach the parquet scan."""
+    plan = _plan(registry.queries()["mango_range"](spark, SF))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip()
+
+
+def test_changefeed_keyset_predicate_pushed(spark):
+    plan = _plan(registry.queries()["changefeed_page"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_uses_broadcast_join(spark):
+    """The post-search PK lookup join must broadcast the tiny side."""
+    plan = _plan(registry.queries()["flagship_search"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cosine_dedup_no_cartesian(spark):
+    """Blocked self-join must hash-join on the block key — a cartesian or
+    nested-loop plan means blocking broke."""
+    plan = _plan(registry.queries()["dedup_cosine_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must not read the full documents schema
+    (payload-bearing `text` stays unread)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    plan = _plan(docs)
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "text" not in read
+
+
+def test_ivf_partitioned_write_prunes(spark, tmp_path):
+    """The IVF scale path: table written partitioned by ivf_cell, probe
+    query's IN-list becomes a partition filter — whole cells are skipped
+    before any scan."""
+    emb = load_table(spark, SF, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    assigned = emb.withColumn(
+        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+    )
+    path = str(tmp_path / "ivf_table")
+    assigned.write.partitionBy("ivf_cell").parquet(path)
+
+    probe = spark.read.parquet(path).where(F.col("ivf_cell").isin([1, 2]))
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "ivf_cell" in seg
+    # and the scan actually read only the probed cells
+    assert probe.select("ivf_cell").distinct().count() <= 2
