@@ -44,3 +44,33 @@ def test_deleted_filter_applied(spark):
     # with_meta adds the column when absent
     df2 = spark.createDataFrame([(1, "a")], "id int, v string")
     assert "_deleted" in with_meta(df2).columns
+
+
+def test_mango_nested_struct_and_elemmatch(spark):
+    """Nested dot-path predicates + $elemMatch over array<struct> — the
+    engine's Mango layer supports nested docs even though the demo schema
+    is flat (SURVEY §1.2; utils-object-dot-prop whole-file)."""
+    from javascript_vector_database_spark.operators.mango import mango_to_column
+
+    df = spark.createDataFrame(
+        [
+            (1, {"city": "berlin", "geo": {"lat": 52.5}}, [{"k": "a", "v": 1}]),
+            (2, {"city": "paris", "geo": {"lat": 48.9}}, [{"k": "b", "v": 9}]),
+            (3, {"city": "berlin", "geo": {"lat": 52.5}}, [{"k": "a", "v": 9}]),
+        ],
+        "id long, addr struct<city:string, geo:struct<lat:double>>, "
+        "tags array<struct<k:string, v:long>>",
+    )
+    got = {
+        r["id"]
+        for r in df.where(
+            mango_to_column(
+                {
+                    "addr.city": {"$eq": "berlin"},
+                    "addr.geo.lat": {"$gt": 50.0},
+                    "tags": {"$elemMatch": {"k": {"$eq": "a"}, "v": {"$gte": 5}}},
+                }
+            )
+        ).collect()
+    }
+    assert got == {3}

@@ -88,3 +88,33 @@ def test_ivf_partitioned_write_prunes(spark, tmp_path):
     assert "ivf_cell" in seg
     # and the scan actually read only the probed cells
     assert probe.select("ivf_cell").distinct().count() <= 2
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The co-located join scale path: both sides bucketed+sorted by the
+    join key -> SortMergeJoin with NO Exchange (at 100 TB this is the
+    difference between a full-network shuffle and a local merge)."""
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "label")
+    docs = load_table(spark, SF, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_emb")
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    (emb.write.bucketBy(8, "vec_id").sortBy("vec_id")
+        .option("path", str(tmp_path / "b_emb")).saveAsTable("b_emb"))
+    (docs.write.bucketBy(8, "vec_id").sortBy("vec_id")
+        .option("path", str(tmp_path / "b_docs")).saveAsTable("b_docs"))
+    # at test scale the optimizer rightly prefers broadcast; force the
+    # SMJ path to expose what bucketing buys when BOTH sides are huge
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_emb").join(spark.table("b_docs"), "vec_id")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_emb")
+        spark.sql("DROP TABLE IF EXISTS b_docs")
