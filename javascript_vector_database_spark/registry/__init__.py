@@ -79,6 +79,7 @@ from javascript_vector_database_spark.registry import (  # noqa: E402,F401
     feed_state,
     mango_queries,
     multimodal_queries,
+    profiling_queries,
     relational,
     text_queries,
     vector_search,

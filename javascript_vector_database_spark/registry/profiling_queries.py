@@ -1,0 +1,106 @@
+"""Corpus-profiling extension surface: the data-engineering queries a
+training-data pipeline runs before/after filtering — vocabulary heavy
+hitters, length distribution, deterministic per-group sampling.
+
+Scale notes: the token heavy-hitter is the canonical two-phase aggregate
+(map-side partial counts per token, one shuffle on the token string,
+TakeOrdered for the top-k — never a full sort); the histogram shuffles
+only ~40 bucket keys; the per-source sample is one window over a
+(source)-partitioned sort keyed by a hash, i.e. reservoir-style uniform
+sampling that is reproducible across engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from javascript_vector_database_spark.functions.text import word_tokens
+from javascript_vector_database_spark.registry import register
+from javascript_vector_database_spark.tables import load_table, spread
+
+TOP_TOKENS = 50
+HIST_BUCKET = 50
+SAMPLE_PER_GROUP = 3
+
+_TOP_TOKENS_ORACLE = f"""
+SELECT tok, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT {TOP_TOKENS}
+"""
+
+
+@register("profile_top_tokens", oracle=_TOP_TOKENS_ORACLE)
+def profile_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters: explode tokens -> partial-agg count ->
+    top-k.  The only shuffle carries (token, partial_count) pairs; the
+    top-k is TakeOrderedAndProject."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(word_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(TOP_TOKENS)
+    )
+
+
+_LEN_HIST_ORACLE = f"""
+SELECT (n_chars // {HIST_BUCKET}) * {HIST_BUCKET} AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("profile_length_histogram", oracle=_LEN_HIST_ORACLE)
+def profile_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (fixed-width buckets): the shuffle
+    carries only ~max(n_chars)/bucket keys regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / HIST_BUCKET) * HIST_BUCKET).cast("long")
+    return (
+        docs.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_SAMPLE_ORACLE = f"""
+SELECT source, doc_id, lang
+FROM (
+  SELECT source, doc_id, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {SAMPLE_PER_GROUP}
+"""
+
+
+@register("profile_sample_per_source", oracle=_SAMPLE_ORACLE)
+def profile_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample of K docs per source: hash-order
+    row_number within each group — reproducible across engines and runs,
+    one shuffle on the group key."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SAMPLE_PER_GROUP)
+        .drop("rn")
+    )

@@ -68,3 +68,15 @@ def test_minhash_identical_docs_share_signature(spark):
     pairs = dedup.lsh_band_pairs(df, jaccard_threshold=0.5).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
     assert pairs[0]["jaccard"] == 1.0
+
+
+PROFILING_QUERIES = [
+    "profile_top_tokens",
+    "profile_length_histogram",
+    "profile_sample_per_source",
+]
+
+
+@pytest.mark.parametrize("name", PROFILING_QUERIES)
+def test_profiling_oracle(spark, sf_oracle, name):
+    compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
