@@ -1,0 +1,92 @@
+"""As-of (backward) join and gap sessionization — event-pipeline
+operators Spark lacks as built-ins, expressed as single-shuffle
+DataFrame plans (no reference analog; SURVEY §7.7 extension surface).
+
+* ``asof_join``: for each left row, the latest right row with
+  ``right_ts <= left_ts`` per key.  Implemented as the union-merge plan:
+  tag both sides, ONE shuffle on the key, one window sort, carry the
+  right-side values forward with ``last(ignorenulls)`` — O(n log n/part)
+  and no range-join blowup.  (A join + row_number plan shuffles twice and
+  materializes every candidate pair; this shape is what Flink/kdb-style
+  asof joins compile to.)
+* ``sessionize``: split each key's event stream into sessions at
+  inactivity gaps > ``gap``; session id = running count of gap breaks —
+  one shuffle on the key, two window passes over the same sort (Spark
+  reuses the exchange+sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    right_key: str | None = None,
+) -> DataFrame:
+    """Backward as-of: latest right row with right_ts <= left_ts per key.
+    Ties on right_ts resolve to the greatest of the first ``right_vals``
+    column (deterministic).  Left rows with no prior right row keep NULLs.
+    """
+    right_key = right_key or key
+    r = right.select(
+        F.col(right_key).alias(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in right_vals],
+    )
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(1)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),  # right rows first at equal ts (inclusive)
+            F.col(right_vals[0]).asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u
+    for c in right_vals:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out.where(F.col("__side") == 1).drop("__ts", "__side")
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    key's previous event exceeds ``gap_seconds``.  Output: one row per
+    session (key, session_id, n_events, session_start, session_end)."""
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev) > gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_sess = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sess.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )

@@ -13,6 +13,7 @@ import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from javascript_vector_database_spark.registry import register
 from javascript_vector_database_spark.tables import load_table
@@ -92,6 +93,91 @@ def state_fold_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", key).alias("last_type"),
         F.count(F.lit(1)).alias("n_ops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-pipeline extensions: sessionization + as-of join
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP = 1800  # 30 min
+
+_SESSIONIZE_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {_SESSION_GAP} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize", oracle=_SESSIONIZE_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): one shuffle on
+    user_id, two window passes over one sort (exchange reuse)."""
+    from javascript_vector_database_spark.operators.asof import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+_ASOF_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+  FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+@register("events_asof_join", oracle=_ASOF_ORACLE)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event matched with the user's latest
+    order at-or-before the event time — the union-merge single-shuffle
+    plan (operators/asof.py), checked against DuckDB's native ASOF JOIN."""
+    from javascript_vector_database_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # one row per (custkey, orderdate): max orderkey wins, like the plan's
+    # deterministic tie-break
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    o = (
+        orders.select(
+            "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return asof_join(
+        ev, o,
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_vals=["o_orderkey", "o_totalprice"], right_key="o_custkey",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
 
 
 # ---------------------------------------------------------------------------

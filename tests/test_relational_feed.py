@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from javascript_vector_database_spark import registry
 from tests.oracle_harness import compare
@@ -25,3 +26,32 @@ NAMES = [
 @pytest.mark.parametrize("name", NAMES)
 def test_oracle(spark, sf_oracle, name):
     compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
+def test_sessionize_and_asof_oracles(spark, sf_oracle):
+    for name in ["events_sessionize", "events_asof_join"]:
+        compare(
+            spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name]
+        )
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left ts; no
+    prior right row -> NULLs; equal timestamps match inclusively."""
+    from javascript_vector_database_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 1, 50), (4, 2, 100)],
+        "event_id long, k long, t long",
+    ).select("event_id", "k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 20), (3, 100, 99)],
+        "k long, rt long, val long",
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "val")
+    got = {
+        r["event_id"]: r["val"]
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="rt", right_vals=["val"]
+        ).collect()
+    }
+    assert got == {1: 10, 2: 20, 3: None, 4: None}
