@@ -61,6 +61,37 @@ def asof_join(
     return out.where(F.col("__side") == 1).drop("__ts", "__side")
 
 
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range join (point ∈ [lo, hi)) per key, as an EQUI-join: bucket the
+    time axis, explode each interval to the buckets it spans, hash-join on
+    (key, bucket), then apply the exact range filter.  Without this, Spark
+    plans a non-equi join as BroadcastNestedLoopJoin — quadratic per key.
+    ``bucket_seconds`` should be on the order of the typical interval
+    length so each interval explodes to O(1) buckets."""
+    bucket_us = bucket_seconds * 1_000_000
+
+    def b(c):
+        return F.floor(F.unix_micros(F.col(c)) / F.lit(bucket_us))
+
+    pts = points.withColumn("__b", b(ts_col))
+    ivs = intervals.withColumn(
+        "__b", F.explode(F.sequence(b(lo_col), b(hi_col)))
+    )
+    return (
+        pts.join(ivs, [key, "__b"])
+        .where((F.col(ts_col) >= F.col(lo_col)) & (F.col(ts_col) < F.col(hi_col)))
+        .drop("__b")
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",

@@ -180,6 +180,39 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
 
 
+_RANGE_JOIN_ORACLE = """
+SELECT i.event_id AS incident_id, e.event_id, e.user_id
+FROM events e
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') i
+  ON e.user_id = i.user_id
+ AND e.ts >= i.ts AND e.ts < i.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("events_range_join", oracle=_RANGE_JOIN_ORACLE)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: every event falling inside the 1-hour
+    incident window opened by each error event of the same user.  Bucketed
+    equi-join plan (operators/asof.py::point_in_interval_join) — a plain
+    non-equi join here would be a nested-loop blowup."""
+    from javascript_vector_database_spark.operators.asof import (
+        point_in_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select("event_id", "user_id", "ts")
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    return point_in_interval_join(
+        points, incidents, key="user_id",
+        ts_col="ts", lo_col="win_start", hi_col="win_end",
+    ).select("incident_id", "event_id", "user_id")
+
+
 # ---------------------------------------------------------------------------
 # §2.9 reactive query (event-reduce IVM) + §2.4 incremental count
 # ---------------------------------------------------------------------------

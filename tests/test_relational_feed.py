@@ -55,3 +55,21 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert got == {1: 10, 2: 20, 3: None, 4: None}
+
+
+def test_range_join_oracle_and_plan(spark, sf_oracle):
+    compare(
+        spark,
+        sf_oracle,
+        registry.queries()["events_range_join"],
+        registry.oracle_sql()["events_range_join"],
+    )
+    plan = (
+        registry.queries()["events_range_join"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the whole point: a hash equi-join on (key, bucket), not a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
