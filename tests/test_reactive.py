@@ -243,3 +243,42 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
         assert rows == {"10:00": 2, "11:00": 1}
     finally:
         q.stop()
+
+
+def test_stateful_user_stats_accumulates(spark, tmp_path):
+    """applyInPandasWithState: per-key state persists across micro-batches;
+    update mode re-emits only touched keys with their new running stats."""
+    from javascript_vector_database_spark.streaming.stateful import (
+        stateful_user_stats,
+    )
+
+    src = str(tmp_path / "st_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, value double"
+    spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stateful_user_stats(spark, src, schema, query_name="st_test")
+    try:
+        q.processAllAvailable()
+        rows = {
+            r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+            for r in spark.sql(
+                "SELECT * FROM st_test ORDER BY user_id"
+            ).collect()
+        }
+        assert rows == {1: (2, 30.0, 20.0), 2: (1, 5.0, 5.0)}
+
+        # batch 2 touches only user 1: its state accumulates; user 2's
+        # state survives untouched in the store
+        spark.createDataFrame([(1, 40.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        latest = {}
+        for r in spark.sql("SELECT * FROM st_test").collect():
+            latest[r["user_id"]] = (r["n_events"], r["total_value"], r["max_value"])
+        assert latest[1] == (3, 70.0, 40.0)
+        assert latest[2] == (1, 5.0, 5.0)
+    finally:
+        q.stop()
