@@ -56,6 +56,32 @@ def collect_centroids(
     return sorted((int(r["cid"]), [float(x) for x in r["cemb"]]) for r in rows)
 
 
+def ivf_kmeans_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = IVF_K,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Trained centroid set via MLlib k-means‖ — the recall-optimal IVF
+    path (cluster centers adapt to the data distribution, unlike the
+    hash-order sample).  Same (cid, center) contract as collect_centroids,
+    so it plugs straight into ivf_cell_expr / ivf_assign / ivf_search.
+    Not oracle-checked (k-means assignment depends on partitioning);
+    structural + recall properties are pytest-verified instead."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+
 def ivf_cell_expr(vec: Column | str, cents: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid id as a pure Column expression: the centroids are
     inlined as literals and the argmin is ONE fold over them — no join, no

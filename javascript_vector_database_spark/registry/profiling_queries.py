@@ -76,6 +76,54 @@ def profile_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_QUALITY_MIN = 0.5
+
+
+def _curation_oracle() -> str:
+    from javascript_vector_database_spark.functions.text import (
+        sql_quality_score,
+    )
+    from javascript_vector_database_spark.registry.dedup_queries import (
+        _lsh_pairs_oracle,
+    )
+
+    # near-dup ids to drop = the id_b side of the LSH candidate pairs
+    # (keep the min-id representative of every duplicate cluster edge)
+    lsh = _lsh_pairs_oracle().strip().rstrip()
+    return f"""
+WITH pairs AS ({lsh}),
+dupes AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+SELECT d.doc_id, d.lang, {sql_quality_score('d.text')} AS quality
+FROM documents d
+LEFT JOIN dupes USING (doc_id)
+WHERE dupes.doc_id IS NULL
+  AND d.lang = 'en'
+  AND {sql_quality_score('d.text')} >= {_CURATION_QUALITY_MIN}
+"""
+
+
+@register("curation_pipeline", oracle=_curation_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation filter, one composed plan:
+    language gate + quality-score gate + near-duplicate removal (anti-join
+    against the id_b side of the MinHash/LSH candidate pairs, keeping each
+    cluster's min-id representative).  At 100 TB: the scan-side scalar
+    gates prune before the only shuffles (LSH banding + the anti-join)."""
+    from javascript_vector_database_spark.functions.text import quality_score
+    from javascript_vector_database_spark.operators import dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.lsh_band_pairs(docs)
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        docs.join(dupes, "doc_id", "left_anti")
+        .where(F.col("lang") == "en")
+        .withColumn("quality", quality_score("text"))
+        .where(F.col("quality") >= _CURATION_QUALITY_MIN)
+        .select("doc_id", "lang", "quality")
+    )
+
+
 _SAMPLE_ORACLE = f"""
 SELECT source, doc_id, lang
 FROM (

