@@ -169,6 +169,11 @@ def main() -> None:
         "changefeed_page",
         "text_quality_score",
         "multimodal_byte_stats",
+        "events_sessionize",
+        "events_asof_join",
+        "events_range_join",
+        "profile_top_tokens",
+        "curation_pipeline",
     ]:
         fn = registry.queries()[name]
         t, _ = _timed(lambda fn=fn: fn(spark, sf_dir).collect())
