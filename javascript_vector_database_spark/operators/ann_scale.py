@@ -138,17 +138,33 @@ def ivf_search(
     k_cents: int = IVF_K,
     nprobe: int = N_PROBE,
     k: int = TOP_K,
+    cents: list[tuple[int, list[float]]] | None = None,
+    precomputed: bool = False,
 ) -> DataFrame:
-    """Probe the nprobe nearest cells, exact-rank inside them.  The cell
-    id is computed inline (scan-only, no join); with the assignment
-    precomputed and the table partitioned by cell, the WHERE
-    ivf_cell IN (...) prunes partitions before any scan."""
-    cents = collect_centroids(emb, id_col, vec_col, k_cents)
+    """Probe the nprobe nearest cells, exact-rank inside them.
+
+    ``precomputed=False`` computes the cell id inline (scan-only, no
+    join).  ``precomputed=True`` is the 100 TB path: ``emb`` already
+    carries an ``ivf_cell`` column (written via ivf_assign, table
+    partitioned by cell), so ``WHERE ivf_cell IN (...)`` prunes whole
+    partitions before any scan — only the probed cells are ever read.
+    ``cents`` lets the caller reuse a collected/trained centroid set
+    (required when precomputed, so probe cells match the stored
+    assignment)."""
+    if cents is None:
+        if precomputed:
+            raise ValueError(
+                "precomputed=True requires the centroid set the stored "
+                "ivf_cell column was assigned with"
+            )
+        cents = collect_centroids(emb, id_col, vec_col, k_cents)
     probed = sorted((_py_euclid(cemb, query_vec), cid) for cid, cemb in cents)[:nprobe]
     probe_ids = [cid for _, cid in probed]
+    src = emb if precomputed else emb.withColumn(
+        "ivf_cell", ivf_cell_expr(F.col(vec_col), cents)
+    )
     return (
-        emb.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), cents))
-        .where(F.col("ivf_cell").isin(probe_ids))
+        src.where(F.col("ivf_cell").isin(probe_ids))
         .withColumn(
             "distance",
             F.round(euclidean_distance(F.col(vec_col), _qvec_lit(query_vec)), 6),
@@ -182,7 +198,11 @@ def lsh_bucket_table(
     dim: int | None = None,
 ) -> DataFrame:
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        head = emb.select(vec_col).first()
+        if head is None or head[0] is None:
+            # empty input: no rows to bucket, nothing to infer dim from
+            return emb.select(F.col(id_col), F.lit("").alias("bucket"))
+        dim = len(head[0])
     planes = hyperplanes(dim, bits, seed)
     return emb.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
 
@@ -224,17 +244,22 @@ def lsh_search(
     seed: int = LSH_SEED,
     k: int = TOP_K,
     hamming: int = 1,
+    precomputed: bool = False,
 ) -> DataFrame:
     """Multi-probe hyperplane-LSH ANN: candidates = rows whose bucket is
     within hamming distance of the query bucket, exact euclidean re-rank,
-    top-k.  Scan + IN-list filter + TakeOrderedAndProject — no shuffle;
-    with the bucket precomputed as a table column the IN-list prunes via
-    min/max stats or partitioning."""
+    top-k.  Scan + IN-list filter + TakeOrderedAndProject — no shuffle.
+    ``precomputed=True`` is the scale path: ``emb`` already carries the
+    ``bucket`` column (written via lsh_bucket_table, same bits/seed), so
+    the IN-list prunes via min/max stats or partitioning instead of
+    re-hashing the whole corpus per query."""
     planes = hyperplanes(len(query_vec), bits, seed)
     probes = lsh_probe_buckets(query_vec, planes, hamming)
+    src = emb if precomputed else emb.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), planes)
+    )
     return (
-        emb.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
-        .where(F.col("bucket").isin(probes))
+        src.where(F.col("bucket").isin(probes))
         .withColumn(
             "distance",
             F.round(euclidean_distance(F.col(vec_col), _qvec_lit(query_vec)), 6),

@@ -34,13 +34,24 @@ def asof_join(
     """Backward as-of: latest right row with right_ts <= left_ts per key.
     Ties on right_ts resolve to the greatest of the first ``right_vals``
     column (deterministic).  Left rows with no prior right row keep NULLs.
+
+    The right-side values are carried forward as ONE struct, so every
+    output column comes from the SAME as-of row even when some of its
+    value columns are NULL (carrying each column independently with
+    ``last(ignorenulls)`` would splice stale values from older rows).
     """
     right_key = right_key or key
+    clash = set(right_vals) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_vals {sorted(clash)} collide with left columns; "
+            "alias them on the right side before the as-of join"
+        )
     r = right.select(
         F.col(right_key).alias(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in right_vals],
+        F.struct(*[F.col(c) for c in right_vals]).alias("__rv"),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__side", F.lit(1)
@@ -51,14 +62,16 @@ def asof_join(
         .orderBy(
             F.col("__ts").asc(),
             F.col("__side").asc(),  # right rows first at equal ts (inclusive)
-            F.col(right_vals[0]).asc_nulls_first(),
+            # struct order = field order, so this is right_vals[0] asc first
+            F.col("__rv").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = u
+    out = u.withColumn("__rv", F.last(F.col("__rv"), ignorenulls=True).over(w))
+    out = out.where(F.col("__side") == 1)
     for c in right_vals:
-        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return out.where(F.col("__side") == 1).drop("__ts", "__side")
+        out = out.withColumn(c, F.col("__rv").getField(c))
+    return out.drop("__ts", "__side", "__rv")
 
 
 def point_in_interval_join(

@@ -286,9 +286,10 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS, shingle_k: int = DEFAU
     majority of shingles have bit b set in their 32-bit hash (v1 of the
     md5 digest).  ONE aggregate pass: the accumulator is a per-bit
     counter array + the shingle count; the finish step takes the weighted
-    majority.  Division by 2^b on integers < 2^32 is exact in doubles, so
-    floor(v / 2^b) % 2 is a safe engine-portable bit test."""
-    pows = F.array(*[F.lit(float(2**b)) for b in range(bits)])
+    majority.  The bit test is pure integer (``v & 2^b``) — no float
+    division in the interpreted HOF hot path; the DuckDB oracle's
+    ``(v // 2^b) % 2`` on BIGINT computes the identical bit."""
+    masks = F.array(*[F.lit(2**b).cast("long") for b in range(bits)])
     weights = F.array(*[F.lit(2 ** (bits - 1 - b)).cast("long") for b in range(bits)])
     init = F.struct(
         F.array_repeat(F.lit(0).cast("long"), bits).alias("cnt"),
@@ -299,7 +300,12 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS, shingle_k: int = DEFAU
         init,
         lambda acc, x: F.struct(
             F.zip_with(
-                acc["cnt"], pows, lambda c, p: c + F.floor(x["v1"] / p).cast("long") % 2
+                acc["cnt"],
+                masks,
+                lambda c, m: c
+                + F.when(x["v1"].bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
             ).alias("cnt"),
             (acc["n"] + 1).alias("n"),
         ),
@@ -365,7 +371,13 @@ def cosine_near_dup_pairs(
         )
 
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            head = df.select(vec_col).first()
+            if head is None or head[0] is None:
+                # empty input: no pairs (and no dim to infer)
+                return df.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cos_sim double"
+                )
+            dim = len(head[0])
         planes = hyperplanes(dim, lsh_bits, lsh_seed)
         block = lsh_bucket(F.col(vec_col), planes)
     else:

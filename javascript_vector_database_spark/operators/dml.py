@@ -90,11 +90,20 @@ class ParquetTable:
             self._swap_in(rows)
             return {"success": rows.count() if rows.isStreaming is False else -1, "conflict": 0}
         cur = self.df()
-        accepted = rows.join(cur.select(pk), pk, "left_anti")
-        n_acc = accepted.count()
-        n_conf = rows.count() - n_acc
+        # one counting job for both tallies (pattern: pipeline.run_once)
+        tagged = rows.join(
+            cur.select(pk).withColumn("__dup", F.lit(True)), pk, "left"
+        )
+        stats = tagged.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.col("__dup")).alias("conflict"),
+        ).first()
+        accepted = tagged.where(F.col("__dup").isNull()).drop("__dup")
         self._swap_in(cur.unionByName(accepted, allowMissingColumns=True))
-        return {"success": n_acc, "conflict": n_conf}
+        return {
+            "success": int(stats["total"]) - int(stats["conflict"]),
+            "conflict": int(stats["conflict"]),
+        }
 
     def bulk_upsert(self, rows: DataFrame, lwt: float | None = None) -> None:
         """MERGE: matched -> replace with new state, not matched -> insert
@@ -169,7 +178,9 @@ class ParquetTable:
         pk = self.primary_key
         user_cols = list(cur.columns)
         if isinstance(ids, DataFrame):
-            key_df = ids.toDF(pk)
+            # dedup: duplicate keys in ids would fan out the left join and
+            # duplicate table rows (reference bulkRemove dedups by pk)
+            key_df = ids.toDF(pk).distinct()
             hit_col = "__hit"
             cur = cur.join(
                 key_df.withColumn(hit_col, F.lit(True)), pk, "left"

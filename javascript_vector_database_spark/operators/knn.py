@@ -199,15 +199,48 @@ def ann_index_similarity(
     )
 
 
+def _js_number_to_string(x: float) -> str:
+    """ECMA-262 ``Number::toString(10)``: shortest-roundtrip digits in
+    decimal notation, switching to exponential only below 1e-6 or at/above
+    1e21 (Python's repr switches to scientific already below 1e-4, so repr
+    alone diverges from JS for bounds in [1e-7, 1e-5))."""
+    if x == 0.0:
+        return "0"
+    sign = "-" if x < 0 else ""
+    s = repr(abs(float(x)))  # shortest roundtrip digits
+    if "e" in s:
+        mant, _, ex = s.partition("e")
+        e10 = int(ex)
+    else:
+        mant, e10 = s, 0
+    int_part, _, frac = mant.partition(".")
+    if int_part == "0":
+        lead = len(frac) - len(frac.lstrip("0"))
+        digits = frac.lstrip("0")
+        e10 += -lead - 1
+    else:
+        digits = (int_part + frac).rstrip("0") or "0"
+        e10 += len(int_part) - 1
+    digits = digits.rstrip("0") or "0"
+    k, n = len(digits), e10 + 1  # value = 0.<digits> * 10^n
+    if k <= n <= 21:
+        return sign + digits + "0" * (n - k)
+    if 0 < n <= 21:
+        return sign + digits[:n] + "." + digits[n:]
+    if -6 < n <= 0:
+        return sign + "0." + "0" * (-n) + digits
+    # exponential, JS style: '5e-7', '1.5e+21'
+    mant_js = digits[0] + ("." + digits[1:] if k > 1 else "")
+    return f"{sign}{mant_js}e{'+' if n - 1 >= 0 else '-'}{abs(n - 1)}"
+
+
 def _py_index_string(nr: float) -> str:
     """Driver-side mirror of index_nr_to_string (JS
-    ``((nr*10)+'').slice(0,10).padEnd(10,'0')``, src/database.ts:223-225):
-    Python repr() is shortest-roundtrip like JS number printing for the
-    [0, 20] value range these keys live in."""
-    s = repr(nr * 10.0)
-    if s.endswith(".0"):
-        s = s[:-2]
-    return s[:10].ljust(10, "0")
+    ``((nr*10)+'').slice(0,10).padEnd(10,'0')``, src/database.ts:223-225),
+    using the JS-faithful number formatter so bounds in the sub-1e-4
+    regime (and negative bounds, whose '-' consumes a key char exactly as
+    in JS) encode identically to the reference."""
+    return _js_number_to_string(nr * 10.0)[:10].ljust(10, "0")
 
 
 def ann_index_range_compat(

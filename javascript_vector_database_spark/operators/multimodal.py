@@ -92,22 +92,20 @@ def byte_stats(media: DataFrame) -> DataFrame:
             cat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
             starts = np.zeros(len(bufs), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
-            empty = lens == 0
+            ends = starts + lens
             if cat.size:
-                safe_starts = np.minimum(starts, cat.size - 1)
-                sums = np.add.reduceat(cat, safe_starts)
+                # segment sums via prefix sums: exact for zero-length
+                # segments anywhere (reduceat mishandles a segment whose
+                # start == cat.size — e.g. a trailing empty payload)
+                csum = np.zeros(cat.size + 1, dtype=np.int64)
+                np.cumsum(cat, out=csum[1:])
+                sums = csum[ends] - csum[starts]
                 bins = cat >> 6
-                hist = np.stack(
-                    [
-                        np.add.reduceat((bins == k).astype(np.int64), safe_starts)
-                        for k in range(N_HIST_BINS)
-                    ],
-                    axis=1,
-                )
-                # reduceat on a zero-length segment returns the next
-                # segment's first element — zero those rows out
-                sums[empty] = 0
-                hist[empty] = 0
+                hist = np.empty((len(bufs), N_HIST_BINS), dtype=np.int64)
+                bcsum = np.zeros(cat.size + 1, dtype=np.int64)
+                for k in range(N_HIST_BINS):
+                    np.cumsum(bins == k, out=bcsum[1:])
+                    hist[:, k] = bcsum[ends] - bcsum[starts]
             else:
                 sums = np.zeros(len(bufs), dtype=np.int64)
                 hist = np.zeros((len(bufs), N_HIST_BINS), dtype=np.int64)
@@ -201,6 +199,8 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
             ):
                 b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
                 n_px = int(meta["width"]) * int(meta["height"])
+                if b.size == 0:  # empty payload -> all-zero pixel grid
+                    b = np.zeros(1, dtype=np.int64)
                 px = b[np.arange(n_px) % b.size]  # cyclic tile / truncate
                 # mean/std from EXACT integer sums so the arithmetic is a
                 # fixed sequence of IEEE double ops — bit-identical to the
@@ -242,6 +242,8 @@ def resize_image(
             ):
                 b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
                 w_in, h_in = int(meta["width"]), int(meta["height"])
+                if b.size == 0:  # empty payload -> all-zero pixel grid
+                    b = np.zeros(1, dtype=np.int64)
                 px = b[np.arange(w_in * h_in) % b.size].reshape(h_in, w_in)
                 ys = (np.arange(height) * h_in) // height
                 xs = (np.arange(width) * w_in) // width

@@ -72,17 +72,24 @@ def used_pivots(dim: int) -> list[list[float]]:
 
 
 # --- submodules register on import (register() must exist first) ----------
+#
+# ORDER MATTERS: the driver's correctness harness checks the first 50
+# registered queries per round.  Modules whose rows were missing from
+# CORRECTNESS_r02 (vector_search, text_queries — incl. the never-driver-
+# checked knn_ann_range_compat and the entry-point flagship_search) go
+# first, followed by modules whose implementation changed this round;
+# mango/relational (unchanged, all r2-green) rotate to the back.
 from javascript_vector_database_spark.registry import (  # noqa: E402,F401
+    vector_search,
+    text_queries,
     ann_scale_queries,
     dedup_queries,
-    dml_queries,
     feed_state,
-    mango_queries,
+    dml_queries,
     multimodal_queries,
     profiling_queries,
     relational,
-    text_queries,
-    vector_search,
+    mango_queries,
 )
 from javascript_vector_database_spark.registry.vector_search import (  # noqa: E402,F401
     flagship_search,

@@ -113,8 +113,13 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         -- DuckDB windowed sum() yields HUGEINT (float64 via pandas); the
+         -- Spark plan's session_id is BIGINT — cast so the canonical hash
+         -- compares 3 vs 3, not 3.0 vs 3.
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM marked
 )
 SELECT user_id, session_id,
@@ -241,7 +246,12 @@ final AS (
 )"""
 
 
-def _run_reactive_script(spark: SparkSession, sf_dir: str):
+def _run_reactive_script(
+    spark: SparkSession,
+    sf_dir: str,
+    sort: list[tuple[str, str]] | None = None,
+    limit: int | None = None,
+):
     from javascript_vector_database_spark.streaming.reactive import ReactiveQuery
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -249,7 +259,8 @@ def _run_reactive_script(spark: SparkSession, sf_dir: str):
     )
     workdir = tempfile.mkdtemp(prefix="reactive_ivm_")
     rq = ReactiveQuery(
-        spark, {"lang": {"$eq": "en"}}, workdir, id_col="doc_id"
+        spark, {"lang": {"$eq": "en"}}, workdir, id_col="doc_id",
+        sort=sort, limit=limit,
     )
     bulk1 = docs.withColumn("_deleted", F.lit(False)).withColumn(
         "_lwt", F.lit(1.0)
@@ -289,6 +300,26 @@ def reactive_query_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's maintained result set after folding three change bulks —
     each fold touches only the bulk and the result table."""
     rq = _run_reactive_script(spark, sf_dir)
+    return rq.results().select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "reactive_topk_ivm",
+    oracle=f"""
+WITH {_REACTIVE_FINAL_CTE}
+SELECT doc_id, lang, n_chars FROM final WHERE NOT deleted AND lang = 'en'
+ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+""",
+)
+def reactive_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted+limited live query (the runFullQueryAgain surface,
+    MAP#rxdb/dist/esm/event-reduce.js:83-90): the maintained BOUNDED view
+    after the same three change bulks — bulk 3's soft-deletes shrink the
+    emission and trigger the bounded re-run over the maintained match set
+    (never the base collection scan)."""
+    rq = _run_reactive_script(
+        spark, sf_dir, sort=[("n_chars", "desc")], limit=20
+    )
     return rq.results().select("doc_id", "lang", "n_chars")
 
 

@@ -58,11 +58,24 @@ class ReactiveQuery:
         selector: dict[str, Any],
         workdir: str,
         id_col: str = "id",
+        sort: list[tuple[str, str]] | None = None,
+        limit: int | None = None,
     ):
         self.spark = spark
         self.selector = selector
         self.id_col = id_col
+        self.sort = sort
+        self.limit = limit
         self.result = ParquetTable(spark, os.path.join(workdir, "result"), id_col)
+        #: bounded live view for sort+limit queries (reference semantics:
+        #: event-reduce maintains the limited result and falls back to
+        #: "runFullQueryAgain" on doubtful transitions, event-reduce.js:83-90)
+        self.emission = ParquetTable(
+            spark, os.path.join(workdir, "emission"), id_col
+        )
+        #: number of bounded re-runs taken (the runFullQueryAgain analog);
+        #: tests assert the fallback fires exactly on shrink/update bulks
+        self.fallbacks = 0
         self._meta_path = os.path.join(workdir, "count.json")
         os.makedirs(workdir, exist_ok=True)
 
@@ -83,10 +96,60 @@ class ReactiveQuery:
         os.replace(tmp, self._meta_path)
 
     def results(self) -> DataFrame:
-        """The maintained result set (RxQuery.$ emission)."""
+        """The maintained result set (RxQuery.$ emission).  For sort+limit
+        queries this is the maintained BOUNDED view, not the full match
+        set."""
+        if self.limit is not None:
+            return self.emission.docs() if self.emission.exists() else None
         if not self.result.exists():
             return None
         return self.result.docs()
+
+    # -- sort+limit live view (event-reduce.js:83-90) ------------------------
+
+    def _sort_cols(self):
+        cols = []
+        for c, d in self.sort or []:
+            cols.append(
+                F.col(c).desc() if str(d).lower().startswith("desc") else F.col(c).asc()
+            )
+        # PK appended as the deterministic tiebreak, exactly like the
+        # reference's normalized sort (rx-query-helper.js:128-136)
+        cols.append(F.col(self.id_col).asc())
+        return cols
+
+    def _bounded(self, df: DataFrame) -> DataFrame:
+        """The bounded query: sort + limit + PK tiebreak.  Compiles to
+        TakeOrderedAndProject — per-partition partial top-k."""
+        return df.orderBy(*self._sort_cols()).limit(self.limit)
+
+    def _maintain_emission(self, latest: DataFrame, now_matching: DataFrame) -> None:
+        """Maintain the bounded live view after the full match set folded a
+        bulk.  Two paths, mirroring event-reduce's action table:
+
+        * pure inserts (bulk never touches a currently-emitted row):
+          bounded re-rank of emission ∪ new matches — O(limit + |bulk|).
+        * any update/remove touching an emitted row (including a remove
+          that shrinks the set below the limit): the reference's
+          ``runFullQueryAgain`` fallback — re-run the bounded query over
+          the maintained match set (= previous result ∪ every folded
+          bulk), NEVER the base collection scan.
+        """
+        id_col = self.id_col
+        if not self.emission.exists():
+            self.emission._swap_in(self._bounded(self.result.docs()))
+            return
+        em = self.emission.df()
+        touched = em.join(latest.select(id_col), id_col, "left_semi").count()
+        if touched:
+            self.fallbacks += 1
+            new_em = self._bounded(self.result.docs())
+        else:
+            fresh = now_matching.join(em.select(id_col), id_col, "left_anti")
+            new_em = self._bounded(
+                em.unionByName(fresh, allowMissingColumns=True)
+            )
+        self.emission._swap_in(new_em)
 
     # -- event-reduce (MAP#event-reduce.js:58-96) ----------------------------
 
@@ -116,6 +179,8 @@ class ReactiveQuery:
                 n_added = now_matching.count()
                 self.result.bulk_upsert(now_matching)
                 self._write_count(n_added)
+                if self.limit is not None:
+                    self._maintain_emission(latest, now_matching)
                 return {"added": n_added, "removed": 0}
 
             existing = self.result.docs().select(id_col)
@@ -134,6 +199,8 @@ class ReactiveQuery:
                 )
                 self.result._swap_in(kept)
             self._write_count(self.count() + n_added - n_removed)
+            if self.limit is not None:
+                self._maintain_emission(latest, now_matching)
             return {"added": n_added, "removed": n_removed}
         finally:
             latest.unpersist()

@@ -62,12 +62,19 @@ def spread(df: DataFrame) -> DataFrame:
     has >= cores partitions and this is a no-op, so the shuffle cost is
     only paid when it buys parallelism.
 
-    NOTE: only call on plain scans/narrow plans — ``df.rdd`` under AQE
-    eagerly executes any shuffle stages already in the plan."""
+    Parallelism is probed via ``df.inputFiles()`` (metadata-only) — NOT
+    ``df.rdd.getNumPartitions()``, which forces plan preparation and
+    under AQE can eagerly execute shuffle stages.  Only call on plain
+    scans/narrow plans; a non-file-backed plan probes as 0 files and is
+    repartitioned."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -191,9 +191,71 @@ def test_reactive_stream_foreachbatch(spark, tmp_path):
         q.stop()
 
 
-@pytest.mark.parametrize("name", ["reactive_query_ivm", "reactive_count_ivm"])
+@pytest.mark.parametrize(
+    "name", ["reactive_query_ivm", "reactive_count_ivm", "reactive_topk_ivm"]
+)
 def test_reactive_oracle(spark, sf_oracle, name):
     compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
+def test_sorted_limit_fallback_requery(spark, tmp_path):
+    """Sort+limit live query (runFullQueryAgain, event-reduce.js:83-90):
+    pure inserts maintain the bounded view incrementally; a remove or
+    update touching an emitted row triggers the bounded re-run over the
+    maintained match set — never the base scan — and after every bulk the
+    emission equals a full re-query of the current state."""
+    rq = ReactiveQuery(
+        spark,
+        {"color": {"$eq": "red"}},
+        str(tmp_path / "rq_topk"),
+        id_col="id",
+        sort=[("score", "desc")],
+        limit=2,
+    )
+
+    def emitted():
+        return [
+            (r["id"], r["score"])
+            for r in rq.results().orderBy(F.col("score").desc(), "id").collect()
+        ]
+
+    # bulk 1: 5 reds + 1 blue -> top-2 by score
+    rq.apply_changes(
+        _bulk(
+            spark,
+            [(i, "red", i * 10, False, 1.0) for i in range(1, 6)]
+            + [(9, "blue", 99, False, 1.0)],
+        )
+    )
+    assert emitted() == [(5, 50), (4, 40)]
+    assert rq.fallbacks == 0
+
+    # bulk 2: PURE insert not touching the emitted rows -> incremental merge
+    rq.apply_changes(_bulk(spark, [(6, "red", 45, False, 2.0)]))
+    assert emitted() == [(5, 50), (6, 45)]
+    assert rq.fallbacks == 0
+
+    # bulk 3: remove the top row -> shrink below limit -> bounded re-run;
+    # the new second row (4, 40) comes from the MAINTAINED set, not the bulk
+    rq.apply_changes(_bulk(spark, [(5, "red", 50, True, 3.0)]))
+    assert emitted() == [(6, 45), (4, 40)]
+    assert rq.fallbacks == 1
+
+    # bulk 4: update demotes an emitted row -> bounded re-run again
+    rq.apply_changes(_bulk(spark, [(6, "red", 5, False, 4.0)]))
+    assert emitted() == [(4, 40), (3, 30)]
+    assert rq.fallbacks == 2
+
+    # bulk 5: shrink the match set below the limit -> under-full emission
+    rq.apply_changes(
+        _bulk(
+            spark,
+            [(i, "red", i * 10, True, 5.0) for i in (1, 2, 3)]
+            + [(6, "red", 5, True, 5.0)],
+        )
+    )
+    assert emitted() == [(4, 40)]
+    assert rq.fallbacks == 3
 
 
 def test_streaming_watermark_drops_late_events(spark, tmp_path):
