@@ -6,10 +6,15 @@ reports (MAP#rxdb/dist/esm/rx-collection.js:165-242), upsert/bulkUpsert
 :243-289), optimistic revisions ``_rev`` bumped per write.
 
 Spark has no in-place mutation; a managed table here is a parquet
-directory rewritten via MERGE-shaped dataframe plans (Delta's MERGE INTO
-would do this transactionally at scale — same logical plan, the emulation
-is anti-join + union).  All operators are id-partition-shuffle joins;
-with Delta + bucketing they co-locate without a shuffle.
+directory PARTITIONED BY a PK hash bucket (``__pkb = pmod(hash(pk), N)``).
+Every DML verb rewrites ONLY the partitions its keys hash into — the
+dynamic-partition-overwrite shape, and the natural stand-in for Delta's
+MERGE INTO: a conflicting/updated key always lands in the same bucket as
+its stored row, so restricting the merge join to touched buckets is
+exact, and untouched partitions' files are never rewritten (pinned by
+tests/test_pipeline_dml.py).  At 100 TB: N scales with the table, reads
+of the merge side are partition-pruned, and the per-verb write cost is
+O(|delta| + touched-partition size), not O(table).
 """
 
 from __future__ import annotations
@@ -20,6 +25,9 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: internal partition column (PK hash bucket); stripped from every read
+BUCKET_COL = "__pkb"
 
 
 def _rev_bump(prev_rev: F.Column, payload_hash: F.Column) -> F.Column:
@@ -35,31 +43,105 @@ def _payload_hash(cols: list[str]) -> F.Column:
     """Deterministic content hash of the user fields (name-sorted, meta
     columns excluded) — the reference's revision hash analog; md5 over a
     '|'-joined cast keeps it reproducible in the DuckDB oracle."""
-    user = sorted(c for c in cols if c not in ("_rev", "_deleted", "_lwt"))
+    user = sorted(
+        c for c in cols if c not in ("_rev", "_deleted", "_lwt", BUCKET_COL)
+    )
     return F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in user]))
 
 
 class ParquetTable:
-    """A tiny managed table: parquet dir + PK, giving the reference's DML
-    verbs as atomic read-modify-write cycles (write temp, swap)."""
+    """A tiny managed table: PK-bucket-partitioned parquet dir giving the
+    reference's DML verbs as touched-partition read-modify-write cycles.
+    ``n_buckets=None`` keeps a flat single-dir layout (used for small
+    wholesale-replaced views like the reactive bounded emission)."""
 
-    def __init__(self, spark: SparkSession, path: str, primary_key: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        primary_key: str,
+        n_buckets: int | None = 16,
+    ):
         self.spark = spark
         self.path = path
         self.primary_key = primary_key
+        self.n_buckets = n_buckets
 
     # -- read ---------------------------------------------------------------
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
 
-    def df(self) -> DataFrame:
+    def _raw(self) -> DataFrame:
+        """Internal read keeping the bucket partition column."""
         return self.spark.read.parquet(self.path)
+
+    def df(self) -> DataFrame:
+        d = self._raw()
+        return d.drop(BUCKET_COL) if BUCKET_COL in d.columns else d
 
     def docs(self) -> DataFrame:
         """Non-deleted view (the implicit `_deleted=false` filter)."""
         d = self.df()
         return d.where(~F.col("_deleted")) if "_deleted" in d.columns else d
+
+    # -- physical layout ------------------------------------------------------
+
+    def _bucket_expr(self) -> F.Column:
+        return F.pmod(F.hash(F.col(self.primary_key)), F.lit(self.n_buckets))
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if not self.n_buckets or BUCKET_COL in df.columns:
+            return df
+        return df.withColumn(BUCKET_COL, self._bucket_expr())
+
+    def _bucketed(self) -> bool:
+        """True when the stored layout is bucket-partitioned (it always is
+        for tables this class created with n_buckets set)."""
+        return bool(self.n_buckets) and BUCKET_COL in self._raw().columns
+
+    def _swap_in(self, new_df: DataFrame) -> None:
+        """FULL rewrite (table create, or wholesale view replace)."""
+        tmp = self.path + ".tmp"
+        w = self._with_bucket(new_df)
+        writer = w.write.mode("overwrite")
+        if self.n_buckets:
+            writer = writer.partitionBy(BUCKET_COL)
+        writer.parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)
+
+    def _replace_partitions(self, parts_df: DataFrame, buckets: list[int]) -> None:
+        """Swap in the complete new state of exactly ``buckets``; every
+        other partition's files stay byte-identical on disk.  Staging to a
+        sibling dir first avoids reading and overwriting the same path in
+        one job (``parts_df`` is built over the live table)."""
+        tmp = self.path + ".parts.tmp"
+        self._with_bucket(parts_df).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(tmp)
+        for b in buckets:
+            sub = f"{BUCKET_COL}={b}"
+            dst = os.path.join(self.path, sub)
+            src = os.path.join(tmp, sub)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.replace(src, dst)
+            # a bucket whose new state is empty simply disappears
+        shutil.rmtree(tmp)
+
+    def _touched(self, keyed_df: DataFrame) -> list[int]:
+        """Distinct buckets the delta's keys hash into (≤ n_buckets rows,
+        bounded driver collect)."""
+        return [
+            r[0]
+            for r in self._with_bucket(keyed_df)
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
+        ]
 
     # -- write --------------------------------------------------------------
 
@@ -70,17 +152,12 @@ class ParquetTable:
             out = out.withColumn("_deleted", F.lit(False))
         return out.withColumn("_lwt", F.lit(float(lwt)))
 
-    def _swap_in(self, new_df: DataFrame) -> None:
-        tmp = self.path + ".tmp"
-        new_df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.replace(tmp, self.path)
-
     def bulk_insert(self, rows: DataFrame, lwt: float | None = None) -> dict[str, int]:
         """Insert; rows whose PK already exists are rejected per-row (the
         reference's 409 conflict category) while the rest succeed.  New
-        rows are stamped `_rev = '1-<hash>'` (utils-revision.js:1-41)."""
+        rows are stamped `_rev = '1-<hash>'` (utils-revision.js:1-41).
+        Conflict detection joins only the touched buckets — a duplicate pk
+        always hashes to the same bucket as the incoming row."""
         pk = self.primary_key
         rows = self._stamp(rows.drop("_rev"), lwt)
         rows = rows.withColumn(
@@ -89,9 +166,15 @@ class ParquetTable:
         if not self.exists():
             self._swap_in(rows)
             return {"success": rows.count() if rows.isStreaming is False else -1, "conflict": 0}
-        cur = self.df()
+        rows_b = self._with_bucket(rows)
+        if self._bucketed():
+            touched = self._touched(rows)
+            cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
+        else:
+            touched = None
+            cur = self.df()
         # one counting job for both tallies (pattern: pipeline.run_once)
-        tagged = rows.join(
+        tagged = rows_b.join(
             cur.select(pk).withColumn("__dup", F.lit(True)), pk, "left"
         )
         stats = tagged.agg(
@@ -99,7 +182,11 @@ class ParquetTable:
             F.count(F.col("__dup")).alias("conflict"),
         ).first()
         accepted = tagged.where(F.col("__dup").isNull()).drop("__dup")
-        self._swap_in(cur.unionByName(accepted, allowMissingColumns=True))
+        new_state = cur.unionByName(accepted, allowMissingColumns=True)
+        if touched is None:
+            self._swap_in(new_state)
+        else:
+            self._replace_partitions(new_state, touched)
         return {
             "success": int(stats["total"]) - int(stats["conflict"]),
             "conflict": int(stats["conflict"]),
@@ -109,7 +196,8 @@ class ParquetTable:
         """MERGE: matched -> replace with new state, not matched -> insert
         (reference bulkUpsert, rx-collection.js:294-342).  `_rev` height is
         bumped over the matched row's revision ('<h+1>-<hash>'), '1-<hash>'
-        for fresh inserts (utils-revision.js:1-41)."""
+        for fresh inserts (utils-revision.js:1-41).  Only the buckets the
+        incoming keys hash into are read or rewritten."""
         pk = self.primary_key
         rows = self._stamp(rows.drop("_rev"), lwt)
         if not self.exists():
@@ -119,17 +207,27 @@ class ParquetTable:
                 )
             )
             return
-        cur = self.df()
+        rows_b = self._with_bucket(rows)
+        if self._bucketed():
+            touched = self._touched(rows)
+            cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
+        else:
+            touched = None
+            cur = self.df()
         if "_rev" in cur.columns:
             prev = cur.select(pk, F.col("_rev").alias("__prev_rev"))
-            merged = rows.join(prev, pk, "left")
+            merged = rows_b.join(prev, pk, "left")
         else:
-            merged = rows.withColumn("__prev_rev", F.lit(None).cast("string"))
+            merged = rows_b.withColumn("__prev_rev", F.lit(None).cast("string"))
         merged = merged.withColumn(
             "_rev", _rev_bump(F.col("__prev_rev"), _payload_hash(rows.columns))
         ).drop("__prev_rev")
         kept = cur.join(merged.select(pk), pk, "left_anti")
-        self._swap_in(kept.unionByName(merged, allowMissingColumns=True))
+        new_state = kept.unionByName(merged, allowMissingColumns=True)
+        if touched is None:
+            self._swap_in(new_state)
+        else:
+            self._replace_partitions(new_state, touched)
 
     def incremental_modify(
         self,
@@ -143,14 +241,17 @@ class ParquetTable:
         conflict-retry loop collapses to one atomic read-modify-write
         under the single-writer driver, which is also why plain
         incrementalUpsert degenerates to bulk_upsert here).  `_rev` height
-        is bumped on modified rows; soft-deleted rows are never touched."""
+        is bumped on modified rows; soft-deleted rows are never touched.
+        The selector scan sees the whole table, but only partitions
+        containing hit rows are rewritten."""
         from javascript_vector_database_spark.operators.mango import (
             mango_to_column,
         )
 
         lwt = time.time() * 1000.0 if lwt is None else lwt
-        cur = self.df()
-        user_cols = list(cur.columns)
+        bucketed = self._bucketed()
+        cur = self._raw() if bucketed else self.df()
+        user_cols = [c for c in cur.columns if c != BUCKET_COL]
         hit = mango_to_column(selector) & ~F.col("_deleted")
         out = cur.withColumn("__hit", hit)
         for c, e in set_exprs.items():
@@ -166,40 +267,75 @@ class ParquetTable:
                     _rev_bump(F.col("_rev"), _payload_hash(user_cols)),
                 ).otherwise(F.col("_rev")),
             )
-        self._swap_in(out.drop("__hit"))
+        if not bucketed:
+            self._swap_in(out.drop("__hit"))
+            return
+        touched = [
+            r[0]
+            for r in out.where(F.col("__hit")).select(BUCKET_COL).distinct().collect()
+        ]
+        if not touched:
+            return
+        self._replace_partitions(
+            out.where(F.col(BUCKET_COL).isin(touched)).drop("__hit"), touched
+        )
+
+    def _key_df(self, ids) -> DataFrame:
+        """Normalize a Python list or single-column DataFrame of keys to a
+        distinct one-column frame named after the PK (the reference's
+        bulkRemove dedups by pk; duplicates would fan out the join)."""
+        pk = self.primary_key
+        if isinstance(ids, DataFrame):
+            return ids.toDF(pk).distinct()
+        return self.spark.createDataFrame([(i,) for i in ids]).toDF(pk).distinct()
 
     def bulk_remove(self, ids, lwt: float | None = None) -> None:
         """Soft delete: set `_deleted = true`, keep the row for the change
         feed (reference rx-collection.js:243-289), bump `_rev`.  ``ids``
         is a Python list or a single-column DataFrame of keys (the scale
-        path — no driver round-trip)."""
+        path — no driver round-trip).  Only the buckets the keys hash into
+        are read or rewritten."""
         lwt = time.time() * 1000.0 if lwt is None else lwt
-        cur = self.df()
         pk = self.primary_key
-        user_cols = list(cur.columns)
-        if isinstance(ids, DataFrame):
-            # dedup: duplicate keys in ids would fan out the left join and
-            # duplicate table rows (reference bulkRemove dedups by pk)
-            key_df = ids.toDF(pk).distinct()
-            hit_col = "__hit"
-            cur = cur.join(
-                key_df.withColumn(hit_col, F.lit(True)), pk, "left"
-            ).withColumn(hit_col, F.coalesce(F.col(hit_col), F.lit(False)))
-            hit = F.col(hit_col)
+        key_df = self._key_df(ids)
+        if self._bucketed():
+            touched = self._touched(key_df)
+            cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
         else:
-            hit = F.col(pk).isin(ids)
+            touched = None
+            cur = self.df()
+        user_cols = [c for c in cur.columns if c != BUCKET_COL]
+        cur = cur.join(
+            key_df.withColumn("__hit", F.lit(True)), pk, "left"
+        ).withColumn("__hit", F.coalesce(F.col("__hit"), F.lit(False)))
+        hit = F.col("__hit")
         out = cur.withColumn(
             "_deleted", F.when(hit, F.lit(True)).otherwise(F.col("_deleted"))
         ).withColumn(
             "_lwt", F.when(hit, F.lit(float(lwt))).otherwise(F.col("_lwt"))
         )
-        if "_rev" in out.columns:
+        if "_rev" in user_cols:
             out = out.withColumn(
                 "_rev",
                 F.when(
                     hit, _rev_bump(F.col("_rev"), _payload_hash(user_cols))
                 ).otherwise(F.col("_rev")),
             )
-        if isinstance(ids, DataFrame):
-            out = out.drop("__hit")
-        self._swap_in(out)
+        out = out.drop("__hit")
+        if touched is None:
+            self._swap_in(out)
+        else:
+            self._replace_partitions(out, touched)
+
+    def bulk_delete_rows(self, ids) -> None:
+        """HARD delete (no tombstone) — for maintained result/view tables
+        (streaming.reactive), NOT the reference's soft-delete surface.
+        Touched-partition rewrite only."""
+        pk = self.primary_key
+        key_df = self._key_df(ids)
+        if not self._bucketed():
+            self._swap_in(self.df().join(key_df, pk, "left_anti"))
+            return
+        touched = self._touched(key_df)
+        cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
+        self._replace_partitions(cur.join(key_df, pk, "left_anti"), touched)

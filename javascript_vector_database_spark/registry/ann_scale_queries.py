@@ -127,6 +127,32 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_scale.ivf_search(load_table(spark, sf_dir, "embeddings"), qv)
 
 
+@register("ann_ivf_search_partitioned", oracle=_IVF_SEARCH_ORACLE)
+def ann_ivf_search_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF 100 TB layout made explicit: the assignment is computed at
+    WRITE time (table stored ``partitionBy(ivf_cell)``), and the probe
+    query reads that layout with ``precomputed=True`` — the IN-list
+    becomes a PartitionFilter, so whole cells are skipped before any scan
+    and no per-query argmin fold ever touches the corpus.  Same result as
+    ``ann_ivf_search`` (same oracle); the executed plan's partition
+    pruning is pinned by tests/test_plans.py."""
+    import os
+    import tempfile
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    layout = os.path.join(tempfile.mkdtemp(prefix="ivf_layout_"), "emb_by_cell")
+    (
+        emb.withColumn("ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents))
+        .write.partitionBy("ivf_cell")
+        .mode("overwrite")
+        .parquet(layout)
+    )
+    stored = spark.read.parquet(layout)
+    return ann_scale.ivf_search(stored, qv, cents=cents, precomputed=True)
+
+
 # ---------------------------------------------------------------------------
 # hyperplane LSH: bucket table + multi-probe search
 # ---------------------------------------------------------------------------

@@ -71,7 +71,7 @@ class ReactiveQuery:
         #: event-reduce maintains the limited result and falls back to
         #: "runFullQueryAgain" on doubtful transitions, event-reduce.js:83-90)
         self.emission = ParquetTable(
-            spark, os.path.join(workdir, "emission"), id_col
+            spark, os.path.join(workdir, "emission"), id_col, n_buckets=None
         )
         #: number of bounded re-runs taken (the runFullQueryAgain analog);
         #: tests assert the fallback fires exactly on shrink/update bulks
@@ -192,12 +192,10 @@ class ReactiveQuery:
             )
             self.result.bulk_upsert(now_matching)
             if n_removed:
-                # hard-remove from the maintained set via anti-join (the
-                # result table is a view, not the collection — no tombstone)
-                kept = self.result.df().join(
-                    now_unmatching.select(id_col), id_col, "left_anti"
-                )
-                self.result._swap_in(kept)
+                # hard-remove from the maintained set (the result table is
+                # a view, not the collection — no tombstone); only the
+                # partitions the removed keys hash into are rewritten
+                self.result.bulk_delete_rows(now_unmatching.select(id_col))
             self._write_count(self.count() + n_added - n_removed)
             if self.limit is not None:
                 self._maintain_emission(latest, now_matching)

@@ -143,6 +143,66 @@ def test_rev_maintenance(spark, tmp_path):
     assert rev1.startswith("2-")
 
 
+def _partition_fingerprint(table_path: str) -> dict[str, dict[str, tuple]]:
+    """Per-partition map of parquet file name -> (size, mtime_ns, bytes)."""
+    out: dict[str, dict[str, tuple]] = {}
+    for part in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, part)
+        if not (part.startswith("__pkb=") and os.path.isdir(full)):
+            continue
+        files = {}
+        for f in sorted(os.listdir(full)):
+            if f.endswith(".parquet"):
+                p = os.path.join(full, f)
+                st = os.stat(p)
+                with open(p, "rb") as fh:
+                    files[f] = (st.st_size, st.st_mtime_ns, fh.read())
+        out[part] = files
+    return out
+
+
+def test_dml_rewrites_only_touched_partitions(spark, tmp_path):
+    """The managed table is partitioned by pmod(hash(pk), N); an upsert or
+    remove must rewrite ONLY the partitions its keys hash into — every
+    other partition's parquet files stay byte-identical (same inode
+    content AND mtime: the files were never rewritten)."""
+    path = str(tmp_path / "t")
+    t = ParquetTable(spark, path, "id", n_buckets=8)
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(64)], "id long, v string"
+        ),
+        lwt=1.0,
+    )
+    before = _partition_fingerprint(path)
+    assert len(before) > 1  # keys actually spread over several buckets
+
+    t.bulk_upsert(
+        spark.createDataFrame([(3, "V3")], "id long, v string"), lwt=2.0
+    )
+    after = _partition_fingerprint(path)
+    changed = {p for p in before if before[p] != after.get(p)}
+    assert len(changed) == 1  # exactly the bucket id=3 hashes into
+    untouched = set(before) - changed
+    assert untouched and all(before[p] == after[p] for p in untouched)
+    got = {r["id"]: r["v"] for r in t.docs().collect()}
+    assert got[3] == "V3" and len(got) == 64
+
+    # remove: again one touched bucket, the rest byte-identical
+    t.bulk_remove([10], lwt=3.0)
+    after2 = _partition_fingerprint(path)
+    changed2 = {p for p in after if after[p] != after2.get(p)}
+    assert len(changed2) == 1
+    assert t.docs().count() == 63 and t.df().count() == 64
+
+    # incremental_modify: only partitions holding hit rows are rewritten
+    t.incremental_modify({"id": {"$in": [5]}}, {"v": F.lit("V5")}, lwt=4.0)
+    after3 = _partition_fingerprint(path)
+    changed3 = {p for p in after2 if after2[p] != after3.get(p)}
+    assert len(changed3) == 1
+    assert {r["v"] for r in t.docs().where(F.col("id") == 5).collect()} == {"V5"}
+
+
 def test_rx_state_fold(spark, tmp_path):
     st = RxState(spark, str(tmp_path / "state"))
     assert st.get("importDone") is None

@@ -90,6 +90,41 @@ def test_ivf_partitioned_write_prunes(spark, tmp_path):
     assert probe.select("ivf_cell").distinct().count() <= 2
 
 
+def test_ivf_search_partitioned_registry_prunes(spark):
+    """The registry's precomputed-IVF probe query must hit the partitioned
+    layout with a real partition filter (no per-query assignment fold over
+    the corpus) and return the same rows as the inline-assignment path."""
+    q = registry.queries()
+    probe = q["ann_ivf_search_partitioned"](spark, SF)
+    plan = _plan(probe)
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "ivf_cell" in seg and seg.strip()
+    baseline = q["ann_ivf_search"](spark, SF)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in baseline.collect()
+    ]
+
+
+def test_lsh_search_precomputed_matches_inline(spark, tmp_path):
+    """lsh_search over a stored bucket column (precomputed=True) returns
+    the same top-k as the inline-hash path, without re-hashing the corpus."""
+    emb = load_table(spark, SF, "embeddings")
+    qv = registry.get_query_vec(spark, SF)
+    planes = ann_scale.hyperplanes(len(qv))
+    path = str(tmp_path / "lsh_table")
+    emb.withColumn(
+        "bucket", ann_scale.lsh_bucket(F.col("embedding"), planes)
+    ).write.parquet(path)
+    stored = spark.read.parquet(path)
+    got = ann_scale.lsh_search(stored, qv, precomputed=True)
+    want = ann_scale.lsh_search(emb, qv)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # the precomputed plan pushes the IN-list to the scan
+    plan = _plan(stored.where(F.col("bucket").isin(["0" * 8])))
+    assert "PushedFilters: [" in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """The co-located join scale path: both sides bucketed+sorted by the
     join key -> SortMergeJoin with NO Exchange (at 100 TB this is the
