@@ -175,6 +175,60 @@ def ivf_search(
     )
 
 
+def knn_batch_ivf(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cents: int = IVF_K,
+    nprobe: int = N_PROBE,
+    k: int = TOP_K,
+    cents: list[tuple[int, list[float]]] | None = None,
+    precomputed: bool = False,
+) -> DataFrame:
+    """Batch ANN over the IVF index: each query only scans its ``nprobe``
+    probed cells.  The probe set is computed driver-side (|Q| × K_cents
+    distances — bounded) and shipped as a broadcast (query_id, ivf_cell,
+    qvec) table; candidates come from an EQUI-join on ivf_cell, so the
+    corpus never fans out by |Q| — each row joins only the queries probing
+    its cell.  With ``precomputed=True`` + a ``partitionBy(ivf_cell)``
+    layout, the join's cell set prunes partitions.  Per-query top-k via a
+    row_number window over the (small) candidate set.
+    Output: (query_id, id, distance)."""
+    from pyspark.sql.window import Window
+
+    if cents is None:
+        if precomputed:
+            raise ValueError(
+                "precomputed=True requires the centroid set the stored "
+                "ivf_cell column was assigned with"
+            )
+        cents = collect_centroids(emb, id_col, vec_col, k_cents)
+    probe_rows = []
+    for qid, qv in queries:
+        probed = sorted((_py_euclid(cemb, qv), cid) for cid, cemb in cents)[:nprobe]
+        for _, cid in probed:
+            probe_rows.append((int(qid), int(cid), [float(x) for x in qv]))
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows, schema="query_id long, ivf_cell long, qvec array<double>"
+    )
+    src = emb if precomputed else emb.withColumn(
+        "ivf_cell", ivf_cell_expr(F.col(vec_col), cents)
+    )
+    scored = src.join(F.broadcast(probes), "ivf_cell").withColumn(
+        "distance",
+        F.round(euclidean_distance(F.col(vec_col), F.col("qvec")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", id_col, "distance")
+    )
+
+
 def hyperplanes(dim: int, bits: int = LSH_BITS, seed: int = LSH_SEED) -> list[list[float]]:
     return make_pivots(dim, n=bits, seed=seed)
 

@@ -328,6 +328,85 @@ def simhash_table(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over candidate-duplicate pairs: every doc in a
+    component gets ``cluster_id`` = the component's minimum doc id (the
+    canonical representative a curation pipeline keeps).  Singletons (docs
+    in no pair) are not emitted.  Output: (doc_id, cluster_id).
+
+    Iterative min-label propagation with a fixpoint early-exit: labels
+    start as each node's own id; each round every node takes the min of
+    its own and its neighbors' labels — one shuffle per round (groupBy
+    node), O(component diameter) rounds.  LSH duplicate clusters are
+    cliquish (diameter 2-3 through a shared band), so rounds stay small;
+    for adversarial long-path graphs at 100 TB the alternating
+    large-star/small-star formulation bounds rounds to O(log n) — this
+    driver loop keeps the simpler shape and logs a hard ``max_iter`` so
+    the cap is never silent.  ``localCheckpoint`` truncates the growing
+    plan lineage each round (the classic iterative-DataFrame footgun)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint()
+    )
+    for it in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("cluster_id").alias("dlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(
+                nbr_min.select(F.col("src").alias("node"), "nlbl"), "node", "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nlbl"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "old"), "node"
+            )
+            .where(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds the cap; raise max_iter or switch "
+            "to the large-star/small-star formulation"
+        )
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

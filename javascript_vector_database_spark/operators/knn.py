@@ -280,6 +280,43 @@ def ann_index_range_compat(
     )
 
 
+def knn_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "query_id",
+    q_vec: str = "qvec",
+) -> DataFrame:
+    """Batch exact kNN: top-k per query for a WHOLE SET of query vectors
+    in one job (the reference searches one query at a time,
+    src/search.ts:5-17; batching is the Spark-natural extension every
+    training pipeline needs for e.g. eval-set retrieval).
+
+    Plan: broadcast the small query table, ONE corpus scan computes every
+    (query, row) distance, per-query top-k via a row_number window.  The
+    corpus is read once for the whole batch instead of |Q| times; the
+    only shuffle carries skinny (query_id, id, distance) rows partitioned
+    on query_id.  For large corpora pre-prune candidates with the stored
+    IVF assignment instead (ann_scale.knn_batch_ivf) so the scan side
+    never fans out by |Q|.  Output: (query_id, id, distance)."""
+    from pyspark.sql.window import Window
+
+    scored = emb.crossJoin(F.broadcast(queries)).withColumn(
+        "distance",
+        F.round(euclidean_distance(F.col(vec_col), F.col(q_vec)), 6),
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(q_id, id_col, "distance")
+    )
+
+
 def candidate_count(
     df: DataFrame,
     query_vec: list[float],

@@ -127,6 +127,53 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_scale.ivf_search(load_table(spark, sf_dir, "embeddings"), qv)
 
 
+_BATCH_IVF_ORACLE = f"""
+WITH {_IVF_CENTS_CTE},{_IVF_ASSIGN_CTE},
+qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id IN (1, 2, 3, 4, 5)),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {osql.sql_euclid('c.cemb', 'q.qv')} ASC, c.cid ASC
+           ) AS rn
+    FROM cents c CROSS JOIN qs q
+  ) WHERE rn <= {ann_scale.N_PROBE}
+),
+cand AS (
+  SELECT p.query_id,
+         e.vec_id,
+         round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probe p ON p.cid = a.ivf_cell
+  JOIN qs q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, distance FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance ASC, vec_id ASC) AS rn
+  FROM cand
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("ann_ivf_batch_search", oracle=_BATCH_IVF_ORACLE)
+def ann_ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN over the IVF index: 5 query vectors, each scanning only
+    its nprobe probed cells — candidates come from an equi-join on
+    ivf_cell against a broadcast (query_id, cell, qvec) probe table, so
+    the corpus never fans out by |Q|."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.where(F.col("vec_id").isin([1, 2, 3, 4, 5]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows]
+    return ann_scale.knn_batch_ivf(emb, queries)
+
+
 @register("ann_ivf_search_partitioned", oracle=_IVF_SEARCH_ORACLE)
 def ann_ivf_search_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF 100 TB layout made explicit: the assignment is computed at
@@ -217,3 +264,26 @@ def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query bucket, exact re-rank, top-10 — scan + IN-list, no shuffle."""
     qv = get_query_vec(spark, sf_dir)
     return ann_scale.lsh_search(load_table(spark, sf_dir, "embeddings"), qv)
+
+
+@register("ann_lsh_search_precomputed", oracle=_lsh_search_oracle(ORACLE_DIM))
+def ann_lsh_search_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH 100 TB layout made explicit: the sign bucket is computed at
+    WRITE time and stored as a table column, so the probe query's IN-list
+    filters the stored column (min/max file skipping / partition pruning)
+    instead of re-hashing the corpus per query.  Same result and oracle as
+    ``ann_lsh_search``."""
+    import os
+    import tempfile
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = ann_scale.hyperplanes(len(qv))
+    layout = os.path.join(tempfile.mkdtemp(prefix="lsh_layout_"), "emb_by_bucket")
+    (
+        emb.withColumn("bucket", ann_scale.lsh_bucket(F.col("embedding"), planes))
+        .write.mode("overwrite")
+        .parquet(layout)
+    )
+    stored = spark.read.parquet(layout)
+    return ann_scale.lsh_search(stored, qv, precomputed=True)

@@ -185,6 +185,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over LSH candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def _clusters_oracle() -> str:
+    # transitive closure by recursive CTE: node reaches lbl if lbl is the
+    # node itself or a neighbor's reachable label; cluster id = min reached
+    pairs = _lsh_pairs_oracle()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_duplicate_clusters", oracle=_clusters_oracle())
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs: every doc in a
+    duplicate component labeled with the component's min doc id (the
+    canonical representative a curation pass keeps).  Iterative min-label
+    propagation, one shuffle per round, O(component diameter) rounds with
+    a fixpoint early-exit — checked against DuckDB's recursive-CTE
+    transitive closure."""
+    pairs = dedup.lsh_band_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.duplicate_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -51,6 +51,41 @@ def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.exact_knn(load_table(spark, sf_dir, "embeddings"), qv)
 
 
+#: the batch-query id set (rows of the embeddings table used as queries)
+BATCH_QUERY_IDS = (1, 2, 3, 4, 5)
+
+_BATCH_QS_CTE = (
+    "qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+    f"WHERE vec_id IN {BATCH_QUERY_IDS})"
+)
+
+_KNN_BATCH_ORACLE = f"""
+WITH {_BATCH_QS_CTE},
+d AS (
+  SELECT q.query_id, e.vec_id,
+         round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
+  FROM embeddings e CROSS JOIN qs q
+)
+SELECT query_id, vec_id, distance FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance ASC, vec_id ASC) AS rn
+  FROM d
+) WHERE rn <= 10
+"""
+
+
+@register("knn_batch_exact", oracle=_KNN_BATCH_ORACLE)
+def knn_batch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact kNN: top-10 for 5 query vectors in ONE corpus scan
+    (broadcast query set + per-query row_number window) — the training-
+    pipeline extension of vectorSearchFullScan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(list(BATCH_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return knn.knn_batch(emb, queries)
+
+
 # ---------------------------------------------------------------------------
 # pivot-range ANN (vectorSearchIndexRange, src/search.ts:19-54)
 # ---------------------------------------------------------------------------

@@ -12,8 +12,11 @@ ANN_SCALE_QUERIES = [
     "knn_cosine",
     "ann_ivf_cells",
     "ann_ivf_search",
+    "ann_ivf_search_partitioned",
+    "ann_ivf_batch_search",
     "ann_lsh_buckets",
     "ann_lsh_search",
+    "ann_lsh_search_precomputed",
 ]
 
 

@@ -9,6 +9,35 @@ from javascript_vector_database_spark.tables import load_table
 from tests.oracle_harness import compare
 
 
+def test_knn_batch_oracle(spark, sf_oracle):
+    compare(
+        spark,
+        sf_oracle,
+        registry.queries()["knn_batch_exact"],
+        registry.oracle_sql()["knn_batch_exact"],
+    )
+
+
+def test_knn_batch_each_query_matches_single(spark, sf_oracle):
+    """Per-query slices of the batch result equal the single-query path."""
+    from javascript_vector_database_spark.operators import knn as K
+    from javascript_vector_database_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    batch = registry.queries()["knn_batch_exact"](spark, sf_oracle).collect()
+    for qid in (1, 3, 5):
+        got = [
+            (r["vec_id"], r["distance"]) for r in batch if r["query_id"] == qid
+        ]
+        qv = registry.get_query_vec(spark, sf_oracle, vec_id=qid)
+        want = [
+            (r["vec_id"], r["distance"])
+            for r in K.exact_knn(emb, qv).collect()
+        ]
+        assert got == want
+
+
 def test_knn_exact_oracle(spark, sf_oracle):
     compare(spark, sf_oracle, registry.knn_exact, registry.oracle_sql()["knn_exact"])
 

@@ -24,6 +24,7 @@ DEDUP_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_cosine_pairs",
+    "dedup_duplicate_clusters",
 ]
 
 
@@ -50,6 +51,19 @@ def test_exact_dedup_keeps_one_per_text(spark, sf_oracle):
     docs = load_table(spark, sf_oracle, "documents")
     kept = dedup.exact_dedup(docs)
     assert kept.count() == docs.select("text").distinct().count()
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Components close transitively (a-b, b-c => one cluster) and
+    converge on multi-hop chains; singletons are not emitted."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (7, 8)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
 
 
 def test_minhash_identical_docs_share_signature(spark):
