@@ -105,6 +105,20 @@ def main() -> None:
     reads = knn.candidate_count(indexed, qvecs[0], pivots, precomputed=True)
     results["ann_docs_read_ratio"] = reads / n_vec
 
+    # batch kNN: all N_SEARCH_QUERIES answered in ONE job (vs the
+    # sequential per-query loop above) — the amortization headline
+    q_df = emb.orderBy("vec_id").limit(N_SEARCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    t, batch_rows = _timed(lambda: knn.knn_batch(emb, q_df).collect())
+    results["batch_knn_sec_per_query"] = t / N_SEARCH_QUERIES
+    # sanity: batch result per query == sequential exact sets
+    batch_sets = {}
+    for r in batch_rows:
+        batch_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    first_qid = min(batch_sets)
+    assert batch_sets[first_qid] == exact_sets[0], "batch kNN != exact kNN"
+
     # pipeline throughput: embed + pivot-index + merge, batch flavor
     tmp = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
@@ -174,6 +188,11 @@ def main() -> None:
         "events_range_join",
         "profile_top_tokens",
         "curation_pipeline",
+        "knn_batch_exact",
+        "ann_ivf_batch_search",
+        "dedup_duplicate_clusters",
+        "curation_chunk_documents",
+        "curation_split_assign",
     ]:
         fn = registry.queries()[name]
         t, _ = _timed(lambda fn=fn: fn(spark, sf_dir).collect())

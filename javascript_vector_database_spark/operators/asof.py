@@ -105,6 +105,39 @@ def point_in_interval_join(
     )
 
 
+def multires_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    fine: str = "minute",
+    coarse: str = "hour",
+) -> tuple[DataFrame, DataFrame]:
+    """Hypertable-style continuous aggregate: aggregate the raw events ONCE
+    at the fine grain, then derive every coarser resolution by
+    re-aggregating the fine table — the raw table is scanned exactly once
+    no matter how many resolutions are served (the TimescaleDB
+    continuous-aggregate / OLAP rollup-cascade shape).  Values are summed
+    as DECIMAL so re-aggregation is associative — coarse-from-fine is
+    bit-equal to coarse-from-raw (the metamorphic oracle pins this).
+    Returns (fine_df, coarse_df)."""
+    val = F.col(value_col).cast("decimal(18,2)")
+    fine_df = (
+        events.groupBy(F.date_trunc(fine, F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(val).alias("total_value"),
+        )
+    )
+    coarse_df = (
+        fine_df.groupBy(F.date_trunc(coarse, F.col("bucket")).alias("bucket"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+    )
+    return fine_df, coarse_df
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",

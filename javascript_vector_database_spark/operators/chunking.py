@@ -1,0 +1,127 @@
+"""Sequence chunking / dataset splitting for the training-data pipeline.
+
+No reference analog (the reference embeds whole documents,
+src/database.ts:181-205); these are the SURVEY §7.7 extension ops an LLM
+training pipeline runs right after curation:
+
+* ``chunk_documents`` — split each document into fixed-token-length
+  training chunks with a stride (overlap = chunk_tokens - stride).  Pure
+  Column expressions: tokenize once, ``posexplode`` the chunk starts,
+  slice the token array per chunk — row-local until the explode, zero
+  Python.  At 100 TB the explode fans out ~n_tokens/stride rows per doc
+  but stays narrow (no shuffle); downstream writes partition by a hash of
+  (doc_id, chunk_idx).
+* ``split_assign`` — deterministic train/val/test assignment from the
+  md5 of the primary key: stable across runs, engines, and partitioning
+  (never ``rand()``, which is neither reproducible nor oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_CHUNK_TOKENS = 64
+DEFAULT_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = DEFAULT_CHUNK_TOKENS,
+    stride: int = DEFAULT_STRIDE,
+) -> DataFrame:
+    """One row per training chunk: (id, chunk_idx, chunk_text, n_tokens).
+    Chunk i covers whitespace tokens [i*stride, i*stride + chunk_tokens);
+    the final chunk may be ragged."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    starts = F.sequence(
+        F.lit(0), F.size("__toks") - 1, F.lit(stride)
+    )
+    ex = base.select(
+        id_col,
+        "__toks",
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice("__toks", F.col("__start") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.size("__toks") - F.col("__start")
+        ).cast("long").alias("n_tokens"),
+    )
+
+
+def sql_chunk_documents(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = DEFAULT_CHUNK_TOKENS,
+    stride: int = DEFAULT_STRIDE,
+) -> str:
+    """DuckDB oracle: same chunks via range() starts and 1-based inclusive
+    list slicing."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS toks
+  FROM {table}
+),
+s AS (
+  SELECT {id_col}, toks, unnest(range(0, len(toks), {stride})) AS start
+  FROM t
+)
+SELECT {id_col},
+       CAST(start / {stride} AS BIGINT) AS chunk_idx,
+       array_to_string(toks[start + 1 : start + {chunk_tokens}], ' ')
+         AS chunk_text,
+       CAST(least({chunk_tokens}, len(toks) - start) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
+#: split fractions (cumulative): train < 0.8 <= val < 0.9 <= test
+SPLIT_BOUNDS = (("train", 0.8), ("val", 0.9))
+
+
+def split_frac(pk: Column | str) -> Column:
+    """Uniform [0,1) fraction from the first 8 md5 hex chars of the key —
+    the deterministic, engine-portable stand-in for rand(seed)."""
+    pk = F.col(pk) if isinstance(pk, str) else pk
+    return F.conv(F.substring(F.md5(pk.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(float(2**32))
+
+
+def split_assign(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "split"
+) -> DataFrame:
+    """Add the train/val/test label.  Scan-local; at 100 TB the output is
+    written partitioned by the label so each split reads its own files."""
+    frac = split_frac(id_col)
+    expr = None
+    for name, bound in SPLIT_BOUNDS:
+        cond = frac < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn(out_col, expr.otherwise(F.lit("test")))
+
+
+def sql_split_frac(pk: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({pk} AS VARCHAR)), 1, 8))::BIGINT"
+        f" / 4294967296.0)"
+    )
+
+
+def sql_split_assign(pk: str) -> str:
+    frac = sql_split_frac(pk)
+    expr = "'test'"
+    for name, bound in reversed(SPLIT_BOUNDS):
+        expr = f"CASE WHEN {frac} < {bound} THEN '{name}' ELSE {expr} END"
+    return expr

@@ -86,8 +86,8 @@ from javascript_vector_database_spark.registry import (  # noqa: E402,F401
     dedup_queries,
     feed_state,
     dml_queries,
-    multimodal_queries,
     profiling_queries,
+    multimodal_queries,
     relational,
     mango_queries,
 )

@@ -218,6 +218,56 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("incident_id", "event_id", "user_id")
 
 
+_ROLLUP_MULTIRES_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_rollup_multires", oracle=_ROLLUP_MULTIRES_ORACLE)
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the hour level is derived by
+    RE-AGGREGATING the minute-level rollup, never by re-scanning raw
+    events — the oracle aggregates raw→hour directly, so a green row
+    proves the rollup cascade is lossless (decimal sums keep
+    re-aggregation associative)."""
+    from javascript_vector_database_spark.operators.asof import multires_rollup
+
+    _minute, hour = multires_rollup(load_table(spark, sf_dir, "events"))
+    return hour.select(
+        "bucket",
+        "n_events",
+        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
+    )
+
+
+def _kmv_oracle() -> str:
+    from javascript_vector_database_spark.operators.sketch import (
+        sql_kmv_distinct_estimate,
+    )
+
+    return sql_kmv_distinct_estimate("events", "user_id")
+
+
+@register("sketch_kmv_distinct_users", oracle=_kmv_oracle())
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over event users — deterministic (md5
+    K-minimum-values), so unlike HLL the estimate itself is
+    oracle-checked.  Scan-side hashing, map-side-combined distinct,
+    TakeOrdered K-min merge."""
+    from javascript_vector_database_spark.operators.sketch import (
+        kmv_distinct_estimate,
+    )
+
+    return kmv_distinct_estimate(
+        load_table(spark, sf_dir, "events"), "user_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9 reactive query (event-reduce IVM) + §2.4 incremental count
 # ---------------------------------------------------------------------------

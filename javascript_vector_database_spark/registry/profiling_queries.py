@@ -124,6 +124,51 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunks_oracle() -> str:
+    from javascript_vector_database_spark.operators.chunking import (
+        sql_chunk_documents,
+    )
+
+    return sql_chunk_documents()
+
+
+@register("curation_chunk_documents", oracle=_chunks_oracle())
+def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking: each document split into 64-token training
+    chunks with a 48-token stride (16-token overlap).  Tokenize once,
+    posexplode the chunk starts, slice the token array — row-local fan-out
+    with no shuffle."""
+    from javascript_vector_database_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    return chunk_documents(spread(load_table(spark, sf_dir, "documents")))
+
+
+def _split_oracle() -> str:
+    from javascript_vector_database_spark.operators.chunking import (
+        sql_split_assign,
+    )
+
+    return f"""
+SELECT doc_id, {sql_split_assign('doc_id')} AS split
+FROM documents
+"""
+
+
+@register("curation_split_assign", oracle=_split_oracle())
+def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from md5(pk) — stable
+    across runs, engines and partitioning (never rand()); at scale the
+    output is written partitioned by the split label."""
+    from javascript_vector_database_spark.operators.chunking import (
+        split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "split")
+
+
 _SAMPLE_ORACLE = f"""
 SELECT source, doc_id, lang
 FROM (

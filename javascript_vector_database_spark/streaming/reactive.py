@@ -254,6 +254,36 @@ def streaming_windowed_count(
     )
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    query_name: str = "dedup_stream",
+):
+    """Streaming exactly-once event dedup: each id is emitted on first
+    sight and duplicates arriving within the watermark window are dropped
+    (``dropDuplicatesWithinWatermark``).  The watermark BOUNDS the dedup
+    state — per-id entries are evicted once the watermark passes, which is
+    what makes this viable over an unbounded 100 TB event stream (plain
+    ``dropDuplicates`` on a stream grows state forever).  Part of the
+    beyond-reference streaming surface (SURVEY §2.9): the reference dedups
+    via the doc-cache Set, which is the same first-wins semantics without
+    an eviction contract."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def streaming_live_count(
     spark: SparkSession,
     source_dir: str,

@@ -307,6 +307,39 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: every id emitted once; duplicates
+    arriving in later micro-batches inside the watermark are dropped."""
+    import datetime as dt
+
+    from javascript_vector_database_spark.streaming.reactive import (
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "dd_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "id long, ts timestamp, v string"
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1, *hm), v) for i, hm, v in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, (10, 0), "a"), (2, (10, 0), "b"), (1, (10, 1), "a-dup")])
+    q = streaming_dedup(spark, src, schema, query_name="dd_test")
+    try:
+        q.processAllAvailable()
+        # cross-batch duplicate of id 1 and 2, plus a fresh id 3
+        write([(1, (10, 2), "a-dup2"), (2, (10, 3), "b-dup"), (3, (10, 4), "c")])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dd_test").collect()
+        assert sorted(r["id"] for r in rows) == [1, 2, 3]
+        got = {r["id"]: r["v"] for r in rows}
+        assert got[1] == "a" and got[2] == "b"  # first occurrence wins
+    finally:
+        q.stop()
+
+
 def test_stateful_user_stats_accumulates(spark, tmp_path):
     """applyInPandasWithState: per-key state persists across micro-batches;
     update mode re-emits only touched keys with their new running stats."""

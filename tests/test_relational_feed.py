@@ -20,7 +20,26 @@ NAMES = [
     "knn_ann_similarity",
     "ann_doc_reads",
     "compat_index_string",
+    "events_rollup_multires",
+    "sketch_kmv_distinct_users",
 ]
+
+
+def test_kmv_estimate_is_close_to_exact(spark, sf_oracle):
+    """The sketch estimate lands within the KMV error envelope
+    (~1/sqrt(K) ≈ 12.5% for K=64) of the true distinct count."""
+    from javascript_vector_database_spark.tables import load_table
+
+    est = registry.queries()["sketch_kmv_distinct_users"](
+        spark, sf_oracle
+    ).first()["kmv_estimate"]
+    exact = (
+        load_table(spark, sf_oracle, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(est - exact) / exact < 0.25
 
 
 @pytest.mark.parametrize("name", NAMES)

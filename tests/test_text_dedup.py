@@ -88,6 +88,8 @@ PROFILING_QUERIES = [
     "profile_top_tokens",
     "profile_length_histogram",
     "profile_sample_per_source",
+    "curation_chunk_documents",
+    "curation_split_assign",
 ]
 
 
