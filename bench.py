@@ -105,6 +105,54 @@ def main() -> None:
     reads = knn.candidate_count(indexed, qvecs[0], pivots, precomputed=True)
     results["ann_docs_read_ratio"] = reads / n_vec
 
+    # scale-path ANN (IVF nprobe=2, multi-probe LSH) over precomputed
+    # write-time assignments — sec/query + recall vs exact
+    from javascript_vector_database_spark.operators import ann_scale
+
+    cents = ann_scale.collect_centroids(emb)
+    assigned = emb.withColumn(
+        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+    ).cache()
+    assigned.count()
+    t, ivf_sets = _timed(
+        lambda: [
+            {
+                r["vec_id"]
+                for r in ann_scale.ivf_search(
+                    assigned, qv, cents=cents, precomputed=True
+                ).collect()
+            }
+            for qv in qvecs
+        ]
+    )
+    results["ivf_sec_per_query"] = t / len(qvecs)
+    results["ivf_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(ivf_sets, exact_sets)
+    ) / len(qvecs)
+
+    planes = ann_scale.hyperplanes(dim)
+    bucketed = emb.withColumn(
+        "bucket", ann_scale.lsh_bucket(F.col("embedding"), planes)
+    ).cache()
+    bucketed.count()
+    t, lsh_sets = _timed(
+        lambda: [
+            {
+                r["vec_id"]
+                for r in ann_scale.lsh_search(
+                    bucketed, qv, precomputed=True
+                ).collect()
+            }
+            for qv in qvecs
+        ]
+    )
+    results["lsh_sec_per_query"] = t / len(qvecs)
+    results["lsh_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(lsh_sets, exact_sets)
+    ) / len(qvecs)
+    assigned.unpersist()
+    bucketed.unpersist()
+
     # batch kNN: all N_SEARCH_QUERIES answered in ONE job (vs the
     # sequential per-query loop above) — the amortization headline
     q_df = emb.orderBy("vec_id").limit(N_SEARCH_QUERIES).select(

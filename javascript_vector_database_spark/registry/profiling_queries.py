@@ -115,8 +115,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = dedup.lsh_band_pairs(docs)
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # the dupe-id side is tiny (near-dup ids only) — broadcast it so the
+    # anti-join never shuffles the full corpus (SMJ otherwise, since the
+    # optimizer can't size a derived distinct)
     return (
-        docs.join(dupes, "doc_id", "left_anti")
+        docs.join(F.broadcast(dupes), "doc_id", "left_anti")
         .where(F.col("lang") == "en")
         .withColumn("quality", quality_score("text"))
         .where(F.col("quality") >= _CURATION_QUALITY_MIN)
