@@ -8,7 +8,12 @@ from javascript_vector_database_spark.operators import multimodal
 from javascript_vector_database_spark.tables import load_table
 from tests.oracle_harness import compare
 
-MM_ORACLE_QUERIES = ["multimodal_byte_stats", "multimodal_frame_sample"]
+MM_ORACLE_QUERIES = [
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    "multimodal_decode_fake",
+    "multimodal_resize_fake",
+]
 
 
 @pytest.mark.parametrize("name", MM_ORACLE_QUERIES)

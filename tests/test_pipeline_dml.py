@@ -275,6 +275,18 @@ def test_streaming_pipeline_foreachbatch(spark, items, tmp_path):
     assert dest.docs().select("id").distinct().count() == 20
 
 
+@pytest.mark.parametrize(
+    "name", ["dml_roundtrip", "pipeline_roundtrip", "json_dump_roundtrip"]
+)
+def test_roundtrip_oracles(spark, sf_oracle, name):
+    """Local re-verification of the driver's roundtrip rows (same
+    value-level compare the driver applies)."""
+    from javascript_vector_database_spark import registry
+    from tests.oracle_harness import compare
+
+    compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
 def test_json_dump_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", "1-x"), (2, "b", "1-y")], "id long, v string, _rev string"

@@ -90,6 +90,7 @@ PROFILING_QUERIES = [
     "profile_sample_per_source",
     "curation_chunk_documents",
     "curation_split_assign",
+    "curation_pipeline",
 ]
 
 
