@@ -357,12 +357,20 @@ def duplicate_clusters(
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # materialize the edge list ONCE: every round joins it, and without
+    # this each round would recompute the (possibly expensive) candidate-
+    # pair pipeline feeding `pairs` from scratch
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
         .localCheckpoint()
     )
+    # convergence probe: min-propagation is monotone non-increasing per
+    # node, so the label SUM strictly decreases until the fixpoint — one
+    # tiny aggregate per round instead of a join + count
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for it in range(max_iter):
         nbr_min = (
             sym.join(
@@ -374,7 +382,7 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("dlbl").alias("nlbl"))
         )
-        new_labels = (
+        labels = (
             labels.join(
                 nbr_min.select(F.col("src").alias("node"), "nlbl"), "node", "left"
             )
@@ -387,16 +395,10 @@ def duplicate_clusters(
             )
             .localCheckpoint()
         )
-        n_changed = (
-            new_labels.join(
-                labels.withColumnRenamed("cluster_id", "old"), "node"
-            )
-            .where(F.col("cluster_id") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iter} rounds — "
