@@ -76,6 +76,39 @@ def test_asof_join_semantics(spark):
     assert got == {1: 10, 2: 20, 3: None, 4: None}
 
 
+def test_asof_join_null_value_not_spliced(spark):
+    """All output value columns come from the SAME as-of row: a NULL in
+    one value column of the matched row must surface as NULL, never be
+    back-filled from an older right row (the struct-carry contract)."""
+    from javascript_vector_database_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 250)], "event_id long, k long, t long"
+    ).select("event_id", "k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(1, 100, 10, 11), (1, 200, None, 22)],
+        "k long, rt long, a long, b long",
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "a", "b")
+    row = asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt", right_vals=["a", "b"]
+    ).first()
+    # the as-of row is rt=200 -> (a=NULL, b=22); a must NOT become 10
+    assert row["a"] is None and row["b"] == 22
+
+    # value-name collision with a left column is rejected up front
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left.withColumn("a", F.lit(0)),
+            right,
+            key="k",
+            left_ts="t",
+            right_ts="rt",
+            right_vals=["a", "b"],
+        )
+
+
 def test_range_join_oracle_and_plan(spark, sf_oracle):
     compare(
         spark,
