@@ -287,6 +287,9 @@ class ParquetTable:
         pk = self.primary_key
         if isinstance(ids, DataFrame):
             return ids.toDF(pk).distinct()
+        if not ids:
+            # empty delete set: an empty frame keyed like the table
+            return self.df().select(pk).limit(0)
         return self.spark.createDataFrame([(i,) for i in ids]).toDF(pk).distinct()
 
     def bulk_remove(self, ids, lwt: float | None = None) -> None:

@@ -203,6 +203,22 @@ def test_dml_rewrites_only_touched_partitions(spark, tmp_path):
     assert {r["v"] for r in t.docs().where(F.col("id") == 5).collect()} == {"V5"}
 
 
+def test_bulk_remove_empty_and_duplicate_ids(spark, tmp_path):
+    """Empty delete set is a no-op; duplicate keys in the ids frame must
+    not fan out the join and duplicate table rows."""
+    t = ParquetTable(spark, str(tmp_path / "t"), "id")
+    t.bulk_insert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), lwt=1.0
+    )
+    t.bulk_remove([], lwt=2.0)
+    assert t.docs().count() == 2
+
+    dup_ids = spark.createDataFrame([(1,), (1,), (1,)], "id long")
+    t.bulk_remove(dup_ids, lwt=3.0)
+    assert t.df().count() == 2  # no fan-out duplication
+    assert t.docs().count() == 1
+
+
 def test_rx_state_fold(spark, tmp_path):
     st = RxState(spark, str(tmp_path / "state"))
     assert st.get("importDone") is None
