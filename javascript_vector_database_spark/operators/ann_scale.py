@@ -252,10 +252,12 @@ def lsh_bucket_table(
     dim: int | None = None,
 ) -> DataFrame:
     if dim is None:
-        head = emb.select(vec_col).first()
-        if head is None or head[0] is None:
-            # empty input: no rows to bucket, nothing to infer dim from
-            return emb.select(F.col(id_col), F.lit("").alias("bucket"))
+        # probe a non-null vector; only a table with NO usable vectors is
+        # "empty", and then we return ZERO rows (never all rows sharing a
+        # '' bucket, which would collapse downstream blocking)
+        head = emb.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if head is None:
+            return emb.select(F.col(id_col), F.lit("").alias("bucket")).limit(0)
         dim = len(head[0])
     planes = hyperplanes(dim, bits, seed)
     return emb.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))

@@ -367,11 +367,8 @@ def duplicate_clusters(
         .withColumn("cluster_id", F.col("node"))
         .localCheckpoint()
     )
-    # convergence probe: min-propagation is monotone non-increasing per
-    # node, so the label SUM strictly decreases until the fixpoint — one
-    # tiny aggregate per round instead of a join + count
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for it in range(max_iter):
+        prev = labels
         nbr_min = (
             sym.join(
                 labels.select(
@@ -395,10 +392,18 @@ def duplicate_clusters(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        if cur_sum == prev_sum:
+        # exact fixpoint probe, valid for ANY id type (a numeric label-sum
+        # probe would NULL out on string ids and stop after one round):
+        # both sides are checkpointed tiny frames, so this join is cheap
+        n_changed = (
+            labels.join(
+                prev.withColumnRenamed("cluster_id", "__old"), "node"
+            )
+            .where(~F.col("cluster_id").eqNullSafe(F.col("__old")))
+            .count()
+        )
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iter} rounds — "
@@ -452,12 +457,16 @@ def cosine_near_dup_pairs(
         )
 
         if dim is None:
-            head = df.select(vec_col).first()
-            if head is None or head[0] is None:
-                # empty input: no pairs (and no dim to infer)
-                return df.sparkSession.createDataFrame(
-                    [], "id_a long, id_b long, cos_sim double"
-                )
+            # probe a non-null vector (a nullable first ROW must not be
+            # read as "table is empty")
+            head = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+            if head is None:
+                # no usable vectors: no pairs; keep the table's id type
+                return df.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cos_sim"),
+                ).limit(0)
             dim = len(head[0])
         planes = hyperplanes(dim, lsh_bits, lsh_seed)
         block = lsh_bucket(F.col(vec_col), planes)

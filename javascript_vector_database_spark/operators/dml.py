@@ -19,6 +19,7 @@ O(|delta| + touched-partition size), not O(table).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -28,6 +29,10 @@ from pyspark.sql import functions as F
 
 #: internal partition column (PK hash bucket); stripped from every read
 BUCKET_COL = "__pkb"
+
+#: layout descriptor, written inside the table dir (underscore-prefixed
+#: files are ignored by Spark's parquet reader, like _SUCCESS)
+META_FILE = "_table_meta.json"
 
 
 def _rev_bump(prev_rev: F.Column, payload_hash: F.Column) -> F.Column:
@@ -66,6 +71,7 @@ class ParquetTable:
         self.path = path
         self.primary_key = primary_key
         self.n_buckets = n_buckets
+        self._layout_resolved = False
 
     # -- read ---------------------------------------------------------------
 
@@ -73,8 +79,31 @@ class ParquetTable:
         return os.path.exists(self.path)
 
     def _raw(self) -> DataFrame:
-        """Internal read keeping the bucket partition column."""
-        return self.spark.read.parquet(self.path)
+        """Internal read keeping the bucket partition column.  mergeSchema
+        so a schema-evolving upsert (new column in touched partitions
+        only) never silently drops the column on later reads."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def _resolve_layout(self) -> None:
+        """Adopt the STORED layout's bucket count: the ctor's ``n_buckets``
+        only applies to tables this instance CREATES.  Without this,
+        reopening an existing table with a different n_buckets would
+        compute wrong buckets and silently mis-prune keyed DML, and a
+        pre-bucketing flat dir would get NULL-partition rows on upgrade."""
+        if self._layout_resolved or not self.exists():
+            return
+        meta_path = os.path.join(self.path, META_FILE)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.n_buckets = json.load(f).get("n_buckets")
+        elif BUCKET_COL not in self._raw().columns:
+            self.n_buckets = None  # legacy flat dir: stay flat
+        self._layout_resolved = True
+
+    def _write_meta(self) -> None:
+        with open(os.path.join(self.path, META_FILE), "w") as f:
+            json.dump({"n_buckets": self.n_buckets}, f)
+        self._layout_resolved = True
 
     def df(self) -> DataFrame:
         d = self._raw()
@@ -98,10 +127,13 @@ class ParquetTable:
     def _bucketed(self) -> bool:
         """True when the stored layout is bucket-partitioned (it always is
         for tables this class created with n_buckets set)."""
+        self._resolve_layout()
         return bool(self.n_buckets) and BUCKET_COL in self._raw().columns
 
     def _swap_in(self, new_df: DataFrame) -> None:
-        """FULL rewrite (table create, or wholesale view replace)."""
+        """FULL rewrite (table create, or wholesale view replace) — one
+        atomic directory swap."""
+        self._resolve_layout()
         tmp = self.path + ".tmp"
         w = self._with_bucket(new_df)
         writer = w.write.mode("overwrite")
@@ -111,12 +143,20 @@ class ParquetTable:
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
         os.replace(tmp, self.path)
+        self._write_meta()
 
     def _replace_partitions(self, parts_df: DataFrame, buckets: list[int]) -> None:
         """Swap in the complete new state of exactly ``buckets``; every
         other partition's files stay byte-identical on disk.  Staging to a
         sibling dir first avoids reading and overwriting the same path in
-        one job (``parts_df`` is built over the live table)."""
+        one job (``parts_df`` is built over the live table).
+
+        Each bucket's swap is an atomic ``os.replace``, but the loop is
+        NOT transactional across buckets — a crash mid-loop leaves some
+        buckets new and some old.  That is the documented trade-off of
+        the parquet emulation; the transactional version of this exact
+        plan is Delta's MERGE INTO (one commit over all touched files),
+        which is the drop-in at production scale."""
         tmp = self.path + ".parts.tmp"
         self._with_bucket(parts_df).write.mode("overwrite").partitionBy(
             BUCKET_COL
@@ -166,13 +206,13 @@ class ParquetTable:
         if not self.exists():
             self._swap_in(rows)
             return {"success": rows.count() if rows.isStreaming is False else -1, "conflict": 0}
-        rows_b = self._with_bucket(rows)
-        if self._bucketed():
+        if self._bucketed():  # resolves the stored layout first
             touched = self._touched(rows)
             cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
         else:
             touched = None
             cur = self.df()
+        rows_b = self._with_bucket(rows)
         # one counting job for both tallies (pattern: pipeline.run_once)
         tagged = rows_b.join(
             cur.select(pk).withColumn("__dup", F.lit(True)), pk, "left"
@@ -207,13 +247,13 @@ class ParquetTable:
                 )
             )
             return
-        rows_b = self._with_bucket(rows)
-        if self._bucketed():
+        if self._bucketed():  # resolves the stored layout first
             touched = self._touched(rows)
             cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
         else:
             touched = None
             cur = self.df()
+        rows_b = self._with_bucket(rows)
         if "_rev" in cur.columns:
             prev = cur.select(pk, F.col("_rev").alias("__prev_rev"))
             merged = rows_b.join(prev, pk, "left")

@@ -219,6 +219,49 @@ def test_bulk_remove_empty_and_duplicate_ids(spark, tmp_path):
     assert t.docs().count() == 1
 
 
+def test_reopen_adopts_stored_bucket_layout(spark, tmp_path):
+    """The stored layout's bucket count wins over the constructor arg:
+    reopening a table with a different n_buckets must keep pruning
+    correct (conflicts detected, upserts in place, no duplicates)."""
+    path = str(tmp_path / "t")
+    t8 = ParquetTable(spark, path, "id", n_buckets=8)
+    t8.bulk_insert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(32)], "id long, v string"
+        ),
+        lwt=1.0,
+    )
+    # reopen with the default (16) — layout resolution must adopt 8
+    t16 = ParquetTable(spark, path, "id")
+    res = t16.bulk_insert(
+        spark.createDataFrame([(3, "dup"), (99, "new")], "id long, v string"),
+        lwt=2.0,
+    )
+    assert res == {"success": 1, "conflict": 1}
+    t16.bulk_upsert(
+        spark.createDataFrame([(3, "V3")], "id long, v string"), lwt=3.0
+    )
+    got = {r["id"]: r["v"] for r in t16.docs().collect()}
+    assert len(got) == 33 and got[3] == "V3" and got[99] == "new"
+
+
+def test_flat_legacy_table_stays_flat(spark, tmp_path):
+    """A pre-bucketing flat dir opened with the default n_buckets keeps
+    the flat whole-table path — no NULL-partition rows, no lost keys."""
+    path = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, "a", False, 1.0), (2, "b", False, 1.0)],
+        "id long, v string, _deleted boolean, _lwt double",
+    ).write.parquet(path)
+    t = ParquetTable(spark, path, "id")  # default n_buckets=16
+    t.bulk_upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"), lwt=2.0
+    )
+    got = {r["id"]: r["v"] for r in t.docs().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert "__pkb" not in t.df().columns
+
+
 def test_rx_state_fold(spark, tmp_path):
     st = RxState(spark, str(tmp_path / "state"))
     assert st.get("importDone") is None

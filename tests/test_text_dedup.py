@@ -66,6 +66,21 @@ def test_duplicate_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
 
 
+def test_duplicate_clusters_string_ids(spark):
+    """Convergence must be exact for NON-numeric ids too (a numeric
+    label-sum probe would NULL out and stop after one round): a 4-chain
+    needs several propagation rounds to collapse."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("a", "b"), ("d", "e")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {k: "a" for k in "abcde"}
+
+
 def test_minhash_identical_docs_share_signature(spark):
     df = spark.createDataFrame(
         [
