@@ -218,6 +218,57 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("incident_id", "event_id", "user_id")
 
 
+_SESSION_WINDOW_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {_SESSION_GAP} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {_SESSION_GAP} SECOND AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("events_session_window_agg", oracle=_SESSION_WINDOW_ORACLE)
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN sessionization: ``F.session_window`` merges events
+    within the 30-min gap — same sessions as the two-window-pass
+    operators/asof.py::sessionize plan (the oracle is that plan's CTE
+    with the session-window end convention ``last_event + gap``).  In
+    streaming mode the identical expression runs over the state store
+    with watermark-based eviction; in batch it is one shuffle on
+    (user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), f"{_SESSION_GAP} seconds"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 _ROLLUP_MULTIRES_ORACLE = """
 SELECT date_trunc('hour', ts) AS bucket,
        count(*) AS n_events,

@@ -184,6 +184,46 @@ def agg_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-fact join (operators/skew.py::salted_join):
+    per-row salt on the big side, right side exploded n_salt× — a hot
+    orderkey spreads over n_salt reducers instead of pinning one
+    straggler.  The join result is salt-independent, which is exactly
+    what the plain-join oracle checks."""
+    from javascript_vector_database_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", n_salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+    )
+
+
+@register(
     "window_top_customers_per_nation",
     oracle="""
 SELECT n_name, c_custkey, c_acctbal, rn FROM (

@@ -22,7 +22,29 @@ NAMES = [
     "compat_index_string",
     "events_rollup_multires",
     "sketch_kmv_distinct_users",
+    "events_session_window_agg",
+    "join_salted_skew",
 ]
+
+
+def test_salted_join_equals_plain_join(spark, sf_oracle):
+    """The salted join's result is salt-independent: identical rows to a
+    plain equi-join, with the hot key spread over n_salt partitions."""
+    from javascript_vector_database_spark.operators.skew import salted_join
+    from javascript_vector_database_spark.tables import load_table
+
+    li = load_table(spark, sf_oracle, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    orders = load_table(spark, sf_oracle, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    got = sorted(
+        tuple(r)
+        for r in salted_join(li, orders, "l_orderkey", n_salt=4).collect()
+    )
+    want = sorted(tuple(r) for r in li.join(orders, "l_orderkey").collect())
+    assert got == want
 
 
 def test_kmv_estimate_is_close_to_exact(spark, sf_oracle):
