@@ -184,6 +184,28 @@ def agg_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_ops_intersect_except",
+    oracle="""
+SELECT doc_id FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT doc_id FROM documents WHERE n_chars >= 300
+EXCEPT
+SELECT doc_id FROM documents WHERE source = 'web'
+""",
+)
+def set_ops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 note made concrete: INTERSECT/EXCEPT have no reference
+    surface but come free in Spark — both compile to aggregated
+    left-semi/anti joins over one scan per branch."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+    long_docs = docs.where(F.col("n_chars") >= 300).select("doc_id")
+    web = docs.where(F.col("source") == "web").select("doc_id")
+    # intersect() dedups (SQL INTERSECT DISTINCT); subtract = EXCEPT
+    return en.intersect(long_docs).subtract(web)
+
+
+@register(
     "join_salted_skew",
     oracle="""
 SELECT o.o_orderpriority,

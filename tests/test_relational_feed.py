@@ -24,6 +24,7 @@ NAMES = [
     "sketch_kmv_distinct_users",
     "events_session_window_agg",
     "join_salted_skew",
+    "set_ops_intersect_except",
 ]
 
 
