@@ -241,6 +241,7 @@ def main() -> None:
         "dedup_duplicate_clusters",
         "curation_chunk_documents",
         "curation_split_assign",
+        "ann_sq8_search",
     ]:
         fn = registry.queries()[name]
         t, _ = _timed(lambda fn=fn: fn(spark, sf_dir).collect())

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from javascript_vector_database_spark import oracle as osql
 from javascript_vector_database_spark.functions.vector import cosine_similarity
-from javascript_vector_database_spark.operators import ann_scale
+from javascript_vector_database_spark.operators import ann_scale, quant
 from javascript_vector_database_spark.operators.knn import _py_euclid
 from javascript_vector_database_spark.pivots import TOP_K, pivot_sql_literal
 from javascript_vector_database_spark.registry import get_query_vec, register
@@ -264,6 +264,107 @@ def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query bucket, exact re-rank, top-10 — scan + IN-list, no shuffle."""
     qv = get_query_vec(spark, sf_dir)
     return ann_scale.lsh_search(load_table(spark, sf_dir, "embeddings"), qv)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: code table + compressed-scan search
+# ---------------------------------------------------------------------------
+
+_SQ8_PARAMS_CTE = (
+    "p AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo, "
+    "CAST(max(list_max(embedding)) AS DOUBLE) AS hi FROM embeddings)"
+)
+
+
+def _sq8_code_sql(vec_expr: str) -> str:
+    # clamp(floor((x - lo) / ((hi - lo) / 255)), 0, 255) — the exact
+    # transform of quant.sq8_code_expr (floor on IEEE doubles)
+    return (
+        f"list_transform({vec_expr}, x -> least({quant.SQ8_LEVELS}, greatest(0, "
+        f"CAST(floor((CAST(x AS DOUBLE) - p.lo) / "
+        f"((p.hi - p.lo) / {float(quant.SQ8_LEVELS)})) AS BIGINT))))"
+    )
+
+
+_SQ8_CODES_ORACLE = f"""
+WITH {_SQ8_PARAMS_CTE}
+SELECT vec_id,
+       array_to_string({_sq8_code_sql('embedding')}, ',') AS codes_csv,
+       CAST(list_sum({_sq8_code_sql('embedding')}) AS BIGINT) AS code_sum
+FROM embeddings, p
+"""
+
+
+@register("ann_sq8_codes", oracle=_SQ8_CODES_ORACLE)
+def ann_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 code table (write-time artifact): every dimension mapped to
+    an 8-bit code by one global affine transform — scan-local, no shuffle.
+    Codes ride as CSV + checksum (driver-canonical scalar columns)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = quant.sq8_params(emb)
+    codes = quant.quantize_table(emb, lo, hi)
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("sq8_code"), lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+        F.aggregate(
+            F.col("sq8_code"),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c.cast("long"),
+        ).alias("code_sum"),
+    )
+
+
+_SQ8_SEARCH_ORACLE = f"""
+WITH {osql.QVEC_CTE},
+{_SQ8_PARAMS_CTE},
+qc AS (SELECT {_sq8_code_sql('qv')} AS qcodes FROM q, p),
+cand AS (
+  SELECT e.vec_id, e.embedding,
+         list_reduce(
+           list_transform(
+             list_zip({_sq8_code_sql('e.embedding')}, qc.qcodes),
+             z -> (z[1] - z[2]) * (z[1] - z[2])),
+           (x, y) -> x + y) AS qd
+  FROM embeddings e, p, qc
+  ORDER BY qd ASC, e.vec_id ASC
+  LIMIT {TOP_K * quant.SQ8_RERANK}
+)
+SELECT cand.vec_id, round({osql.sql_euclid('cand.embedding', 'qv')}, 6) AS distance
+FROM cand, q
+ORDER BY distance ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+@register("ann_sq8_search", oracle=_SQ8_SEARCH_ORACLE)
+def ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantized top-k: integer code-distance ranking (one scan ->
+    TakeOrdered on a (long, id) key — no float-ordering ambiguity), exact
+    euclidean re-rank of the k*rerank survivors."""
+    qv = get_query_vec(spark, sf_dir)
+    return quant.sq8_search(load_table(spark, sf_dir, "embeddings"), qv)
+
+
+@register("ann_sq8_search_precomputed", oracle=_SQ8_SEARCH_ORACLE)
+def ann_sq8_search_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 100 TB layout made explicit: codes materialized at WRITE
+    time; the probe's candidate scan reads ONLY (id, code) — the float
+    vector column is pruned from the read entirely (pinned by
+    tests/test_plans.py) — then the tiny survivor id set broadcast-joins
+    back for the exact re-rank.  Same result and oracle as
+    ``ann_sq8_search``."""
+    import os
+    import tempfile
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = quant.sq8_params(emb)
+    layout = os.path.join(tempfile.mkdtemp(prefix="sq8_layout_"), "codes")
+    quant.quantize_table(emb, lo, hi).write.mode("overwrite").parquet(layout)
+    stored = spark.read.parquet(layout)
+    return quant.sq8_search_precomputed(stored, emb, qv, lo, hi)
 
 
 @register("ann_lsh_search_precomputed", oracle=_lsh_search_oracle(ORACLE_DIM))

@@ -17,6 +17,9 @@ ANN_SCALE_QUERIES = [
     "ann_lsh_buckets",
     "ann_lsh_search",
     "ann_lsh_search_precomputed",
+    "ann_sq8_codes",
+    "ann_sq8_search",
+    "ann_sq8_search_precomputed",
 ]
 
 
@@ -54,6 +57,52 @@ def test_lsh_probe_buckets_hamming():
     qb = probes[0]
     for p in probes[1:]:
         assert sum(a != b for a, b in zip(qb, p)) == 1
+
+
+def test_sq8_recall_vs_exact(spark, sf_oracle):
+    """SQ8 with a 4x re-rank pool recovers (nearly) the exact top-10: the
+    8-bit code distance is a tight surrogate, so recall should be high —
+    and every returned distance is EXACT (re-ranked), so rank-domination
+    holds like IVF's."""
+    from javascript_vector_database_spark.operators import knn, quant
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qv = get_query_vec(spark, sf_oracle)
+    exact = {r["vec_id"] for r in knn.exact_knn(emb, qv).collect()}
+    approx = {r["vec_id"] for r in quant.sq8_search(emb, qv).collect()}
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_sq8_query_codes_match_column_expr(spark, sf_oracle):
+    """The driver-side Python quantizer and the Column transform are the
+    same codebook: quantizing a stored vector both ways must agree."""
+    from pyspark.sql import functions as F
+
+    from javascript_vector_database_spark.operators import quant
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    lo, hi = quant.sq8_params(emb)
+    row = emb.where(F.col("vec_id") == 7).select(
+        quant.sq8_code_expr(F.col("embedding"), lo, hi).alias("c"), "embedding"
+    ).first()
+    assert list(row["c"]) == quant.py_sq8_codes(
+        [float(x) for x in row["embedding"]], lo, hi
+    )
+
+
+def test_sq8_degenerate_corpus(spark):
+    """All-equal corpus: scale is 0, every code is 0, search still returns
+    exact-reranked rows instead of dividing by zero."""
+    from javascript_vector_database_spark.operators import quant
+
+    emb = spark.createDataFrame(
+        [(i, [1.5, 1.5, 1.5]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    lo, hi = quant.sq8_params(emb)
+    assert lo == hi == 1.5
+    assert quant.py_sq8_codes([1.5, 1.5, 1.5], lo, hi) == [0, 0, 0]
+    out = quant.sq8_search(emb, [1.5, 1.5, 1.5], k=3).collect()
+    assert [r["distance"] for r in out] == [0.0, 0.0, 0.0]
 
 
 def test_ivf_kmeans_centroids_plug_in(spark, sf_oracle):

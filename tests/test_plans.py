@@ -125,6 +125,35 @@ def test_lsh_search_precomputed_matches_inline(spark, tmp_path):
     assert "PushedFilters: [" in plan
 
 
+def test_sq8_precomputed_scan_prunes_vector_column(spark, tmp_path):
+    """The SQ8 compressed-scan claim: the candidate-ranking scan over the
+    stored code table reads ONLY (id, code) — the float vector column
+    never appears in its ReadSchema — and the end result equals the
+    inline-quantization path."""
+    from javascript_vector_database_spark.operators import quant
+
+    emb = load_table(spark, SF, "embeddings")
+    qv = registry.get_query_vec(spark, SF)
+    lo, hi = quant.sq8_params(emb)
+    path = str(tmp_path / "sq8_codes")
+    # store codes NEXT TO the vector (the deployment shape): pruning, not
+    # a separate table, is what keeps the vector out of the probe scan
+    emb.withColumn(
+        "sq8_code", quant.sq8_code_expr(F.col("embedding"), lo, hi)
+    ).write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    got = quant.sq8_search_precomputed(stored, emb, qv, lo, hi)
+    want = quant.sq8_search(emb, qv)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    cand_scan = stored.select("vec_id", "sq8_code")
+    read = _plan(cand_scan).split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "embedding" not in read
+    # and the full precomputed plan broadcasts the tiny candidate set
+    assert "BroadcastHashJoin" in _plan(got)
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """The co-located join scale path: both sides bucketed+sorted by the
     join key -> SortMergeJoin with NO Exchange (at 100 TB this is the
