@@ -242,6 +242,8 @@ def main() -> None:
         "curation_chunk_documents",
         "curation_split_assign",
         "ann_sq8_search",
+        "text_bm25_search",
+        "dedup_batch_vs_corpus",
     ]:
         fn = registry.queries()[name]
         t, _ = _timed(lambda fn=fn: fn(spark, sf_dir).collect())

@@ -495,3 +495,75 @@ def cosine_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def cosine_batch_vs_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.2,
+    top_n: int = 1,
+    lsh_bits: int = 8,
+    lsh_seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cross-table near-dup gate: for each BATCH row, its ``top_n`` best
+    CORPUS matches with cosine >= threshold — the "dedup the incoming
+    crawl against the existing training set" operation (the reference only
+    self-dedups one collection; this is its pipeline generalization).
+    Output: (batch_id, corpus_id, cos_sim).
+
+    Same 100 TB shape as :func:`cosine_near_dup_pairs`: both sides bucket
+    on the SAME seeded hyperplane-LSH key, the join matches bucket
+    equality only (near-linear candidates, no |batch| x |corpus| blowup),
+    norms are pre-projected so each candidate pair costs one dot fold, and
+    the per-batch-row top-n is a window over the few candidates — not a
+    global sort."""
+    from javascript_vector_database_spark.operators.ann_scale import (
+        hyperplanes,
+        lsh_bucket,
+    )
+    from pyspark.sql import Window
+
+    if dim is None:
+        head = batch.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if head is None:
+            return batch.select(
+                F.col(id_col).alias("batch_id"),
+                F.col(id_col).alias("corpus_id"),
+                F.lit(0.0).alias("cos_sim"),
+            ).limit(0)
+        dim = len(head[0])
+    planes = hyperplanes(dim, lsh_bits, lsh_seed)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return spread(df).select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(vec_col).alias(f"{tag}_vec"),
+            lsh_bucket(F.col(vec_col), planes).alias(f"{tag}_blk"),
+            l2_norm(F.col(vec_col)).alias(f"{tag}_nrm"),
+        )
+
+    scored = (
+        side(batch, "batch")
+        .join(side(corpus, "corpus"), F.col("batch_blk") == F.col("corpus_blk"))
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(
+                dot(F.col("batch_vec"), F.col("corpus_vec"))
+                / (F.col("batch_nrm") * F.col("corpus_nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )

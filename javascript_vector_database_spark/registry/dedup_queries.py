@@ -255,3 +255,51 @@ def dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cosine_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), dim=64
     )
+
+
+#: the "incoming batch" slice of the embeddings table (mod-keyed so both
+#: engines carve the identical batch/corpus split)
+BATCH_MOD, BATCH_REM = 7, 3
+
+
+def _batch_vs_corpus_oracle() -> str:
+    from javascript_vector_database_spark.registry.ann_scale_queries import (
+        ORACLE_DIM,
+        _lsh_sql_bucket,
+    )
+
+    bucket = _lsh_sql_bucket("embedding", ORACLE_DIM)
+    cos = (
+        f"round({osql.sql_dot('b.embedding', 'c.embedding')} / (b.nrm * c.nrm), 6)"
+    )
+    return f"""
+WITH side AS (
+  SELECT vec_id, embedding, {bucket} AS blk,
+         {osql.sql_l2_norm('embedding')} AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id, {cos} AS cos_sim
+  FROM side b JOIN side c ON b.blk = c.blk
+  WHERE b.vec_id % {BATCH_MOD} = {BATCH_REM}
+    AND c.vec_id % {BATCH_MOD} <> {BATCH_REM}
+)
+SELECT batch_id, corpus_id, cos_sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY batch_id ORDER BY cos_sim DESC, corpus_id ASC) AS rn
+  FROM scored WHERE cos_sim >= 0.2
+) WHERE rn <= 1
+"""
+
+
+@register("dedup_batch_vs_corpus", oracle=_batch_vs_corpus_oracle())
+def dedup_batch_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table near-dup gate: each incoming-batch vector matched to
+    its best existing-corpus near-duplicate through the shared LSH bucket
+    key — the new-crawl-vs-training-set dedup that precedes ingestion.
+    The join never fans out |batch| x |corpus|; candidates are per-bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % BATCH_MOD == BATCH_REM
+    return dedup.cosine_batch_vs_corpus(
+        emb.where(is_batch), emb.where(~is_batch), dim=64
+    )

@@ -83,3 +83,103 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (Robertson/Spärck Jones; the lexical complement to
+# the vector-search surface — a training-data pipeline needs both)
+# ---------------------------------------------------------------------------
+
+#: fixed query terms drawn from the synthetic corpus vocabulary
+BM25_TERMS = ("vector", "join", "filter")
+BM25_TOP = 15
+#: constants appear as the SAME decimal literals on both engines (never
+#: derived arithmetically, so the parsed doubles are identical):
+#: k1 = 1.2, k1+1 = 2.2, b = 0.75, 1-b = 0.25
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    idf_cols = ", ".join(
+        f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) AS idf{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"s.idf{i} * (d.tf{i} * 2.2) / "
+        f"(d.tf{i} + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl)))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(toks) AS dl, {tf_cols}
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+  )
+),
+c AS (SELECT count(*) AS n_docs, {df_cols},
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM d),
+s AS (SELECT avgdl, {idf_cols} FROM c)
+SELECT d.doc_id, round({score}, 6) AS bm25
+FROM d, s
+ORDER BY bm25 DESC, d.doc_id ASC
+LIMIT {BM25_TOP}
+"""
+
+
+@register("text_bm25_search", oracle=_bm25_oracle())
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k over the documents table — two scans, zero
+    shuffle beyond the partial aggregate: pass 1 folds the corpus stats
+    (N, Σdl, per-term df) map-side and collects 5 scalars; pass 2 scores
+    every doc with the idf/avgdl constants INLINED as literals (tf via a
+    scan-local array filter — no explode, no token shuffle) and takes the
+    top-k with TakeOrderedAndProject.  At 100 TB the stats pass is one
+    cheap partial-agg job (or a maintained corpus-stats table) and the
+    score pass is embarrassingly parallel."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread(docs).select(
+        "doc_id", T.word_tokens("text").alias("toks")
+    ).withColumn("dl", F.size("toks"))
+
+    def tf(term: str):
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum((tf(t) > 0).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    ).first()
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["sumdl"]) / float(n_docs)
+    idf = [
+        math.log(1 + (n_docs - int(stats[f"df{i}"]) + 0.5) / (int(stats[f"df{i}"]) + 0.5))
+        for i in range(len(BM25_TERMS))
+    ]
+
+    score = None
+    for i, t in enumerate(BM25_TERMS):
+        term_score = (
+            F.lit(idf[i])
+            * (tf(t) * F.lit(2.2))
+            / (tf(t) + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.lit(avgdl))))
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        base.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )

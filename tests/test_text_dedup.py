@@ -15,6 +15,7 @@ TEXT_QUERIES = [
     "text_lang_id",
     "text_quality_score",
     "text_fingerprint",
+    "text_bm25_search",
 ]
 
 DEDUP_QUERIES = [
@@ -25,7 +26,32 @@ DEDUP_QUERIES = [
     "dedup_simhash",
     "dedup_cosine_pairs",
     "dedup_duplicate_clusters",
+    "dedup_batch_vs_corpus",
 ]
+
+
+def test_batch_vs_corpus_disjoint_and_top1(spark, sf_oracle):
+    """The cross-table gate never matches a batch row to itself (sides are
+    disjoint) and emits at most one corpus match per batch row."""
+    from javascript_vector_database_spark.registry.dedup_queries import (
+        dedup_batch_vs_corpus,
+    )
+
+    out = dedup_batch_vs_corpus(spark, sf_oracle)
+    rows = out.collect()
+    assert all(r["batch_id"] != r["corpus_id"] for r in rows)
+    ids = [r["batch_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_cosine_batch_vs_corpus_empty_batch(spark):
+    """Empty batch side: no pairs, schema intact, no crash on dim probe."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = dedup.cosine_batch_vs_corpus(emb.where("vec_id < 0"), emb)
+    assert out.columns == ["batch_id", "corpus_id", "cos_sim"]
+    assert out.count() == 0
 
 
 @pytest.mark.parametrize("name", TEXT_QUERIES)
