@@ -72,13 +72,6 @@ def used_pivots(dim: int) -> list[list[float]]:
 
 
 # --- submodules register on import (register() must exist first) ----------
-#
-# ORDER MATTERS: the driver's correctness harness checks the first 50
-# registered queries per round.  Modules whose rows were missing from
-# CORRECTNESS_r02 (vector_search, text_queries — incl. the never-driver-
-# checked knn_ann_range_compat and the entry-point flagship_search) go
-# first, followed by modules whose implementation changed this round;
-# mango/relational (unchanged, all r2-green) rotate to the back.
 from javascript_vector_database_spark.registry import (  # noqa: E402,F401
     vector_search,
     text_queries,
@@ -97,3 +90,58 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
     knn_ann_similarity,
     knn_exact,
 )
+
+# --- driver-window priority order -----------------------------------------
+#
+# ORDER MATTERS: the driver's correctness harness checks the first 50
+# registered queries per round.  Every query NEW or whose implementation
+# CHANGED this round is listed here explicitly so it gets a fresh driver
+# row; rows that are unchanged-and-green from earlier rounds rotate to the
+# back (they stay value-verified by the local DuckDB harness on every
+# pytest run — tests/oracle_harness.py applies the identical contract).
+_PRIORITY = [
+    # never / not recently driver-checked vector-search surface
+    "knn_exact", "knn_batch_exact", "knn_ann_range", "knn_ann_similarity",
+    "ann_doc_reads", "knn_ann_range_compat", "compat_index_string",
+    "flagship_search",
+    # text surface (lang_id tie-break fix landed r2 but got no r2 row) + BM25
+    "text_title_content_parse", "text_token_count", "text_bpe_token_count",
+    "text_lang_id", "text_quality_score", "text_fingerprint",
+    "text_bm25_search",
+    # ANN scale path: SQ8 is new; IVF/LSH probe guards changed this round
+    "knn_cosine", "ann_ivf_cells", "ann_ivf_search", "ann_ivf_batch_search",
+    "ann_ivf_search_partitioned", "ann_lsh_buckets", "ann_lsh_search",
+    "ann_lsh_search_precomputed", "ann_sq8_codes", "ann_sq8_search",
+    "ann_sq8_search_precomputed",
+    # dedup: simhash bit test + cosine guards changed; clusters/batch new
+    "dedup_simhash", "dedup_duplicate_clusters", "dedup_cosine_pairs",
+    "dedup_batch_vs_corpus",
+    # events: sessionize oracle cast + as-of struct carry changed;
+    # session_window / multires rollup / KMV sketch are new
+    "events_sessionize", "events_asof_join", "events_range_join",
+    "events_session_window_agg", "events_rollup_multires",
+    "sketch_kmv_distinct_users",
+    # reactive IVM: sorted+limit fallback is new; shared module changed
+    "reactive_query_ivm", "reactive_topk_ivm", "reactive_count_ivm",
+    # DML/pipeline: partition-pruned rewrite landed this round
+    "dml_roundtrip", "pipeline_roundtrip", "json_dump_roundtrip",
+    # curation/profiling: chunking+split new, pipeline anti-join broadcast
+    "curation_pipeline", "curation_chunk_documents", "curation_split_assign",
+    # multimodal: byte_stats empty-payload fix, decode/resize empty guards
+    "multimodal_byte_stats", "multimodal_resize_fake", "multimodal_decode_fake",
+    # relational additions this round
+    "set_ops_intersect_except", "join_salted_skew",
+]
+
+
+def _reorder() -> None:
+    global _QUERIES, _ORACLES
+    missing = [n for n in _PRIORITY if n not in _QUERIES]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    rest = [n for n in _QUERIES if n not in set(_PRIORITY)]
+    order = _PRIORITY + rest
+    _QUERIES = {n: _QUERIES[n] for n in order}
+    _ORACLES = {n: _ORACLES[n] for n in order if n in _ORACLES}
+
+
+_reorder()
