@@ -72,6 +72,17 @@ class ParquetTable:
         self.primary_key = primary_key
         self.n_buckets = n_buckets
         self._layout_resolved = False
+        self._write_listeners: list = []
+
+    def on_write(self, fn) -> None:
+        """Register a zero-arg callback fired after any write lands (the
+        collection change-event hook; used by CachedCollection to drop
+        stale cached query results)."""
+        self._write_listeners.append(fn)
+
+    def _notify_write(self) -> None:
+        for fn in self._write_listeners:
+            fn()
 
     # -- read ---------------------------------------------------------------
 
@@ -144,6 +155,7 @@ class ParquetTable:
             shutil.rmtree(self.path)
         os.replace(tmp, self.path)
         self._write_meta()
+        self._notify_write()
 
     def _replace_partitions(self, parts_df: DataFrame, buckets: list[int]) -> None:
         """Swap in the complete new state of exactly ``buckets``; every
@@ -171,6 +183,7 @@ class ParquetTable:
                 os.replace(src, dst)
             # a bucket whose new state is empty simply disappears
         shutil.rmtree(tmp)
+        self._notify_write()
 
     def _touched(self, keyed_df: DataFrame) -> list[int]:
         """Distinct buckets the delta's keys hash into (≤ n_buckets rows,

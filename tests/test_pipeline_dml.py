@@ -363,3 +363,41 @@ def test_json_dump_roundtrip(spark, tmp_path):
         import_json(spark, path, "id long, v string, extra int", lwt=0.0)
     # need the meta file present
     assert os.path.exists(os.path.join(path, "_dump_meta.json"))
+
+
+def test_query_cache_tunnels_identical_specs(spark, tmp_path):
+    """tunnelQueryCache semantics: the same normalized spec returns the
+    SAME persisted DataFrame (selector key order irrelevant); a different
+    spec misses; a write through the table invalidates, and the re-run
+    sees the new data."""
+    from javascript_vector_database_spark.operators.query_cache import (
+        CachedCollection,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"), "id")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "id long, v string, n long"
+        ),
+        lwt=1.0,
+    )
+    cache = CachedCollection.attach(t)
+
+    q1 = cache.find({"v": "a", "n": {"$gte": 10}}, sort=[{"id": "asc"}])
+    q2 = cache.find({"n": {"$gte": 10}, "v": "a"}, sort=[{"id": "asc"}])
+    assert q1 is q2  # key order normalized away -> one shared instance
+    assert (cache.hits, cache.misses) == (1, 1)
+    assert q1.storageLevel.useMemory  # persisted, not re-planned per exec
+    assert [r["id"] for r in q1.collect()] == [1, 3]
+
+    q3 = cache.find({"v": "a"})
+    assert q3 is not q1
+    assert cache.misses == 2
+
+    t.bulk_upsert(
+        spark.createDataFrame([(4, "a", 40)], "id long, v string, n long"), lwt=2.0
+    )
+    assert len(cache) == 0  # write fired the listener -> cache dropped
+    q4 = cache.find({"v": "a", "n": {"$gte": 10}}, sort=[{"id": "asc"}])
+    assert q4 is not q1
+    assert [r["id"] for r in q4.collect()] == [1, 3, 4]
