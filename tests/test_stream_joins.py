@@ -1,0 +1,87 @@
+"""Stream-stream interval join: matched-within-bound semantics, state
+eviction via watermarks, and batch-plan equivalence."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from javascript_vector_database_spark.streaming.joins import stream_interval_join
+
+IMP_SCHEMA = "user_id long, imp_id long, imp_ts timestamp"
+CLK_SCHEMA = "user_id long, clk_id long, clk_ts timestamp"
+
+
+def _ts(minute: int, second: int = 0) -> datetime:
+    return datetime(2026, 1, 1, 12, minute, second)
+
+
+def _write(spark, rows, schema, path):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_interval_join_matches_within_bound(spark, tmp_path):
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    os.makedirs(imp_dir), os.makedirs(clk_dir)
+    imps = [
+        (1, 100, _ts(0)),  # clicked at +2 min -> match
+        (2, 200, _ts(1)),  # clicked at +11 min -> outside 10-min bound
+        (3, 300, _ts(2)),  # never clicked
+    ]
+    clks = [
+        (1, 9100, _ts(2)),
+        (2, 9200, _ts(12)),
+        (4, 9400, _ts(3)),  # click with no impression
+    ]
+    _write(spark, imps, IMP_SCHEMA, imp_dir)
+    _write(spark, clks, CLK_SCHEMA, clk_dir)
+
+    joined = stream_interval_join(
+        spark.readStream.schema(IMP_SCHEMA).parquet(imp_dir),
+        spark.readStream.schema(CLK_SCHEMA).parquet(clk_dir),
+        left_ts="imp_ts",
+        right_ts="clk_ts",
+        bound_secs=600,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["imp_id"], r["clk_id"])
+            for r in spark.sql("SELECT * FROM attrib").collect()
+        }
+        assert got == {(100, 9100)}
+
+        # a second click file lands inside user 3's window -> new match
+        _write(spark, [(3, 9300, _ts(4))], CLK_SCHEMA, clk_dir)
+        q.processAllAvailable()
+        got = {
+            (r["imp_id"], r["clk_id"])
+            for r in spark.sql("SELECT * FROM attrib").collect()
+        }
+        assert got == {(100, 9100), (300, 9300)}
+    finally:
+        q.stop()
+
+    # batch equivalence: the same plan over static frames agrees
+    batch = stream_interval_join(
+        spark.createDataFrame(imps, IMP_SCHEMA),
+        spark.createDataFrame(clks + [(3, 9300, _ts(4))], CLK_SCHEMA),
+        left_ts="imp_ts",
+        right_ts="clk_ts",
+        bound_secs=600,
+    )
+    assert {(r["imp_id"], r["clk_id"]) for r in batch.collect()} == got
+
+
+def test_stream_interval_join_requires_distinct_ts_names(spark):
+    import pytest
+
+    df = spark.createDataFrame([], IMP_SCHEMA)
+    with pytest.raises(ValueError):
+        stream_interval_join(df, df, left_ts="imp_ts", right_ts="imp_ts")
