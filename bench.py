@@ -153,6 +153,25 @@ def main() -> None:
     assigned.unpersist()
     bucketed.unpersist()
 
+    # SQ8 scalar quantization: integer code-distance candidates + exact
+    # re-rank — sec/query + recall vs exact
+    from javascript_vector_database_spark.operators import quant
+
+    sq8_lo, sq8_hi = quant.sq8_params(emb)
+    t, sq8_sets = _timed(
+        lambda: [
+            {
+                r["vec_id"]
+                for r in quant.sq8_search(emb, qv, sq8_lo, sq8_hi).collect()
+            }
+            for qv in qvecs
+        ]
+    )
+    results["sq8_sec_per_query"] = t / len(qvecs)
+    results["sq8_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(sq8_sets, exact_sets)
+    ) / len(qvecs)
+
     # batch kNN: all N_SEARCH_QUERIES answered in ONE job (vs the
     # sequential per-query loop above) — the amortization headline
     q_df = emb.orderBy("vec_id").limit(N_SEARCH_QUERIES).select(

@@ -124,9 +124,12 @@ _PRIORITY = [
     # reactive IVM: sorted+limit fallback is new; shared module changed
     "reactive_query_ivm", "reactive_topk_ivm", "reactive_count_ivm",
     # DML/pipeline: partition-pruned rewrite landed this round
-    "dml_roundtrip", "pipeline_roundtrip", "json_dump_roundtrip",
-    # curation/profiling: chunking+split new, pipeline anti-join broadcast
+    # (json_dump_roundtrip unchanged since its r2 green row -> back)
+    "dml_roundtrip", "pipeline_roundtrip",
+    # curation/profiling: chunking+split+quantiles new, pipeline
+    # anti-join broadcast changed
     "curation_pipeline", "curation_chunk_documents", "curation_split_assign",
+    "profile_length_quantiles",
     # multimodal: byte_stats empty-payload fix, decode/resize empty guards
     "multimodal_byte_stats", "multimodal_resize_fake", "multimodal_decode_fake",
     # relational additions this round

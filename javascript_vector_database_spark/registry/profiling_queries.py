@@ -200,3 +200,31 @@ def profile_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= SAMPLE_PER_GROUP)
         .drop("rn")
     )
+
+
+_LEN_QUANTILES_ORACLE = """
+SELECT source,
+       count(*) AS n_docs,
+       quantile_cont(n_chars, 0.25) AS q25,
+       quantile_cont(n_chars, 0.5) AS median,
+       quantile_cont(n_chars, 0.75) AS q75
+FROM documents
+GROUP BY source
+"""
+
+
+@register("profile_length_quantiles", oracle=_LEN_QUANTILES_ORACLE)
+def profile_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact length quantiles — the distribution summary a
+    curation pass reads before setting length filters.  One shuffle on
+    the short source key; EXACT percentile (not approx) because 0.25/0.5/
+    0.75 interpolate to binary-exact doubles, so both engines agree
+    bit-for-bit (0.95-style quantiles would not — approx_percentile is
+    the 100 TB alternative when exactness can be traded for one pass)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_chars", F.lit(0.25)).alias("q25"),
+        F.percentile("n_chars", F.lit(0.5)).alias("median"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q75"),
+    )

@@ -129,6 +129,7 @@ PROFILING_QUERIES = [
     "profile_top_tokens",
     "profile_length_histogram",
     "profile_sample_per_source",
+    "profile_length_quantiles",
     "curation_chunk_documents",
     "curation_split_assign",
     "curation_pipeline",
