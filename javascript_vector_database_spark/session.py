@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # test parquet is written with isAdjustedToUTC=false in some rounds;
+        # read those as TIMESTAMP (LTZ) — the engine's time operators
+        # (unix_micros, session_window vs DuckDB naive) are TIMESTAMP-typed.
+        # load_table() also normalizes per-scan for foreign sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")

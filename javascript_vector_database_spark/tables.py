@@ -77,13 +77,35 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    The driver's generated parquet has varied across rounds between
+    ``isAdjustedToUTC=true`` (read as TIMESTAMP) and ``=false`` (read as
+    TIMESTAMP_NTZ when ``spark.sql.parquet.inferTimestampNTZ.enabled`` is
+    on — the PySpark 4 default).  Every time-based operator here
+    (``unix_micros`` bucketing, as-of, session windows) speaks TIMESTAMP,
+    and this must hold under ANY caller's SparkSession, so normalize at
+    the scan instead of relying on session conf.  NTZ→LTZ→collect
+    round-trips the wall-clock unchanged (interpret and re-render both
+    use the session timezone), so results stay bit-identical to DuckDB's
+    naive reading of the same file.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; Catalyst pushes filters/projections.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's reader
-    rejects by default; it is read as nano-longs and converted to a true
-    TimestampType column (microsecond truncation — identical to what
-    DuckDB's reader does with the same file).
+    Some rounds' ``events.parquet`` carries TIMESTAMP(NANOS) which
+    Spark's reader rejects by default; it is read as nano-longs and
+    converted to a true TimestampType column (microsecond truncation —
+    identical to what DuckDB's reader does with the same file).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -93,8 +115,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(path)
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(path))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
