@@ -1,0 +1,359 @@
+"""Corpus-curation operators for the training-data pipeline: PII
+scrubbing, repetition/boilerplate metrics, eval-set contamination checks,
+deterministic mixture sampling, and sequence packing.
+
+No reference analog (the reference indexes a fixed 10k-doc corpus,
+src/database.ts:181-205); these are the standard pre-training curation
+passes (C4/Gopher-style filters, GPT-3-style decontamination) expressed
+Spark-first:
+
+* everything is built-in Column expressions or one explode + hash-key
+  shuffle — no Python in the hot path, whole-stage codegen end to end;
+* every randomized-looking decision (sampling, packing order) is a
+  deterministic md5 of the primary key, so results are reproducible
+  across runs, engines, and partitionings, and DuckDB can oracle them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.functions.text import word_tokens
+from javascript_vector_database_spark.operators.dedup import shingles
+from javascript_vector_database_spark.tables import spread
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+#: portable regexes (same semantics in Java regex and DuckDB's RE2):
+#: no lookaround, no backrefs, ASCII classes only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+PII_TOKENS = {"email": "[EMAIL]", "phone": "[PHONE]", "ipv4": "[IP]"}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Count and redact PII spans.  Adds ``n_<kind>`` counts per pattern
+    and ``out_col`` with each span replaced by its redaction token.
+
+    Order matters: emails are redacted first (so the numeric patterns
+    never chew on an address), then IPs before phones (a dotted IP octet
+    run is a substring the looser phone pattern could half-match, and
+    Java's leftmost-first vs RE2's matching could disagree on the split —
+    redacting the tighter pattern first removes the ambiguity).  All
+    JVM-side (``regexp_count``/``regexp_replace``), linear per row, zero
+    shuffle — at 100 TB this rides the scan."""
+    cur = F.col(text_col)
+    out = df
+    # counts run on the progressively-scrubbed string, so each pattern
+    # only sees text the tighter earlier patterns have already claimed
+    for kind in ("email", "ipv4", "phone"):
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(f"n_{kind}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, PII_TOKENS[kind])
+    return out.withColumn(out_col, cur)
+
+
+def sql_pii_scrub(text: str) -> dict[str, str]:
+    """DuckDB fragments mirroring :func:`pii_scrub`: kind -> count expr
+    (each over the progressively-scrubbed string, same as the Spark side),
+    plus 'scrubbed' -> the fully chained global regexp_replace."""
+    frags: dict[str, str] = {}
+    cur = text
+    for kind in ("email", "ipv4", "phone"):
+        pat = PII_PATTERNS[kind]
+        frags[kind] = f"len(regexp_extract_all({cur}, '{pat}'))"
+        cur = f"regexp_replace({cur}, '{pat}', '{PII_TOKENS[kind]}', 'g')"
+    frags["scrubbed"] = cur
+    return frags
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate metrics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics: token count, distinct-token count,
+    top-token share, duplicate-token ratio, duplicate-bigram ratio.
+
+    The unigram frequency table is explode -> groupBy(doc, token) with
+    map-side partial aggregation — the shuffle key is (doc, token) so the
+    reduction is near-local; bigram dedup is row-local array math.  These
+    are the filters Gopher/C4 apply before training (drop docs whose
+    top token exceeds ~20% or whose duplicate-line fraction is high)."""
+    toks = word_tokens(F.col(text_col))
+    base = spread(df.select(F.col(id_col), toks.alias("__toks")))
+    # row-local: bigram duplicate ratio
+    bigrams = F.expr(
+        "transform(sequence(0, greatest(size(__toks) - 2, 0)), "
+        "i -> concat_ws(' ', __toks[i], __toks[i+1]))"
+    )
+    row_local = base.select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("n_distinct"),
+        F.when(F.size("__toks") >= 2, F.size(bigrams))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.when(F.size("__toks") >= 2, F.size(F.array_distinct(bigrams)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_distinct_bigrams"),
+    )
+    top = (
+        base.select(id_col, F.explode("__toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").cast("long").alias("top_freq"))
+    )
+    return row_local.join(top, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("top_freq") / F.col("n_tokens"), 6).alias("top_token_share"),
+        F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias("dup_token_ratio"),
+        F.round(
+            F.when(
+                F.col("n_bigrams") > 0,
+                1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+def sql_repetition_stats(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    return f"""
+WITH t AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+row_local AS (
+  SELECT {id_col},
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS n_bigrams,
+         CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(
+             range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+              ELSE 0 END AS n_distinct_bigrams
+  FROM t
+),
+tf AS (
+  SELECT {id_col}, unnest(toks) AS tok FROM t
+),
+top AS (
+  SELECT {id_col}, max(cnt) AS top_freq
+  FROM (SELECT {id_col}, tok, count(*) AS cnt FROM tf GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT r.{id_col} AS {id_col},
+       CAST(r.n_tokens AS BIGINT) AS n_tokens,
+       CAST(r.n_distinct AS BIGINT) AS n_distinct,
+       round(top.top_freq * 1.0 / r.n_tokens, 6) AS top_token_share,
+       round(1 - r.n_distinct * 1.0 / r.n_tokens, 6) AS dup_token_ratio,
+       round(CASE WHEN r.n_bigrams > 0
+             THEN 1 - r.n_distinct_bigrams * 1.0 / r.n_bigrams
+             ELSE 0.0 END, 6) AS dup_bigram_ratio
+FROM row_local r JOIN top USING ({id_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# eval-set contamination (GPT-3-style n-gram decontamination)
+# ---------------------------------------------------------------------------
+
+#: shared-shingle threshold for flagging a training doc as contaminated
+MIN_SHARED_SHINGLES = 8
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = MIN_SHARED_SHINGLES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Training docs sharing >= ``min_shared`` distinct word k-grams with
+    an eval doc: (eval_id, doc_id, n_shared).  The decontamination pass a
+    pipeline runs before training so benchmark text never leaks in.
+
+    Both sides explode their distinct shingles; the join key is the
+    shingle string, so candidates meet only where text overlaps — never
+    |corpus| x |eval|.  The eval side is tiny by construction (benchmarks),
+    so Spark broadcasts it and the corpus side never shuffles: at 100 TB
+    this is a map-side join over the scan.  ``shingles`` returns distinct
+    grams per doc, making count(*) the shared-distinct-gram count."""
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    cp = spread(corpus).select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    return (
+        cp.join(F.broadcast(ev), "sh")
+        .groupBy("eval_id", id_col)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_contamination_pairs(
+    corpus_pred: str,
+    eval_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = MIN_SHARED_SHINGLES,
+    shingle_k: int = 3,
+) -> str:
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(shingle_k))
+    sh = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {shingle_k - 1}, 1) + 1), i -> {gram}))"
+    )
+    return f"""
+WITH t AS (SELECT {id_col}, {sh} AS sh
+           FROM (SELECT {id_col}, {toks} AS toks FROM {table})),
+ev AS (SELECT {id_col} AS eval_id, unnest(sh) AS g FROM t WHERE {eval_pred}),
+cp AS (SELECT {id_col}, unnest(sh) AS g FROM t WHERE {corpus_pred})
+SELECT ev.eval_id, cp.{id_col} AS {id_col}, CAST(count(*) AS BIGINT) AS n_shared
+FROM cp JOIN ev USING (g)
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling
+# ---------------------------------------------------------------------------
+
+#: hash-bucket resolution for sampling rates (1 bp granularity)
+SAMPLE_BUCKETS = 10_000
+
+
+def portable_hash_bucket(col: Column, buckets: int = SAMPLE_BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from md5 of the key — identical in
+    Spark and DuckDB (unlike each engine's native ``hash``), so sampling
+    decisions are reproducible and oracle-checkable.  Same idiom as the
+    MinHash material (dedup.shingle_hash_pairs)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % buckets
+
+
+def sql_hash_bucket(expr: str, buckets: int = SAMPLE_BUCKETS) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % {buckets})"
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its group's target rate, decided by the portable
+    hash of the primary key: the down/up-weighting step that shapes a raw
+    crawl into a target training mixture.  Stateless, shuffle-free,
+    row-local — the filter rides the scan at any scale, and adding data
+    never changes earlier keep/drop decisions (hash, not rank)."""
+    bucket = portable_hash_bucket(F.col(id_col))
+    rate = F.lit(default_rate)
+    for grp, r in rates.items():
+        rate = F.when(F.col(group_col) == grp, F.lit(r)).otherwise(rate)
+    return df.where(bucket < rate * SAMPLE_BUCKETS)
+
+
+def sql_mixture_sample(
+    rates: dict[str, float],
+    table: str = "documents",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> str:
+    cases = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {r}" for g, r in rates.items()
+    )
+    return (
+        f"SELECT * FROM {table} WHERE {sql_hash_bucket(id_col)} < "
+        f"(CASE {cases} ELSE {default_rate} END) * {SAMPLE_BUCKETS}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-then-chunk layout)
+# ---------------------------------------------------------------------------
+
+DEFAULT_PACK_TOKENS = 2048
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = DEFAULT_PACK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Assign each document its token interval in the per-``part_col``
+    concatenated token stream: (id, part, n_tokens, start_token, bin_id)
+    where ``bin_id = start_token div max_tokens`` — the concat-then-chunk
+    layout most pre-training loaders use (documents flow across bin
+    boundaries; the loader splits at exactly ``max_tokens``).
+
+    One window per part (single shuffle on ``part_col``); the order
+    within a part is the primary key, so the packing is deterministic.
+    At 100 TB the window key should be (part, shard) with a second
+    cumulative pass over per-shard totals — documented, not needed at
+    bench scale."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(word_tokens(F.col(text_col))).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(part_col), n_tok.alias("n_tokens"))
+        .withColumn("start_token", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn(
+            "bin_id", F.floor(F.col("start_token") / max_tokens).cast("long")
+        )
+    )
+
+
+def sql_pack_sequences(
+    max_tokens: int = DEFAULT_PACK_TOKENS,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> str:
+    n_tok = f"len(regexp_split_to_array(trim(lower({text_col})), '\\s+'))"
+    return f"""
+WITH t AS (SELECT {id_col}, {part_col}, CAST({n_tok} AS BIGINT) AS n_tokens
+           FROM {table})
+SELECT {id_col}, {part_col}, n_tokens,
+       CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_token,
+       CAST(floor((sum(n_tokens) OVER w - n_tokens) / {max_tokens}) AS BIGINT)
+           AS bin_id
+FROM t
+WINDOW w AS (PARTITION BY {part_col} ORDER BY {id_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

@@ -79,6 +79,7 @@ from javascript_vector_database_spark.registry import (  # noqa: E402,F401
     dedup_queries,
     feed_state,
     dml_queries,
+    curation_queries,
     profiling_queries,
     multimodal_queries,
     relational,

@@ -1,0 +1,164 @@
+"""Corpus-curation query surface: PII scrubbing, repetition metrics,
+eval-set decontamination, deterministic mixture sampling, and sequence
+packing — the pre-training passes of operators/curation.py, each with a
+DuckDB oracle built from the same engine-portable constructions.
+
+The test corpus carries no real PII, so ``curation_pii_scrub`` first
+composes a deterministic ``raw`` column (text + an email/IP/phone built
+arithmetically from the primary key, IDENTICALLY on both engines) and
+then runs the generic scrubber over it — the redaction logic is fully
+exercised with non-zero counts and the oracle checks every byte of the
+scrubbed output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.operators import curation
+from javascript_vector_database_spark.registry import register
+from javascript_vector_database_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def _raw_pii_col() -> F.Column:
+    """text + synthetic contact line derived from doc_id (Spark side)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+_RAW_PII_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_oracle() -> str:
+    frags = curation.sql_pii_scrub("raw")
+    return f"""
+WITH t AS (SELECT doc_id, {_RAW_PII_SQL} AS raw FROM documents)
+SELECT doc_id,
+       CAST({frags['email']} AS BIGINT) AS n_email,
+       CAST({frags['ipv4']} AS BIGINT) AS n_ipv4,
+       CAST({frags['phone']} AS BIGINT) AS n_phone,
+       {frags['scrubbed']} AS scrubbed
+FROM t
+"""
+
+
+@register("curation_pii_scrub", oracle=_pii_oracle())
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + redact emails/IPs/phones.  Pure regexp Column expressions
+    riding the scan — zero shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _raw_pii_col().alias("raw")
+    )
+    out = curation.pii_scrub(docs, text_col="raw")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "scrubbed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_repetition_stats", oracle=curation.sql_repetition_stats("documents")
+)
+def curation_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: top-token share and duplicate
+    token/bigram ratios.  One (doc, token) shuffle with map-side combine;
+    bigram dedup is row-local array math."""
+    return curation.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# eval-set contamination
+# ---------------------------------------------------------------------------
+
+#: pseudo eval set: every 25th document (benchmarks are small; the real
+#: pipeline would read a benchmark table here)
+EVAL_MOD = 25
+
+
+def _contamination_oracle() -> str:
+    return curation.sql_contamination_pairs(
+        corpus_pred=f"doc_id % {EVAL_MOD} <> 0",
+        eval_pred=f"doc_id % {EVAL_MOD} = 0",
+    )
+
+
+@register("curation_contamination", oracle=_contamination_oracle())
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing >= 8 distinct 3-gram shingles with an eval
+    doc — the decontamination join.  Eval side broadcast; corpus side
+    never shuffles (map-side join over the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    return curation.contamination_pairs(docs.where(~is_eval), docs.where(is_eval))
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+# ---------------------------------------------------------------------------
+
+#: target language mixture (keep rates) — the kind of rebalancing a
+#: multilingual pre-training mix applies to a raw crawl
+MIX_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
+
+
+def _mixture_oracle() -> str:
+    inner = curation.sql_mixture_sample(MIX_RATES)
+    return f"SELECT doc_id, lang, source FROM ({inner})"
+
+
+@register("curation_mixture_sample", oracle=_mixture_oracle())
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling via the portable md5
+    bucket — row-local filter riding the scan; adding data never flips
+    earlier keep/drop decisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.mixture_sample(docs, MIX_RATES).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_TOKENS = 256
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=curation.sql_pack_sequences(max_tokens=PACK_TOKENS),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing layout: each doc's token interval in the
+    per-source concatenated stream.  One window shuffle on source."""
+    return curation.pack_sequences(
+        load_table(spark, sf_dir, "documents"), max_tokens=PACK_TOKENS
+    )

@@ -1,0 +1,115 @@
+"""Curation-pass operators: PII scrub, repetition metrics, eval-set
+decontamination, mixture sampling, sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark import registry
+from javascript_vector_database_spark.operators import curation
+from javascript_vector_database_spark.tables import load_table
+from tests.oracle_harness import compare
+
+CURATION_QUERIES = [
+    "curation_pii_scrub",
+    "curation_repetition_stats",
+    "curation_contamination",
+    "curation_mixture_sample",
+    "curation_pack_sequences",
+]
+
+
+@pytest.mark.parametrize("name", CURATION_QUERIES)
+def test_curation_oracles(spark, sf_oracle, name):
+    compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
+def test_pii_scrub_redacts_all_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe@corp.example.org thanks"),
+            (2, "server at 192.168.001.2 port 80"),
+            (3, "call +1-555-123-4567 or 44 201 5550 123"),
+            (4, "clean text with no pii at all"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in curation.pii_scrub(df).collect()}
+    assert rows[1]["n_email"] == 1 and "[EMAIL]" in rows[1]["scrubbed"]
+    assert "@" not in rows[1]["scrubbed"]
+    assert rows[2]["n_ipv4"] == 1 and "[IP]" in rows[2]["scrubbed"]
+    assert rows[3]["n_phone"] >= 1 and "[PHONE]" in rows[3]["scrubbed"]
+    assert rows[4]["scrubbed"] == "clean text with no pii at all"
+    assert rows[4]["n_email"] == rows[4]["n_ipv4"] == rows[4]["n_phone"] == 0
+
+
+def test_repetition_stats_detects_repeats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all tokens here are unique"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in curation.repetition_stats(df).collect()}
+    assert rows[1]["top_token_share"] == 1.0
+    assert rows[1]["dup_bigram_ratio"] > 0.6  # 'spam spam' x3 -> 1 distinct of 3
+    assert rows[2]["top_token_share"] == pytest.approx(1 / 5)
+    assert rows[2]["dup_token_ratio"] == 0.0
+
+
+def test_contamination_flags_duplicates(spark):
+    """A corpus doc that IS an eval doc's duplicate must be flagged; an
+    unrelated doc must not."""
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again today")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely different words about spark catalyst query planning"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curation.contamination_pairs(corpus, eval_df).collect()
+    assert [(r["eval_id"], r["doc_id"]) for r in out] == [(100, 1)]
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    rates = {"en": 1.0, "zh": 0.0}
+    kept = curation.mixture_sample(docs, rates)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert by_lang.get("en") == n_en  # rate 1.0 keeps everything
+    assert "zh" not in by_lang  # rate 0.0 drops everything
+    assert set(by_lang) <= {"en"}  # default rate drops the rest
+    # deterministic: same decision on re-run
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == sorted(
+        r["doc_id"]
+        for r in curation.mixture_sample(docs, rates).select("doc_id").collect()
+    )
+
+
+def test_pack_sequences_layout(spark, sf_oracle):
+    """Intervals within a source are contiguous (start = previous start +
+    previous n_tokens, in pk order) and bin ids are the interval starts
+    div max_tokens."""
+    out = curation.pack_sequences(
+        load_table(spark, sf_oracle, "documents"), max_tokens=256
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:
+            assert r["start_token"] == pos
+            assert r["bin_id"] == pos // 256
+            pos += r["n_tokens"]
