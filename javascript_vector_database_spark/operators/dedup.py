@@ -4,16 +4,16 @@ Strategies (each designed for 100 TB):
 
 * ``exact_dedup``        — hash-groupBy on normalized text; one shuffle on
                            a 32-char key, map-side partial agg.
-* ``minhash_signatures`` — word-shingle MinHash computed entirely with
-                           array expressions (NO explode, NO shuffle):
-                           ONE md5 per shingle -> two 32-bit ints -> all H
-                           hashes by double hashing (v1 + i*v2) mod P
-                           (Kirsch-Mitzenmacher), folded in a single
-                           ``aggregate`` pass.  One expression per row —
-                           critical because higher-order functions are
-                           interpreted (no codegen/CSE), so any plan that
-                           references the shingle array H times re-builds
-                           it H times after projection collapse.
+* ``minhash_signatures`` — word-shingle MinHash: ONE md5 per shingle ->
+                           two 32-bit ints -> all H hashes by double
+                           hashing (v1 + i*v2) mod P (Kirsch-
+                           Mitzenmacher).  Table path = row-local explode
+                           + H codegen'd ``min`` aggregates (map-side
+                           partial collapses to one row/doc before the
+                           shuffle); the equivalent single-``aggregate``
+                           HOF fold (``minhash_sig``) is kept for Column
+                           composition but HOFs evaluate interpreted —
+                           measured 3-10x slower end-to-end.
 * ``lsh_band_pairs``     — banding: group signature rows into B bands,
                            hash each band, self-join on (band_idx, band
                            hash) to get candidate pairs, verify with exact
@@ -140,6 +140,53 @@ def minhash_sig(
     )
 
 
+def exploded_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = DEFAULT_SHINGLE,
+    distinct: bool = False,
+) -> DataFrame:
+    """(id, v1, v2): one row per shingle, the two 32-bit ints of its md5.
+
+    This is the shared front half of the aggregate-based MinHash/SimHash
+    paths, built WITHOUT higher-order functions: HOFs evaluate
+    interpreted (no whole-stage codegen) and measured 3-10x slower than
+    this shape on the same data.  Here the shingle positions are exploded
+    from a ``sequence`` and each gram is assembled by 0-based ``getItem``
+    — everything stays inside codegen.  The explode is row-local (no
+    shuffle) and each doc's shingles stay inside one partition, so the
+    downstream per-doc aggregation partials collapse to one row per doc
+    before anything crosses the wire.
+
+    ``distinct=False`` keeps duplicate grams (MinHash's min is multiset-
+    invariant, so dedup would be wasted work); ``distinct=True`` matches
+    the reference construction's distinct-shingle set (needed by SimHash
+    majorities) via a (id, v1, v2) aggregate whose in-partition partial
+    does all the actual deduping."""
+    toks = F.split(F.trim(F.lower(_as_col(text_col))), r"\s+")
+    base = spread(df).select(F.col(id_col), toks.alias("__t"))
+    pos = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.size("__t") - shingle_k, F.lit(0)))
+    )
+    ex = base.select(id_col, "__t", pos.alias("__i"))
+    gram = F.when(
+        F.size("__t") >= shingle_k,
+        F.concat_ws(
+            " ", *[F.col("__t").getItem(F.col("__i") + j) for j in range(shingle_k)]
+        ),
+    ).otherwise(F.array_join("__t", " "))
+    h = F.md5(gram)
+    out = ex.select(
+        id_col,
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("v1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("v2"),
+    )
+    if distinct:
+        out = out.dropDuplicates([id_col, "v1", "v2"])
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -148,10 +195,22 @@ def minhash_signatures(
     shingle_k: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
     """Per-document MinHash signature.  Output: (id, mh array<bigint>[H]).
-    Purely row-local — scales linearly, one md5 + one arithmetic pass per
-    shingle; ``spread`` only shuffles when the scan under-partitions."""
-    return spread(df).select(
-        F.col(id_col), minhash_sig(_as_col(text_col), num_hashes, shingle_k).alias("mh")
+
+    explode + H codegen'd ``min`` aggregates (see
+    :func:`exploded_shingle_hashes`); the map-side partial agg reduces to
+    one row per doc per partition, and the explode is row-local, so the
+    only shuffle moves one short row per document.  Same values as the
+    HOF fold :func:`minhash_sig` (identical double hashing) — the DuckDB
+    oracle is unchanged."""
+    ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min((F.col("v1") + i * F.col("v2")) % MINHASH_P).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("mh")
     )
 
 
@@ -168,36 +227,29 @@ def lsh_band_pairs(
     with exact shingle Jaccard.  Output: (id_a, id_b[, jaccard]) with
     id_a < id_b, distinct."""
     rows_per_band = num_hashes // bands
-    # band keys are derived in the aggregate's FINISH lambda, where the
-    # signature is a bound value — computed once per row, not once per
-    # band (lambda bodies embed outer expression subtrees, so referencing
-    # the sig expression inside a per-band lambda would re-evaluate it)
-    band_idx = F.array(*[F.lit(b) for b in range(bands)])
-    salts = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
-    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
-    band_keys = F.aggregate(
-        shingle_hash_pairs(_as_col(text_col), shingle_k),
-        init,
-        lambda acc, x: F.zip_with(
-            acc, salts, lambda m, i: F.least(m, (x["v1"] + i * x["v2"]) % MINHASH_P)
-        ),
-        lambda sig: F.transform(
-            band_idx,
-            lambda b: F.struct(
-                b.alias("band"),
+    # band keys are plain projections over the aggregated signature —
+    # the whole pipeline (explode -> min-agg -> md5 band hash -> explode)
+    # stays inside whole-stage codegen; no interpreted HOF anywhere
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
                 F.md5(
-                    F.array_join(
-                        F.slice(sig, b * rows_per_band + 1, rows_per_band).cast(
-                            "array<string>"
-                        ),
+                    F.concat_ws(
                         "|",
+                        *[
+                            F.element_at("mh", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
                     )
                 ).alias("bh"),
-            ),
-        ),
+            )
+            for b in range(bands)
+        ]
     )
-    bands_df = spread(df).select(
-        F.col(id_col), F.explode(band_keys).alias("bk")
+    bands_df = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
     ).select(id_col, "bk.band", "bk.bh")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -322,9 +374,35 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS, shingle_k: int = DEFAU
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    shingle_k: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    return spread(df).select(F.col(id_col), simhash(_as_col(text_col)).alias("simhash"))
+    """Per-document SimHash via explode + codegen'd bit-count aggregates
+    (same values as the HOF fold :func:`simhash`; same scale shape as
+    :func:`minhash_signatures` — one short row per doc crosses the
+    shuffle).  ``distinct=True`` because the bit majority is over the
+    distinct-shingle set (duplicates would bias the counts)."""
+    ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k, distinct=True)
+    counted = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright("v1", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
+            for b in range(bits)
+        ],
+    )
+    weighted = [
+        F.when(F.col(f"__c{b}") * 2 > F.col("__n"), F.lit(2 ** (bits - 1 - b)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        for b in range(bits)
+    ]
+    out = weighted[0]
+    for w in weighted[1:]:
+        out = out + w
+    return counted.select(id_col, out.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
