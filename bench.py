@@ -228,7 +228,7 @@ def main() -> None:
 
     # headline registry queries (one pass each)
     queries: dict[str, float] = {}
-    for name in [
+    headline = [
         "flagship_search",
         "knn_exact",
         "knn_cosine",
@@ -263,7 +263,24 @@ def main() -> None:
         "ann_sq8_search",
         "text_bm25_search",
         "dedup_batch_vs_corpus",
-    ]:
+    ]
+    # warmup: run every headline query once at the smallest SF (sf0.001,
+    # ~100x less data) so the timed sf pass below measures steady-state
+    # execution, not one-time JVM/codegen/Python-worker warmup.  On a real
+    # cluster those costs amortize over a session's lifetime; folding them
+    # into whichever query happens to run first makes per-query numbers
+    # noise.  The timed runs below still do ALL the real work at sf_dir.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(
+        sf_dir
+    ):
+        for name in headline:
+            try:
+                registry.queries()[name](spark, warm_dir).collect()
+            except Exception:
+                pass  # warmup is best-effort; the timed run surfaces errors
+
+    for name in headline:
         fn = registry.queries()[name]
         t, _ = _timed(lambda fn=fn: fn(spark, sf_dir).collect())
         queries[name] = round(t, 4)

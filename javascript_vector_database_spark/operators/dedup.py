@@ -445,8 +445,9 @@ def duplicate_clusters(
         .withColumn("cluster_id", F.col("node"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for it in range(max_iter):
-        prev = labels
         nbr_min = (
             sym.join(
                 labels.select(
@@ -457,7 +458,14 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("dlbl").alias("nlbl"))
         )
-        labels = (
+        # the fixpoint probe rides the SAME job that materializes the
+        # round's labels: a changed row is exactly one whose neighbor min
+        # undercuts its label (valid for ANY id type — a numeric label-sum
+        # probe would NULL out on string ids), and the observed metric is
+        # published when localCheckpoint materializes the frame — one job
+        # per round instead of checkpoint + a separate probe join+count
+        obs = Observation(f"cc_round_{it}")
+        upd = (
             labels.join(
                 nbr_min.select(F.col("src").alias("node"), "nlbl"), "node", "left"
             )
@@ -467,20 +475,14 @@ def duplicate_clusters(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nlbl"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                F.coalesce(
+                    F.col("nlbl") < F.col("cluster_id"), F.lit(False)
+                ).alias("__chg"),
             )
-            .localCheckpoint()
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n_changed"))
         )
-        # exact fixpoint probe, valid for ANY id type (a numeric label-sum
-        # probe would NULL out on string ids and stop after one round):
-        # both sides are checkpointed tiny frames, so this join is cheap
-        n_changed = (
-            labels.join(
-                prev.withColumnRenamed("cluster_id", "__old"), "node"
-            )
-            .where(~F.col("cluster_id").eqNullSafe(F.col("__old")))
-            .count()
-        )
-        if n_changed == 0:
+        labels = upd.drop("__chg").localCheckpoint()
+        if obs.get["n_changed"] == 0:
             break
     else:
         raise RuntimeError(

@@ -101,40 +101,36 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # never / not recently driver-checked vector-search surface
-    "knn_exact", "knn_batch_exact", "knn_ann_range", "knn_ann_similarity",
-    "ann_doc_reads", "knn_ann_range_compat", "compat_index_string",
-    "flagship_search",
-    # text surface (lang_id tie-break fix landed r2 but got no r2 row) + BM25
-    "text_title_content_parse", "text_token_count", "text_bpe_token_count",
-    "text_lang_id", "text_quality_score", "text_fingerprint",
-    "text_bm25_search",
-    # ANN scale path: SQ8 is new; IVF/LSH probe guards changed this round
-    "knn_cosine", "ann_ivf_cells", "ann_ivf_search", "ann_ivf_batch_search",
-    "ann_ivf_search_partitioned", "ann_lsh_buckets", "ann_lsh_search",
-    "ann_lsh_search_precomputed", "ann_sq8_codes", "ann_sq8_search",
-    "ann_sq8_search_precomputed",
-    # dedup: simhash bit test + cosine guards changed; clusters/batch new
-    "dedup_simhash", "dedup_duplicate_clusters", "dedup_cosine_pairs",
-    "dedup_batch_vs_corpus",
-    # events: sessionize oracle cast + as-of struct carry changed;
-    # session_window / multires rollup / KMV sketch are new
-    "events_sessionize", "events_asof_join", "events_range_join",
+    # NEW this round: the curation-pass surface
+    "curation_pii_scrub", "curation_repetition_stats",
+    "curation_contamination", "curation_mixture_sample",
+    "curation_pack_sequences",
+    # CHANGED this round: dedup table paths rewrote to explode+codegen
+    # aggregates; duplicate_clusters probe fused via observe;
+    # curation_pipeline consumes the new LSH path
+    "dedup_minhash_signatures", "dedup_lsh_pairs", "dedup_simhash",
+    "dedup_duplicate_clusters", "curation_pipeline",
+    # CHANGED this round: TIMESTAMP_NTZ normalization at the scan affects
+    # every events/orders-time query; as-of orders dedup moved to max_by
+    "events_asof_join", "events_sessionize", "events_range_join",
     "events_session_window_agg", "events_rollup_multires",
-    "sketch_kmv_distinct_users",
-    # reactive IVM: sorted+limit fallback is new; shared module changed
-    "reactive_query_ivm", "reactive_topk_ivm", "reactive_count_ivm",
-    # DML/pipeline: partition-pruned rewrite landed this round
-    # (json_dump_roundtrip unchanged since its r2 green row -> back)
-    "dml_roundtrip", "pipeline_roundtrip",
-    # curation/profiling: chunking+split+quantiles new, pipeline
-    # anti-join broadcast changed
-    "curation_pipeline", "curation_chunk_documents", "curation_split_assign",
-    "profile_length_quantiles",
-    # multimodal: byte_stats empty-payload fix, decode/resize empty guards
-    "multimodal_byte_stats", "multimodal_resize_fake", "multimodal_decode_fake",
-    # relational additions this round
-    "set_ops_intersect_except", "join_salted_skew",
+    "events_windowed_agg", "sketch_kmv_distinct_users",
+    "changefeed_page", "state_fold_last_per_user",
+    # no driver row since r1/r2 (r3's window covered the other 50)
+    "dedup_exact_groups", "dedup_ngram_jaccard", "json_dump_roundtrip",
+    "profile_top_tokens", "profile_length_histogram",
+    "profile_sample_per_source", "multimodal_frame_sample",
+    "scan_documents", "point_lookup", "join_anti_missing_vectors",
+    "join_zip_documents_embeddings", "union_dedup",
+    "agg_pricing_summary", "agg_top_revenue_orders",
+    "window_top_customers_per_nation", "rollup_orders_by_status_priority",
+    "mango_eq_ne", "mango_range", "mango_in_nin", "mango_bool_combinators",
+    "mango_mod", "mango_regex", "mango_exists", "mango_elemmatch_size",
+    "mango_sort_skip_limit", "mango_count",
+    # round-up to 50: high-traffic rows worth a fresh stamp (managed-table
+    # DML/pipeline/reactive write paths touch the normalized scans too)
+    "dml_roundtrip", "pipeline_roundtrip", "reactive_query_ivm",
+    "flagship_search", "knn_exact",
 ]
 
 

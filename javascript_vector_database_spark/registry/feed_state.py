@@ -165,18 +165,16 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     # one row per (custkey, orderdate): max orderkey wins, like the plan's
-    # deterministic tie-break
+    # deterministic tie-break.  max_by hash-aggregates with map-side
+    # partials — no per-partition sort like the row_number window needs,
+    # and orderkey is the table's unique pk so the argmax is well-defined
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
-        F.col("o_orderkey").desc()
-    )
     o = (
-        orders.select(
-            "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
         )
-        .where(F.col("rn") == 1)
-        .drop("rn")
     )
     return asof_join(
         ev, o,
