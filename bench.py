@@ -172,6 +172,28 @@ def main() -> None:
         len(a & e) / len(e) for a, e in zip(sq8_sets, exact_sets)
     ) / len(qvecs)
 
+    # PQ product quantization over the write-time code table (the
+    # deployment shape — encode once, ADC per query): sec/query + recall
+    from javascript_vector_database_spark.operators import ann_scale as _as
+    from javascript_vector_database_spark.operators import pq as pqm
+
+    pq_cb = pqm.pq_codebook(_as.collect_centroids(emb, k=pqm.PQ_K))
+    pq_codes = pqm.pq_code_table(emb, pq_cb).cache()
+    pq_codes.count()
+    t, pq_sets = _timed(
+        lambda: [
+            {
+                r["vec_id"]
+                for r in pqm.pq_search_precomputed(pq_codes, emb, qv, pq_cb).collect()
+            }
+            for qv in qvecs
+        ]
+    )
+    results["pq_sec_per_query"] = t / len(qvecs)
+    results["pq_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(pq_sets, exact_sets)
+    ) / len(qvecs)
+
     # batch kNN: all N_SEARCH_QUERIES answered in ONE job (vs the
     # sequential per-query loop above) — the amortization headline
     q_df = emb.orderBy("vec_id").limit(N_SEARCH_QUERIES).select(
@@ -261,8 +283,14 @@ def main() -> None:
         "curation_chunk_documents",
         "curation_split_assign",
         "ann_sq8_search",
+        "ann_pq_search",
         "text_bm25_search",
         "dedup_batch_vs_corpus",
+        "curation_pii_scrub",
+        "curation_repetition_stats",
+        "curation_contamination",
+        "curation_mixture_sample",
+        "curation_pack_sequences",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -1,0 +1,264 @@
+"""Product quantization (PQ) for embedding columns — the memory-bound
+ANN scale path beyond SQ8.
+
+The reference scans full float vectors for every distance (reference
+src/search.ts:5-17); SQ8 (operators/quant.py) compresses each DIMENSION
+to 8 bits.  PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — the FAISS `IndexPQ` / Milvus `IVF_PQ` scheme)
+compresses each SUBVECTOR to one code: split the vector into M
+subspaces, quantize each against a per-subspace codebook of K centroids,
+store M small codes per vector (M bytes at K<=256 — a 32x reduction on a
+64-dim float32 vector), and answer queries with asymmetric distance
+computation (ADC): one driver-side lookup table of query-to-centroid
+distances per subspace, then each row's approximate distance is M table
+lookups + adds — no float vector ever read in the probe scan.
+
+Engine-portable by construction (same discipline as quant.py):
+
+* the codebook is the deterministic hash-order sample draw shared with
+  IVF (``ORDER BY md5(pk)`` LIMIT K) — each sampled vector's m-th slice
+  is subspace m's j-th centroid, reproducible in SQL;
+* encode = per-subspace argmin with ties to the lowest j.  The table
+  path (:func:`pq_code_table`) treats the codebook as a broadcast DATA
+  table (explode + join + struct-min aggregates — literal-free codegen);
+  :func:`pq_code_expr` is the equivalent scan-local literal fold
+  (``least()`` over (score, j) structs), kept for column composition /
+  partitionBy-layout writes, but the M*K struct tree evaluates
+  interpreted — use the table path in anything hot;
+* every distance is a LEFT-ASSOCIATED sum of ``(x - c) * (x - c)``
+  double terms in index order, so Spark codegen, Python (LUT) and
+  DuckDB (oracle) produce bit-identical IEEE doubles;
+* the ADC LUT is computed ONCE driver-side in Python and inlined as
+  full-precision literals into BOTH the Spark plan and the oracle SQL —
+  query preprocessing is shared, not re-derived.
+
+100 TB plan: codes are materialized at write time (``pq_code_table``)
+next to the float vectors; ``pq_search_precomputed`` phase 1 scans ONLY
+(id, code) — column pruning keeps the 32x-smaller code column as the
+entire probe I/O — and phase 2 broadcast-joins the k*rerank surviving
+ids back to the vector table for exact re-ranking.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.functions.vector import euclidean_distance
+from javascript_vector_database_spark.pivots import TOP_K
+
+#: subspaces (sub_dim = dim // PQ_M; 64-dim corpus -> 8 floats per code)
+PQ_M = 8
+#: centroids per subspace codebook (one code = 4 bits here; <=256 -> 1 byte)
+PQ_K = 16
+#: exact re-rank pool = k * PQ_RERANK candidates (PQ codes are a coarser
+#: surrogate than SQ8's per-dimension codes — 4 bits per 8 floats here —
+#: so the re-rank pool is deeper; still O(k), vanishing vs the corpus)
+PQ_RERANK = 8
+
+
+def pq_codebook(
+    cents: list[tuple[int, list[float]]], m: int = PQ_M
+) -> list[list[list[float]]]:
+    """codebook[s][j] = subspace-s slice of the j-th sampled vector.
+    ``cents`` is the deterministic hash-order draw
+    (ann_scale.collect_centroids) sorted by cid; j indexes that order."""
+    dim = len(cents[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by PQ_M {m}")
+    sd = dim // m
+    vecs = [list(map(float, v)) for _, v in cents]
+    return [[v[s * sd : (s + 1) * sd] for v in vecs] for s in range(m)]
+
+
+def _cent_sq(cent: list[float]) -> float:
+    """||c||^2 as a left-associated Python double sum (c is a literal, so
+    this is a compile-time constant shared by all three engines)."""
+    acc = 0.0
+    for c in cent:
+        acc = acc + float(c) * float(c)
+    return acc
+
+
+def _sub_score(vec: Column, offset: int, cent: list[float]) -> Column:
+    """Candidate score ``||c||^2 - 2*<v_s, c>``: equals the subspace
+    sqdist minus ``||v_s||^2``, which is constant across the K candidates,
+    so the argmin (and the ADC ranking, summed over subspaces) is
+    unchanged — at ~40% of the expression size of the full sqdist (the
+    ``(x-c)^2`` form evaluates each element twice).  The dot is a
+    left-associated sum of ``x_i * c_i`` double terms — the shared
+    construction all three engines reproduce bit-for-bit."""
+    terms = [
+        vec.getItem(offset + i).cast("double") * F.lit(float(c))
+        for i, c in enumerate(cent)
+    ]
+    dot = reduce(lambda a, b: a + b, terms)
+    return F.lit(_cent_sq(cent)) - F.lit(2.0) * dot
+
+
+def pq_code_expr(vec: Column | str, codebook: list[list[list[float]]]) -> Column:
+    """array<int>[M]: per-subspace nearest-centroid index, ties to the
+    lowest j.  ``least()`` over (d, j) structs = lexicographic argmin —
+    plain codegen expressions, scan-local at any scale."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    sd = len(codebook[0][0])
+    codes = []
+    for s, cents in enumerate(codebook):
+        cands = [
+            F.struct(
+                _sub_score(vec, s * sd, c).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j, c in enumerate(cents)
+        ]
+        codes.append(F.least(*cands).getField("j"))
+    return F.array(*codes)
+
+
+def py_pq_lut(qvec: list[float], codebook: list[list[list[float]]]) -> list[list[float]]:
+    """ADC lookup table: lut[s][j] = ``||c||^2 - 2*<q_s, c>`` — the same
+    score form and left-associated double arithmetic as
+    :func:`_sub_score` (the true approximate sqdist differs from the
+    summed scores only by the constant ``||q||^2``, which cannot change
+    any ordering)."""
+    sd = len(codebook[0][0])
+    lut = []
+    for s, cents in enumerate(codebook):
+        row = []
+        for c in cents:
+            acc = 0.0
+            for i, cv in enumerate(c):
+                acc = acc + float(qvec[s * sd + i]) * cv
+            row.append(_cent_sq(c) - 2.0 * acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_expr(code_col: Column | str, lut: list[list[float]]) -> Column:
+    """Approximate squared distance: left-associated sum over subspaces of
+    the LUT entry the row's code selects (M lookups + adds per row)."""
+    code_col = F.col(code_col) if isinstance(code_col, str) else code_col
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[s]]), code_col.getItem(s) + 1
+        )
+        for s in range(len(lut))
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def pq_code_table(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The write-time code table (id, pq_code): M small ints per vector —
+    with parquet bit-packing ~M bytes/vector vs 4*dim for the floats.
+
+    Encoded with the codebook as DATA (a broadcast (s, j, c, ||c||^2)
+    table) instead of the literal fold of :func:`pq_code_expr`: the
+    M*K-way ``least`` tree over structs falls out of whole-stage codegen
+    and evaluates interpreted (measured ~10x slower), while this shape is
+    explode(M) -> broadcast join (M*K tiny rows) -> two struct-min hash
+    aggregates whose map-side partials collapse everything back to one
+    row per vector before the shuffle — and its generated code carries no
+    literals, so one compiled class serves every codebook.  Same argmin
+    scores bit-for-bit (identical left-associated double terms)."""
+    m = len(codebook)
+    sd = len(codebook[0][0])
+    spark = emb.sparkSession
+    cb_rows = [
+        (s, j, [float(x) for x in c], _cent_sq(c))
+        for s, cents in enumerate(codebook)
+        for j, c in enumerate(cents)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, schema="s int, j int, c array<double>, csq double"
+    )
+    sub = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s"),
+    )
+    dot_terms = [
+        F.element_at("__v", F.col("s") * sd + i + 1).cast("double")
+        * F.element_at("c", i + 1)
+        for i in range(sd)
+    ]
+    score = F.col("csq") - F.lit(2.0) * reduce(lambda a, b: a + b, dot_terms)
+    best = (
+        sub.join(F.broadcast(cb), "s")
+        .groupBy(id_col, "s")
+        .agg(F.min(F.struct(score.alias("d"), F.col("j").alias("j"))).alias("b"))
+    )
+    codes = best.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("s") == s, F.col("b.j"))).alias(f"__c{s}")
+            for s in range(m)
+        ]
+    )
+    return codes.select(
+        id_col, F.array(*[f"__c{s}" for s in range(m)]).alias("pq_code")
+    )
+
+
+def pq_search(
+    emb: DataFrame,
+    qvec: list[float],
+    codebook: list[list[list[float]]],
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k: encode (join-aggregate, :func:`pq_code_table`) + ADC-rank
+    k*rerank candidates (TakeOrderedAndProject on the (double, id) key),
+    then exact euclidean re-rank of the bounded pool.  Output:
+    (id, distance)."""
+    return pq_search_precomputed(
+        pq_code_table(emb, codebook, id_col, vec_col),
+        emb,
+        qvec,
+        codebook,
+        k=k,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def pq_search_precomputed(
+    codes: DataFrame,
+    emb: DataFrame,
+    qvec: list[float],
+    codebook: list[list[list[float]]],
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """The compressed-scan layout: phase 1 reads ONLY (id, pq_code) from
+    the stored code table (the float column is column-pruned out of the
+    probe read); phase 2 broadcast-joins the k*rerank candidate ids back
+    to the vector table for the exact re-rank."""
+    lut = py_pq_lut(qvec, codebook)
+    cand_ids = (
+        codes.select(F.col(id_col), pq_adc_expr(F.col(code_col), lut).alias("__ad"))
+        .orderBy(F.col("__ad").asc(), F.col(id_col).asc())
+        .limit(k * rerank)
+        .select(id_col)
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        emb.join(F.broadcast(cand_ids), id_col)
+        .select(
+            id_col,
+            F.round(euclidean_distance(F.col(vec_col), qv_lit), 6).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -127,10 +127,11 @@ _PRIORITY = [
     "mango_eq_ne", "mango_range", "mango_in_nin", "mango_bool_combinators",
     "mango_mod", "mango_regex", "mango_exists", "mango_elemmatch_size",
     "mango_sort_skip_limit", "mango_count",
-    # round-up to 50: high-traffic rows worth a fresh stamp (managed-table
-    # DML/pipeline/reactive write paths touch the normalized scans too)
-    "dml_roundtrip", "pipeline_roundtrip", "reactive_query_ivm",
-    "flagship_search", "knn_exact",
+    # NEW this round: product quantization (codes + ADC search + stored-
+    # code compressed-scan layout)
+    "ann_pq_codes", "ann_pq_search", "ann_pq_search_precomputed",
+    # round-up to 50: high-traffic write paths touch the normalized scans
+    "dml_roundtrip", "pipeline_roundtrip",
 ]
 
 

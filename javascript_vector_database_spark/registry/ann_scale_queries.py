@@ -388,3 +388,131 @@ def ann_lsh_search_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stored = spark.read.parquet(layout)
     return ann_scale.lsh_search(stored, qv, precomputed=True)
+
+
+# ---------------------------------------------------------------------------
+# PQ: product-quantized codes + ADC search
+# ---------------------------------------------------------------------------
+
+from javascript_vector_database_spark.operators import pq as pqm  # noqa: E402
+
+_PQ_SD = ORACLE_DIM // pqm.PQ_M
+
+
+def _pq_sub_score_sql(vec: str, cent: str, s: str) -> str:
+    """Candidate score ``||c||^2 - 2*<v_s, c>`` — the same construction
+    (and left-associated double term order) as operators.pq._sub_score,
+    so codes and ADC ranks are bit-identical across engines."""
+    dots, sqs = [], []
+    for i in range(_PQ_SD):
+        a = f"CAST({vec}[{s} * {_PQ_SD} + {i + 1}] AS DOUBLE)"
+        b = f"CAST({cent}[{s} * {_PQ_SD} + {i + 1}] AS DOUBLE)"
+        dots.append(f"({a}) * ({b})")
+        sqs.append(f"({b}) * ({b})")
+    return f"({' + '.join(sqs)}) - 2.0 * ({' + '.join(dots)})"
+
+
+#: codebook = the IVF hash-order sample, j = position in cid order
+_PQ_CODES_CTES = f"""{_IVF_CENTS_CTE},
+cb AS (SELECT row_number() OVER (ORDER BY cid ASC) - 1 AS j, cemb FROM cents),
+sub AS (SELECT unnest(range(0, {pqm.PQ_M})) AS s),
+cand0 AS (
+  SELECT e.vec_id, sub.s, cb.j,
+         {_pq_sub_score_sql('e.embedding', 'cb.cemb', 'sub.s')} AS d
+  FROM embeddings e CROSS JOIN sub CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+    FROM cand0
+  ) WHERE rn = 1
+),
+pqv AS (
+  SELECT vec_id,
+         {", ".join(f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(pqm.PQ_M))}
+  FROM codes GROUP BY vec_id
+)"""
+
+_PQ_CODES_ORACLE = f"""
+WITH {_PQ_CODES_CTES}
+SELECT vec_id,
+       {" || ',' || ".join(f"CAST(c{s} AS VARCHAR)" for s in range(pqm.PQ_M))} AS codes_csv
+FROM pqv
+"""
+
+
+@register("ann_pq_codes", oracle=_PQ_CODES_ORACLE)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ code table (write-time artifact): every vector reduced to M
+    per-subspace centroid indices — ~M bytes vs 4*dim for the floats, a
+    32x scan reduction.  Encoding is scan-local codegen (least() over
+    (d, j) structs — no HOF, no join, no shuffle).  Codebook = the shared
+    deterministic hash-order sample draw (same CTE as IVF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pqm.pq_codebook(ann_scale.collect_centroids(emb, k=pqm.PQ_K))
+    codes = pqm.pq_code_table(emb, cb)
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("pq_code"), lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
+def _pq_search_oracle() -> str:
+    joins = " ".join(
+        f"JOIN lut l{s} ON l{s}.s = {s} AND l{s}.j = p.c{s}"
+        for s in range(pqm.PQ_M)
+    )
+    adc = " + ".join(f"l{s}.v" for s in range(pqm.PQ_M))
+    return f"""
+WITH {osql.QVEC_CTE},
+{_PQ_CODES_CTES},
+lut AS (
+  SELECT sub.s, cb.j, {_pq_sub_score_sql('q.qv', 'cb.cemb', 'sub.s')} AS v
+  FROM sub CROSS JOIN cb, q
+),
+approx AS (
+  SELECT p.vec_id, {adc} AS ad FROM pqv p {joins}
+),
+cand AS (
+  SELECT vec_id FROM approx ORDER BY ad ASC, vec_id ASC
+  LIMIT {TOP_K * pqm.PQ_RERANK}
+)
+SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY distance ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+@register("ann_pq_search", oracle=_pq_search_oracle())
+def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k: one scan encodes + ranks by M LUT lookups per row
+    (TakeOrderedAndProject on the (double, id) key), then exact re-rank of
+    the bounded k*rerank pool.  The ADC lookup table is computed ONCE
+    driver-side and inlined into the plan."""
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pqm.pq_codebook(ann_scale.collect_centroids(emb, k=pqm.PQ_K))
+    return pqm.pq_search(emb, qv, cb)
+
+
+@register("ann_pq_search_precomputed", oracle=_pq_search_oracle())
+def ann_pq_search_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ 100 TB layout made explicit: codes materialized at WRITE
+    time; the probe's candidate scan reads ONLY (id, pq_code) — the float
+    vector column is pruned from the read (pinned by tests/test_plans.py)
+    — then the tiny survivor id set broadcast-joins back for the exact
+    re-rank.  Same result and oracle as ``ann_pq_search``."""
+    import os
+    import tempfile
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pqm.pq_codebook(ann_scale.collect_centroids(emb, k=pqm.PQ_K))
+    layout = os.path.join(tempfile.mkdtemp(prefix="pq_layout_"), "codes")
+    pqm.pq_code_table(emb, cb).write.mode("overwrite").parquet(layout)
+    stored = spark.read.parquet(layout)
+    return pqm.pq_search_precomputed(stored, emb, qv, cb)

@@ -138,3 +138,50 @@ def test_ivf_kmeans_centroids_plug_in(spark, sf_oracle):
     assert 0 < hits < emb.count()
     exact = [r["distance"] for r in exact_knn(emb, qv).collect()]
     assert exact[0] == 0.0  # sanity: the query vector is row 7
+
+
+# ---------------------------------------------------------------------------
+# PQ
+# ---------------------------------------------------------------------------
+
+PQ_QUERIES = ["ann_pq_codes", "ann_pq_search", "ann_pq_search_precomputed"]
+
+
+@pytest.mark.parametrize("name", PQ_QUERIES)
+def test_pq_oracle(spark, sf_oracle, name):
+    compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
+def test_pq_codes_shape_and_range(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from javascript_vector_database_spark.operators import pq as pqm
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cb = pqm.pq_codebook(ann_scale.collect_centroids(emb, k=pqm.PQ_K))
+    codes = pqm.pq_code_table(emb, cb)
+    assert codes.count() == emb.count()
+    bad = codes.where(
+        (F.size("pq_code") != pqm.PQ_M)
+        | F.exists("pq_code", lambda c: (c < 0) | (c >= pqm.PQ_K))
+    )
+    assert bad.count() == 0
+
+
+def test_pq_returned_distances_are_exact(spark, sf_oracle):
+    """PQ re-ranks its candidate pool against the float vectors, so every
+    returned distance equals the exact metric for that id (rank-domination
+    like IVF/SQ8: ANN can only lose candidates, never fake distances)."""
+    from javascript_vector_database_spark.operators import knn
+    from javascript_vector_database_spark.operators import pq as pqm
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qv = get_query_vec(spark, sf_oracle)
+    cb = pqm.pq_codebook(ann_scale.collect_centroids(emb, k=pqm.PQ_K))
+    approx = {r["vec_id"]: r["distance"] for r in pqm.pq_search(emb, qv, cb).collect()}
+    exact = {
+        r["vec_id"]: r["distance"]
+        for r in knn.exact_knn(emb, qv, k=1000).collect()
+    }
+    for vid, d in approx.items():
+        assert exact[vid] == d

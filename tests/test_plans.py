@@ -182,3 +182,30 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_emb")
         spark.sql("DROP TABLE IF EXISTS b_docs")
+
+
+def test_pq_precomputed_scan_prunes_vector_column(spark, tmp_path):
+    """The PQ compressed-scan claim: the ADC candidate scan over the
+    stored code table reads ONLY (id, pq_code) — the float vector column
+    never appears in its ReadSchema — and the end result equals the
+    inline-encoding path."""
+    from javascript_vector_database_spark.operators import ann_scale
+    from javascript_vector_database_spark.operators import pq as pqm
+
+    emb = load_table(spark, SF, "embeddings")
+    qv = registry.get_query_vec(spark, SF)
+    cb = pqm.pq_codebook(ann_scale.collect_centroids(emb, k=pqm.PQ_K))
+    path = str(tmp_path / "pq_codes")
+    emb.withColumn("pq_code", pqm.pq_code_expr(F.col("embedding"), cb)).write.parquet(
+        path
+    )
+    stored = spark.read.parquet(path)
+
+    got = pqm.pq_search_precomputed(stored, emb, qv, cb)
+    want = pqm.pq_search(emb, qv, cb)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    cand_scan = stored.select("vec_id", "pq_code")
+    read = _plan(cand_scan).split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "embedding" not in read
+    assert "BroadcastHashJoin" in _plan(got)
