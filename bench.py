@@ -284,6 +284,7 @@ def main() -> None:
         "curation_split_assign",
         "ann_sq8_search",
         "ann_pq_search",
+        "ann_ivfpq_search",
         "text_bm25_search",
         "dedup_batch_vs_corpus",
         "curation_pii_scrub",

@@ -262,3 +262,94 @@ def pq_search_precomputed(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell probe + ADC within the probed cells
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_probe_cells(
+    qvec: list[float],
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> list[int]:
+    """The nprobe nearest coarse cells, ranked driver-side (the centroid
+    set is tiny by construction); ties to the lowest cid."""
+    from javascript_vector_database_spark.operators.knn import _py_euclid
+
+    return [cid for _, cid in sorted((_py_euclid(c, qvec), cid) for cid, c in cents)[:nprobe]]
+
+
+def ivfpq_search_precomputed(
+    stored: DataFrame,
+    emb: DataFrame,
+    qvec: list[float],
+    cents: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    nprobe: int | None = None,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """The FAISS ``IVF_PQ`` layout over a stored (id, ivf_cell, pq_code)
+    table: the probe IN-list prunes whole cells BEFORE any scan (with a
+    ``partitionBy(ivf_cell)`` layout this is partition pruning — entire
+    directories skipped), ADC ranks the surviving ~nprobe/K of the corpus
+    reading ONLY the code column (the float vector is column-pruned out),
+    and the k*rerank survivors broadcast-join back to the vector table
+    for the exact re-rank.  This is the compounding 100 TB story: I/O =
+    (nprobe/K_cells) x (M bytes per row) — both factors independent of
+    the full corpus width."""
+    from javascript_vector_database_spark.operators.ann_scale import N_PROBE
+
+    if nprobe is None:
+        nprobe = N_PROBE
+    probe = ivfpq_probe_cells(qvec, cents, nprobe)
+    lut = py_pq_lut(qvec, codebook)
+    cand_ids = (
+        stored.where(F.col(cell_col).isin([int(c) for c in probe]))
+        .select(F.col(id_col), pq_adc_expr(F.col(code_col), lut).alias("__ad"))
+        .orderBy(F.col("__ad").asc(), F.col(id_col).asc())
+        .limit(k * rerank)
+        .select(id_col)
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        emb.join(F.broadcast(cand_ids), id_col)
+        .select(
+            id_col,
+            F.round(euclidean_distance(F.col(vec_col), qv_lit), 6).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    qvec: list[float],
+    cents: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    nprobe: int | None = None,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with write-time artifacts derived inline (cell assignment
+    via the broadcast-codebook join shape, codes via pq_code_table): the
+    convenience path; deployments store both columns and use
+    :func:`ivfpq_search_precomputed`."""
+    from javascript_vector_database_spark.operators.ann_scale import ivf_cell_expr
+
+    stored = emb.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), cents)).select(
+        id_col, "ivf_cell"
+    ).join(pq_code_table(emb, codebook, id_col, vec_col), id_col)
+    return ivfpq_search_precomputed(
+        stored, emb, qvec, cents, codebook,
+        nprobe=nprobe, k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
+    )

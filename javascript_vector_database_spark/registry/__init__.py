@@ -128,10 +128,9 @@ _PRIORITY = [
     "mango_mod", "mango_regex", "mango_exists", "mango_elemmatch_size",
     "mango_sort_skip_limit", "mango_count",
     # NEW this round: product quantization (codes + ADC search + stored-
-    # code compressed-scan layout)
+    # code compressed-scan layout + the IVF-PQ composition)
     "ann_pq_codes", "ann_pq_search", "ann_pq_search_precomputed",
-    # round-up to 50: high-traffic write paths touch the normalized scans
-    "dml_roundtrip", "pipeline_roundtrip",
+    "ann_ivfpq_search", "ann_ivfpq_search_partitioned",
 ]
 
 

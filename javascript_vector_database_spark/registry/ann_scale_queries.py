@@ -516,3 +516,84 @@ def ann_pq_search_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pqm.pq_code_table(emb, cb).write.mode("overwrite").parquet(layout)
     stored = spark.read.parquet(layout)
     return pqm.pq_search_precomputed(stored, emb, qv, cb)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell probe + ADC within the probed cells
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_search_oracle() -> str:
+    joins = " ".join(
+        f"JOIN lut l{s} ON l{s}.s = {s} AND l{s}.j = p.c{s}"
+        for s in range(pqm.PQ_M)
+    )
+    adc = " + ".join(f"l{s}.v" for s in range(pqm.PQ_M))
+    return f"""
+WITH {osql.QVEC_CTE},
+{_PQ_CODES_CTES},{_IVF_ASSIGN_CTE},
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY {osql.sql_euclid('cemb', 'qv')} ASC, cid ASC
+  LIMIT {ann_scale.N_PROBE}
+),
+lut AS (
+  SELECT sub.s, cb.j, {_pq_sub_score_sql('q.qv', 'cb.cemb', 'sub.s')} AS v
+  FROM sub CROSS JOIN cb, q
+),
+approx AS (
+  SELECT p.vec_id, {adc} AS ad FROM pqv p {joins}
+  JOIN assign a ON a.vec_id = p.vec_id
+  WHERE a.ivf_cell IN (SELECT cid FROM probe)
+),
+cand AS (
+  SELECT vec_id FROM approx ORDER BY ad ASC, vec_id ASC
+  LIMIT {TOP_K * pqm.PQ_RERANK}
+)
+SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY distance ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+@register("ann_ivfpq_search", oracle=_ivfpq_search_oracle())
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IVF_PQ composition): probe the nprobe nearest
+    coarse cells driver-side, ADC-rank only the probed cells' rows, exact
+    re-rank of the bounded pool.  Cell filter and code ranking compose:
+    I/O = (nprobe/K_cells) x (M bytes/row) — both factors independent of
+    corpus width."""
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    cb = pqm.pq_codebook(cents)
+    return pqm.ivfpq_search(emb, qv, cents, cb)
+
+
+@register("ann_ivfpq_search_partitioned", oracle=_ivfpq_search_oracle())
+def ann_ivfpq_search_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ 100 TB layout made explicit: (ivf_cell, pq_code) both
+    materialized at WRITE time, the table stored partitionBy(ivf_cell) —
+    the probe IN-list becomes a PartitionFilter (whole directories
+    skipped), the ADC scan reads ONLY the code column of the surviving
+    partitions, and the float vector is touched just for the k*rerank
+    re-rank join.  Same result and oracle as ``ann_ivfpq_search``."""
+    import os
+    import tempfile
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    cb = pqm.pq_codebook(cents)
+    layout = os.path.join(tempfile.mkdtemp(prefix="ivfpq_layout_"), "codes_by_cell")
+    (
+        emb.withColumn("ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents))
+        .select("vec_id", "ivf_cell")
+        .join(pqm.pq_code_table(emb, cb), "vec_id")
+        .write.partitionBy("ivf_cell")
+        .mode("overwrite")
+        .parquet(layout)
+    )
+    stored = spark.read.parquet(layout)
+    return pqm.ivfpq_search_precomputed(stored, emb, qv, cents, cb)

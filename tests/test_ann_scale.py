@@ -144,7 +144,13 @@ def test_ivf_kmeans_centroids_plug_in(spark, sf_oracle):
 # PQ
 # ---------------------------------------------------------------------------
 
-PQ_QUERIES = ["ann_pq_codes", "ann_pq_search", "ann_pq_search_precomputed"]
+PQ_QUERIES = [
+    "ann_pq_codes",
+    "ann_pq_search",
+    "ann_pq_search_precomputed",
+    "ann_ivfpq_search",
+    "ann_ivfpq_search_partitioned",
+]
 
 
 @pytest.mark.parametrize("name", PQ_QUERIES)

@@ -209,3 +209,26 @@ def test_pq_precomputed_scan_prunes_vector_column(spark, tmp_path):
     read = _plan(cand_scan).split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "embedding" not in read
     assert "BroadcastHashJoin" in _plan(got)
+
+
+def test_ivfpq_partitioned_prunes_cells_and_columns(spark):
+    """The IVF-PQ compounding claim: the registry's partitioned probe
+    query carries a real PartitionFilter on ivf_cell (whole cells skipped
+    before any scan) AND its code scan never reads the float vector
+    (column pruning); results equal the inline path."""
+    q = registry.queries()
+    probe = q["ann_ivfpq_search_partitioned"](spark, SF)
+    plan = _plan(probe)
+    # the plan has several scans (vector table + stored codes); the
+    # stored-code scan must be the one carrying the cell filter
+    segs = [p.split("]", 1)[0] for p in plan.split("PartitionFilters: [")[1:]]
+    assert any("ivf_cell" in s for s in segs), segs
+    # the stored-code scan's ReadSchema must not contain the vector
+    for part in plan.split("ReadSchema: ")[1:]:
+        schema_line = part.splitlines()[0]
+        if "pq_code" in schema_line:
+            assert "embedding" not in schema_line
+    baseline = q["ann_ivfpq_search"](spark, SF)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in baseline.collect()
+    ]
