@@ -212,38 +212,47 @@ class ParquetTable:
         Conflict detection joins only the touched buckets — a duplicate pk
         always hashes to the same bucket as the incoming row."""
         pk = self.primary_key
+        # cache: touched-bucket probe, the tally agg, and the write are
+        # separate actions — an uncached delta would re-run the caller's
+        # upstream computation once per action
         rows = self._stamp(rows.drop("_rev"), lwt)
         rows = rows.withColumn(
             "_rev", F.concat(F.lit("1-"), _payload_hash(rows.columns))
-        )
-        if not self.exists():
-            self._swap_in(rows)
-            return {"success": rows.count() if rows.isStreaming is False else -1, "conflict": 0}
-        if self._bucketed():  # resolves the stored layout first
-            touched = self._touched(rows)
-            cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
-        else:
-            touched = None
-            cur = self.df()
-        rows_b = self._with_bucket(rows)
-        # one counting job for both tallies (pattern: pipeline.run_once)
-        tagged = rows_b.join(
-            cur.select(pk).withColumn("__dup", F.lit(True)), pk, "left"
-        )
-        stats = tagged.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.count(F.col("__dup")).alias("conflict"),
-        ).first()
-        accepted = tagged.where(F.col("__dup").isNull()).drop("__dup")
-        new_state = cur.unionByName(accepted, allowMissingColumns=True)
-        if touched is None:
-            self._swap_in(new_state)
-        else:
-            self._replace_partitions(new_state, touched)
-        return {
-            "success": int(stats["total"]) - int(stats["conflict"]),
-            "conflict": int(stats["conflict"]),
-        }
+        ).cache()
+        try:
+            if not self.exists():
+                self._swap_in(rows)
+                return {
+                    "success": rows.count() if rows.isStreaming is False else -1,
+                    "conflict": 0,
+                }
+            if self._bucketed():  # resolves the stored layout first
+                touched = self._touched(rows)
+                cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
+            else:
+                touched = None
+                cur = self.df()
+            rows_b = self._with_bucket(rows)
+            # one counting job for both tallies (pattern: pipeline.run_once)
+            tagged = rows_b.join(
+                cur.select(pk).withColumn("__dup", F.lit(True)), pk, "left"
+            )
+            stats = tagged.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count(F.col("__dup")).alias("conflict"),
+            ).first()
+            accepted = tagged.where(F.col("__dup").isNull()).drop("__dup")
+            new_state = cur.unionByName(accepted, allowMissingColumns=True)
+            if touched is None:
+                self._swap_in(new_state)
+            else:
+                self._replace_partitions(new_state, touched)
+            return {
+                "success": int(stats["total"]) - int(stats["conflict"]),
+                "conflict": int(stats["conflict"]),
+            }
+        finally:
+            rows.unpersist()
 
     def bulk_upsert(self, rows: DataFrame, lwt: float | None = None) -> None:
         """MERGE: matched -> replace with new state, not matched -> insert
@@ -252,35 +261,42 @@ class ParquetTable:
         for fresh inserts (utils-revision.js:1-41).  Only the buckets the
         incoming keys hash into are read or rewritten."""
         pk = self.primary_key
-        rows = self._stamp(rows.drop("_rev"), lwt)
-        if not self.exists():
-            self._swap_in(
-                rows.withColumn(
-                    "_rev", F.concat(F.lit("1-"), _payload_hash(rows.columns))
+        # cache the delta: deriving the touched-bucket list is a separate
+        # ACTION before the write, and an uncached delta would re-run the
+        # caller's (possibly expensive — e.g. the pipeline's embedding
+        # UDF) upstream computation once per action
+        rows = self._stamp(rows.drop("_rev"), lwt).cache()
+        try:
+            if not self.exists():
+                self._swap_in(
+                    rows.withColumn(
+                        "_rev", F.concat(F.lit("1-"), _payload_hash(rows.columns))
+                    )
                 )
-            )
-            return
-        if self._bucketed():  # resolves the stored layout first
-            touched = self._touched(rows)
-            cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
-        else:
-            touched = None
-            cur = self.df()
-        rows_b = self._with_bucket(rows)
-        if "_rev" in cur.columns:
-            prev = cur.select(pk, F.col("_rev").alias("__prev_rev"))
-            merged = rows_b.join(prev, pk, "left")
-        else:
-            merged = rows_b.withColumn("__prev_rev", F.lit(None).cast("string"))
-        merged = merged.withColumn(
-            "_rev", _rev_bump(F.col("__prev_rev"), _payload_hash(rows.columns))
-        ).drop("__prev_rev")
-        kept = cur.join(merged.select(pk), pk, "left_anti")
-        new_state = kept.unionByName(merged, allowMissingColumns=True)
-        if touched is None:
-            self._swap_in(new_state)
-        else:
-            self._replace_partitions(new_state, touched)
+                return
+            if self._bucketed():  # resolves the stored layout first
+                touched = self._touched(rows)
+                cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
+            else:
+                touched = None
+                cur = self.df()
+            rows_b = self._with_bucket(rows)
+            if "_rev" in cur.columns:
+                prev = cur.select(pk, F.col("_rev").alias("__prev_rev"))
+                merged = rows_b.join(prev, pk, "left")
+            else:
+                merged = rows_b.withColumn("__prev_rev", F.lit(None).cast("string"))
+            merged = merged.withColumn(
+                "_rev", _rev_bump(F.col("__prev_rev"), _payload_hash(rows.columns))
+            ).drop("__prev_rev")
+            kept = cur.join(merged.select(pk), pk, "left_anti")
+            new_state = kept.unionByName(merged, allowMissingColumns=True)
+            if touched is None:
+                self._swap_in(new_state)
+            else:
+                self._replace_partitions(new_state, touched)
+        finally:
+            rows.unpersist()
 
     def incremental_modify(
         self,
