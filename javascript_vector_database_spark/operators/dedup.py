@@ -647,3 +647,87 @@ def cosine_batch_vs_corpus(
         .where(F.col("__rn") <= top_n)
         .drop("__rn")
     )
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): converges in O(log n) rounds on ANY graph shape — the
+    robust-scale alternative to :func:`duplicate_clusters`' min-label
+    propagation, whose round count is the component DIAMETER (fine for
+    cliquish LSH duplicate groups, pathological for long chains).
+    Same contract: (doc_id, cluster_id = component min id), singletons
+    not emitted.
+
+    Each round is two groupBy-min + join passes over the current edge
+    set; the edge set only shrinks toward the star forest, and
+    ``localCheckpoint`` truncates lineage per round.  Fixpoint = the
+    oriented edge set is unchanged (exact anti-join probe both ways)."""
+    from pyspark.sql import Observation
+
+    e0 = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).where(
+        F.col(id_a) != F.col(id_b)
+    )
+    # canonical orientation (hi, lo): u > v
+    edges = (
+        e0.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for it in range(max_iter):
+        # -- large-star: for every node x, m = min over ALL its neighbors
+        # and itself; connect each neighbor GREATER than x to m
+        nbrs = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_all = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", "u").alias("m"))
+        )
+        large = (
+            nbrs.join(m_all, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: per node x over its SMALLER-or-equal neighbors,
+        # m = min; connect those neighbors (and x) to m
+        m_small = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(m_small, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint: oriented edge sets identical (both-ways anti-join)
+        changed = (
+            small.join(edges, ["u", "v"], "left_anti").count()
+            + edges.join(small, ["u", "v"], "left_anti").count()
+        )
+        edges = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in {max_iter} rounds"
+        )
+    # star forest: every edge points node -> component root; roots appear
+    # only on the right side
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    return members.unionByName(roots).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

@@ -109,7 +109,8 @@ _PRIORITY = [
     # aggregates; duplicate_clusters probe fused via observe;
     # curation_pipeline consumes the new LSH path
     "dedup_minhash_signatures", "dedup_lsh_pairs", "dedup_simhash",
-    "dedup_duplicate_clusters", "curation_pipeline",
+    "dedup_duplicate_clusters", "dedup_duplicate_clusters_star",
+    "curation_pipeline",
     # CHANGED this round: TIMESTAMP_NTZ normalization at the scan affects
     # every events/orders-time query; as-of orders dedup moved to max_by
     "events_asof_join", "events_sessionize", "events_range_join",
@@ -120,7 +121,7 @@ _PRIORITY = [
     "dedup_exact_groups", "dedup_ngram_jaccard", "json_dump_roundtrip",
     "profile_top_tokens", "profile_length_histogram",
     "profile_sample_per_source", "multimodal_frame_sample",
-    "scan_documents", "point_lookup", "join_anti_missing_vectors",
+    "point_lookup", "join_anti_missing_vectors",
     "join_zip_documents_embeddings", "union_dedup",
     "agg_pricing_summary", "agg_top_revenue_orders",
     "window_top_customers_per_nation", "rollup_orders_by_status_priority",

@@ -222,6 +222,17 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+@register("dedup_duplicate_clusters_star", oracle=_clusters_oracle())
+def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same components via alternating large-star/small-star (Kiveris
+    et al. 2014): O(log n) rounds on ANY graph shape — the path min-label
+    propagation cannot bound (its round count is the component diameter).
+    Same oracle (the labeling is unique), so the two formulations cross-
+    check each other through DuckDB's transitive closure."""
+    pairs = dedup.lsh_band_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.duplicate_clusters_star(pairs)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

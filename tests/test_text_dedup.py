@@ -139,3 +139,27 @@ PROFILING_QUERIES = [
 @pytest.mark.parametrize("name", PROFILING_QUERIES)
 def test_profiling_oracle(spark, sf_oracle, name):
     compare(spark, sf_oracle, registry.queries()[name], registry.oracle_sql()[name])
+
+
+def test_duplicate_clusters_star_matches_min_label(spark, sf_oracle):
+    """Both CC formulations produce the identical labeling on the real
+    LSH candidate pairs."""
+    docs = load_table(spark, sf_oracle, "documents")
+    pairs = dedup.lsh_band_pairs(docs).cache()
+    a = sorted(tuple(r) for r in dedup.duplicate_clusters(pairs).collect())
+    b = sorted(tuple(r) for r in dedup.duplicate_clusters_star(pairs).collect())
+    pairs.unpersist()
+    assert a == b
+
+
+def test_duplicate_clusters_star_long_path(spark):
+    """A 64-node path (diameter 63): min-label would need 63 rounds; the
+    star algorithm converges in O(log n) and labels every node with the
+    path's minimum."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    out = dedup.duplicate_clusters_star(pairs, max_iter=12).collect()
+    assert len(out) == 64
+    assert {r["cluster_id"] for r in out} == {0}
+    assert {r["doc_id"] for r in out} == set(range(64))
