@@ -228,3 +228,43 @@ def profile_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_chars", F.lit(0.5)).alias("median"),
         F.percentile("n_chars", F.lit(0.75)).alias("q75"),
     )
+
+
+def _chunk_dedup_oracle() -> str:
+    from javascript_vector_database_spark.operators.chunking import (
+        sql_chunk_documents,
+    )
+
+    return f"""
+WITH chunks AS ({sql_chunk_documents()})
+SELECT md5(chunk_text) AS chunk_hash,
+       min(doc_id * 1000000 + chunk_idx) AS canonical_key,
+       count(*) AS n_dups
+FROM chunks GROUP BY md5(chunk_text)
+"""
+
+
+@register("curation_chunk_dedup", oracle=_chunk_dedup_oracle())
+def curation_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) dedup — the C4-style pass that catches
+    boilerplate and partial copies whole-document hashing misses:
+    chunk -> md5 -> group, keeping the smallest (doc, chunk) position as
+    canonical.  The explode is row-local; the only shuffle is the hash
+    groupBy with map-side partials (identical shape to exact doc dedup,
+    just below document granularity)."""
+    from javascript_vector_database_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(spread(load_table(spark, sf_dir, "documents")))
+    return (
+        chunks.select(
+            F.md5("chunk_text").alias("chunk_hash"),
+            (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("__key"),
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("__key").alias("canonical_key"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

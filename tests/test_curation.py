@@ -17,6 +17,7 @@ CURATION_QUERIES = [
     "curation_contamination",
     "curation_mixture_sample",
     "curation_pack_sequences",
+    "curation_chunk_dedup",
 ]
 
 
