@@ -193,6 +193,7 @@ def main() -> None:
     results["pq_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(pq_sets, exact_sets)
     ) / len(qvecs)
+    pq_codes.unpersist()
 
     # batch kNN: all N_SEARCH_QUERIES answered in ONE job (vs the
     # sequential per-query loop above) — the amortization headline

@@ -357,3 +357,27 @@ FROM t
 WINDOW w AS (PARTITION BY {part_col} ORDER BY {id_col}
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# text normalization (pre-dedup canonicalization)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup: lower-case, strip every char
+    outside [a-z0-9 ], collapse whitespace runs, trim.  Pure JVM regex
+    chain riding the scan; the regexes are RE2/Java-portable so the
+    DuckDB oracle applies the identical pipeline."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def sql_normalize_text(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), "
+        f"'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )

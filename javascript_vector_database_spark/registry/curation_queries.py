@@ -162,3 +162,66 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_sequences(
         load_table(spark, sf_dir, "documents"), max_tokens=PACK_TOKENS
     )
+
+
+# ---------------------------------------------------------------------------
+# normalization + normalized exact dedup
+# ---------------------------------------------------------------------------
+
+#: deterministic variant corpus: every group of 5 consecutive doc ids
+#: shares one base text, each member perturbed differently (upper-cased /
+#: punctuation noise / doubled whitespace by id residue) — so raw md5
+#: sees 5 distinct strings while the normalizer must collapse them back
+#: to one group
+_PERTURB_SQL = (
+    "CASE WHEN t.doc_id % 3 = 0 THEN upper(b.text) ELSE b.text END"
+    " || CASE WHEN t.doc_id % 5 = 1 THEN '  !!' ELSE '' END"
+    " || CASE WHEN t.doc_id % 5 = 2 THEN '   ' ELSE '' END"
+)
+
+
+def _normalize_dedup_oracle() -> str:
+    norm = curation.sql_normalize_text("raw")
+    return f"""
+WITH v AS (
+  SELECT t.doc_id, {_PERTURB_SQL} AS raw
+  FROM documents t JOIN documents b ON b.doc_id = t.doc_id - (t.doc_id % 5)
+)
+SELECT md5({norm}) AS norm_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_variants
+FROM v GROUP BY md5({norm})
+"""
+
+
+@register("curation_normalize_dedup", oracle=_normalize_dedup_oracle())
+def curation_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-dedup: case/punctuation/whitespace variants of
+    the same content collapse into one group (raw md5 would treat every
+    variant as unique — the synthetic variant corpus makes 5 raw strings
+    per base text).  The normalizer is a scan-side regex chain; the only
+    shuffles are the variant self-join and the hash groupBy with
+    map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("__bid"), F.col("text").alias("__btext"))
+    t = docs.select(
+        "doc_id", (F.col("doc_id") - F.pmod(F.col("doc_id"), 5)).alias("__bid")
+    )
+    raw = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.upper("__btext")).otherwise(
+            F.col("__btext")
+        ),
+        F.when(F.col("doc_id") % 5 == 1, F.lit("  !!")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 2, F.lit("   ")).otherwise(F.lit("")),
+    )
+    variants = t.join(base, "__bid").select("doc_id", raw.alias("raw"))
+    return (
+        variants.select(
+            "doc_id", F.md5(curation.normalize_text("raw")).alias("norm_hash")
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

@@ -18,7 +18,19 @@ CURATION_QUERIES = [
     "curation_mixture_sample",
     "curation_pack_sequences",
     "curation_chunk_dedup",
+    "curation_normalize_dedup",
 ]
+
+
+def test_normalize_text_collapses_variants(spark):
+    from javascript_vector_database_spark.operators.curation import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO   WORLD.")],
+        ["id", "t"],
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", normalize_text("t").alias("n")).collect()}
+    assert out[1] == out[2] == out[3] == "hello world"
 
 
 @pytest.mark.parametrize("name", CURATION_QUERIES)
