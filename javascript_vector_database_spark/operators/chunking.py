@@ -125,3 +125,60 @@ def sql_split_assign(pk: str) -> str:
     for name, bound in reversed(SPLIT_BOUNDS):
         expr = f"CASE WHEN {frac} < {bound} THEN '{name}' ELSE {expr} END"
     return expr
+
+
+def stratified_split_assign(
+    df: DataFrame,
+    group_col: str = "source",
+    bounds: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Per-group train/val/test assignment: the SAME deterministic
+    md5(pk) fraction as :func:`split_assign`, but the label thresholds
+    come from the row's md5-rank INSIDE its group — so every
+    source/language lands its target ratios EXACTLY per group rather
+    than only in expectation globally (small groups are where the global
+    draw visibly misses).  Costs ONE shuffle on the group column (the
+    window rank is the price of exact per-group quantiles; the global
+    variant stays scan-local); at 100 TB write ``partitionBy(out_col)``
+    like the global variant.
+
+    ``bounds`` maps label -> cumulative upper bound, shared by every
+    group by default (``SPLIT_BOUNDS``); per-group bound maps are the
+    caller's composition (a when-chain over groups), kept out of this
+    signature until a use case needs it."""
+    bounds = SPLIT_BOUNDS if bounds is None else bounds
+    frac = split_frac(id_col)
+    # rank the row INSIDE its group: portable md5 order makes the
+    # per-group quantile exact — row_number()/count() over the group
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    wcnt = Window.partitionBy(group_col)
+    q = (F.row_number().over(w) - 1) / F.count(F.lit(1)).over(wcnt)
+    expr = None
+    for name, bound in bounds:
+        cond = q < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn(out_col, expr.otherwise(F.lit("test")))
+
+
+def sql_stratified_split_assign(
+    group_col: str = "source", pk: str = "doc_id", table_alias: str = ""
+) -> str:
+    """DuckDB mirror of :func:`stratified_split_assign`'s label column
+    (window rank over md5 order inside the group)."""
+    q = (
+        f"(row_number() OVER (PARTITION BY {group_col} "
+        f"ORDER BY md5(CAST({pk} AS VARCHAR)) ASC, {pk} ASC) - 1) * 1.0 "
+        f"/ count(*) OVER (PARTITION BY {group_col})"
+    )
+    expr = "'test'"
+    for name, bound in reversed(SPLIT_BOUNDS):
+        expr = f"CASE WHEN {q} < {bound} THEN '{name}' ELSE {expr} END"
+    return expr

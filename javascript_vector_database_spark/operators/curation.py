@@ -191,24 +191,25 @@ def contamination_pairs(
     an eval doc: (eval_id, doc_id, n_shared).  The decontamination pass a
     pipeline runs before training so benchmark text never leaks in.
 
-    Both sides explode their distinct shingles; the join key is the
-    shingle string, so candidates meet only where text overlaps — never
-    |corpus| x |eval|.  The eval side is tiny by construction (benchmarks),
-    so Spark broadcasts it and the corpus side never shuffles: at 100 TB
-    this is a map-side join over the scan.  ``shingles`` returns distinct
-    grams per doc, making count(*) the shared-distinct-gram count."""
-    ev = eval_df.select(
-        F.col(id_col).alias("eval_id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
-    cp = spread(corpus).select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+    Both sides explode their shingles with the codegen sequence+getItem
+    shape (dedup.exploded_shingles — no interpreted HOF); the join key is
+    the shingle string, so candidates meet only where text overlaps —
+    never |corpus| x |eval|.  The eval side is tiny by construction
+    (benchmarks), so Spark broadcasts it and the corpus side never
+    shuffles: at 100 TB this is a map-side join over the scan.  Shared
+    DISTINCT grams are counted with count_distinct in the aggregate (the
+    exploded grams carry per-doc multiplicity; deduping row-locally would
+    cost an extra corpus shuffle, the distinct aggregate does not)."""
+    from javascript_vector_database_spark.operators.dedup import exploded_shingles
+
+    ev = exploded_shingles(eval_df, text_col, id_col, shingle_k).select(
+        F.col(id_col).alias("eval_id"), F.col("sh")
+    ).distinct()
+    cp = exploded_shingles(corpus, text_col, id_col, shingle_k)
     return (
         cp.join(F.broadcast(ev), "sh")
         .groupBy("eval_id", id_col)
-        .agg(F.count("*").cast("long").alias("n_shared"))
+        .agg(F.count_distinct("sh").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
 

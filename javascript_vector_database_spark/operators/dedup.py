@@ -140,6 +140,34 @@ def minhash_sig(
     )
 
 
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = DEFAULT_SHINGLE,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(id, sh): one row per shingle STRING, built with the same
+    codegen-friendly sequence+getItem shape as
+    :func:`exploded_shingle_hashes` (no interpreted HOF) — for operators
+    that join on the gram text itself (e.g. decontamination).  Grams are
+    NOT deduplicated per doc; aggregate-side dedup is cheaper than a
+    row-local array_distinct HOF."""
+    toks = F.split(F.trim(F.lower(_as_col(text_col))), r"\s+")
+    base = spread(df).select(F.col(id_col), toks.alias("__t"))
+    pos = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.size("__t") - shingle_k, F.lit(0)))
+    )
+    ex = base.select(id_col, "__t", pos.alias("__i"))
+    gram = F.when(
+        F.size("__t") >= shingle_k,
+        F.concat_ws(
+            " ", *[F.col("__t").getItem(F.col("__i") + j) for j in range(shingle_k)]
+        ),
+    ).otherwise(F.array_join("__t", " "))
+    return ex.select(id_col, gram.alias(out_col))
+
+
 def exploded_shingle_hashes(
     df: DataFrame,
     text_col: str = "text",

@@ -225,3 +225,33 @@ def curation_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified split
+# ---------------------------------------------------------------------------
+
+
+def _stratified_split_oracle() -> str:
+    from javascript_vector_database_spark.operators.chunking import (
+        sql_stratified_split_assign,
+    )
+
+    return f"""
+SELECT doc_id, source, {sql_stratified_split_assign()} AS split
+FROM documents
+"""
+
+
+@register("curation_split_stratified", oracle=_stratified_split_oracle())
+def curation_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test: md5-rank quantiles INSIDE each source
+    land the 80/10/10 target exactly per group (the global hash draw only
+    hits it in expectation — small groups visibly miss).  One shuffle on
+    the group column."""
+    from javascript_vector_database_spark.operators.chunking import (
+        stratified_split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_split_assign(docs).select("doc_id", "source", "split")

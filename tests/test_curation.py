@@ -19,7 +19,32 @@ CURATION_QUERIES = [
     "curation_pack_sequences",
     "curation_chunk_dedup",
     "curation_normalize_dedup",
+    "curation_split_stratified",
 ]
+
+
+def test_stratified_split_hits_ratios_per_group(spark, sf_oracle):
+    """Every source group individually lands the 80/10/10 bounds (the
+    global hash draw only achieves this in expectation)."""
+    from pyspark.sql import functions as F
+
+    from javascript_vector_database_spark.operators.chunking import (
+        stratified_split_assign,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = stratified_split_assign(docs)
+    per = (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("split") == "train").cast("int")).alias("tr"),
+        )
+        .collect()
+    )
+    for r in per:
+        # exact per-group quantile: ceil(0.8 * n) train rows
+        assert r["tr"] == -(-8 * r["n"] // 10) or r["tr"] == (8 * r["n"]) // 10
 
 
 def test_normalize_text_collapses_variants(spark):
