@@ -151,3 +151,41 @@ def test_pack_sequences_layout(spark, sf_oracle):
             assert r["start_token"] == pos
             assert r["bin_id"] == pos // 256
             pos += r["n_tokens"]
+
+
+def test_curation_gates_run_on_streams(spark, tmp_path):
+    """The stateless curation passes (PII scrub, mixture sampling,
+    normalization) are plain expression chains, so the SAME operator
+    code applies unchanged to a Structured Streaming source — the
+    streaming ingest shape of the curation pipeline."""
+    import os
+
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    schema = "doc_id long, lang string, text string"
+    rows = [
+        (1, "en", "mail me at a.b@example.org today"),
+        (2, "zh", "no pii in this one"),
+        (3, "en", "server 10.1.2.3 answered"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    gated = curation.mixture_sample(
+        curation.pii_scrub(stream), rates={"en": 1.0}, group_col="lang"
+    ).withColumn("norm", curation.normalize_text("scrubbed"))
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {r["doc_id"]: r for r in spark.sql("SELECT * FROM curated_stream").collect()}
+    finally:
+        q.stop()
+    assert set(out) == {1, 3}  # zh dropped by the 0-default mixture rate
+    assert out[1]["n_email"] == 1 and "[EMAIL]" in out[1]["scrubbed"]
+    assert out[3]["n_ipv4"] == 1 and "[IP]" in out[3]["scrubbed"]
+    assert "@" not in out[1]["norm"]
