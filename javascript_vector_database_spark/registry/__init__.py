@@ -106,6 +106,7 @@ _PRIORITY = [
     "curation_contamination", "curation_mixture_sample",
     "curation_pack_sequences", "curation_chunk_dedup",
     "curation_normalize_dedup", "curation_split_stratified",
+    "profile_cube_source_lang",
     # CHANGED this round: dedup table paths rewrote to explode+codegen
     # aggregates; duplicate_clusters probe fused via observe;
     # curation_pipeline consumes the new LSH path
@@ -122,7 +123,6 @@ _PRIORITY = [
     "dedup_exact_groups", "dedup_ngram_jaccard", "json_dump_roundtrip",
     "profile_top_tokens", "profile_length_histogram",
     "profile_sample_per_source", "multimodal_frame_sample",
-    "join_zip_documents_embeddings",
     "agg_pricing_summary", "agg_top_revenue_orders",
     "window_top_customers_per_nation", "rollup_orders_by_status_priority",
     "mango_eq_ne", "mango_range", "mango_in_nin", "mango_bool_combinators",

@@ -268,3 +268,43 @@ def curation_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+#: NULL grouping keys are coalesced to a sentinel on BOTH engines: the
+#: driver's canonicalizer sorts row tuples, and None is unorderable
+#: against the real string keys (the corpus has no NULL source/lang, so
+#: the sentinel is unambiguous)
+_QUALITY_CUBE_ORACLE = """
+SELECT coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY CUBE (source, lang)
+"""
+
+
+@register("profile_cube_source_lang", oracle=_QUALITY_CUBE_ORACLE)
+def profile_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (source, lang): every aggregation level in ONE pass
+    (per-pair, per-source, per-lang, grand total) — Spark expands the
+    grouping sets before the single shuffle, so the corpus is still read
+    once.  Aggregates are integer-only (count/sum/min/max of n_chars) so
+    the cross-engine hash is order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs", "sum_chars", "min_chars", "max_chars",
+        )
+    )

@@ -1,0 +1,25 @@
+"""Every registered query compared against its oracle at the smallest SF.
+
+The per-module suites check their own query families at sf0.01; this
+sweep guarantees NO registry entry — present or future — ships without a
+local value-level oracle check (the same count/schema/value contract the
+driver's CORRECTNESS file grades).  sf0.001 keeps the whole sweep cheap;
+a query that is correct here and in its module's sf0.01 check has two
+independent data points before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from javascript_vector_database_spark import registry
+from tests.oracle_harness import compare
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+ALL_NAMES = sorted(registry.queries())
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_registry_sweep(spark, name):
+    compare(spark, SF_SMOKE, registry.queries()[name], registry.oracle_sql()[name])

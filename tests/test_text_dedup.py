@@ -130,6 +130,7 @@ PROFILING_QUERIES = [
     "profile_length_histogram",
     "profile_sample_per_source",
     "profile_length_quantiles",
+    "profile_cube_source_lang",
     "curation_chunk_documents",
     "curation_split_assign",
     "curation_pipeline",
