@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from javascript_vector_database_spark.functions import text as T
 from javascript_vector_database_spark.registry import register
@@ -182,4 +183,141 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch BM25 (one corpus scan scores every query — the lexical analogue
+# of batch kNN)
+# ---------------------------------------------------------------------------
+
+BM25_BATCH = (
+    (1, ("vector", "join")),
+    (2, ("filter", "table", "scan")),
+    (3, ("query", "window")),
+)
+
+#: union of every batch query's terms, in stable order (df/tf computed once)
+_BATCH_TERMS = tuple(sorted({t for _, ts in BM25_BATCH for t in ts}))
+
+
+def _bm25_batch_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BATCH_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BATCH_TERMS))
+    )
+    idf_cols = ", ".join(
+        f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) AS idf{i}"
+        for i in range(len(_BATCH_TERMS))
+    )
+
+    def score(terms: tuple[str, ...]) -> str:
+        return " + ".join(
+            f"s.idf{_BATCH_TERMS.index(t)} * (d.tf{_BATCH_TERMS.index(t)} * 2.2) / "
+            f"(d.tf{_BATCH_TERMS.index(t)} + 1.2 * (0.25 + 0.75 * (d.dl / s.avgdl)))"
+            for t in terms
+        )
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS query_id, d.doc_id, round({score(ts)}, 6) AS bm25 "
+        f"FROM d, s"
+        for qid, ts in BM25_BATCH
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(toks) AS dl, {tf_cols}
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+  )
+),
+c AS (SELECT count(*) AS n_docs, {df_cols},
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM d),
+s AS (SELECT avgdl, {idf_cols} FROM c),
+u AS ({arms})
+SELECT query_id, doc_id, bm25 FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rn
+  FROM u
+) WHERE rn <= {BM25_TOP}
+"""
+
+
+@register("text_bm25_batch_search", oracle=_bm25_batch_oracle())
+def text_bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: every query's top-k from ONE corpus scan.  The stats
+    pass folds df for the UNION of all query terms (one partial-agg job,
+    5+|terms| scalars collected); the score pass computes each query's
+    score as inlined-literal expressions over the same scan and explodes
+    a (query_id, bm25) struct per query — |Q| small rows per doc, then a
+    per-query row_number top-k.  The corpus is read once no matter how
+    many queries ride the batch (same amortization shape as batch kNN)."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread(docs).select(
+        "doc_id", T.word_tokens("text").alias("toks")
+    ).withColumn("dl", F.size("toks"))
+
+    def tf(term: str):
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum((tf(t) > 0).cast("long")).alias(f"df{i}")
+            for i, t in enumerate(_BATCH_TERMS)
+        ],
+    ).first()
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["sumdl"]) / float(n_docs)
+    idf = {
+        t: math.log(
+            1
+            + (n_docs - int(stats[f"df{i}"]) + 0.5)
+            / (int(stats[f"df{i}"]) + 0.5)
+        )
+        for i, t in enumerate(_BATCH_TERMS)
+    }
+
+    def qscore(terms: tuple[str, ...]):
+        score = None
+        for t in terms:
+            term_score = (
+                F.lit(idf[t])
+                * (tf(t) * F.lit(2.2))
+                / (
+                    tf(t)
+                    + F.lit(1.2)
+                    * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.lit(avgdl)))
+                )
+            )
+            score = term_score if score is None else score + term_score
+        return score
+
+    per_query = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.round(qscore(ts), 6).alias("bm25"),
+            )
+            for qid, ts in BM25_BATCH
+        ]
+    )
+    exploded = base.select(
+        "doc_id", F.explode(per_query).alias("q")
+    ).select("doc_id", "q.query_id", "q.bm25")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BM25_TOP)
+        .select("query_id", "doc_id", "bm25")
     )
