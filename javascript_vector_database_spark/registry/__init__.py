@@ -106,7 +106,8 @@ _PRIORITY = [
     "curation_contamination", "curation_mixture_sample",
     "curation_pack_sequences", "curation_chunk_dedup",
     "curation_normalize_dedup", "curation_split_stratified",
-    "profile_cube_source_lang", "text_bm25_batch_search",
+    "profile_cube_source_lang", "profile_pivot_lang_counts",
+    "text_bm25_batch_search",
     # CHANGED this round: dedup table paths rewrote to explode+codegen
     # aggregates; duplicate_clusters probe fused via observe;
     # curation_pipeline consumes the new LSH path
@@ -127,7 +128,6 @@ _PRIORITY = [
     "window_top_customers_per_nation", "rollup_orders_by_status_priority",
     "mango_eq_ne", "mango_range", "mango_in_nin", "mango_bool_combinators",
     "mango_mod", "mango_regex", "mango_exists", "mango_elemmatch_size",
-    "mango_sort_skip_limit",
     # NEW this round: product quantization (codes + ADC search + stored-
     # code compressed-scan layout + the IVF-PQ composition)
     "ann_pq_codes", "ann_pq_search", "ann_pq_search_precomputed",

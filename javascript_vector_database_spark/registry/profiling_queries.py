@@ -308,3 +308,33 @@ def profile_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "sum_chars", "min_chars", "max_chars",
         )
     )
+
+
+#: fixed pivot-column list — deterministic output schema on both engines
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+_PIVOT_ORACLE = f"""
+SELECT source,
+       {", ".join(f"CAST(sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS BIGINT) AS {l}" for l in _PIVOT_LANGS)}
+FROM documents GROUP BY source
+"""
+
+
+@register("profile_pivot_lang_counts", oracle=_PIVOT_ORACLE)
+def profile_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-count matrix via the DataFrame ``pivot`` API with an
+    EXPLICIT value list (dynamic pivots need a distinct-values pre-scan
+    and make the schema data-dependent — fixed values keep one job and a
+    stable schema).  Compiles to a single hash aggregate with one
+    conditional-count column per language: one shuffle on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .count()
+    )
+    # pivot emits NULL for empty cells; the oracle's conditional sum emits 0
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).cast("long").alias(l) for l in _PIVOT_LANGS],
+    )
