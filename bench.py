@@ -287,12 +287,19 @@ def main() -> None:
         "ann_pq_search",
         "ann_ivfpq_search",
         "text_bm25_search",
+        "text_bm25_batch_search",
         "dedup_batch_vs_corpus",
+        "dedup_duplicate_clusters_star",
         "curation_pii_scrub",
         "curation_repetition_stats",
         "curation_contamination",
         "curation_mixture_sample",
         "curation_pack_sequences",
+        "curation_chunk_dedup",
+        "curation_normalize_dedup",
+        "curation_split_stratified",
+        "profile_cube_source_lang",
+        "profile_pivot_lang_counts",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state
