@@ -738,10 +738,16 @@ def duplicate_clusters_star(
             .distinct()
             .localCheckpoint()
         )
-        # fixpoint: oriented edge sets identical (both-ways anti-join)
+        # fixpoint: oriented edge sets identical — ONE symmetric-
+        # difference count via a full-outer join of the two (checkpointed,
+        # tiny) edge frames instead of two anti-join count jobs
         changed = (
-            small.join(edges, ["u", "v"], "left_anti").count()
-            + edges.join(small, ["u", "v"], "left_anti").count()
+            small.withColumn("__a", F.lit(1))
+            .join(
+                edges.withColumn("__b", F.lit(1)), ["u", "v"], "full_outer"
+            )
+            .where(F.col("__a").isNull() | F.col("__b").isNull())
+            .count()
         )
         edges = small
         if changed == 0:
