@@ -225,13 +225,17 @@ def sql_contamination_pairs(
 ) -> str:
     toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(shingle_k))
+    # sub-k-token docs have no k-grams and are dropped on BOTH engines
+    # (Spark side: exploded_shingles filters size(toks) >= k)
     sh = (
         f"list_distinct(list_transform("
-        f"range(1, greatest(len(toks) - {shingle_k - 1}, 1) + 1), i -> {gram}))"
+        f"range(1, len(toks) - {shingle_k - 1} + 1), i -> {gram}))"
     )
     return f"""
 WITH t AS (SELECT {id_col}, {sh} AS sh
-           FROM (SELECT {id_col}, {toks} AS toks FROM {table})),
+           FROM (SELECT {id_col}, {toks} AS toks
+                 FROM {table}
+                 WHERE len({toks}) >= {shingle_k})),
 ev AS (SELECT {id_col} AS eval_id, unnest(sh) AS g FROM t WHERE {eval_pred}),
 cp AS (SELECT {id_col}, unnest(sh) AS g FROM t WHERE {corpus_pred})
 SELECT ev.eval_id, cp.{id_col} AS {id_col}, CAST(count(*) AS BIGINT) AS n_shared

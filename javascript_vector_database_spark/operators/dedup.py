@@ -152,19 +152,21 @@ def exploded_shingles(
     :func:`exploded_shingle_hashes` (no interpreted HOF) — for operators
     that join on the gram text itself (e.g. decontamination).  Grams are
     NOT deduplicated per doc; aggregate-side dedup is cheaper than a
-    row-local array_distinct HOF."""
+    row-local array_distinct HOF.
+
+    Docs with fewer than ``shingle_k`` tokens are DROPPED (they have no
+    k-grams) — matching the SQL-oracle gram expression, which NULLs out
+    on them; the hash-side path (:func:`exploded_shingle_hashes`) instead
+    keeps a whole-text fallback, a deliberate divergence covered by its
+    own oracle + pytest guard."""
     toks = F.split(F.trim(F.lower(_as_col(text_col))), r"\s+")
     base = spread(df).select(F.col(id_col), toks.alias("__t"))
-    pos = F.explode(
-        F.sequence(F.lit(0), F.greatest(F.size("__t") - shingle_k, F.lit(0)))
-    )
+    base = base.where(F.size("__t") >= shingle_k)
+    pos = F.explode(F.sequence(F.lit(0), F.size("__t") - shingle_k))
     ex = base.select(id_col, "__t", pos.alias("__i"))
-    gram = F.when(
-        F.size("__t") >= shingle_k,
-        F.concat_ws(
-            " ", *[F.col("__t").getItem(F.col("__i") + j) for j in range(shingle_k)]
-        ),
-    ).otherwise(F.array_join("__t", " "))
+    gram = F.concat_ws(
+        " ", *[F.col("__t").getItem(F.col("__i") + j) for j in range(shingle_k)]
+    )
     return ex.select(id_col, gram.alias(out_col))
 
 
@@ -242,6 +244,15 @@ def minhash_signatures(
     )
 
 
+#: per-(band, band-hash) contribution cap: a bucket of m docs otherwise
+#: emits m^2/2 candidate pairs out of ONE AQE-unsplittable join cell — a
+#: mass-duplicated crawl (boilerplate pages, mirrored sites) hits this
+#: even after exact-dup collapse.  64 keeps recall for real near-dup
+#: neighborhoods (bucket population is tiny under uniform hashing) while
+#: bounding the worst bucket to 64^2/2 pairs.
+DEFAULT_BUCKET_CAP = 64
+
+
 def lsh_band_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -250,15 +261,52 @@ def lsh_band_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_k: int = DEFAULT_SHINGLE,
     jaccard_threshold: float | None = None,
+    collapse_exact: bool = True,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding, optionally verified
     with exact shingle Jaccard.  Output: (id_a, id_b[, jaccard]) with
-    id_a < id_b, distinct."""
+    id_a < id_b, distinct.
+
+    Hot-bucket guards (both deterministic, both mirrored bit-for-bit in
+    the DuckDB oracle):
+
+    * ``collapse_exact``: byte-identical texts are collapsed to their
+      min-id representative BEFORE banding; each exact-dup group of size m
+      contributes m-1 star edges (rep -> member) instead of an m^2/2
+      clique, and only representatives enter the band self-join.  Exact
+      copies share a signature anyway, so banding loses nothing.
+      Connectivity of the duplicate graph is preserved exactly.
+    * ``bucket_cap``: within each (band, band-hash) bucket only the
+      ``bucket_cap`` smallest ids pair up (a row_number rank filter —
+      Catalyst's InferWindowGroupLimit applies the cap map-side, so
+      oversized buckets are trimmed BEFORE the join's exchange).  Without
+      it, one boilerplate bucket of m docs emits m^2/2 candidates from a
+      single AQE-unsplittable join cell.
+
+    tests/test_text_dedup.py::test_lsh_hot_bucket_guard pins both on a
+    degenerate 10k-copies corpus."""
     rows_per_band = num_hashes // bands
+    from pyspark.sql.window import Window
+
+    src = spread(df).select(F.col(id_col), _as_col(text_col).alias("__text"))
+    star: DataFrame | None = None
+    if collapse_exact:
+        # one window shuffle on the text hash: rep = min id per exact group
+        wth = Window.partitionBy("__th")
+        withh = src.withColumn("__th", F.md5(F.col("__text"))).withColumn(
+            "__rep", F.min(id_col).over(wth)
+        )
+        star = withh.where(F.col(id_col) != F.col("__rep")).select(
+            F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+        src = withh.where(F.col(id_col) == F.col("__rep")).select(
+            id_col, "__text"
+        )
     # band keys are plain projections over the aggregated signature —
     # the whole pipeline (explode -> min-agg -> md5 band hash -> explode)
     # stays inside whole-stage codegen; no interpreted HOF anywhere
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(src, "__text", id_col, num_hashes, shingle_k)
     band_structs = F.array(
         *[
             F.struct(
@@ -279,6 +327,13 @@ def lsh_band_pairs(
     bands_df = sigs.select(
         F.col(id_col), F.explode(band_structs).alias("bk")
     ).select(id_col, "bk.band", "bk.bh")
+    if bucket_cap is not None:
+        wb = Window.partitionBy("band", "bh").orderBy(F.col(id_col).asc())
+        bands_df = (
+            bands_df.withColumn("__bn", F.row_number().over(wb))
+            .where(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     pairs = (
@@ -292,8 +347,10 @@ def lsh_band_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.distinct()
     if jaccard_threshold is None:
         return pairs
     sh = df.select(
@@ -507,7 +564,15 @@ def duplicate_clusters(
                     F.col("nlbl") < F.col("cluster_id"), F.lit(False)
                 ).alias("__chg"),
             )
-            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n_changed"))
+            .observe(
+                obs,
+                # coalesce: sum over ZERO rows publishes NULL, and an empty
+                # candidate-pair input must converge on round 0, not spin to
+                # the max_iter RuntimeError
+                F.coalesce(
+                    F.sum(F.col("__chg").cast("long")), F.lit(0)
+                ).alias("n_changed"),
+            )
         )
         labels = upd.drop("__chg").localCheckpoint()
         if obs.get["n_changed"] == 0:

@@ -218,7 +218,11 @@ class ParquetTable:
         rows = self._stamp(rows.drop("_rev"), lwt)
         rows = rows.withColumn(
             "_rev", F.concat(F.lit("1-"), _payload_hash(rows.columns))
-        ).cache()
+        )
+        # persisting a streaming Dataset raises AnalysisException — only
+        # batch deltas are cached (streaming input reaches the -1 sentinel)
+        if not rows.isStreaming:
+            rows = rows.cache()
         try:
             if not self.exists():
                 self._swap_in(rows)
@@ -252,7 +256,8 @@ class ParquetTable:
                 "conflict": int(stats["conflict"]),
             }
         finally:
-            rows.unpersist()
+            if not rows.isStreaming:
+                rows.unpersist()
 
     def bulk_upsert(self, rows: DataFrame, lwt: float | None = None) -> None:
         """MERGE: matched -> replace with new state, not matched -> insert
@@ -265,7 +270,11 @@ class ParquetTable:
         # ACTION before the write, and an uncached delta would re-run the
         # caller's (possibly expensive — e.g. the pipeline's embedding
         # UDF) upstream computation once per action
-        rows = self._stamp(rows.drop("_rev"), lwt).cache()
+        rows = self._stamp(rows.drop("_rev"), lwt)
+        # persisting a streaming Dataset raises AnalysisException — cache
+        # only batch deltas
+        if not rows.isStreaming:
+            rows = rows.cache()
         try:
             if not self.exists():
                 self._swap_in(
@@ -296,7 +305,8 @@ class ParquetTable:
             else:
                 self._replace_partitions(new_state, touched)
         finally:
-            rows.unpersist()
+            if not rows.isStreaming:
+                rows.unpersist()
 
     def incremental_modify(
         self,

@@ -295,17 +295,27 @@ def knn_batch(
     training pipeline needs for e.g. eval-set retrieval).
 
     Plan: broadcast the small query table, ONE corpus scan computes every
-    (query, row) distance, per-query top-k via a row_number window.  The
-    corpus is read once for the whole batch instead of |Q| times; the
-    only shuffle carries skinny (query_id, id, distance) rows partitioned
-    on query_id.  For large corpora pre-prune candidates with the stored
-    IVF assignment instead (ann_scale.knn_batch_ivf) so the scan side
-    never fans out by |Q|.  Output: (query_id, id, distance)."""
+    (query, row) distance JVM-side, per-query top-k via a row_number
+    window whose rank filter Catalyst rewrites into a two-phase
+    ``WindowGroupLimit`` (InferWindowGroupLimit, Spark 3.5+): the
+    *Partial* limit runs BELOW the exchange, so each map partition emits
+    at most k rows per query and only parts x |Q| x k skinny
+    (query_id, id, distance) survivors ever cross the wire — the batch
+    analog of ``exact_knn``'s TakeOrderedAndProject, with no full-corpus
+    shuffle at any scale (plan-pinned by
+    tests/test_plans.py::test_knn_batch_partial_group_limit).  The corpus
+    is read once for the whole batch instead of |Q| times; for large
+    corpora pre-prune candidates with the stored IVF assignment instead
+    (ann_scale.ivf_batch_search) so the scan side never fans out by |Q|.
+    Output: (query_id, id, distance)."""
     from pyspark.sql.window import Window
 
-    scored = emb.crossJoin(F.broadcast(queries)).withColumn(
-        "distance",
-        F.round(euclidean_distance(F.col(vec_col), F.col(q_vec)), 6),
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        q_id,
+        id_col,
+        F.round(euclidean_distance(F.col(vec_col), F.col(q_vec)), 6).alias(
+            "distance"
+        ),
     )
     w = Window.partitionBy(q_id).orderBy(
         F.col("distance").asc(), F.col(id_col).asc()

@@ -96,6 +96,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pairs_oracle() -> str:
+    # mirrors lsh_band_pairs' hot-bucket guards exactly: exact-dup groups
+    # collapse to min-id representatives (star edges), banding runs over
+    # representatives only, and each (band, bh) bucket contributes only
+    # its DEFAULT_BUCKET_CAP smallest ids to the self-join
     sh = _sql_shingles("text")
     rows = dedup.DEFAULT_HASHES // dedup.DEFAULT_BANDS
     mh = ", ".join(_sql_minhash("vs", i) for i in range(dedup.DEFAULT_HASHES))
@@ -104,18 +108,37 @@ def _lsh_pairs_oracle() -> str:
         parts = " || '|' || ".join(
             f"CAST(mh[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
         )
-        band_rows.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs")
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs"
+        )
     bands = "\nUNION ALL\n".join(band_rows)
     return f"""
-WITH sigs AS (
+WITH grp AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents
+),
+star AS (SELECT rep AS id_a, doc_id AS id_b FROM grp WHERE doc_id <> rep),
+repdocs AS (SELECT doc_id, text FROM grp WHERE doc_id = rep),
+sigs AS (
   SELECT doc_id, [{mh}] AS mh
   FROM (SELECT doc_id, {_sql_hash_pairs('sh')} AS vs
-        FROM (SELECT doc_id, {sh} AS sh FROM documents))
+        FROM (SELECT doc_id, {sh} AS sh FROM repdocs))
 ),
-bands AS ({bands})
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+bands AS ({bands}),
+capped AS (
+  SELECT doc_id, band, bh FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+    FROM bands)
+  WHERE rn <= {dedup.DEFAULT_BUCKET_CAP}
+)
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT id_a, id_b FROM star
+)
 """
 
 

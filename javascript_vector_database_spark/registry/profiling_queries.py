@@ -115,11 +115,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = dedup.lsh_band_pairs(docs)
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    # the dupe-id side is tiny (near-dup ids only) — broadcast it so the
-    # anti-join never shuffles the full corpus (SMJ otherwise, since the
-    # optimizer can't size a derived distinct)
+    # no broadcast hint: on a real crawl 30-50% of docs are near-dups and
+    # a forced broadcast of billions of ids is a driver OOM.  AQE sizes
+    # the materialized distinct at runtime and picks broadcast when (and
+    # only when) the dupe side is actually small — plan-pinned by
+    # tests/test_plans.py::test_curation_pipeline_antijoin_aqe_sized
     return (
-        docs.join(F.broadcast(dupes), "doc_id", "left_anti")
+        docs.join(dupes, "doc_id", "left_anti")
         .where(F.col("lang") == "en")
         .withColumn("quality", quality_score("text"))
         .where(F.col("quality") >= _CURATION_QUALITY_MIN)

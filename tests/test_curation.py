@@ -115,6 +115,44 @@ def test_contamination_flags_duplicates(spark):
     assert [(r["eval_id"], r["doc_id"]) for r in out] == [(100, 1)]
 
 
+def test_contamination_short_docs_dropped_both_engines(spark):
+    """Docs with < shingle_k tokens have NO k-grams: they must be dropped
+    identically on the Spark side and in the DuckDB oracle even at
+    min_shared=1 (previously masked by MIN_SHARED_SHINGLES=8 — the Spark
+    whole-text fallback and the SQL NULL-gram expression diverged)."""
+    rows = [
+        (1, "only two"),  # sub-k: must never pair, even with itself
+        (2, "alpha beta gamma delta"),
+        (100, "only two"),
+        (101, "alpha beta gamma delta epsilon"),
+    ]
+    corpus = spark.createDataFrame(
+        [r for r in rows if r[0] < 100], ["doc_id", "text"]
+    )
+    eval_df = spark.createDataFrame(
+        [r for r in rows if r[0] >= 100], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r["eval_id"], r["doc_id"], r["n_shared"])
+        for r in curation.contamination_pairs(
+            corpus, eval_df, min_shared=1
+        ).collect()
+    )
+    assert got == [(101, 2, 2)]  # the 2 shared 3-grams; doc 1/100 dropped
+    import duckdb
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE OR REPLACE VIEW short_docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    sql = curation.sql_contamination_pairs(
+        "doc_id < 100", "doc_id >= 100", table="short_docs", min_shared=1
+    )
+    assert sorted(map(tuple, duck.execute(sql).fetchall())) == got
+
+
 def test_mixture_sample_rates_and_determinism(spark, sf_oracle):
     docs = load_table(spark, sf_oracle, "documents")
     rates = {"en": 1.0, "zh": 0.0}

@@ -30,6 +30,40 @@ def test_knn_exact_is_take_ordered(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_knn_batch_partial_group_limit(spark):
+    """Batch kNN's per-query rank filter must compile to a two-phase
+    WindowGroupLimit with the Partial phase BELOW the exchange
+    (InferWindowGroupLimit): each map partition emits at most k rows per
+    query, so the shuffle carries parts x |Q| x k survivors — never the
+    full n x |Q| scored set (round-4 verdict item #1)."""
+    plan = _plan(registry.queries()["knn_batch_exact"](spark, SF))
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1 and "Partial" in plan[partial:], plan
+    # tree prints parents above children: the shuffle exchange must sit
+    # ABOVE (i.e. consume) the Partial group limit, and there must be
+    # exactly one hash exchange (the survivor merge)
+    ex = [i for i in range(len(plan)) if plan.startswith("Exchange hashpartitioning", i)]
+    assert len(ex) == 1, plan
+    partial_pos = plan.find("row_number(), 10, Partial")
+    assert partial_pos != -1, plan
+    assert ex[0] < partial_pos, plan
+
+
+def test_curation_pipeline_antijoin_aqe_sized(spark):
+    """The near-dup anti-join must NOT hard-broadcast the dupe-id side
+    (billions of ids on a real crawl = driver OOM) and must never degrade
+    to a nested-loop plan: AQE sizes the materialized distinct at runtime
+    and picks broadcast/shuffled-hash/SMJ as the data dictates."""
+    df = registry.queries()["curation_pipeline"](spark, SF)
+    df.collect()  # let AQE finalize the adaptive plan
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan
+        for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
+    ), plan
+
+
 def test_mango_range_filter_pushed_to_scan(spark):
     """Sargable Mango predicates must reach the parquet scan."""
     plan = _plan(registry.queries()["mango_range"](spark, SF))

@@ -107,6 +107,67 @@ def test_duplicate_clusters_string_ids(spark):
     assert got == {k: "a" for k in "abcde"}
 
 
+def test_lsh_hot_bucket_guard(spark):
+    """Degenerate mass-duplicated corpus (10k copies of ONE doc + a few
+    distinct docs): without the guards the (band, bh) self-join emits
+    ~10k^2/2 = 5e7 candidate pairs from a single AQE-unsplittable bucket.
+    With exact-dup collapse the 10k copies contribute exactly 9,999 star
+    edges (rep -> member) and ONE representative to banding, so the pair
+    count is linear, connectivity is intact, and the bucket cap bounds
+    any residual bucket to cap^2/2."""
+    boiler = "this exact boilerplate page body repeats verbatim across the crawl"
+    uniq = [
+        "completely distinct document number one about spark plans",
+        "another unrelated text describing adaptive query execution",
+    ]
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(10_000)]
+        + [(20_000 + j, t) for j, t in enumerate(uniq)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.lsh_band_pairs(docs).collect()
+    # linear, not quadratic: 9,999 star edges + at most cap^2/2 rep pairs
+    assert len(pairs) <= 9_999 + dedup.DEFAULT_BUCKET_CAP ** 2 // 2
+    star = [(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] < 20_000]
+    assert len(star) == 9_999  # every copy reaches the min-id rep directly
+    assert all(a == 0 for a, _ in star)
+    # connectivity: clusters over the guarded pairs still collapse the
+    # whole boilerplate group to one component labeled by the min id
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(
+            spark.createDataFrame(pairs, "id_a long, id_b long")
+        ).collect()
+    }
+    assert all(labels[i] == 0 for i in range(10_000))
+
+
+def test_lsh_bucket_cap_trims_min_ids(spark):
+    """The per-bucket cap keeps the `cap` SMALLEST ids of an oversized
+    bucket — deterministic trim, mirrored in the oracle's row_number."""
+    n = dedup.DEFAULT_BUCKET_CAP + 40
+    # distinct ids, identical text, but collapse disabled: all land in one
+    # bucket, so the cap alone must bound the pairs
+    docs = spark.createDataFrame(
+        [(i, "same text for everyone in this bucket today") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.lsh_band_pairs(docs, collapse_exact=False).collect()
+    cap = dedup.DEFAULT_BUCKET_CAP
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids == set(range(cap))  # only the cap smallest ids pair
+    assert len(pairs) == cap * (cap - 1) // 2
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    """ZERO candidate pairs (e.g. LSH finds no duplicates) must converge
+    on round 0 and return an empty frame — the Observation sum publishes
+    NULL over zero rows, which the fixpoint probe must read as 0, not
+    spin to the max_iter RuntimeError."""
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.duplicate_clusters(pairs).count() == 0
+
+
 def test_minhash_identical_docs_share_signature(spark):
     df = spark.createDataFrame(
         [
