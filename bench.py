@@ -177,10 +177,11 @@ def main() -> None:
     from javascript_vector_database_spark.operators import ann_scale as _as
     from javascript_vector_database_spark.operators import pq as pqm
 
+    # sampled (hash-order, oracle-portable) codebook — continuity metric
     pq_cb = pqm.pq_codebook(_as.collect_centroids(emb, k=pqm.PQ_K))
     pq_codes = pqm.pq_code_table(emb, pq_cb).cache()
     pq_codes.count()
-    t, pq_sets = _timed(
+    _, pq_sets = _timed(
         lambda: [
             {
                 r["vec_id"]
@@ -189,11 +190,32 @@ def main() -> None:
             for qv in qvecs
         ]
     )
-    results["pq_sec_per_query"] = t / len(qvecs)
-    results["pq_recall_at_10"] = sum(
+    results["pq_sampled_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(pq_sets, exact_sets)
     ) / len(qvecs)
     pq_codes.unpersist()
+
+    # trained (per-subspace k-means) codebook — the headline PQ metrics:
+    # training happens once at write time, so it's reported separately
+    # and excluded from the per-query cost
+    t_train, pq_cbt = _timed(lambda: pqm.pq_train_codebook(emb))
+    results["pq_train_sec"] = t_train
+    pq_codes_t = pqm.pq_code_table(emb, pq_cbt).cache()
+    pq_codes_t.count()
+    t, pq_sets_t = _timed(
+        lambda: [
+            {
+                r["vec_id"]
+                for r in pqm.pq_search_precomputed(pq_codes_t, emb, qv, pq_cbt).collect()
+            }
+            for qv in qvecs
+        ]
+    )
+    results["pq_sec_per_query"] = t / len(qvecs)
+    results["pq_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(pq_sets_t, exact_sets)
+    ) / len(qvecs)
+    pq_codes_t.unpersist()
 
     # batch kNN: all N_SEARCH_QUERIES answered in ONE job (vs the
     # sequential per-query loop above) — the amortization headline

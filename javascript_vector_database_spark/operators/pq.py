@@ -73,6 +73,62 @@ def pq_codebook(
     return [[v[s * sd : (s + 1) * sd] for v in vecs] for s in range(m)]
 
 
+def pq_train_codebook(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    train_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Trained codebook via per-subspace MLlib k-means‖ — the
+    recall-optimal PQ path (Jégou §III trains each subquantizer with
+    k-means; the hash-order sample draw of :func:`pq_codebook` is the
+    engine-portable stand-in the oracle rows keep).  Returns the same
+    ``codebook[s][j]`` shape, so it plugs straight into
+    :func:`pq_code_table` / :func:`pq_search_precomputed`.
+
+    Each subspace's centers are sorted lexicographically so j-order is
+    stable across runs.  Not oracle-checked (k-means assignment depends
+    on partitioning); the recall win over the sampled codebook is pinned
+    by pytest and reported by bench (``pq_recall_at_10`` trained vs
+    ``pq_sampled_recall_at_10``).
+
+    100 TB plan: train on a bounded sample (``train_fraction`` — k-means
+    centroids converge on a few hundred points per centroid; FAISS
+    defaults to ~256*k training points), then encode the full corpus with
+    the fixed codebook — training cost is O(sample), independent of the
+    table."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim_row = emb.select(F.size(vec_col)).first()
+    dim = int(dim_row[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    src = emb
+    if train_fraction is not None:
+        src = src.sample(fraction=train_fraction, seed=seed)
+    # one materialized pass over the (sampled) vectors feeds all M fits
+    src = src.select(F.col(vec_col).cast("array<double>").alias("__v")).cache()
+    try:
+        codebook = []
+        for s in range(m):
+            feats = src.select(
+                array_to_vector(F.slice("__v", s * sd + 1, sd)).alias("features")
+            )
+            model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(feats)
+            centers = sorted(
+                [float(x) for x in c] for c in model.clusterCenters()
+            )
+            codebook.append(centers)
+        return codebook
+    finally:
+        src.unpersist()
+
+
 def _cent_sq(cent: list[float]) -> float:
     """||c||^2 as a left-associated Python double sum (c is a literal, so
     this is a compile-time constant shared by all three engines)."""
