@@ -18,24 +18,46 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-class RxState:
-    """Op-log-backed KV state. Values are JSON-encoded strings."""
+#: ops kept before :meth:`RxState.compact` auto-runs inside ``set()`` —
+#: without it the log grows unbounded and every fold pays for dead ops
+#: (the reference's rx-state op-log has the same shape in miniature)
+DEFAULT_COMPACT_THRESHOLD = 256
 
-    def __init__(self, spark: SparkSession, path: str, writer_id: str = "driver"):
+
+class RxState:
+    """Op-log-backed KV state. Values are JSON-encoded strings.
+
+    The log is compacted (folded to one surviving op per key and
+    rewritten) automatically once it exceeds ``compact_threshold`` ops,
+    or explicitly via :meth:`compact`.  Surviving ops keep their original
+    ``op_id``/``sid``, so id monotonicity and the fold result are
+    unchanged — compaction only deletes ops that ``max_by(v, op_id)``
+    could never return."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        writer_id: str = "driver",
+        compact_threshold: int | None = DEFAULT_COMPACT_THRESHOLD,
+    ):
         self.spark = spark
         self.path = path
         self.writer_id = writer_id
+        self.compact_threshold = compact_threshold
 
     def _oplog(self):
         if not os.path.exists(self.path):
             return None
         return self.spark.read.parquet(self.path)
 
-    def _next_id(self) -> int:
+    def _log_stats(self) -> tuple[int, int]:
+        """(next op id, live op count) in one aggregate pass."""
         log = self._oplog()
         if log is None:
-            return 0
-        return int(log.agg(F.max("op_id")).first()[0]) + 1
+            return 0, 0
+        mx, n = log.agg(F.max("op_id"), F.count("*")).first()
+        return int(mx) + 1, int(n)
 
     def set(self, key: str, value) -> None:
         """Append one op doc (the reference's insert-with-retry collapses
@@ -48,11 +70,46 @@ class RxState:
         appended as the op."""
         if callable(value):
             value = value(self.get(key))
-        row = [(self._next_id(), self.writer_id, key, json.dumps(value))]
+        next_id, n_ops = self._log_stats()
+        row = [(next_id, self.writer_id, key, json.dumps(value))]
         df = self.spark.createDataFrame(
             row, "op_id long, sid string, k string, v string"
         )
         df.write.mode("append").parquet(self.path)
+        if self.compact_threshold is not None and n_ops + 1 > self.compact_threshold:
+            self.compact()
+
+    def compact(self) -> None:
+        """Fold-and-rewrite: keep only the winning op per key (the one
+        ``max_by(v, op_id)`` returns) and atomically swap the rewritten
+        log in.  Ids/sids survive, so a fold over the compacted log is
+        bit-identical to one over the full history, and ``_log_stats``
+        stays monotonic.  The surviving set is one row per key — KV state
+        is small by construction (the reference holds it in a JS object),
+        so the collect is bounded by the keyspace, not the op count."""
+        log = self._oplog()
+        if log is None:
+            return
+        survivors = (
+            log.groupBy("k")
+            .agg(
+                F.max_by(F.struct("op_id", "sid", "v"), F.col("op_id")).alias("w")
+            )
+            .select(F.col("w.op_id"), F.col("w.sid"), F.col("k"), F.col("w.v"))
+            .collect()
+        )
+        df = self.spark.createDataFrame(
+            [(int(r["op_id"]), r["sid"], r["k"], r["v"]) for r in survivors],
+            "op_id long, sid string, k string, v string",
+        )
+        tmp = self.path.rstrip("/") + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = self.path.rstrip("/") + ".compact.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def snapshot(self):
         """state = last value per key in op-id order."""
