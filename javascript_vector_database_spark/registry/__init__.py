@@ -84,6 +84,7 @@ from javascript_vector_database_spark.registry import (  # noqa: E402,F401
     multimodal_queries,
     relational,
     mango_queries,
+    ref_geometry,
 )
 from javascript_vector_database_spark.registry.vector_search import (  # noqa: E402,F401
     flagship_search,

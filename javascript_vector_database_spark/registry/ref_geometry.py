@@ -1,0 +1,100 @@
+"""Reference-geometry (384-dim) vector-search family.
+
+The reference's default embedding model emits 384-dim unit-L2 vectors
+(MiniLM, reference src/vector.ts:8-19); the driver's sf tables carry
+64-dim synthetic embeddings, so until round 5 the §1.3 compat-string
+quirk and every ANN strategy had only ever executed at toy
+dimensionality.  sentence-transformers is not installable here, so the
+reference's own precomputed-embeddings decoupling is used instead
+(src/database.ts:147-158 loads `embeddings.json` rather than embedding
+at import): ``fixtures/embeddings_384.parquet`` holds 2000 deterministic
+clustered unit-norm 384-dim vectors (tools/make_fixture_384.py), and
+this family runs the dimension-agnostic operators over it at reference
+geometry.
+
+Every query here IGNORES ``sf_dir`` and reads the committed fixture; the
+DuckDB oracles read the very same parquet via ``read_parquet``, so the
+driver's value-hash contract holds exactly as for the sf tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.functions.vector import index_nr_to_string
+from javascript_vector_database_spark.operators import knn
+from javascript_vector_database_spark.registry import QVEC_ID, register, used_pivots
+from javascript_vector_database_spark.registry.vector_search import (
+    _ann_similarity_oracle,
+    _compat_oracle,
+    _compat_range_oracle,
+    _knn_exact_oracle,
+)
+
+#: the reference's MiniLM output dimensionality (src/vector.ts:24-39)
+REFERENCE_DIM = 384
+
+FIXTURE_PATH = os.path.abspath(
+    os.path.join(
+        os.path.dirname(__file__), "..", "..", "fixtures", "embeddings_384.parquet"
+    )
+)
+
+_T = f"read_parquet('{FIXTURE_PATH}')"
+_QCTE = f"q AS (SELECT embedding AS qv FROM {_T} WHERE vec_id = {QVEC_ID})"
+
+
+def _fixture(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(FIXTURE_PATH)
+
+
+def _fixture_qvec(spark: SparkSession) -> list[float]:
+    row = (
+        _fixture(spark).where(F.col("vec_id") == QVEC_ID).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@register("knn_exact_384", oracle=_knn_exact_oracle(table=_T, qcte=_QCTE))
+def knn_exact_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 at reference dimensionality — same
+    TakeOrderedAndProject shape as `knn_exact`, 6x wider rows."""
+    return knn.exact_knn(_fixture(spark), _fixture_qvec(spark))
+
+
+@register(
+    "knn_ann_similarity_384",
+    oracle=_ann_similarity_oracle(REFERENCE_DIM, table=_T, qcte=_QCTE),
+)
+def knn_ann_similarity_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pivot bounded neighborhoods (100/side) at 384 dims: distances
+    between clustered unit vectors concentrate near sqrt(2), which is
+    exactly the regime the reference's own index operates in."""
+    qv = _fixture_qvec(spark)
+    return knn.ann_index_similarity(_fixture(spark), qv, used_pivots(len(qv)))
+
+
+@register(
+    "knn_ann_range_compat_384",
+    oracle=_compat_range_oracle(REFERENCE_DIM, table=_T, qcte=_QCTE),
+)
+def knn_ann_range_compat_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §1.3 string-key quirk at reference geometry: pivot distances
+    near 1.4 put every key in the '1x.xxxxxxxx' 10-char regime
+    (src/database.ts:223-225), so lexicographic and numeric order agree
+    within the band — the regime the reference actually ships."""
+    qv = _fixture_qvec(spark)
+    return knn.ann_index_range_compat(_fixture(spark), qv, used_pivots(len(qv)))
+
+
+@register("compat_index_string_384", oracle=_compat_oracle(REFERENCE_DIM, table=_T))
+def compat_index_string_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ECMA-262-faithful fixed-width key for every fixture row."""
+    qv = _fixture_qvec(spark)
+    src = knn.build_pivot_index(_fixture(spark), used_pivots(len(qv))[:1])
+    return src.select(
+        "vec_id", index_nr_to_string(F.col("idx0")).alias("idx0_str")
+    )

@@ -34,16 +34,22 @@ def _pivot_lits(dim: int) -> list[str]:
 # exact kNN (vectorSearchFullScan, reference src/search.ts:5-17)
 # ---------------------------------------------------------------------------
 
-_KNN_EXACT_ORACLE = f"""
-WITH {osql.QVEC_CTE}
+def _knn_exact_oracle(
+    table: str = "embeddings", qcte: str = osql.QVEC_CTE
+) -> str:
+    """``table``/``qcte`` parametrize the corpus source so the same
+    builder serves the sf tables AND the 384-dim reference-geometry
+    fixture (registry/ref_geometry.py)."""
+    return f"""
+WITH {qcte}
 SELECT vec_id, round({osql.sql_euclid('embedding', 'qv')}, 6) AS distance
-FROM embeddings, q
+FROM {table}, q
 ORDER BY distance ASC, vec_id ASC
 LIMIT 10
 """
 
 
-@register("knn_exact", oracle=_KNN_EXACT_ORACLE)
+@register("knn_exact", oracle=_knn_exact_oracle())
 def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 nearest by euclidean distance; one scan ->
     TakeOrderedAndProject."""
@@ -126,7 +132,9 @@ def knn_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ann_similarity_oracle(dim: int) -> str:
+def _ann_similarity_oracle(
+    dim: int, table: str = "embeddings", qcte: str = osql.QVEC_CTE
+) -> str:
     lits = _pivot_lits(dim)
     idx_cols = ", ".join(
         f"{osql.sql_euclid('embedding', lit)} AS idx{i}" for i, lit in enumerate(lits)
@@ -146,8 +154,8 @@ def _ann_similarity_oracle(dim: int) -> str:
         )
     union = "\nUNION\n".join(arms)
     return f"""
-WITH {osql.QVEC_CTE},
-emb AS (SELECT vec_id, embedding, qv, {idx_cols} FROM embeddings, q),
+WITH {qcte},
+emb AS (SELECT vec_id, embedding, qv, {idx_cols} FROM {table}, q),
 d AS (SELECT {d_cols} FROM q),
 cand AS ({union})
 SELECT vec_id, round({osql.sql_euclid('embedding', 'qv')}, 6) AS distance
@@ -215,14 +223,14 @@ def ann_doc_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _compat_oracle(dim: int) -> str:
+def _compat_oracle(dim: int, table: str = "embeddings") -> str:
     lit = _pivot_lits(dim)[0]
     d = osql.sql_euclid("embedding", lit)
     s = f"regexp_replace(CAST({d} * 10.0 AS VARCHAR), '\\.0$', '')"
     return f"""
 SELECT vec_id,
        rpad(substr({s}, 1, 10), 10, '0') AS idx0_str
-FROM embeddings
+FROM {table}
 """
 
 
@@ -232,7 +240,9 @@ def _sql_index_string(d_expr: str) -> str:
     return f"rpad(substr({s}, 1, 10), 10, '0')"
 
 
-def _compat_range_oracle(dim: int) -> str:
+def _compat_range_oracle(
+    dim: int, table: str = "embeddings", qcte: str = osql.QVEC_CTE
+) -> str:
     conds = []
     for lit in _pivot_lits(dim):
         d_i = osql.sql_euclid(lit, "qv")
@@ -242,9 +252,9 @@ def _compat_range_oracle(dim: int) -> str:
         conds.append(f"({e_i} > {lo} AND {e_i} < {hi})")
     cond = "\n   OR ".join(conds)
     return f"""
-WITH {osql.QVEC_CTE}
+WITH {qcte}
 SELECT vec_id, round({osql.sql_euclid('embedding', 'qv')}, 6) AS distance
-FROM embeddings, q
+FROM {table}, q
 WHERE {cond}
 ORDER BY distance ASC, vec_id ASC
 LIMIT 10
