@@ -102,37 +102,38 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # NEW this round: the curation-pass surface
-    "curation_pii_scrub", "curation_repetition_stats",
-    "curation_contamination", "curation_mixture_sample",
-    "curation_pack_sequences", "curation_chunk_dedup",
-    "curation_normalize_dedup", "curation_split_stratified",
-    "profile_cube_source_lang", "profile_pivot_lang_counts",
-    "text_bm25_batch_search",
-    # CHANGED this round: dedup table paths rewrote to explode+codegen
-    # aggregates; duplicate_clusters probe fused via observe;
-    # curation_pipeline consumes the new LSH path
-    "dedup_minhash_signatures", "dedup_lsh_pairs", "dedup_simhash",
-    "dedup_duplicate_clusters", "dedup_duplicate_clusters_star",
-    "curation_pipeline",
-    # CHANGED this round: TIMESTAMP_NTZ normalization at the scan affects
-    # every events/orders-time query; as-of orders dedup moved to max_by
-    "events_asof_join", "events_sessionize", "events_range_join",
-    "events_session_window_agg", "events_rollup_multires",
-    "events_windowed_agg", "sketch_kmv_distinct_users",
-    "changefeed_page", "state_fold_last_per_user",
-    # no driver row since r1/r2 (r3's window covered the other 50)
-    "dedup_exact_groups", "dedup_ngram_jaccard", "json_dump_roundtrip",
-    "profile_top_tokens", "profile_length_histogram",
-    "profile_sample_per_source", "multimodal_frame_sample",
-    "agg_pricing_summary", "agg_top_revenue_orders",
-    "window_top_customers_per_nation", "rollup_orders_by_status_priority",
-    "mango_eq_ne", "mango_range", "mango_in_nin", "mango_bool_combinators",
-    "mango_mod", "mango_regex", "mango_exists", "mango_elemmatch_size",
-    # NEW this round: product quantization (codes + ADC search + stored-
-    # code compressed-scan layout + the IVF-PQ composition)
-    "ann_pq_codes", "ann_pq_search", "ann_pq_search_precomputed",
-    "ann_ivfpq_search", "ann_ivfpq_search_partitioned",
+    # NEW this round (r5): the 384-dim reference-geometry family
+    "knn_exact_384", "knn_ann_similarity_384",
+    "knn_ann_range_compat_384", "compat_index_string_384",
+    # CHANGED after their r4 driver stamp: the LSH hot-bucket guards
+    # (exact collapse + bucket cap) feed lsh_pairs, the cluster queries
+    # and the curation pipeline; contamination dropped sub-k-token docs;
+    # the bulk DML delta cache changed dml/pipeline; the vector-search
+    # oracle builders were parametrized (same SQL, regenerate the stamp);
+    # knn_batch gained the pre-shuffle WindowGroupLimit shape
+    "dedup_lsh_pairs", "dedup_duplicate_clusters",
+    "dedup_duplicate_clusters_star", "curation_pipeline",
+    "curation_contamination", "knn_batch_exact", "dml_roundtrip",
+    "pipeline_roundtrip", "state_fold_last_per_user",
+    "knn_exact", "knn_ann_range", "knn_ann_similarity",
+    "knn_ann_range_compat", "compat_index_string",
+    # stalest stamps first: no driver row since r2...
+    "join_anti_missing_vectors", "join_zip_documents_embeddings",
+    "mango_count", "mango_sort_skip_limit", "point_lookup",
+    "scan_documents", "union_dedup",
+    # ...then the r3-stamped rows (unchanged-and-green; the 8 r3 text/
+    # set-op rows that don't fit the 50-window stay locally verified by
+    # the per-pytest sweep)
+    "ann_doc_reads", "ann_ivf_batch_search", "ann_ivf_cells",
+    "ann_ivf_search", "ann_ivf_search_partitioned", "ann_lsh_buckets",
+    "ann_lsh_search", "ann_lsh_search_precomputed", "ann_sq8_codes",
+    "ann_sq8_search", "ann_sq8_search_precomputed",
+    "curation_chunk_documents", "curation_split_assign",
+    "dedup_batch_vs_corpus", "dedup_cosine_pairs", "flagship_search",
+    "join_salted_skew", "knn_cosine", "multimodal_byte_stats",
+    "multimodal_decode_fake", "multimodal_resize_fake",
+    "profile_length_quantiles", "reactive_count_ivm",
+    "reactive_query_ivm", "reactive_topk_ivm",
 ]
 
 
