@@ -77,3 +77,113 @@ SELECT round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
        CAST(count(*) AS BIGINT) AS k_used
 FROM kmin
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — deterministic, engine-portable registers
+# ---------------------------------------------------------------------------
+
+#: register-index bits: m = 256 registers (~6.5% relative standard error)
+HLL_B = 8
+HLL_M = 1 << HLL_B
+#: rank field width: 13 hex chars = 52 bits of w, so rho ∈ [1, 53] and
+#: every 2^(53-rho) register contribution is an exact BIGINT
+HLL_W_BITS = 52
+#: Flajolet et al. 2007 bias constant for m >= 128
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row (hll_estimate double, hll_zero_registers bigint).
+
+    Classic HyperLogLog (Flajolet et al. 2007) with DETERMINISTIC
+    registers, same discipline as KMV: Spark's ``approx_count_distinct``
+    is HLL++ with an engine-private register layout, so its estimate can
+    never be oracle-checked; here both engines derive bucket (first 2 md5
+    hex chars) and rank (leading zeros of the next 52 bits, via the
+    shared ``length(bin(w))`` construction) identically.
+
+    Determinism details:
+
+    * register contributions are summed as EXACT integers
+      (``2^(53-rho)`` ≤ 2^52 each, total ≤ 2^61) — a double sum of mixed
+      magnitudes would be shuffle-order-dependent in the last ulp;
+    * the one remaining transcendental (``ln`` in the small-range linear
+      counting branch) is evaluated on the same (m, zero-count) integers
+      in both engines and the output is rounded to 4 decimals, absorbing
+      any cross-libm last-ulp difference.
+
+    Scale shape vs KMV: the shuffle carries at most m=256 (bucket, max)
+    rows per partition regardless of cardinality (KMV's distinct-by-hash
+    carries one row per distinct value per partition); registers merge by
+    ``max``, so the sketch is trivially mergeable across days/sources.
+    """
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(bucket.alias("b"), rho.alias("r"))
+        .groupBy("b")
+        .agg(F.max("r").alias("M"))
+    )
+    two53 = 2 ** (HLL_W_BITS + 1)
+    agg = regs.agg(
+        F.coalesce(
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(HLL_W_BITS + 1) - F.col("M")).cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("s"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("v")).cast("long")
+    total = F.col("s") + zeros * F.lit(two53)
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * float(two53)) / total
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.round(est, 4).alias("hll_estimate"),
+        zeros.alias("hll_zero_registers"),
+    )
+
+
+def sql_hll_distinct_estimate(table: str, col: str) -> str:
+    """DuckDB oracle for :func:`hll_distinct_estimate` — same buckets,
+    ranks, integer register sum, correction branch, and rounding."""
+    two53 = 2 ** (HLL_W_BITS + 1)
+    h = f"md5(CAST({col} AS VARCHAR))"
+    bucket = f"('0x' || substr({h}, 1, 2))::BIGINT"
+    w = f"('0x' || substr({h}, 3, 13))::BIGINT"
+    return f"""
+WITH regs AS (
+  SELECT {bucket} AS b,
+         max(CASE WHEN {w} = 0 THEN {HLL_W_BITS + 1}
+             ELSE {HLL_W_BITS + 1} - length(bin({w})) END) AS M
+  FROM {table}
+  GROUP BY 1
+),
+agg AS (
+  SELECT coalesce(CAST(sum(CAST(pow(2, {HLL_W_BITS + 1} - M) AS BIGINT))
+                       AS BIGINT), 0) AS s,
+         count(*) AS v
+  FROM regs
+),
+tot AS (
+  SELECT s + ({HLL_M} - v) * {two53} AS total,
+         CAST({HLL_M} - v AS BIGINT) AS zeros
+  FROM agg
+)
+SELECT round(CASE WHEN ({HLL_ALPHA * HLL_M * HLL_M * float(two53)!r} / total)
+                       <= {2.5 * HLL_M}
+                  AND zeros > 0
+             THEN {float(HLL_M)} * ln({float(HLL_M)} / zeros)
+             ELSE {HLL_ALPHA * HLL_M * HLL_M * float(two53)!r} / total END,
+             4) AS hll_estimate,
+       zeros AS hll_zero_registers
+FROM tot
+"""

@@ -102,9 +102,11 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # NEW this round (r5): the 384-dim reference-geometry family
+    # NEW this round (r5): the 384-dim reference-geometry family + the
+    # deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",
     "knn_ann_range_compat_384", "compat_index_string_384",
+    "sketch_hll_distinct_users",
     # CHANGED after their r4 driver stamp: the LSH hot-bucket guards
     # (exact collapse + bucket cap) feed lsh_pairs, the cluster queries
     # and the curation pipeline; contamination dropped sub-k-token docs;

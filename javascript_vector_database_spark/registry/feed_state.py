@@ -317,6 +317,32 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    from javascript_vector_database_spark.operators.sketch import (
+        sql_hll_distinct_estimate,
+    )
+
+    return sql_hll_distinct_estimate("events", "user_id")
+
+
+@register("sketch_hll_distinct_users", oracle=_hll_oracle())
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with deterministic md5 registers — the mergeable
+    fixed-size counterpart to KMV: the shuffle carries at most 256
+    (bucket, max-rank) rows per partition regardless of cardinality,
+    where KMV's distinct-by-hash carries one row per distinct value.
+    Both engines derive identical registers, so even this HLL estimate
+    is value-hash oracle-checked (impossible with the engine-private
+    approx_count_distinct layout)."""
+    from javascript_vector_database_spark.operators.sketch import (
+        hll_distinct_estimate,
+    )
+
+    return hll_distinct_estimate(
+        load_table(spark, sf_dir, "events"), "user_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9 reactive query (event-reduce IVM) + §2.4 incremental count
 # ---------------------------------------------------------------------------

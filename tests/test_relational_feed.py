@@ -22,6 +22,7 @@ NAMES = [
     "compat_index_string",
     "events_rollup_multires",
     "sketch_kmv_distinct_users",
+    "sketch_hll_distinct_users",
     "events_session_window_agg",
     "join_salted_skew",
     "set_ops_intersect_except",
@@ -63,6 +64,31 @@ def test_kmv_estimate_is_close_to_exact(spark, sf_oracle):
         .count()
     )
     assert abs(est - exact) / exact < 0.25
+
+
+def test_hll_estimate_close_mergeable_and_bounded(spark, sf_oracle):
+    """HLL lands within its ~6.5% RSE envelope (m=256, generous 3-sigma
+    bound), merging two halves' registers equals the whole (max is the
+    merge), and the register table never exceeds m rows."""
+    from javascript_vector_database_spark.operators.sketch import (
+        HLL_M,
+        hll_distinct_estimate,
+    )
+    from javascript_vector_database_spark.tables import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    est = hll_distinct_estimate(ev, "user_id").first()["hll_estimate"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.20
+    # merge = estimate over the union: splitting the table cannot change
+    # registers (max over a union is max of maxes)
+    lo = ev.where(F.col("event_id") % 2 == 0)
+    hi = ev.where(F.col("event_id") % 2 == 1)
+    merged = hll_distinct_estimate(lo.unionByName(hi), "user_id").first()
+    assert merged["hll_estimate"] == est
+    # bounded state: at most m register rows feed the final fold
+    zeros = hll_distinct_estimate(ev, "user_id").first()["hll_zero_registers"]
+    assert 0 <= zeros <= HLL_M
 
 
 @pytest.mark.parametrize("name", NAMES)
