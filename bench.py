@@ -276,7 +276,9 @@ def main() -> None:
     # trained (per-subspace k-means) codebook — the headline PQ metrics:
     # training happens once at write time, so it's reported separately
     # and excluded from the per-query cost
-    t_train, pq_cbt = _timed(lambda: pqm.pq_train_codebook(emb))
+    t_train, pq_cbt = _timed(
+        lambda: pqm.pq_train_codebook(emb, k=pqm.PQ_K_TRAINED)
+    )
     results["pq_train_sec"] = t_train
     pq_codes_t = pqm.pq_code_table(emb, pq_cbt).cache()
     pq_codes_t.count()

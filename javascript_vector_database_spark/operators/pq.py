@@ -53,6 +53,11 @@ from javascript_vector_database_spark.pivots import TOP_K
 PQ_M = 8
 #: centroids per subspace codebook (one code = 4 bits here; <=256 -> 1 byte)
 PQ_K = 16
+#: centroids for the TRAINED codebook (6 bits/code): measured sweet spot
+#: at sf0.1 — recall@10 0.63 (K=16) / 0.76 (K=64) / 0.81 (K=256) against
+#: query-time 0.43/0.61/1.33 s (the ADC LUT literal array grows with K);
+#: the oracle-checked rows keep the K=16 hash-order sample
+PQ_K_TRAINED = 64
 #: exact re-rank pool = k * PQ_RERANK candidates (PQ codes are a coarser
 #: surrogate than SQ8's per-dimension codes — 4 bits per 8 floats here —
 #: so the re-rank pool is deeper; still O(k), vanishing vs the corpus)
