@@ -254,6 +254,50 @@ def streaming_windowed_count(
     )
 
 
+def streaming_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    query_name: str = "sessionize_stream",
+):
+    """Watermarked streaming sessionization: ``F.session_window`` merges a
+    user's events into gap-separated sessions INCREMENTALLY — an open
+    session extends (or two sessions fuse) as events arrive, and a session
+    is emitted exactly once, when the watermark passes its close (append
+    mode).  This is the streaming flavor of the batch
+    ``events_session_window_agg`` query (registry/feed_state.py:245): same
+    gap semantics, but over an unbounded stream with state bounded by the
+    watermark — open sessions for quiet users are evicted once no on-time
+    event can extend them, which is what makes per-user session state
+    viable over a 100 TB event firehose.  Beyond-reference streaming
+    surface (SURVEY §2.9)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap),
+            F.col(user_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def streaming_dedup(
     spark: SparkSession,
     source_dir: str,

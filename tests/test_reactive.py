@@ -340,6 +340,60 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_sessionize_extends_and_finalizes(spark, tmp_path):
+    """session_window over a stream: an open session EXTENDS across
+    micro-batches (no partial emission), finalizes exactly once when the
+    watermark passes its close, and later events open a new session."""
+    import datetime as dt
+
+    from javascript_vector_database_spark.streaming.reactive import (
+        streaming_sessionize,
+    )
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "ts timestamp, user_id long"
+
+    def write(events):
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, *hm), uid) for hm, uid in events], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # user 1: events at 10:00 and 10:10 (same session, gap 30m)
+    write([((10, 0), 1), ((10, 10), 1)])
+    q = streaming_sessionize(spark, src, schema, query_name="sess_test")
+    try:
+        q.processAllAvailable()
+        # nothing finalized yet: the watermark hasn't passed 10:40
+        assert spark.sql("SELECT * FROM sess_test").count() == 0
+        # batch 2 EXTENDS the open session (10:20 < 10:10+30m) — still
+        # one session, still open
+        write([((10, 20), 1)])
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sess_test").count() == 0
+        # batch 3: 12:00 pushes the watermark past 10:50 -> the merged
+        # 3-event session [10:00, 10:50) finalizes as ONE row, and a new
+        # session opens at 12:00
+        write([((12, 0), 1)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_test").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["user_id"] == 1 and r["n_events"] == 3
+        assert r["session_start"].strftime("%H:%M") == "10:00"
+        assert r["session_end"].strftime("%H:%M") == "10:50"
+        # batch 4: advance far enough to finalize the 12:00 session too
+        write([((14, 0), 1)])
+        q.processAllAvailable()
+        got = {
+            (r["session_start"].strftime("%H:%M"), r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_test").collect()
+        }
+        assert got == {("10:00", 3), ("12:00", 1)}
+    finally:
+        q.stop()
+
+
 def test_stateful_user_stats_accumulates(spark, tmp_path):
     """applyInPandasWithState: per-key state persists across micro-batches;
     update mode re-emits only touched keys with their new running stats."""
