@@ -84,6 +84,11 @@ _SCALE_HEADLINE = [
     "ann_ivf_batch_search",
     "text_bm25_search",
     "profile_top_tokens",
+    # sketch pair at 1M events: HLL's shuffle is bounded by 256 registers
+    # while KMV's carries one row per distinct hash — the gap widens with
+    # cardinality
+    "sketch_kmv_distinct_users",
+    "sketch_hll_distinct_users",
 ]
 
 
@@ -406,6 +411,7 @@ def main() -> None:
         "knn_exact_384",
         "knn_ann_similarity_384",
         "knn_ann_range_compat_384",
+        "sketch_hll_distinct_users",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state
