@@ -187,3 +187,97 @@ SELECT round(CASE WHEN ({HLL_ALPHA * HLL_M * HLL_M * float(two53)!r} / total)
        zeros AS hll_zero_registers
 FROM tot
 """
+
+
+def hll_registers(df: DataFrame, col: str, group_cols: list[str] | None = None) -> DataFrame:
+    """The persistable sketch: (group_cols..., b, M) register rows — at
+    most m=256 per group regardless of cardinality.  This is the 100 TB
+    pattern the one-shot estimator can't give you: materialize per-day /
+    per-source register tables once at ingest, then answer any distinct
+    count over any group combination by MERGING registers (max per
+    bucket, :func:`hll_estimate_from_registers`) — no rescan of the raw
+    events, and the merge input is registers, not data."""
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    gcols = [F.col(g) for g in (group_cols or [])]
+    return (
+        df.select(*gcols, bucket.alias("b"), rho.alias("r"))
+        .groupBy(*gcols, "b")
+        .agg(F.max("r").alias("M"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold (merged) register rows into per-group estimates — the same
+    integer-sum + linear-counting math as :func:`hll_distinct_estimate`
+    (which is exactly ``hll_estimate_from_registers(hll_registers(df))``
+    for the ungrouped case).  Register tables for DIFFERENT slices merge
+    by simply unioning them and re-maxing per bucket first."""
+    gcols = [F.col(g) for g in (group_cols or [])]
+    merged = regs.groupBy(*gcols, "b").agg(F.max("M").alias("M"))
+    two53 = 2 ** (HLL_W_BITS + 1)
+    agg = merged.groupBy(*gcols).agg(
+        F.coalesce(
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(HLL_W_BITS + 1) - F.col("M")).cast("long")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("s"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("v")).cast("long")
+    total = F.col("s") + zeros * F.lit(two53)
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * float(two53)) / total
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *(group_cols or []),
+        F.round(est, 4).alias("hll_estimate"),
+        zeros.alias("hll_zero_registers"),
+    )
+
+
+def sql_hll_grouped_estimate(table: str, col: str, group_col: str) -> str:
+    """DuckDB oracle for per-group register estimates (mirror of
+    ``hll_estimate_from_registers(hll_registers(df, col, [g]), [g])``)."""
+    two53 = 2 ** (HLL_W_BITS + 1)
+    h = f"md5(CAST({col} AS VARCHAR))"
+    bucket = f"('0x' || substr({h}, 1, 2))::BIGINT"
+    w = f"('0x' || substr({h}, 3, 13))::BIGINT"
+    alpha_num = repr(HLL_ALPHA * HLL_M * HLL_M * float(two53))
+    return f"""
+WITH regs AS (
+  SELECT {group_col} AS g, {bucket} AS b,
+         max(CASE WHEN {w} = 0 THEN {HLL_W_BITS + 1}
+             ELSE {HLL_W_BITS + 1} - length(bin({w})) END) AS M
+  FROM {table}
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT g,
+         coalesce(CAST(sum(CAST(pow(2, {HLL_W_BITS + 1} - M) AS BIGINT))
+                       AS BIGINT), 0) AS s,
+         count(*) AS v
+  FROM regs
+  GROUP BY g
+),
+tot AS (
+  SELECT g, s + ({HLL_M} - v) * {two53} AS total,
+         CAST({HLL_M} - v AS BIGINT) AS zeros
+  FROM agg
+)
+SELECT g AS {group_col},
+       round(CASE WHEN ({alpha_num} / total) <= {2.5 * HLL_M} AND zeros > 0
+             THEN {float(HLL_M)} * ln({float(HLL_M)} / zeros)
+             ELSE {alpha_num} / total END, 4) AS hll_estimate,
+       zeros AS hll_zero_registers
+FROM tot
+"""

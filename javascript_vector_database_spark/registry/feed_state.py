@@ -343,6 +343,33 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_grouped_oracle() -> str:
+    from javascript_vector_database_spark.operators.sketch import (
+        sql_hll_grouped_estimate,
+    )
+
+    return sql_hll_grouped_estimate("events", "user_id", "event_type")
+
+
+@register("sketch_hll_users_by_type", oracle=_hll_grouped_oracle())
+def sketch_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimates from persistable register
+    tables — the mergeable-sketch deployment shape: materialize
+    (group, b, M) registers once at ingest (≤256 rows per group), answer
+    any later distinct-count by folding registers, never rescanning the
+    events.  Register derivation and fold are the deterministic HLL of
+    sketch_hll_distinct_users, so every per-group estimate is
+    value-hash oracle-checked."""
+    from javascript_vector_database_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"])
+    return hll_estimate_from_registers(regs, ["event_type"])
+
+
 # ---------------------------------------------------------------------------
 # §2.9 reactive query (event-reduce IVM) + §2.4 incremental count
 # ---------------------------------------------------------------------------

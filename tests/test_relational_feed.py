@@ -23,6 +23,7 @@ NAMES = [
     "events_rollup_multires",
     "sketch_kmv_distinct_users",
     "sketch_hll_distinct_users",
+    "sketch_hll_users_by_type",
     "events_session_window_agg",
     "join_salted_skew",
     "set_ops_intersect_except",
@@ -89,6 +90,30 @@ def test_hll_estimate_close_mergeable_and_bounded(spark, sf_oracle):
     # bounded state: at most m register rows feed the final fold
     zeros = hll_distinct_estimate(ev, "user_id").first()["hll_zero_registers"]
     assert 0 <= zeros <= HLL_M
+
+
+def test_hll_register_tables_compose(spark, sf_oracle):
+    """The deployment shape: per-slice register tables (here: split by
+    event_id parity, standing in for per-day tables) UNION into the same
+    estimate as a single pass over the whole table — and
+    hll_distinct_estimate == hll_estimate_from_registers(hll_registers)."""
+    from javascript_vector_database_spark.operators.sketch import (
+        hll_distinct_estimate,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from javascript_vector_database_spark.tables import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    whole = hll_distinct_estimate(ev, "user_id").first()
+    via_regs = hll_estimate_from_registers(
+        hll_registers(ev, "user_id")
+    ).first()
+    assert tuple(whole) == tuple(via_regs)
+    day1 = hll_registers(ev.where(F.col("event_id") % 2 == 0), "user_id")
+    day2 = hll_registers(ev.where(F.col("event_id") % 2 == 1), "user_id")
+    merged = hll_estimate_from_registers(day1.unionByName(day2)).first()
+    assert tuple(merged) == tuple(whole)
 
 
 @pytest.mark.parametrize("name", NAMES)
