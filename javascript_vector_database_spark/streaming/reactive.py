@@ -298,6 +298,45 @@ def streaming_sessionize(
     )
 
 
+def streaming_hll_registers(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    col: str = "user_id",
+    query_name: str = "hll_stream",
+):
+    """Live distinct-count sketch: maintain the deterministic HLL
+    registers (operators/sketch.py) as a streaming max-aggregation.
+    Stateful-agg state is BOUNDED at m=256 (bucket → max-rank) rows no
+    matter how many events flow — the streaming composition of the
+    mergeable-sketch property (max is idempotent/commutative, so
+    arbitrary micro-batch boundaries cannot change the registers).
+    Complete-mode memory sink exposes the live register table; fold it
+    with ``hll_estimate_from_registers`` for the current estimate.  A
+    100 TB firehose gets a live distinct-users dashboard with constant
+    state and no raw-event retention."""
+    from javascript_vector_database_spark.operators.sketch import HLL_W_BITS
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        stream.select(bucket.alias("b"), rho.alias("r"))
+        .groupBy("b")
+        .agg(F.max("r").alias("M"))
+    )
+    return (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def streaming_dedup(
     spark: SparkSession,
     source_dir: str,

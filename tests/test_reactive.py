@@ -340,6 +340,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The live register table after N micro-batches equals the batch
+    registers over the union of all batches (max is batch-boundary
+    invariant), so the folded live estimate equals the batch estimate —
+    and state stays bounded at m rows."""
+    from javascript_vector_database_spark.operators.sketch import (
+        HLL_M,
+        hll_distinct_estimate,
+        hll_estimate_from_registers,
+    )
+    from javascript_vector_database_spark.streaming.reactive import (
+        streaming_hll_registers,
+    )
+
+    src = str(tmp_path / "hll_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long"
+
+    def write(ids):
+        spark.createDataFrame([(i,) for i in ids], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write(range(0, 300))
+    q = streaming_hll_registers(spark, src, schema, query_name="hll_live")
+    try:
+        q.processAllAvailable()
+        write(range(200, 700))  # overlap: distinct union is 0..699
+        q.processAllAvailable()
+        live = spark.sql("SELECT * FROM hll_live")
+        assert live.count() <= HLL_M
+        est = hll_estimate_from_registers(live).first()
+        batch = hll_distinct_estimate(
+            spark.createDataFrame([(i,) for i in range(700)], schema),
+            "user_id",
+        ).first()
+        assert tuple(est) == tuple(batch)
+    finally:
+        q.stop()
+
+
 def test_streaming_sessionize_extends_and_finalizes(spark, tmp_path):
     """session_window over a stream: an open session EXTENDS across
     micro-batches (no partial emission), finalizes exactly once when the
