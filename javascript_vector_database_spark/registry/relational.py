@@ -336,3 +336,47 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+_BUCKETED_ORACLE = """
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.label) AS BIGINT) AS label_sum
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed managed tables (operators/bucketed.py):
+    both sides written ONCE bucketed+sorted on the join key, then every
+    join on that key runs with ZERO exchange below the aggregation —
+    each task zips bucket i of both sides.  Values are layout-independent
+    (same oracle as a plain join), which is the point: bucketing buys the
+    plan, not different answers.  The write is the amortized cost a
+    recurring 100 TB fact-to-fact join pays once."""
+    import re
+
+    from javascript_vector_database_spark.operators.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").split("/")[-1])
+    docs_t, emb_t = f"b_docs_{tag}", f"b_emb_{tag}"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    write_bucketed(docs, docs_t, "doc_id")
+    write_bucketed(emb, emb_t, "doc_id")
+    return (
+        colocated_join(spark, docs_t, emb_t, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").cast("bigint").alias("label_sum"),
+        )
+    )

@@ -64,6 +64,32 @@ def test_curation_pipeline_antijoin_aqe_sized(spark):
     ), plan
 
 
+def test_bucketed_join_no_exchange(spark):
+    """Two tables bucketed+sorted on the join key must join with ZERO
+    Exchange (co-located scan-side zip) — the layout that turns a
+    recurring 100 TB fact-to-fact join from the cluster's largest shuffle
+    into a scan."""
+    from javascript_vector_database_spark.operators.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    emb = load_table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    write_bucketed(docs, "b_docs_plan_t", "doc_id")
+    write_bucketed(emb, "b_emb_plan_t", "doc_id")
+    j = colocated_join(spark, "b_docs_plan_t", "b_emb_plan_t", "doc_id")
+    j.collect()
+    plan = _plan(j)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # rows equal the plain (shuffled) join — bucketing buys the plan only
+    plain = docs.join(emb, "doc_id")
+    assert j.count() == plain.count()
+
+
 def test_mango_range_filter_pushed_to_scan(spark):
     """Sargable Mango predicates must reach the parquet scan."""
     plan = _plan(registry.queries()["mango_range"](spark, SF))

@@ -27,6 +27,7 @@ NAMES = [
     "events_session_window_agg",
     "join_salted_skew",
     "set_ops_intersect_except",
+    "join_bucketed_colocated",
 ]
 
 
