@@ -185,6 +185,44 @@ class ParquetTable:
         shutil.rmtree(tmp)
         self._notify_write()
 
+    def compact(self) -> dict[str, int]:
+        """Maintenance verb — the Delta ``OPTIMIZE`` / bin-packing analog
+        for this parquet emulation.  Every partition rewrite leaves up to
+        one file per writing task in each touched bucket (32 shuffle
+        tasks → up to 32 small files per bucket per verb), and small
+        files are the classic 100 TB operational tax: open/footer
+        overhead per file on every subsequent scan.  ``compact()``
+        rewrites the table so each bucket holds ONE file: a
+        ``repartition`` on the bucket column routes every bucket to
+        exactly one task (same-task collisions are fine — partitionBy
+        still emits one file per bucket directory per task).  Values,
+        layout contract, and ``_rev`` stamps are untouched; reuses the
+        per-bucket atomic-swap machinery.  Returns
+        {files_before, files_after} for observability."""
+        self._resolve_layout()
+        if not self.exists():
+            return {"files_before": 0, "files_after": 0}
+
+        def _count_files() -> int:
+            n = 0
+            for root, _dirs, files in os.walk(self.path):
+                n += sum(f.endswith(".parquet") for f in files)
+            return n
+
+        before = _count_files()
+        if self._bucketed():
+            raw = self._raw()
+            buckets = [
+                r[0] for r in raw.select(BUCKET_COL).distinct().collect()
+            ]
+            self._replace_partitions(
+                raw.repartition(int(self.n_buckets), F.col(BUCKET_COL)),
+                buckets,
+            )
+        else:
+            self._swap_in(self.df().coalesce(1))
+        return {"files_before": before, "files_after": _count_files()}
+
     def _touched(self, keyed_df: DataFrame) -> list[int]:
         """Distinct buckets the delta's keys hash into (≤ n_buckets rows,
         bounded driver collect)."""

@@ -282,6 +282,31 @@ def test_rx_state_modifier_closure(spark, tmp_path):
     assert st.get("counter") == 20
 
 
+def test_parquet_table_compact(spark, tmp_path):
+    """compact() rewrites each bucket to one file (the OPTIMIZE analog)
+    without changing values or revision stamps."""
+    path = str(tmp_path / "t_compact")
+    t = ParquetTable(spark, path, "id", n_buckets=4)
+    t.bulk_insert(
+        spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string"),
+        lwt=1.0,
+    )
+    # several touched-partition rewrites accumulate files per bucket
+    for lwt in (2.0, 3.0, 4.0):
+        t.bulk_upsert(
+            spark.createDataFrame(
+                [(i, f"v{i}@{lwt}") for i in range(0, 40, 3)], "id long, v string"
+            ),
+            lwt=lwt,
+        )
+    before_rows = sorted(tuple(r) for r in t.df().collect())
+    stats = t.compact()
+    assert stats["files_after"] <= 4
+    assert stats["files_after"] < stats["files_before"]
+    after_rows = sorted(tuple(r) for r in t.df().collect())
+    assert after_rows == before_rows  # values AND _rev stamps identical
+
+
 def test_rx_state_compaction(spark, tmp_path):
     """Round-4 verdict item #6: the op-log must not grow unbounded.
     Auto-compaction past the threshold folds to one surviving op per key
