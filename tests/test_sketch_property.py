@@ -1,0 +1,67 @@
+"""Property test: the Spark HLL expression pipeline (md5 → conv →
+bin-length ranks → exact-integer register sum → corrected estimate)
+equals an INDEPENDENT pure-Python model of the same construction on
+arbitrary inputs — pinning the Column-expression semantics (hex parsing,
+leading-zero counts, branch selection) beyond the one oracle dataset."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from javascript_vector_database_spark.operators.sketch import (
+    HLL_ALPHA,
+    HLL_M,
+    HLL_W_BITS,
+    hll_distinct_estimate,
+)
+
+
+def _py_hll(values: list[str]) -> tuple[float, int]:
+    """Reference model, written against the ALGORITHM (Flajolet 2007),
+    not the Spark code: registers from md5 hex, integer total, linear
+    counting below 2.5m."""
+    regs: dict[int, int] = {}
+    for v in values:
+        h = hashlib.md5(v.encode()).hexdigest()
+        b = int(h[:2], 16)
+        w = int(h[2:15], 16)
+        rho = (HLL_W_BITS + 1) if w == 0 else (HLL_W_BITS + 1 - w.bit_length())
+        regs[b] = max(regs.get(b, 0), rho)
+    two53 = 2 ** (HLL_W_BITS + 1)
+    s = sum(2 ** (HLL_W_BITS + 1 - m) for m in regs.values())
+    zeros = HLL_M - len(regs)
+    total = s + zeros * two53
+    raw = (HLL_ALPHA * HLL_M * HLL_M * float(two53)) / total
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        est = float(HLL_M) * math.log(float(HLL_M) / zeros)
+    else:
+        est = raw
+    return round(est, 4), zeros
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=0,
+        max_size=300,
+    )
+)
+def test_hll_matches_python_model(spark, ids):
+    vals = [str(i) for i in ids]
+    want = _py_hll(vals) if vals else (0.0, HLL_M)
+    df = spark.createDataFrame(
+        [(v,) for v in vals] or [(None,)], "user_id string"
+    )
+    if not vals:
+        df = df.where("user_id IS NOT NULL")
+    got = hll_distinct_estimate(df, "user_id").first()
+    assert (got["hll_estimate"], got["hll_zero_registers"]) == want
