@@ -407,6 +407,8 @@ def main() -> None:
         "curation_split_stratified",
         "profile_cube_source_lang",
         "profile_pivot_lang_counts",
+        "curation_lm_quality",
+        "join_bucketed_colocated",
         # reference-geometry (384-dim fixture) family — sf-independent
         "knn_exact_384",
         "knn_ann_similarity_384",

@@ -16,6 +16,8 @@ Spark-first:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -386,3 +388,106 @@ def sql_normalize_text(expr: str) -> str:
         f"trim(regexp_replace(regexp_replace(lower({expr}), "
         f"'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality score (CCNet-style language-model filtering, with a
+# corpus-trained unigram model standing in for the external KenLM)
+# ---------------------------------------------------------------------------
+
+#: tokens in the trained vocabulary; everything else scores at the OOV
+#: floor ln(1/N).  Bounded so the model stays broadcast-sized at any
+#: corpus scale (CCNet's KenLM is likewise a fixed artifact).
+LM_VOCAB_SIZE = 1024
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = LM_VOCAB_SIZE,
+) -> DataFrame:
+    """Per-doc average token log-probability under a unigram LM trained
+    on the corpus itself — the shape of CCNet/Gopher perplexity
+    filtering (docs far below the corpus-typical score are boilerplate
+    or the wrong language; far above are repetitive).  Output:
+    (id_col, n_tokens bigint, lm_score double) with
+    ``lm_score = Σ_t count_d(t)·ln(p(t)) / n_d`` rounded to 4 decimals.
+
+    Scale shape: ONE token-stats pass (explode → count, map-side
+    combined), a top-``vocab_size`` model (broadcast-sized by
+    construction; OOV tokens take the ln(1/N) floor so the model never
+    grows with the corpus), then a broadcast join back to per-doc token
+    counts.  Determinism: the per-doc sum folds ``collect_list`` structs
+    through ``sort_array`` (token-ascending), so shuffle order can never
+    change the float result; the per-term ``ln`` is the one
+    cross-engine transcendental, absorbed by the 4-decimal round (same
+    policy as the HLL linear-counting branch, operators/sketch.py)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = spread(docs).select(F.col(id_col), F.explode(toks).alias("__t"))
+    stats = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    # N and the vocab are tiny aggregates of the stats pass
+    n_total = stats.agg(F.sum("__c")).first()[0]
+    vocab = (
+        stats.orderBy(F.col("__c").desc(), F.col("__t").asc())
+        .limit(vocab_size)
+        .select("__t", F.log(F.col("__c") / F.lit(float(n_total))).alias("__lp"))
+    )
+    dt = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__cd"))
+    oov = -math.log(float(n_total))
+    terms = dt.join(F.broadcast(vocab), "__t", "left").select(
+        F.col(id_col),
+        F.col("__t"),
+        F.col("__cd"),
+        (F.col("__cd") * F.coalesce(F.col("__lp"), F.lit(oov))).alias("__term"),
+    )
+    per_doc = terms.groupBy(id_col).agg(
+        F.sum("__cd").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__t", "__term"))),
+                lambda s: s["__term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__s"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("__s") / F.col("n_tokens"), 4).alias("lm_score"),
+    )
+
+
+def sql_unigram_lm_scores(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = LM_VOCAB_SIZE,
+) -> str:
+    """DuckDB oracle: same stats pass, same top-V model, same
+    token-ascending ordered fold (``list(x ORDER BY t)`` mirrors
+    sort_array+aggregate)."""
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    return f"""
+WITH tok AS (SELECT {id_col}, unnest({toks}) AS t FROM {table}),
+stats AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS N FROM stats),
+vocab AS (SELECT t, ln(c / N) AS lp FROM stats, tot
+          ORDER BY c DESC, t ASC LIMIT {vocab_size}),
+dt AS (SELECT {id_col}, t, count(*) AS cd FROM tok GROUP BY {id_col}, t),
+terms AS (
+  SELECT dt.{id_col}, dt.t,
+         dt.cd,
+         dt.cd * coalesce(v.lp, -ln(N)) AS term
+  FROM dt LEFT JOIN vocab v USING (t), tot
+),
+doc AS (
+  SELECT {id_col},
+         CAST(sum(cd) AS BIGINT) AS n_tokens,
+         coalesce(list_reduce(list(term ORDER BY t ASC), (x, y) -> x + y),
+                  0.0) AS s
+  FROM terms GROUP BY {id_col}
+)
+SELECT {id_col}, n_tokens, round(s / n_tokens, 4) AS lm_score FROM doc
+"""

@@ -107,7 +107,7 @@ _PRIORITY = [
     "knn_exact_384", "knn_ann_similarity_384",
     "knn_ann_range_compat_384", "compat_index_string_384",
     "sketch_hll_distinct_users", "sketch_hll_users_by_type",
-    "join_bucketed_colocated",
+    "join_bucketed_colocated", "curation_lm_quality",
     # CHANGED after their r4 driver stamp: the LSH hot-bucket guards
     # (exact collapse + bucket cap) feed lsh_pairs, the cluster queries
     # and the curation pipeline; contamination dropped sub-k-token docs;

@@ -255,3 +255,27 @@ def curation_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return stratified_split_assign(docs).select("doc_id", "source", "split")
+
+
+def _lm_quality_oracle() -> str:
+    from javascript_vector_database_spark.operators.curation import (
+        sql_unigram_lm_scores,
+    )
+
+    return sql_unigram_lm_scores("documents")
+
+
+@register("curation_lm_quality", oracle=_lm_quality_oracle())
+def curation_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering with a corpus-trained unigram
+    model standing in for the external KenLM: one token-stats pass, a
+    broadcast-sized top-V model with an OOV floor, per-doc average token
+    log-probability via a deterministic token-ascending fold.  Docs far
+    below the typical score are boilerplate/wrong-language; far above
+    are repetitive — the standard pre-training quality gate between the
+    heuristic scores (text_quality_score) and real perplexity."""
+    from javascript_vector_database_spark.operators.curation import (
+        unigram_lm_scores,
+    )
+
+    return unigram_lm_scores(load_table(spark, sf_dir, "documents"))

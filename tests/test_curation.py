@@ -20,6 +20,7 @@ CURATION_QUERIES = [
     "curation_chunk_dedup",
     "curation_normalize_dedup",
     "curation_split_stratified",
+    "curation_lm_quality",
 ]
 
 
