@@ -105,7 +105,7 @@ _PRIORITY = [
     # NEW this round (r5): the 384-dim reference-geometry family + the
     # deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",
-    "knn_ann_range_compat_384", "compat_index_string_384",
+    "knn_ann_range_compat_384", "compat_index_string_384", "ann_ivf_384",
     "sketch_hll_distinct_users", "sketch_hll_users_by_type",
     "join_bucketed_colocated", "curation_lm_quality",
     # CHANGED after their r4 driver stamp: the LSH hot-bucket guards

@@ -60,14 +60,19 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # fixed-K hash-order centroid sample — same deterministic draw as
-# ann_scale.ivf_centroids, O(1) in table size
-_IVF_CENTS_CTE = (
-    f"cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings "
-    f"ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC "
-    f"LIMIT {ann_scale.IVF_K})"
-)
+# ann_scale.ivf_centroids, O(1) in table size.  Builders take a table
+# expression so the same SQL serves the sf tables and the 384-dim
+# reference-geometry fixture (registry/ref_geometry.py).
+def _ivf_cents_cte(table: str = "embeddings") -> str:
+    return (
+        f"cents AS (SELECT vec_id AS cid, embedding AS cemb FROM {table} "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC "
+        f"LIMIT {ann_scale.IVF_K})"
+    )
 
-_IVF_ASSIGN_CTE = f"""
+
+def _ivf_assign_cte(table: str = "embeddings") -> str:
+    return f"""
 assign AS (
   SELECT vec_id, cid AS ivf_cell FROM (
     SELECT e.vec_id, c.cid,
@@ -75,9 +80,13 @@ assign AS (
              PARTITION BY e.vec_id
              ORDER BY {osql.sql_euclid('e.embedding', 'c.cemb')} ASC, c.cid ASC
            ) AS rn
-    FROM embeddings e CROSS JOIN cents c
+    FROM {table} e CROSS JOIN cents c
   ) WHERE rn = 1
 )"""
+
+
+_IVF_CENTS_CTE = _ivf_cents_cte()
+_IVF_ASSIGN_CTE = _ivf_assign_cte()
 
 _IVF_CELLS_ORACLE = f"""
 WITH {_IVF_CENTS_CTE},{_IVF_ASSIGN_CTE}
@@ -100,21 +109,27 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_SEARCH_ORACLE = f"""
-WITH {osql.QVEC_CTE},
-{_IVF_CENTS_CTE},{_IVF_ASSIGN_CTE},
+def _ivf_search_oracle(
+    table: str = "embeddings", qcte: str = osql.QVEC_CTE
+) -> str:
+    return f"""
+WITH {qcte},
+{_ivf_cents_cte(table)},{_ivf_assign_cte(table)},
 probe AS (
   SELECT cid FROM cents, q
   ORDER BY {osql.sql_euclid('cemb', 'qv')} ASC, cid ASC
   LIMIT {ann_scale.N_PROBE}
 )
 SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'qv')}, 6) AS distance
-FROM embeddings e, q
+FROM {table} e, q
 JOIN assign a ON a.vec_id = e.vec_id
 WHERE a.ivf_cell IN (SELECT cid FROM probe)
 ORDER BY distance ASC, e.vec_id ASC
 LIMIT {TOP_K}
 """
+
+
+_IVF_SEARCH_ORACLE = _ivf_search_oracle()
 
 
 @register("ann_ivf_search", oracle=_IVF_SEARCH_ORACLE)

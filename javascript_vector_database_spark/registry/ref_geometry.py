@@ -90,6 +90,26 @@ def knn_ann_range_compat_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.ann_index_range_compat(_fixture(spark), qv, used_pivots(len(qv)))
 
 
+def _ivf_384_oracle() -> str:
+    from javascript_vector_database_spark.registry.ann_scale_queries import (
+        _ivf_search_oracle,
+    )
+
+    return _ivf_search_oracle(table=_T, qcte=_QCTE)
+
+
+@register("ann_ivf_384", oracle=_ivf_384_oracle())
+def ann_ivf_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale path at reference geometry: the fixture's clustered
+    structure (semantic corpora are clustered) is exactly where coarse
+    quantization earns its keep — a cell probe prunes most of the corpus
+    while keeping the true neighbors, unlike the uniform 64-dim tables
+    where cells split neighborhoods arbitrarily."""
+    from javascript_vector_database_spark.operators import ann_scale
+
+    return ann_scale.ivf_search(_fixture(spark), _fixture_qvec(spark))
+
+
 @register("compat_index_string_384", oracle=_compat_oracle(REFERENCE_DIM, table=_T))
 def compat_index_string_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ECMA-262-faithful fixed-width key for every fixture row."""

@@ -17,6 +17,7 @@ REF_QUERIES = [
     "knn_ann_similarity_384",
     "knn_ann_range_compat_384",
     "compat_index_string_384",
+    "ann_ivf_384",
 ]
 
 
