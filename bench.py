@@ -302,6 +302,43 @@ def main() -> None:
     ) / len(qvecs)
     pq_codes_t.unpersist()
 
+    # reference-geometry (384-dim clustered fixture) IVF recall: the
+    # sampled-vs-kmeans centroid gap at the dimensionality and cluster
+    # structure the reference's model actually emits
+    from javascript_vector_database_spark.registry.ref_geometry import (
+        FIXTURE_PATH,
+    )
+
+    emb384 = spark.read.parquet(FIXTURE_PATH).cache()
+    emb384.count()
+    q384 = [
+        [float(x) for x in r["embedding"]]
+        for r in emb384.orderBy("vec_id").limit(5).collect()
+    ]
+    exact384 = [
+        {r["vec_id"] for r in knn.exact_knn(emb384, qv).collect()} for qv in q384
+    ]
+    for tag, cents in (
+        ("sampled", ann_scale.collect_centroids(emb384)),
+        ("kmeans", ann_scale.ivf_kmeans_centroids(emb384)),
+    ):
+        assigned384 = emb384.withColumn(
+            "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+        )
+        sets384 = [
+            {
+                r["vec_id"]
+                for r in ann_scale.ivf_search(
+                    assigned384, qv, cents=cents, precomputed=True
+                ).collect()
+            }
+            for qv in q384
+        ]
+        results[f"ivf384_{tag}_recall_at_10"] = sum(
+            len(a & e) / len(e) for a, e in zip(sets384, exact384)
+        ) / len(q384)
+    emb384.unpersist()
+
     # batch kNN: all N_SEARCH_QUERIES answered in ONE job (vs the
     # sequential per-query loop above) — the amortization headline
     q_df = emb.orderBy("vec_id").limit(N_SEARCH_QUERIES).select(
