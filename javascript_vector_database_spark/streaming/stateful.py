@@ -61,3 +61,82 @@ def stateful_user_stats(
         .queryName(query_name)
         .start()
     )
+
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _track_sessions(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        start_ms, end_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start_ms": [start_ms],
+                "session_end_ms": [end_ms],
+                "n_events": [n],
+            }
+        )
+        return
+    start_ms, end_ms, n = (
+        state.get if state.exists else (None, None, 0)
+    )
+    for pdf in pdfs:
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        for t in ts_ms:
+            start_ms = t if start_ms is None else min(start_ms, t)
+            end_ms = t if end_ms is None else max(end_ms, t)
+        n += len(pdf)
+    state.update((int(start_ms), int(end_ms), int(n)))
+    # close when the WATERMARK passes last-event + gap: eviction is tied
+    # to event time, so late stragglers inside the gap still extend
+    state.setTimeoutTimestamp(int(end_ms) + SESSION_GAP_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "session_start_ms": pd.Series(dtype="int64"),
+            "session_end_ms": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+        }
+    )
+
+
+def stateful_session_tracker(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    query_name: str = "session_tracker",
+):
+    """Custom-state sessionization with EXPLICIT eviction: per-user open
+    sessions live in the state store as arbitrary payload, extend on
+    every batch, and are emitted EXACTLY ONCE — by the event-time timeout
+    firing when the watermark passes last-event + gap — then removed.
+    The declarative ``session_window`` flavor (streaming/reactive.py)
+    covers plain counts; this is the §2.12 pattern for sessions carrying
+    custom accumulators (scores, paths, flags) where the built-in agg
+    can't express the transition logic.  State is bounded the same way:
+    one in-flight row per ACTIVE user, removed at close."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _track_sessions,
+            outputStructType=(
+                "user_id long, session_start_ms long, "
+                "session_end_ms long, n_events long"
+            ),
+            stateStructType="start_ms long, end_ms long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -435,6 +435,52 @@ def test_streaming_sessionize_extends_and_finalizes(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_session_tracker_closes_on_timeout(spark, tmp_path):
+    """Custom-state sessionization: the open session extends across
+    batches, is emitted exactly once when the event-time timeout fires
+    (watermark past last-event + gap), and its state is removed."""
+    import datetime as dt
+
+    from javascript_vector_database_spark.streaming.stateful import (
+        stateful_session_tracker,
+    )
+
+    src = str(tmp_path / "st_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "ts timestamp, user_id long"
+
+    def write(events):
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, *hm), uid) for hm, uid in events], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([((10, 0), 1), ((10, 10), 1)])
+    q = stateful_session_tracker(spark, src, schema, query_name="st_test")
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM st_test").count() == 0  # still open
+        # advance the watermark past 10:10 + 30m; the timeout is evaluated
+        # against the watermark of the PREVIOUS batch, so two writes
+        write([((12, 0), 2)])
+        q.processAllAvailable()
+        write([((12, 1), 2)])
+        q.processAllAvailable()
+        rows = [
+            r
+            for r in spark.sql("SELECT * FROM st_test").collect()
+            if r["user_id"] == 1
+        ]
+        assert len(rows) == 1
+        r = rows[0]
+        start = dt.datetime.fromtimestamp(r["session_start_ms"] / 1000, dt.UTC)
+        end = dt.datetime.fromtimestamp(r["session_end_ms"] / 1000, dt.UTC)
+        assert (start.hour, start.minute) == (10, 0)
+        assert (end.hour, end.minute) == (10, 10)
+        assert r["n_events"] == 2
+    finally:
+        q.stop()
+
+
 def test_stateful_user_stats_accumulates(spark, tmp_path):
     """applyInPandasWithState: per-key state persists across micro-batches;
     update mode re-emits only touched keys with their new running stats."""
