@@ -830,3 +830,113 @@ def duplicate_clusters_star(
     return members.unionByName(roots).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+# algorithm): the real rolling-hash document fingerprint
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5  # k-gram length (tokens)
+WINNOW_W = 4  # winnowing window (positions)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = WINNOW_K,
+    window_w: int = WINNOW_W,
+) -> DataFrame:
+    """Per-doc winnowing fingerprint set: hash every k-gram, slide a
+    w-position window, keep each window's MINIMUM hash; the distinct
+    minima are the fingerprints.  Guarantees of the scheme: any shared
+    run of >= w+k-1 tokens between two documents shares at least one
+    fingerprint (detection threshold), while storage is ~2/(w+1) of the
+    gram count — the partial-overlap detector that whole-document
+    hashing (functions/text.fingerprint) and MinHash (whole-doc
+    similarity) don't give.
+
+    Output: one row per (id, fp) — join-ready for shared-fingerprint
+    overlap mining, same blocked-join shape as decontamination.
+
+    Plan: the gram explode is row-local (sequence + getItem, codegen);
+    the sliding min is ONE window pass ordered by position within each
+    doc — the only shuffle is the per-doc repartition, and everything
+    is 60-bit integer arithmetic, so the oracle match is exact with no
+    float discipline needed.  Docs shorter than w full windows keep one
+    whole-doc-min fingerprint so no doc vanishes."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(_as_col(text_col))), r"\s+")
+    base = spread(df).select(F.col(id_col), toks.alias("__t"))
+    pos = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.size("__t") - shingle_k, F.lit(0)))
+    )
+    ex = base.select(id_col, "__t", pos.alias("__i"))
+    gram = F.when(
+        F.size("__t") >= shingle_k,
+        F.concat_ws(
+            " ", *[F.col("__t").getItem(F.col("__i") + j) for j in range(shingle_k)]
+        ),
+    ).otherwise(F.array_join("__t", " "))
+    h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    grams = ex.select(id_col, "__i", h.alias("__h"))
+    wf = Window.partitionBy(id_col).orderBy(F.col("__i").asc())
+    win_min = F.min("__h").over(wf.rowsBetween(0, window_w - 1))
+    max_i = F.max("__i").over(Window.partitionBy(id_col))
+    sel = (
+        grams.select(
+            id_col,
+            F.col("__i"),
+            win_min.alias("__m"),
+            max_i.alias("__mx"),
+        )
+        .where(
+            (F.col("__i") <= F.col("__mx") - (window_w - 1))
+            | ((F.col("__mx") < window_w - 1) & (F.col("__i") == 0))
+        )
+        .select(id_col, F.col("__m").alias("fp"))
+        .distinct()
+    )
+    return sel
+
+
+def sql_winnow_fingerprints(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = WINNOW_K,
+    window_w: int = WINNOW_W,
+) -> str:
+    """DuckDB oracle: same grams, same 60-bit hash, same full-window
+    sliding min and short-doc fallback."""
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(shingle_k))
+    return f"""
+WITH base AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+ex AS (
+  SELECT {id_col}, i - 1 AS i,
+         CASE WHEN len(toks) >= {shingle_k} THEN {gram}
+              ELSE array_to_string(toks, ' ') END AS g
+  FROM base,
+       LATERAL unnest(range(1, greatest(len(toks) - {shingle_k - 1}, 1) + 1))
+         AS t(i)
+),
+grams AS (
+  SELECT {id_col}, i,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM ex
+),
+sel AS (
+  SELECT {id_col}, i,
+         min(h) OVER (PARTITION BY {id_col} ORDER BY i ASC
+                      ROWS BETWEEN CURRENT ROW AND {window_w - 1} FOLLOWING)
+           AS m,
+         max(i) OVER (PARTITION BY {id_col}) AS mx
+  FROM grams
+)
+SELECT DISTINCT {id_col}, m AS fp
+FROM sel
+WHERE i <= mx - {window_w - 1} OR (mx < {window_w - 1} AND i = 0)
+"""

@@ -321,3 +321,26 @@ def text_bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= BM25_TOP)
         .select("query_id", "doc_id", "bm25")
     )
+
+
+def _winnow_oracle() -> str:
+    from javascript_vector_database_spark.operators.dedup import (
+        sql_winnow_fingerprints,
+    )
+
+    return sql_winnow_fingerprints("documents")
+
+
+@register("text_winnow_fingerprints", oracle=_winnow_oracle())
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003, the MOSS algorithm): the real
+    rolling-hash fingerprint behind plagiarism/partial-overlap detection
+    — any shared run of >= w+k-1 tokens between two docs shares a
+    fingerprint, at ~2/(w+1) of the gram storage.  Replaces the
+    whole-document bag hash (text_fingerprint) for overlap mining; pure
+    integer pipeline, so the oracle match needs no float discipline."""
+    from javascript_vector_database_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))

@@ -225,3 +225,45 @@ def test_duplicate_clusters_star_long_path(spark):
     assert len(out) == 64
     assert {r["cluster_id"] for r in out} == {0}
     assert {r["doc_id"] for r in out} == set(range(64))
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's detection guarantee: two docs sharing a token run of
+    length >= w + k - 1 (here 8) share at least one fingerprint; a doc
+    with no shared run shares none (on this non-adversarial corpus).
+    Short docs (< k tokens) still emit their whole-text fallback
+    fingerprint."""
+    from javascript_vector_database_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro words {shared} closing remarks one"),
+        (2, f"totally different opening {shared} and another tail"),
+        (3, "unrelated content with nothing in common at all here"),
+        (4, "tiny"),  # < k tokens -> whole-text fallback
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    assert len(by_doc[4]) == 1
+
+
+def test_winnow_compresses_vs_gram_count(spark, sf_oracle):
+    """Fingerprint count is a fraction of the gram count (~2/(w+1))."""
+    from javascript_vector_database_spark.operators.dedup import (
+        exploded_shingle_hashes,
+        winnow_fingerprints,
+    )
+    from javascript_vector_database_spark.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    n_fps = winnow_fingerprints(docs).count()
+    n_grams = exploded_shingle_hashes(docs, shingle_k=5).count()
+    assert 0 < n_fps < 0.7 * n_grams
