@@ -940,3 +940,88 @@ SELECT DISTINCT {id_col}, m AS fp
 FROM sel
 WHERE i <= mx - {window_w - 1} OR (mx < {window_w - 1} AND i = 0)
 """
+
+
+#: per-fingerprint contribution cap for overlap pairing — same guard as
+#: the LSH band join (DEFAULT_BUCKET_CAP): a boilerplate fingerprint in m
+#: docs would otherwise emit m^2/2 pairs from one join cell
+WINNOW_FP_CAP = 64
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    shingle_k: int = WINNOW_K,
+    window_w: int = WINNOW_W,
+    fp_cap: int | None = WINNOW_FP_CAP,
+) -> DataFrame:
+    """Partial-overlap candidate pairs: docs sharing >= ``min_shared``
+    winnowing fingerprints (id_a < id_b, with the shared count).  The
+    MOSS report shape — catches partial copies (a paragraph lifted into
+    an otherwise-different page) that whole-doc MinHash similarity
+    dilutes below threshold.
+
+    Same scale discipline as the LSH band join: the self-join key is the
+    fingerprint, and each fingerprint contributes only its ``fp_cap``
+    smallest ids (row_number rank filter, applied map-side via
+    InferWindowGroupLimit), so a boilerplate fingerprint can't emit a
+    quadratic join cell."""
+    from pyspark.sql.window import Window
+
+    fps = winnow_fingerprints(df, text_col, id_col, shingle_k, window_w)
+    if fp_cap is not None:
+        wb = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+        fps = (
+            fps.withColumn("__rn", F.row_number().over(wb))
+            .where(F.col("__rn") <= fp_cap)
+            .drop("__rn")
+        )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_winnow_overlap_pairs(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    shingle_k: int = WINNOW_K,
+    window_w: int = WINNOW_W,
+    fp_cap: int | None = WINNOW_FP_CAP,
+) -> str:
+    """DuckDB oracle: same fingerprints, same per-fp cap, same pairing."""
+    fps = sql_winnow_fingerprints(table, text_col, id_col, shingle_k, window_w)
+    cap = ""
+    if fp_cap is not None:
+        cap = f""",
+capped AS (
+  SELECT {id_col}, fp FROM (
+    SELECT {id_col}, fp,
+           row_number() OVER (PARTITION BY fp ORDER BY {id_col} ASC) AS rn
+    FROM fps
+  ) WHERE rn <= {fp_cap}
+)"""
+    src = "capped" if fp_cap is not None else "fps"
+    return f"""
+WITH fps AS ({fps}){cap}
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM {src} a JOIN {src} b
+  ON a.fp = b.fp AND a.{id_col} < b.{id_col}
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

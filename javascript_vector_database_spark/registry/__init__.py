@@ -108,7 +108,7 @@ _PRIORITY = [
     "knn_ann_range_compat_384", "compat_index_string_384", "ann_ivf_384",
     "sketch_hll_distinct_users", "sketch_hll_users_by_type",
     "join_bucketed_colocated", "curation_lm_quality",
-    "text_winnow_fingerprints",
+    "text_winnow_fingerprints", "text_winnow_overlap_pairs",
     # CHANGED after their r4 driver stamp: the LSH hot-bucket guards
     # (exact collapse + bucket cap) feed lsh_pairs, the cluster queries
     # and the curation pipeline; contamination dropped sub-k-token docs;

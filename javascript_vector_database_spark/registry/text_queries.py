@@ -344,3 +344,23 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _winnow_pairs_oracle() -> str:
+    from javascript_vector_database_spark.operators.dedup import (
+        sql_winnow_overlap_pairs,
+    )
+
+    return sql_winnow_overlap_pairs("documents")
+
+
+@register("text_winnow_overlap_pairs", oracle=_winnow_pairs_oracle())
+def text_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing >= 2 winnowing fingerprints — the MOSS partial-copy
+    report: catches a lifted paragraph that whole-doc similarity dilutes.
+    Same hot-bucket guard as the LSH band join (per-fp min-id cap)."""
+    from javascript_vector_database_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    return winnow_overlap_pairs(load_table(spark, sf_dir, "documents"))

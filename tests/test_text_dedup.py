@@ -267,3 +267,22 @@ def test_winnow_compresses_vs_gram_count(spark, sf_oracle):
     n_fps = winnow_fingerprints(docs).count()
     n_grams = exploded_shingle_hashes(docs, shingle_k=5).count()
     assert 0 < n_fps < 0.7 * n_grams
+
+
+def test_winnow_overlap_pairs_finds_partial_copy(spark):
+    """A lifted 12-token run between otherwise-different docs must
+    surface as an overlap pair; unrelated docs must not pair."""
+    from javascript_vector_database_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    run = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, f"document a starts here {run} then diverges completely xyz"),
+        (2, f"entirely other framing {run} with a different ending abc"),
+        (3, "nothing shared with the others in any region of this text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in winnow_overlap_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
