@@ -89,6 +89,10 @@ _SCALE_HEADLINE = [
     # cardinality
     "sketch_kmv_distinct_users",
     "sketch_hll_distinct_users",
+    # 10x-duplicated texts: the per-fingerprint cap is what keeps this
+    # from going quadratic on the boilerplate corpus
+    "text_winnow_overlap_pairs",
+    "curation_lm_quality",
 ]
 
 
@@ -446,6 +450,7 @@ def main() -> None:
         "profile_pivot_lang_counts",
         "curation_lm_quality",
         "join_bucketed_colocated",
+        "text_winnow_overlap_pairs",
         # reference-geometry (384-dim fixture) family — sf-independent
         "knn_exact_384",
         "knn_ann_similarity_384",
