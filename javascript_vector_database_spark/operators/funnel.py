@@ -1,0 +1,91 @@
+"""Ordered-funnel analysis over the events table (beyond-reference
+analytics surface, the Amplitude/Mixpanel-style report).
+
+``funnel_counts`` answers: how many users performed step 1, then step 2
+STRICTLY AFTER their first step 1, then step 3 strictly after that —
+the classic conversion funnel.  The earliest-completion cascade is used
+(first s1, then first s2 after it, ...), which is complete: if ANY
+strictly-ordered occurrence chain exists for a user, the greedy
+earliest chain exists too (each greedy timestamp is <= the witness's,
+so the next witness event still qualifies).
+
+Scale shape: one filtered scan per step (same source, Catalyst reuses
+the scan), each step a groupBy(user) min — map-side combined, shuffle
+carries one row per user per step, joins are user-key equi-joins the
+planner sizes (broadcast once the funnel narrows).  No window over the
+full event stream, no per-user event-list materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step int, event_type string, n_users bigint): users whose
+    earliest-completion chain reaches each step, strictly ordered."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("t"),
+    )
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, s in enumerate(steps):
+        step_ev = ev.where(F.col("t") == s)
+        if prev is None:
+            cur = step_ev.groupBy("u").agg(F.min("ts").alias(f"t{i}"))
+        else:
+            cur = (
+                step_ev.join(prev, "u")
+                .where(F.col("ts") > F.col(f"t{i - 1}"))
+                .groupBy("u")
+                .agg(F.min("ts").alias(f"t{i}"))
+            )
+        reached.append(cur)
+        prev = cur
+    rows = None
+    for i, (s, r) in enumerate(zip(steps, reached)):
+        one = r.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(i + 1).alias("step"), F.lit(s).alias("event_type"), "n_users"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+def sql_funnel_counts(
+    table: str,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB oracle: the same earliest-completion cascade."""
+    ctes = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"u0 AS (SELECT {user_col} AS u, min({ts_col}) AS t0 "
+                f"FROM {table} WHERE {type_col} = '{s}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"u{i} AS (SELECT e.{user_col} AS u, min(e.{ts_col}) AS t{i} "
+                f"FROM {table} e JOIN u{i - 1} p ON p.u = e.{user_col} "
+                f"WHERE e.{type_col} = '{s}' AND e.{ts_col} > p.t{i - 1} "
+                f"GROUP BY 1)"
+            )
+    arms = [
+        f"SELECT {i + 1} AS step, '{s}' AS event_type, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM u{i}"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)

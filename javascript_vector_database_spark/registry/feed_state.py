@@ -489,3 +489,27 @@ def reactive_count_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter, not an aggregate over the result."""
     rq = _run_reactive_script(spark, sf_dir)
     return spark.createDataFrame([(rq.count(),)], "n_results long")
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_oracle() -> str:
+    from javascript_vector_database_spark.operators.funnel import (
+        sql_funnel_counts,
+    )
+
+    return sql_funnel_counts("events", FUNNEL_STEPS)
+
+
+@register("events_funnel_counts", oracle=_funnel_oracle())
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase conversion funnel via the
+    earliest-completion cascade: per step one min-ts groupBy(user)
+    (map-side combined) joined against the previous step — no window
+    over the raw stream, shuffle carries one row per user per step."""
+    from javascript_vector_database_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    return funnel_counts(load_table(spark, sf_dir, "events"), FUNNEL_STEPS)

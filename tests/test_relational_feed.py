@@ -200,3 +200,32 @@ def test_range_join_oracle_and_plan(spark, sf_oracle):
     # the whole point: a hash equi-join on (key, bucket), not a nested loop
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_strict_ordering(spark):
+    """The cascade requires strict temporal order: a user with
+    click-before-view reaches step 1 only; out-of-order purchase does not
+    count; a complete ordered chain reaches step 3."""
+    import datetime as dt
+
+    from javascript_vector_database_spark.operators.funnel import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: full ordered chain
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # user 2: click precedes view; purchase precedes the click-after-view
+        (2, ts(0), "click"), (2, ts(1), "purchase"), (2, ts(2), "view"),
+        # user 3: view then purchase, never clicks
+        (3, ts(0), "view"), (3, ts(5), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1}
