@@ -89,3 +89,66 @@ def sql_funnel_counts(
         for i, s in enumerate(steps)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: cohort = ISO week of the user's first
+    event; for each (cohort_week, week_offset) the count of cohort users
+    active in that week.  Output: (cohort_week date, week_offset int,
+    n_users bigint).
+
+    Scale shape: first-seen is one min groupBy(user) (map-side
+    combined); per-user-week activity is a distinct over (user, week) —
+    the shuffle carries one row per user-week, never raw events; the
+    cohort join is user-key equi (broadcast once cohorts narrow).  All
+    outputs are dates and integers — oracle-exact by construction."""
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    active = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("w"),
+        )
+        .distinct()
+    )
+    return (
+        active.join(first, "u")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "u",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+def sql_retention_cohorts(
+    table: str, user_col: str = "user_id", ts_col: str = "ts"
+) -> str:
+    """DuckDB oracle: same first-seen week, same distinct user-weeks,
+    same integer offsets."""
+    return f"""
+WITH first AS (
+  SELECT {user_col} AS u,
+         CAST(date_trunc('week', min({ts_col})) AS DATE) AS cohort_week
+  FROM {table} GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT {user_col} AS u,
+         CAST(date_trunc('week', {ts_col}) AS DATE) AS w
+  FROM {table}
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.w) / 7 AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN first f USING (u)
+GROUP BY 1, 2
+"""

@@ -109,7 +109,7 @@ _PRIORITY = [
     "sketch_hll_distinct_users", "sketch_hll_users_by_type",
     "join_bucketed_colocated", "curation_lm_quality",
     "text_winnow_fingerprints", "text_winnow_overlap_pairs",
-    "events_funnel_counts",
+    "events_funnel_counts", "events_retention_cohorts",
     # CHANGED after their r4 driver stamp: the LSH hot-bucket guards
     # (exact collapse + bucket cap) feed lsh_pairs, the cluster queries
     # and the curation pipeline; contamination dropped sub-k-token docs;

@@ -513,3 +513,24 @@ def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return funnel_counts(load_table(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def _retention_oracle() -> str:
+    from javascript_vector_database_spark.operators.funnel import (
+        sql_retention_cohorts,
+    )
+
+    return sql_retention_cohorts("events")
+
+
+@register("events_retention_cohorts", oracle=_retention_oracle())
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (cohort = first-event week): the other
+    canonical event-analytics report beside the funnel.  One min-groupBy
+    for first-seen, one distinct over (user, week) — the shuffle never
+    carries raw events."""
+    from javascript_vector_database_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
