@@ -534,3 +534,44 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+_HOP_SLIDE = 900  # 15 min
+_HOP_DURATION = 3600  # 1 hour -> each event lands in 4 overlapping windows
+
+_HOPPING_ORACLE = f"""
+WITH x AS (
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {_HOP_SLIDE}) * {_HOP_SLIDE}
+                                - k * {_HOP_SLIDE} AS BIGINT)) AS TIMESTAMP)
+           AS win_start,
+         user_id
+  FROM events,
+       LATERAL unnest(range(0, {_HOP_DURATION // _HOP_SLIDE})) AS t(k)
+)
+SELECT win_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY 1
+"""
+
+
+@register("events_hopping_window_agg", oracle=_HOPPING_ORACLE)
+def events_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows — the third window flavor beside
+    tumbling (events_windowed_agg) and session
+    (events_session_window_agg): 1-hour windows every 15 minutes, so
+    each event contributes to duration/slide = 4 overlapping windows.
+    Spark's window() explodes the assignment row-locally before the
+    aggregation shuffle (map-side combine still applies); the same plan
+    runs under readStream + watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), f"{_HOP_DURATION} seconds", f"{_HOP_SLIDE} seconds").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "n_users")
+    )
