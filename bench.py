@@ -93,6 +93,10 @@ _SCALE_HEADLINE = [
     # from going quadratic on the boilerplate corpus
     "text_winnow_overlap_pairs",
     "curation_lm_quality",
+    # 6-way star join at 6M lineitem rows: broadcast dims + one shuffle
+    "agg_regional_revenue",
+    "events_funnel_counts",
+    "events_retention_cohorts",
 ]
 
 
@@ -451,6 +455,10 @@ def main() -> None:
         "curation_lm_quality",
         "join_bucketed_colocated",
         "text_winnow_overlap_pairs",
+        "agg_regional_revenue",
+        "events_funnel_counts",
+        "events_retention_cohorts",
+        "events_hopping_window_agg",
         # reference-geometry (384-dim fixture) family — sf-independent
         "knn_exact_384",
         "knn_ann_similarity_384",

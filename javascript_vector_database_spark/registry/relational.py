@@ -380,3 +380,59 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("label").cast("bigint").alias("label_sum"),
         )
     )
+
+
+@register(
+    "agg_regional_revenue",
+    oracle="""
+SELECT n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+JOIN nation n    ON n.n_nationkey = c.c_nationkey
+                AND n.n_nationkey = s.s_nationkey
+JOIN region r    ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def agg_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-way star join that exercises Catalyst's
+    join reordering and dimension broadcasting: region/nation/supplier/
+    customer are all broadcast, orders-lineitem is the only real
+    shuffle, and the region filter prunes before anything joins.  The
+    decimal-sum discipline matches agg_pricing_summary (exact decimal
+    aggregation, one final double round)."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            n,
+            (n["n_nationkey"] == c["c_nationkey"])
+            & (n["n_nationkey"] == s["s_nationkey"]),
+        )
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )

@@ -90,6 +90,17 @@ def test_bucketed_join_no_exchange(spark):
     assert j.count() == plain.count()
 
 
+def test_regional_revenue_broadcasts_dimensions(spark):
+    """The Q5-shape star join must broadcast its dimension sides (never a
+    nested loop): at 100 TB the orders-lineitem join is the only shuffle
+    this plan is allowed."""
+    df = registry.queries()["agg_regional_revenue"](spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
 def test_mango_range_filter_pushed_to_scan(spark):
     """Sargable Mango predicates must reach the parquet scan."""
     plan = _plan(registry.queries()["mango_range"](spark, SF))
