@@ -491,3 +491,86 @@ doc AS (
 )
 SELECT {id_col}, n_tokens, round(s / n_tokens, 4) AS lm_score FROM doc
 """
+
+
+#: keywords: drop terms appearing in more than this fraction of docs
+#: (corpus-adaptive stopword cut — no language-specific list needed)
+KEYWORD_MAX_DF_FRAC = 0.5
+KEYWORD_TOP_N = 5
+
+
+def keyword_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = KEYWORD_TOP_N,
+    max_df_frac: float = KEYWORD_MAX_DF_FRAC,
+) -> DataFrame:
+    """Per-doc top-``top_n`` keywords by document-frequency-normalized
+    term frequency (``tf/df`` — the tf-idf ordering without the
+    transcendental: ln-based idf ranks near-equal scores differently
+    across libms, while ``tf/df`` is one IEEE-exact division of small
+    ints, so the RANKING is bit-identical on both engines, not just the
+    rounded score).  Terms in more than ``max_df_frac`` of docs are cut
+    (corpus-adaptive stopwords).  Output: (id, term, tf, df, score).
+
+    Scale shape: tf is the (doc, term) count the repetition pass already
+    shuffles; df is a term-count aggregate of the same explode (one
+    extra skinny shuffle); the per-doc top-n is a rank filter Catalyst
+    runs map-side (InferWindowGroupLimit)."""
+    toks = word_tokens(F.col(text_col))
+    tok = spread(docs).select(F.col(id_col), F.explode(toks).alias("__t"))
+    tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    max_df = int(n_docs * max_df_frac)
+    scored = (
+        tf.join(df_, "__t")
+        .where(F.col("df") <= max_df)
+        .select(
+            F.col(id_col),
+            F.col("__t").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("tf").cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )
+
+
+def sql_keyword_terms(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = KEYWORD_TOP_N,
+    max_df_frac: float = KEYWORD_MAX_DF_FRAC,
+) -> str:
+    """DuckDB oracle — derives the doc count itself (the Spark side
+    counts the same table), so one SQL string serves every scale
+    factor."""
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    return f"""
+WITH nd AS (SELECT count(*) AS n FROM {table}),
+tok AS (SELECT {id_col}, unnest({toks}) AS t FROM {table}),
+tf AS (SELECT {id_col}, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.{id_col}, tf.t AS term,
+         CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (t), nd
+  WHERE df.df <= CAST(floor(nd.n * {max_df_frac}) AS BIGINT)
+)
+SELECT {id_col}, term, tf, df, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= {top_n}
+"""

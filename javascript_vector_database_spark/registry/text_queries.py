@@ -364,3 +364,25 @@ def text_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return winnow_overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _keywords_oracle() -> str:
+    from javascript_vector_database_spark.operators.curation import (
+        sql_keyword_terms,
+    )
+
+    return sql_keyword_terms("documents")
+
+
+@register("text_keywords", oracle=_keywords_oracle())
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 keywords by tf/df — the tf-idf ordering without the
+    transcendental (ln-based idf can rank near-equal scores differently
+    across libms; tf/df is one IEEE-exact division, so even the RANKING
+    is bit-identical cross-engine).  Corpus-adaptive stopword cut at
+    df > 50% of docs."""
+    from javascript_vector_database_spark.operators.curation import (
+        keyword_terms,
+    )
+
+    return keyword_terms(load_table(spark, sf_dir, "documents"))
