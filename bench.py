@@ -110,8 +110,13 @@ def _scaled_dir(spark, sf_dir: str, factor: int = 10) -> str:
         tempfile.gettempdir(), f"spark_graft_{base}_x{factor}"
     )
     marker = os.path.join(dst, "_DONE")
+    # cache key = the generation recipe: a stale /tmp copy built by an
+    # older _SCALE_KEYS/_SCALE_OFFSET must regenerate, not silently serve
+    sig = repr((sorted(_SCALE_KEYS.items()), _SCALE_OFFSET, factor))
     if os.path.exists(marker):
-        return dst
+        with open(marker) as f:
+            if f.read() == sig:
+                return dst
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst, exist_ok=True)
     copies = F.explode(
@@ -129,7 +134,7 @@ def _scaled_dir(spark, sf_dir: str, factor: int = 10) -> str:
             os.path.join(dst, f"{t}.parquet")
         )
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(sig)
     return dst
 
 
