@@ -28,6 +28,11 @@ NAMES = [
     "join_salted_skew",
     "set_ops_intersect_except",
     "join_bucketed_colocated",
+    "events_funnel_counts",
+    "events_retention_cohorts",
+    "events_hopping_window_agg",
+    "agg_regional_revenue",
+    "text_keywords",
 ]
 
 
