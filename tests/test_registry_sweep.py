@@ -19,7 +19,27 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 ALL_NAMES = sorted(registry.queries())
 
+#: queries whose plan INTENTIONALLY contains a BroadcastNestedLoopJoin:
+#: a broadcast crossJoin against a tiny literal/query-vector side is the
+#: right fan-out shape (the small side is bounded by construction).  Any
+#: OTHER query acquiring a BNLJ — or ANY query acquiring a non-broadcast
+#: CartesianProduct — is a 100 TB regression and fails the sweep.
+BNLJ_ALLOWED = {
+    "knn_batch_exact",  # 5-row query table broadcast against the corpus
+}
+
 
 @pytest.mark.parametrize("name", ALL_NAMES)
 def test_registry_sweep(spark, name):
     compare(spark, SF_SMOKE, registry.queries()[name], registry.oracle_sql()[name])
+    plan = (
+        registry.queries()[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name} went cartesian:\n{plan}"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} acquired a nested-loop join:\n{plan}"
+        )
