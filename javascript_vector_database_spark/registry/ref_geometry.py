@@ -72,9 +72,18 @@ def knn_exact_384(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ann_similarity_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pivot bounded neighborhoods (100/side) at 384 dims: distances
     between clustered unit vectors concentrate near sqrt(2), which is
-    exactly the regime the reference's own index operates in."""
+    exactly the regime the reference's own index operates in.
+
+    The pivot index is materialized ONCE (localCheckpoint) before the 10
+    arms read it — the write-time-index emulation the reference itself
+    uses (idx columns stored at insert, src/database.ts:195-198).
+    Without it each arm re-derives its 384-term distance projection and
+    the analyzer/codegen cost dominates (measured 3.7s -> the arms then
+    plan against a plain materialized relation)."""
     qv = _fixture_qvec(spark)
-    return knn.ann_index_similarity(_fixture(spark), qv, used_pivots(len(qv)))
+    pivots = used_pivots(len(qv))
+    indexed = knn.build_pivot_index(_fixture(spark), pivots).localCheckpoint()
+    return knn.ann_index_similarity(indexed, qv, pivots, precomputed=True)
 
 
 @register(
