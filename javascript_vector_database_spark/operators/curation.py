@@ -425,13 +425,23 @@ def unigram_lm_scores(
     policy as the HLL linear-counting branch, operators/sketch.py)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tok = spread(docs).select(F.col(id_col), F.explode(toks).alias("__t"))
-    stats = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
-    # N and the vocab are tiny aggregates of the stats pass
-    n_total = stats.agg(F.sum("__c")).first()[0]
-    vocab = (
-        stats.orderBy(F.col("__c").desc(), F.col("__t").asc())
-        .limit(vocab_size)
-        .select("__t", F.log(F.col("__c") / F.lit(float(n_total))).alias("__lp"))
+    # TRAIN once: one cached stats pass feeds both the total-count action
+    # and the top-V draw, and the model lands driver-side (bounded by
+    # vocab_size) as a local relation — so the SCORING plan below reads
+    # the corpus exactly once, with no stats-lineage recompute.  This is
+    # the write-time-artifact shape: at 100 TB the (term, logp) table
+    # would be persisted and re-broadcast, never re-derived per query.
+    stats = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c")).cache()
+    try:
+        n_total = int(stats.agg(F.sum("__c")).first()[0])
+        top = stats.orderBy(F.col("__c").desc(), F.col("__t").asc()).limit(
+            vocab_size
+        ).collect()
+    finally:
+        stats.unpersist()
+    vocab = docs.sparkSession.createDataFrame(
+        [(r["__t"], math.log(int(r["__c"]) / float(n_total))) for r in top],
+        "__t string, __lp double",
     )
     dt = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__cd"))
     oov = -math.log(float(n_total))
