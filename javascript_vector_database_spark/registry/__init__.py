@@ -111,7 +111,7 @@ _PRIORITY = [
     "text_winnow_fingerprints", "text_winnow_overlap_pairs",
     "events_funnel_counts", "events_retention_cohorts",
     "events_hopping_window_agg", "agg_regional_revenue",
-    "text_keywords",
+    "text_keywords", "events_anomaly_hours",
     # CHANGED after their r4 driver stamp: the LSH hot-bucket guards
     # (exact collapse + bucket cap) feed lsh_pairs, the cluster queries
     # and the curation pipeline; contamination dropped sub-k-token docs;

@@ -575,3 +575,79 @@ def events_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("win_start"), "n_events", "n_users")
     )
+
+
+_ANOMALY_TRAIL = 24  # trailing hours in the baseline window
+_ANOMALY_Z = 2.0
+
+_ANOMALY_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT hour, n,
+         count(*)      OVER t AS cnt,
+         sum(n)        OVER t AS s,
+         sum(n * n)    OVER t AS sq
+  FROM hourly
+  WINDOW t AS (ORDER BY hour ASC
+               ROWS BETWEEN {_ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT hour, CAST(n AS BIGINT) AS n_events,
+         CAST(s AS DOUBLE) / cnt AS mean,
+         sqrt((sq - CAST(s AS DOUBLE) * s / cnt) / (cnt - 1)) AS std
+  FROM w WHERE cnt >= 2
+)
+SELECT hour, n_events,
+       round(mean, 4) AS baseline_mean,
+       round((n_events - mean) / std, 4) AS zscore
+FROM z
+WHERE std > 0 AND abs((n_events - mean) / std) >= {_ANOMALY_Z}
+"""
+
+
+@register("events_anomaly_hours", oracle=_ANOMALY_ORACLE)
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event volume deviates >= 2 sigma from the trailing
+    24-hour baseline — windowed anomaly detection with DETERMINISTIC
+    float math: the baseline mean/std derive from integer window sums
+    (count, sum, sum of squares over hourly COUNTS), so every double op
+    is an exact-input IEEE operation both engines reproduce — no
+    order-dependent double accumulation anywhere.  One hourly pre-
+    aggregation (map-side combined) then one ordered window over ~hours
+    rows: the window input is already reduced, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = (
+        Window.orderBy(F.col("hour").asc())
+        .rowsBetween(-_ANOMALY_TRAIL, -1)
+    )
+    w = hourly.select(
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(t).alias("cnt"),
+        F.sum("n").over(t).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(t).alias("sq"),
+    ).where(F.col("cnt") >= 2)
+    mean = F.col("s").cast("double") / F.col("cnt")
+    std = F.sqrt(
+        (F.col("sq") - F.col("s").cast("double") * F.col("s") / F.col("cnt"))
+        / (F.col("cnt") - 1)
+    )
+    z = (F.col("n") - mean) / std
+    return (
+        w.select(
+            "hour",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(mean, 4).alias("baseline_mean"),
+            F.round(z, 4).alias("zscore"),
+            std.alias("__std"),
+            z.alias("__z"),
+        )
+        .where((F.col("__std") > 0) & (F.abs(F.col("__z")) >= _ANOMALY_Z))
+        .drop("__std", "__z")
+    )
