@@ -464,6 +464,8 @@ def main() -> None:
         "events_funnel_counts",
         "events_retention_cohorts",
         "events_hopping_window_agg",
+        "events_anomaly_hours",
+        "text_keywords",
         # reference-geometry (384-dim fixture) family — sf-independent
         "knn_exact_384",
         "knn_ann_similarity_384",

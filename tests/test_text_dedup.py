@@ -286,3 +286,26 @@ def test_winnow_overlap_pairs_finds_partial_copy(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in winnow_overlap_pairs(df).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_winnow_pairs_fp_cap_bounds_degenerate_corpus(spark):
+    """Mass-duplicated corpus: 5k byte-identical docs share EVERY
+    fingerprint, so an uncapped self-join would emit ~5k^2/2 pairs per
+    fingerprint.  The per-fp cap bounds the candidate set to pairs among
+    the cap smallest ids regardless of corpus duplication."""
+    from javascript_vector_database_spark.operators.dedup import (
+        WINNOW_FP_CAP,
+        winnow_overlap_pairs,
+    )
+
+    boiler = (
+        "the same boilerplate body appears verbatim on every mirrored "
+        "page of this crawl again and again with no variation at all"
+    )
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(5_000)], "doc_id long, text string"
+    )
+    pairs = winnow_overlap_pairs(docs).collect()
+    assert 0 < len(pairs) <= WINNOW_FP_CAP ** 2 // 2
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert max(ids) < WINNOW_FP_CAP  # only the min-id members pair up
