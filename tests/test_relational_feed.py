@@ -234,3 +234,31 @@ def test_funnel_strict_ordering(spark):
         for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
     }
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_retention_offsets(spark):
+    """Constructed cohort: first-seen week anchors offset 0; a return in
+    the third ISO week lands at offset 2; a second user seen only once
+    contributes only offset 0 of their own cohort."""
+    import datetime as dt
+
+    from javascript_vector_database_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10)),   # Monday, ISO week 1
+        (1, dt.datetime(2024, 1, 3, 10)),   # same week -> still offset 0
+        (1, dt.datetime(2024, 1, 15, 10)),  # two weeks later -> offset 2
+        (2, dt.datetime(2024, 1, 8, 10)),   # cohort week 2, once
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
