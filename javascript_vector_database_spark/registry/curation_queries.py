@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from javascript_vector_database_spark.operators import curation
 from javascript_vector_database_spark.registry import register
-from javascript_vector_database_spark.tables import load_table
+from javascript_vector_database_spark.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
 # PII scrub
@@ -279,3 +279,50 @@ def curation_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return unigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# per-domain cap (crawl-corpus domain balancing)
+# ---------------------------------------------------------------------------
+
+#: keep at most this many docs per source/domain
+DOMAIN_CAP = 10
+
+
+def _domain_cap_oracle() -> str:
+    from javascript_vector_database_spark.functions.text import (
+        sql_quality_score,
+    )
+
+    q = sql_quality_score("text")
+    return f"""
+SELECT doc_id, source, quality, rn FROM (
+  SELECT doc_id, source, {q} AS quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {q} DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {DOMAIN_CAP}
+"""
+
+
+@register("curation_domain_cap", oracle=_domain_cap_oracle())
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap — the crawl-balancing gate (C4/RefinedWeb keep a
+    bounded number of pages per domain so no site dominates the mix):
+    top-``DOMAIN_CAP`` docs per ``source`` by the closed-form quality
+    score, doc_id tiebreak.  The rank filter compiles to the two-phase
+    ``WindowGroupLimit`` (same shape as knn_batch_exact): each map
+    partition emits <= cap rows per domain BEFORE the exchange, so the
+    shuffle carries O(domains x cap), not the corpus."""
+    from javascript_vector_database_spark.functions.text import quality_score
+    from pyspark.sql import Window as W
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = W.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", quality_score("text").alias("quality"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= DOMAIN_CAP)
+    )

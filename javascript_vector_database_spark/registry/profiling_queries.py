@@ -340,3 +340,42 @@ def profile_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         *[F.coalesce(F.col(l), F.lit(0)).cast("long").alias(l) for l in _PIVOT_LANGS],
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt (the inverse of profile_pivot_lang_counts)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH stats AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, metric, value FROM (
+  SELECT lang, 'n_docs' AS metric, n_docs AS value FROM stats
+  UNION ALL SELECT lang, 'total_chars', total_chars FROM stats
+  UNION ALL SELECT lang, 'max_chars', max_chars FROM stats
+)
+"""
+
+
+@register("profile_unpivot_lang_stats", oracle=_UNPIVOT_ORACLE)
+def profile_unpivot_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt via ``DataFrame.unpivot`` (Spark's UNPIVOT /
+    pandas melt — the inverse of profile_pivot_lang_counts).  Unpivot is
+    an Expand projection (each input row emits one row per value column)
+    — scan-local, zero shuffle beyond the small upstream aggregate; the
+    oracle spells the same reshaping as a UNION ALL.  Value columns are
+    all BIGINT (unpivot requires one common type; counts are exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    return stats.unpivot(
+        ["lang"], ["n_docs", "total_chars", "max_chars"], "metric", "value"
+    )

@@ -436,3 +436,86 @@ def agg_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# correlated subquery + large-order HAVING (TPC-H Q17/Q18 shapes)
+# ---------------------------------------------------------------------------
+
+#: Q17/Q18 predicates use only integer-valued doubles (quantities 1..50,
+#: bounded counts), so every product/sum below 2^53 is IEEE-exact and
+#: order-independent on both engines — no decimal cast needed for the
+#: PREDICATE; output money sums keep the decimal discipline.
+_Q17_SQL = """
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly,
+       count(*) AS n_items
+FROM {li} l JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity * 5 *
+      (SELECT count(*) FROM {li} l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT sum(l2.l_quantity) FROM {li} l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register(
+    "agg_q17_small_quantity_revenue",
+    oracle=_Q17_SQL.format(li="lineitem", part="part"),
+)
+def agg_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue lost to small-quantity orders — run
+    through the SQL ENTRY POINT with two correlated scalar subqueries
+    (`l_quantity < avg(qty) per part`, expressed cross-multiplied so the
+    comparison is integer-exact: qty*5*cnt < sum).  Catalyst DECORRELATES
+    both subqueries into one aggregate + join against the per-part stats
+    (RewriteCorrelatedScalarSubquery), so the executed plan scans lineitem
+    twice and never nest-loops — the sweep's no-CartesianProduct guard
+    pins that.  The oracle is the SAME text (DuckDB decorrelates it the
+    same way), modulo view names."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(_Q17_SQL.format(li="q17_lineitem", part="q17_part"))
+
+
+@register(
+    "agg_q18_large_orders",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS o_totalprice,
+       CAST(sq.sum_qty AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) sq
+  ON sq.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): groupBy + HAVING feeds a
+    join against orders, customer rides in as a broadcast dim.  The
+    HAVING filter runs on the aggregate output BEFORE the join, so only
+    qualifying orderkeys (a few % of orders) reach the shuffle join —
+    the selective-aggregate-first ordering a 100 TB plan needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sq = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        sq.join(orders, sq["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2).alias(
+                "o_totalprice"
+            ),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )

@@ -21,6 +21,7 @@ CURATION_QUERIES = [
     "curation_normalize_dedup",
     "curation_split_stratified",
     "curation_lm_quality",
+    "curation_domain_cap",
 ]
 
 

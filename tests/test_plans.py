@@ -303,3 +303,27 @@ def test_ivfpq_partitioned_prunes_cells_and_columns(spark):
     assert [tuple(r) for r in probe.collect()] == [
         tuple(r) for r in baseline.collect()
     ]
+
+
+def test_domain_cap_partial_group_limit(spark):
+    """The per-domain cap's rank filter must compile to the two-phase
+    WindowGroupLimit (Partial below the exchange): each map partition
+    emits at most DOMAIN_CAP rows per source before the shuffle, so the
+    exchange carries O(domains x cap) rows, never the corpus."""
+    plan = _plan(registry.queries()["curation_domain_cap"](spark, SF))
+    partial_pos = plan.find("Partial")
+    assert "WindowGroupLimit" in plan and partial_pos != -1, plan
+    ex = plan.find("Exchange hashpartitioning")
+    assert ex != -1 and ex < partial_pos, plan
+
+
+def test_q17_correlated_subqueries_decorrelated(spark):
+    """Catalyst must rewrite Q17's two correlated scalar subqueries into
+    ordinary aggregate+join plans (RewriteCorrelatedScalarSubquery): the
+    executed plan contains hash/sort-merge joins only — a surviving
+    nested-loop or cartesian means per-row subquery re-execution, which
+    is quadratic at any scale."""
+    plan = _plan(registry.queries()["agg_q17_small_quantity_revenue"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan

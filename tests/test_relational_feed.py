@@ -32,6 +32,8 @@ NAMES = [
     "events_retention_cohorts",
     "events_hopping_window_agg",
     "agg_regional_revenue",
+    "agg_q17_small_quantity_revenue",
+    "agg_q18_large_orders",
     "text_keywords",
 ]
 

@@ -195,6 +195,7 @@ PROFILING_QUERIES = [
     "curation_chunk_documents",
     "curation_split_assign",
     "curation_pipeline",
+    "profile_unpivot_lang_stats",
 ]
 
 
