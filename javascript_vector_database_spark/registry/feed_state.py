@@ -651,3 +651,159 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("__std") > 0) & (F.abs(F.col("__z")) >= _ANOMALY_Z))
         .drop("__std", "__z")
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands (SCD2-style state intervals) + gap-fill/forward-fill
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+islands AS (
+  SELECT user_id, event_type AS state, CAST(run_id AS BIGINT) AS run_id,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, state, run_id, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id ASC)
+         AS valid_to,
+       n_events
+FROM islands
+"""
+
+
+@register("events_scd2_state_intervals", oracle=_SCD2_ORACLE)
+def events_scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands -> SCD2 history: collapse each user's event
+    stream into runs of the same event_type and emit one validity
+    interval per run (valid_from, valid_to = next run's start, NULL for
+    the open current state) — the slowly-changing-dimension type-2 table
+    a warehouse derives from a change stream.
+
+    Plan: the lag-flag and the running change-count ride ONE
+    (user_id)-partitioned sort (Spark reuses the exchange+sort between
+    the two windows); the island groupBy and the lead() then operate on
+    one row per RUN, not per event — so only the first window ever sees
+    raw-event volume.  ``IS DISTINCT FROM`` semantics are mirrored via
+    the null-safe equality in Spark."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("chg"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    islands = (
+        runs.groupBy("user_id", F.col("event_type").alias("state"), "run_id")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .withColumn("run_id", F.col("run_id").cast("bigint"))
+    )
+    wl = Window.partitionBy("user_id").orderBy(F.col("run_id").asc())
+    return islands.select(
+        "user_id",
+        "state",
+        "run_id",
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        "n_events",
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS hr_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+           FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT s.event_type, s.hour,
+       coalesce(h.n, 0) AS n_events,
+       last_value(h.hr_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM spine s
+LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
+"""
+
+
+@register("events_gapfill_hourly", oracle=_GAPFILL_ORACLE)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill: a dense per-type hourly spine
+    (``sequence``/``explode`` from each type's observed min/max hour —
+    built from the AGGREGATE, so no join against raw events is ever
+    needed for the spine), left-joined to the hourly rollup; missing
+    hours get count 0 and carry the last observed hourly value forward
+    via ``last(ignorenulls)``.
+
+    Scale shape: raw events are touched exactly once (the hourly
+    rollup's map-side-combined groupBy); everything after operates on
+    O(types x hours) rows.  The fill value is rounded BEFORE the fill,
+    so both engines forward identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("hr_value"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("hr_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

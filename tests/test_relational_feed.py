@@ -34,6 +34,8 @@ NAMES = [
     "agg_regional_revenue",
     "agg_q17_small_quantity_revenue",
     "agg_q18_large_orders",
+    "events_scd2_state_intervals",
+    "events_gapfill_hourly",
     "text_keywords",
 ]
 
@@ -264,3 +266,62 @@ def test_retention_offsets(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_scd2_intervals_on_constructed_stream(spark):
+    """Pin the gaps-and-islands semantics: runs collapse, intervals abut
+    (valid_to = next run's valid_from), the last run stays open, and an
+    A->B->A flip produces two separate A runs (not one merged state)."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0), 7, "a", 0.0, ""),
+        (2, dt(2024, 1, 1, 1), 7, "a", 0.0, ""),
+        (3, dt(2024, 1, 1, 2), 7, "b", 0.0, ""),
+        (4, dt(2024, 1, 1, 3), 7, "a", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = registry.queries()["events_scd2_state_intervals"](spark, d)
+        got = sorted(
+            (r["run_id"], r["state"], r["valid_from"], r["valid_to"], r["n_events"])
+            for r in out.collect()
+        )
+    assert got == [
+        (1, "a", dt(2024, 1, 1, 0), dt(2024, 1, 1, 2), 2),
+        (2, "b", dt(2024, 1, 1, 2), dt(2024, 1, 1, 3), 1),
+        (3, "a", dt(2024, 1, 1, 3), None, 1),
+    ]
+
+
+def test_gapfill_fills_holes_and_carries_value(spark):
+    """A 3-hour hole gets n_events=0 rows carrying the last observed
+    hourly value; the spine spans each type's own min..max hour."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 10), 7, "x", 2.0, ""),
+        (2, dt(2024, 1, 1, 0, 20), 7, "x", 3.0, ""),
+        (3, dt(2024, 1, 1, 4, 5), 8, "x", 5.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = registry.queries()["events_gapfill_hourly"](spark, d)
+        got = {
+            r["hour"]: (r["n_events"], r["filled_value"]) for r in out.collect()
+        }
+    assert len(got) == 5  # hours 0..4 inclusive
+    assert got[dt(2024, 1, 1, 0)] == (2, 5.0)
+    for h in (1, 2, 3):
+        assert got[dt(2024, 1, 1, h)] == (0, 5.0)  # hole, value carried
+    assert got[dt(2024, 1, 1, 4)] == (1, 5.0)
