@@ -584,3 +584,108 @@ SELECT {id_col}, term, tf, df, score FROM (
   FROM scored
 ) WHERE rn <= {top_n}
 """
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter pre-filtered decontamination
+# ---------------------------------------------------------------------------
+
+#: bloom geometry: m = 2^16 bits (1024 longs, 8 KiB), k = 2 probes via
+#: Kirsch-Mitzenmacher double hashing over the gram's md5 halves
+BLOOM_BITS_LOG2 = 16
+BLOOM_M = 1 << BLOOM_BITS_LOG2
+BLOOM_WORDS = BLOOM_M // 64
+
+
+def _bloom_positions(gram: Column) -> tuple[Column, Column]:
+    """The k=2 bit positions of a gram: v1 mod m and (v1+v2) mod m from
+    the two 32-bit md5 halves (same material as dedup.shingle_hash_pairs)."""
+    h = F.md5(gram.cast("string"))
+    v1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    v2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return v1 % BLOOM_M, (v1 + v2) % BLOOM_M
+
+
+def bloom_bitmap(grams: DataFrame, gram_col: str = "sh") -> list[int]:
+    """Build the eval-side bloom filter as BLOOM_WORDS longs.
+
+    Distributed build: each gram's two bit positions explode row-locally,
+    the per-word OR-fold is a groupBy over ≤ BLOOM_WORDS keys (map-side
+    combined), and the driver collects at most BLOOM_WORDS = 1024 rows —
+    bounded by the filter GEOMETRY, never by the eval-set size.  (This is
+    the same contract as Spark's own runtime bloom-filter join
+    [spark.sql.optimizer.runtime.bloomFilter.enabled], but deterministic
+    and engine-portable so the result stays oracle-checkable.)"""
+    p0, p1 = _bloom_positions(F.col(gram_col))
+    pos = grams.select(
+        F.explode(F.array(p0, p1)).alias("p")
+    )
+    # the PySpark shiftleft wrapper takes only a literal shift count; the
+    # SQL ShiftLeft expression takes two expressions — go through expr()
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * BLOOM_WORDS
+    for r in words:
+        bitmap[int(r["w"])] = int(r["word"])
+    return bitmap
+
+
+def bloom_contamination_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = MIN_SHARED_SHINGLES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """contamination_pairs with a bloom pre-filter on the corpus side:
+    corpus grams check 2 bits of an 8 KiB bitmap (inlined as an array
+    literal — pure codegen, rides the scan) and only survivors reach the
+    exact confirm join.  Because a bloom filter has NO false negatives,
+    the result is IDENTICAL to contamination_pairs — the oracle is the
+    same SQL.
+
+    Why it matters at 100 TB: the broadcast-hash contamination join is
+    already map-side, but when the eval side outgrows the broadcast
+    threshold (dedup against many benchmarks + held-out splits) the join
+    degrades to a full corpus-gram SHUFFLE.  The bitmap stays tiny no
+    matter how many grams it encodes (m is fixed; scale m, not the
+    plan), so the corpus side still prunes ~(1-fpr) of its grams BEFORE
+    that shuffle.  This is Spark's runtime bloom join made explicit,
+    deterministic, and cross-engine-checkable."""
+    from javascript_vector_database_spark.operators.dedup import exploded_shingles
+
+    ev = (
+        exploded_shingles(eval_df, text_col, id_col, shingle_k)
+        .select(F.col(id_col).alias("eval_id"), F.col("sh"))
+        .distinct()
+    )
+    bitmap = bloom_bitmap(ev.select("sh"))
+    lit_map = F.lit(bitmap)
+    cp = exploded_shingles(corpus, text_col, id_col, shingle_k)
+    p0, p1 = _bloom_positions(F.col("sh"))
+    probed = (
+        cp.withColumn("__p0", p0)
+        .withColumn("__p1", p1)
+        .withColumn("__w0", F.get(lit_map, (F.col("__p0") / 64).cast("int")))
+        .withColumn("__w1", F.get(lit_map, (F.col("__p1") / 64).cast("int")))
+    )
+    survivors = probed.where(
+        F.expr(
+            "(shiftright(__w0, CAST(__p0 % 64 AS INT)) & 1) = 1"
+            " AND (shiftright(__w1, CAST(__p1 % 64 AS INT)) & 1) = 1"
+        )
+    ).drop("__p0", "__p1", "__w0", "__w1")
+    return (
+        survivors.join(F.broadcast(ev), "sh")
+        .groupBy("eval_id", id_col)
+        .agg(F.count_distinct("sh").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

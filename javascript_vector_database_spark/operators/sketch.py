@@ -281,3 +281,110 @@ SELECT g AS {group_col},
        zeros AS hll_zero_registers
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — deterministic, engine-portable counters
+# ---------------------------------------------------------------------------
+
+#: depth (independent hash rows) and width (counters per row)
+CMS_D = 4
+CMS_W = 1024
+
+
+def _md5_pair(c: Column) -> tuple[Column, Column]:
+    """The two 32-bit ints of md5(value) — the same Kirsch-Mitzenmacher
+    double-hashing material as dedup.shingle_hash_pairs, so row i's hash
+    is (v1 + i*v2) mod W with no overflow (v < 2^32, i < CMS_D)."""
+    h = F.md5(c.cast("string"))
+    v1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    v2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return v1, v2
+
+
+def cms_counters(
+    items: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """The sketch itself: (i, pos, cnt) counter cells, one row per
+    OCCUPIED cell (≤ d*w rows total, absent cells are zero).
+
+    Scale shape: the d-way fan-out is a row-local explode; the only
+    shuffle is the (i, pos) groupBy whose key domain is d*w — partial
+    map-side aggregation collapses each partition to ≤ d*w rows no
+    matter how many item occurrences it holds, and two sketches built
+    from disjoint splits merge by summing cells (counters are exact
+    integer counts, so the merged sketch is bit-identical to a one-shot
+    build — same discipline as the HLL registers above)."""
+    v1, v2 = _md5_pair(F.col(col))
+    rows = items.select(
+        v1.alias("__v1"),
+        v2.alias("__v2"),
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
+    )
+    return (
+        rows.select(
+            "i", ((F.col("__v1") + F.col("i") * F.col("__v2")) % w).alias("pos")
+        )
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, queries: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Point-frequency estimates for the query values: (col, est_count).
+
+    est = min over the d rows of the addressed counters; a missing cell
+    reads as 0 (the min of anything with 0 is 0 — how an absent value
+    correctly estimates to 0).  The join is a broadcast equi-join on
+    (i, pos) — the sketch is ≤ d*w rows by construction, so probing any
+    number of queries never shuffles them."""
+    v1, v2 = _md5_pair(F.col(col))
+    qpos = queries.select(
+        F.col(col),
+        v1.alias("__v1"),
+        v2.alias("__v2"),
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
+    ).select(col, "i", ((F.col("__v1") + F.col("i") * F.col("__v2")) % w).alias("pos"))
+    return (
+        qpos.join(F.broadcast(counters), ["i", "pos"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count"))
+    )
+
+
+def sql_cms_token_freq(
+    table: str,
+    text_sql_tokens: str,
+    query_tokens: tuple[str, ...],
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> str:
+    """DuckDB oracle for the token-frequency CMS query: mirrors the full
+    build + probe + exact-comparison construction."""
+    qlist = ", ".join(f"'{t}'" for t in query_tokens)
+    v1 = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+    v2 = "('0x' || substr(md5(tok), 9, 8))::BIGINT"
+    return f"""
+WITH toks AS (SELECT unnest({text_sql_tokens}) AS tok FROM {table}),
+h AS (SELECT tok, {v1} AS v1, {v2} AS v2 FROM toks),
+cells AS (
+  SELECT k AS i, (v1 + k * v2) % {w} AS pos, CAST(count(*) AS BIGINT) AS cnt
+  FROM h, LATERAL unnest(range(0, {d})) AS t(k)
+  GROUP BY 1, 2
+),
+q AS (SELECT unnest([{qlist}]) AS tok),
+qh AS (SELECT tok, {v1} AS v1, {v2} AS v2 FROM q),
+qpos AS (SELECT tok, k AS i, (v1 + k * v2) % {w} AS pos
+         FROM qh, LATERAL unnest(range(0, {d})) AS t(k)),
+est AS (
+  SELECT qpos.tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+  FROM qpos LEFT JOIN cells c ON c.i = qpos.i AND c.pos = qpos.pos
+  GROUP BY 1
+),
+exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+          FROM toks WHERE tok IN ({qlist}) GROUP BY 1)
+SELECT est.tok, est.est_count, coalesce(exact.exact_count, 0) AS exact_count
+FROM est LEFT JOIN exact USING (tok)
+"""

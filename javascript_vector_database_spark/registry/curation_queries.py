@@ -326,3 +326,25 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= DOMAIN_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered decontamination (same oracle as the exact pass —
+# a bloom filter has no false negatives, so the results are identical)
+# ---------------------------------------------------------------------------
+
+
+@register("curation_contamination_bloom", oracle=_contamination_oracle())
+def curation_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination join behind an 8 KiB deterministic bloom
+    pre-filter: corpus grams test 2 md5-derived bits of an inlined
+    bitmap and only survivors reach the exact confirm join — the
+    explicit, engine-portable version of Spark's runtime bloom-filter
+    join, for the regime where the eval side outgrows the broadcast
+    threshold.  Oracle: the SAME SQL as curation_contamination (no false
+    negatives => identical output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    return curation.bloom_contamination_pairs(
+        docs.where(~is_eval), docs.where(is_eval)
+    )

@@ -807,3 +807,66 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("hr_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch token frequencies
+# ---------------------------------------------------------------------------
+
+#: fixed probe set: frequent corpus tokens + one guaranteed-absent token
+#: (pins the absent->0 estimate path)
+CMS_PROBE_TOKENS = (
+    "join",
+    "hash",
+    "row",
+    "batch",
+    "filter",
+    "merge",
+    "zz_absent_token",
+)
+
+
+def _cms_oracle() -> str:
+    from javascript_vector_database_spark.functions.text import (
+        sql_word_tokens,
+    )
+    from javascript_vector_database_spark.operators.sketch import (
+        sql_cms_token_freq,
+    )
+
+    return sql_cms_token_freq(
+        "documents", sql_word_tokens("text"), CMS_PROBE_TOKENS
+    )
+
+
+@register("sketch_cms_token_freq", oracle=_cms_oracle())
+def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates vs exact counts for a fixed
+    probe set: (tok, est_count, exact_count).  est >= exact always (CMS
+    only overcounts); the deterministic md5 double-hashing makes the
+    ESTIMATE itself oracle-checkable, like the KMV/HLL sketches above.
+    The sketch build touches the token stream once (d-way row-local
+    fan-out, one ≤ d*w-key shuffle with map-side partials); the probe
+    and the exact comparison counts are broadcast-joined."""
+    from javascript_vector_database_spark.functions.text import word_tokens
+    from javascript_vector_database_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+    from javascript_vector_database_spark.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(word_tokens("text")).alias("tok"))
+    counters = cms_counters(toks, "tok")
+    qdf = spark.createDataFrame([(t,) for t in CMS_PROBE_TOKENS], ["tok"])
+    est = cms_estimate(counters, qdf, "tok")
+    exact = (
+        toks.where(F.col("tok").isin(*CMS_PROBE_TOKENS))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return est.join(F.broadcast(exact), "tok", "left").select(
+        "tok",
+        "est_count",
+        F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+    )

@@ -22,6 +22,7 @@ CURATION_QUERIES = [
     "curation_split_stratified",
     "curation_lm_quality",
     "curation_domain_cap",
+    "curation_contamination_bloom",
 ]
 
 
@@ -229,3 +230,30 @@ def test_curation_gates_run_on_streams(spark, tmp_path):
     assert out[1]["n_email"] == 1 and "[EMAIL]" in out[1]["scrubbed"]
     assert out[3]["n_ipv4"] == 1 and "[IP]" in out[3]["scrubbed"]
     assert "@" not in out[1]["norm"]
+
+
+def test_bloom_contamination_equals_exact_and_prunes(spark, sf_oracle):
+    """The bloom-prefiltered pass must return EXACTLY the exact pass's
+    rows (no false negatives), and the pre-filter must actually prune
+    (survivors << corpus grams, since eval text is 1/25 of the corpus)."""
+    from javascript_vector_database_spark.operators.dedup import (
+        exploded_shingles,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    is_eval = F.col("doc_id") % 25 == 0
+    exact = curation.contamination_pairs(docs.where(~is_eval), docs.where(is_eval))
+    bloom = curation.bloom_contamination_pairs(
+        docs.where(~is_eval), docs.where(is_eval)
+    )
+    a = sorted(tuple(r) for r in exact.collect())
+    b = sorted(tuple(r) for r in bloom.collect())
+    assert a == b and len(a) > 0
+
+    ev = (
+        exploded_shingles(docs.where(is_eval)).select("sh").distinct()
+    )
+    bitmap = curation.bloom_bitmap(ev)
+    n_set = sum(bin(w & (2**64 - 1)).count("1") for w in bitmap)
+    # k=2 probes: expected FP rate = (n_set/m)^2 — must stay well under 1%
+    assert (n_set / curation.BLOOM_M) ** 2 < 0.01

@@ -24,6 +24,7 @@ NAMES = [
     "sketch_kmv_distinct_users",
     "sketch_hll_distinct_users",
     "sketch_hll_users_by_type",
+    "sketch_cms_token_freq",
     "events_session_window_agg",
     "join_salted_skew",
     "set_ops_intersect_except",

@@ -12,6 +12,7 @@ import math
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from javascript_vector_database_spark import registry
 from javascript_vector_database_spark.operators.sketch import (
     HLL_ALPHA,
     HLL_M,
@@ -65,3 +66,39 @@ def test_hll_matches_python_model(spark, ids):
         df = df.where("user_id IS NOT NULL")
     got = hll_distinct_estimate(df, "user_id").first()
     assert (got["hll_estimate"], got["hll_zero_registers"]) == want
+
+
+def test_cms_overcounts_never_undercounts(spark, sf_oracle):
+    """CMS guarantees est >= exact for every queried value, estimates 0
+    for absent values, and the registered query's columns agree."""
+    rows = registry.queries()["sketch_cms_token_freq"](spark, sf_oracle).collect()
+    assert len(rows) > 0
+    by_tok = {r["tok"]: r for r in rows}
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r
+    assert by_tok["zz_absent_token"]["est_count"] == 0
+    assert by_tok["zz_absent_token"]["exact_count"] == 0
+    # frequent tokens exist and are found
+    assert by_tok["join"]["exact_count"] > 0
+
+
+def test_cms_split_merge_is_exact(spark):
+    """Counters built from disjoint splits and summed cell-wise equal the
+    one-shot sketch bit-for-bit (exact integer counters => mergeable)."""
+    from pyspark.sql import functions as F
+
+    from javascript_vector_database_spark.operators.sketch import cms_counters
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 17}") for i in range(500)], ["i", "tok"]
+    )
+    one = {
+        (r["i"], r["pos"]): r["cnt"]
+        for r in cms_counters(df.select("tok"), "tok").collect()
+    }
+    a = cms_counters(df.where(F.col("i") % 2 == 0).select("tok"), "tok")
+    b = cms_counters(df.where(F.col("i") % 2 == 1).select("tok"), "tok")
+    merged = {}
+    for r in a.collect() + b.collect():
+        merged[(r["i"], r["pos"])] = merged.get((r["i"], r["pos"]), 0) + r["cnt"]
+    assert merged == one
