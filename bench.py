@@ -97,6 +97,13 @@ _SCALE_HEADLINE = [
     "agg_regional_revenue",
     "events_funnel_counts",
     "events_retention_cohorts",
+    # round-5 late additions: raw-event window (scd2), double lineitem
+    # scan + decorrelated join (q17), full token stream into a bounded
+    # d*w-key shuffle (cms), corpus-wide WindowGroupLimit (domain cap)
+    "events_scd2_state_intervals",
+    "agg_q17_small_quantity_revenue",
+    "sketch_cms_token_freq",
+    "curation_domain_cap",
 ]
 
 
@@ -471,6 +478,15 @@ def main() -> None:
         "knn_ann_similarity_384",
         "knn_ann_range_compat_384",
         "sketch_hll_distinct_users",
+        # round-5 late additions
+        "agg_q17_small_quantity_revenue",
+        "agg_q18_large_orders",
+        "profile_unpivot_lang_stats",
+        "curation_domain_cap",
+        "curation_contamination_bloom",
+        "sketch_cms_token_freq",
+        "events_scd2_state_intervals",
+        "events_gapfill_hourly",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state
