@@ -1,0 +1,102 @@
+"""Integer-exact PageRank over a co-occurrence graph.
+
+No reference analog (the reference has no graph surface; SURVEY §7.7
+extension class, same family as the connected-components labelers in
+operators/dedup.py).  The novelty here is determinism: textbook PageRank
+iterates double-precision rank = (1-d)/N + d * sum(rank/outdeg), and a
+distributed sum of doubles is shuffle-order-dependent in the last ulp —
+unverifiable against any oracle.  This implementation keeps every rank an
+exact BIGINT:
+
+* initial rank = RANK_SCALE (10^12) per node;
+* a node's contribution = rank DIV outdeg (integer floor division —
+  identical on any engine, no rounding mode to disagree on);
+* damping is applied in integer space: new = (15 * RANK_SCALE) DIV 100 +
+  (85 * sum(contribs)) DIV 100.
+
+Bounds: total mass never exceeds N * RANK_SCALE; with N = 10^6 nodes,
+85 * sum < 8.5e19 — beyond int64 at extreme N, so RANK_SCALE must shrink
+as N grows (scale the constant, not the plan; 10^12 is safe through
+N ~ 10^5 with huge headroom, and the precision floor is 1/RANK_SCALE).
+The DIV floor loses < 1 unit of mass per edge per round — a deliberate,
+deterministic leak that replaces the nondeterministic float residue.
+
+Scale shape: each round is one equi-join (rank onto the edge list's src)
+plus one groupBy(dst) sum with map-side partials — the standard Pregel
+round as two DataFrame ops.  The edge list is built ONCE and cached by
+the caller; rounds is a small fixed constant, so the lineage stays
+shallow (no checkpoint needed, unlike the until-fixpoint CC loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: rank 1.0 == 10^12
+RANK_SCALE = 1_000_000_000_000
+#: damping factor d = 0.85 as the integer pair (85, 100)
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE_MASS = (100 - DAMP_NUM) * RANK_SCALE // DAMP_DEN
+PAGERANK_ROUNDS = 3
+
+
+def symmetric_edges(pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct symmetric edge list from an undirected pair list."""
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def pagerank(edges: DataFrame, rounds: int = PAGERANK_ROUNDS) -> DataFrame:
+    """(node, pagerank) after ``rounds`` integer-exact power iterations.
+
+    ``edges`` must be the SYMMETRIC distinct edge list (every node then
+    has outdeg >= 1, so there is no dangling-mass term to model).  Ranks
+    are BIGINT fixed-point at RANK_SCALE; see module docstring."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(RANK_SCALE).cast("long").alias("rank")
+    )
+    withdeg = edges.join(deg, "src")
+    for _ in range(rounds):
+        contrib = withdeg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("rank DIV outdeg").alias("c"))
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit(BASE_MASS).cast("long")
+                + F.expr(f"({DAMP_NUM} * sum(c)) DIV {DAMP_DEN}")
+            ).alias("rank")
+        )
+    return ranks
+
+
+def sql_pagerank(
+    edges_cte: str, rounds: int = PAGERANK_ROUNDS
+) -> str:
+    """DuckDB oracle: the same integer iteration unrolled as CTE levels.
+    ``edges_cte`` must select (src, dst) — already symmetric+distinct.
+    DuckDB's ``//`` on BIGINTs is the same floor division as Spark's
+    ``DIV``."""
+    sql = [f"WITH edges AS ({edges_cte}),"]
+    sql.append(
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src),"
+    )
+    sql.append(
+        f"r0 AS (SELECT src AS node, CAST({RANK_SCALE} AS BIGINT) AS rank"
+        " FROM deg),"
+    )
+    for i in range(rounds):
+        sql.append(
+            f"r{i + 1} AS (SELECT e.dst AS node, "
+            f"CAST({BASE_MASS} + ({DAMP_NUM} * sum(r.rank // d.outdeg))"
+            f" // {DAMP_DEN} AS BIGINT) AS rank "
+            f"FROM edges e JOIN r{i} r ON r.node = e.src "
+            "JOIN deg d ON d.src = e.src "
+            "GROUP BY e.dst),"
+        )
+    body = "\n".join(sql).rstrip(",")
+    return f"{body}\nSELECT node, rank AS pagerank FROM r{rounds}"

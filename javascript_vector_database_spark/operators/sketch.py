@@ -388,3 +388,114 @@ exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
 SELECT est.tok, est.est_count, coalesce(exact.exact_count, 0) AS exact_count
 FROM est LEFT JOIN exact USING (tok)
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram quantile sketch — mergeable, deterministic
+# ---------------------------------------------------------------------------
+
+#: bin width for the n_chars quantile sketch
+HIST_Q_BIN = 25
+#: probe quantiles as exact fractions (num, den) — never float literals,
+#: so the rank thresholds stay integer-exact on both engines
+HIST_Q_PROBES = ((1, 2), (9, 10), (99, 100))
+
+
+def histogram_quantiles(
+    df: DataFrame, col: str, bin_width: int = HIST_Q_BIN
+) -> DataFrame:
+    """(q, bin_lo, est) quantile estimates from a fixed-bin histogram.
+
+    The sketch is the (bin, cnt) histogram — bounded by the value RANGE
+    (not the row count), mergeable by summing bins (exact integer
+    counts, same discipline as the CMS/HLL sketches), and a one-shuffle
+    build with map-side partials.  Quantile lookup happens on the tiny
+    sketch: a running-count window locates the covering bin with the
+    INTEGER comparison cum*den >= total*num (no float rank), then one
+    linear interpolation inside the bin — the only float math, identical
+    single-expression IEEE ops on both engines, rounded to 4dp.
+
+    vs percentile_approx: Spark's KLL/GK internals are engine-private;
+    this estimate is value-checkable in DuckDB, and the fixed-bin layout
+    is what a 100 TB profile actually persists (per-split histograms
+    merged later)."""
+    from pyspark.sql.window import Window
+
+    hist = (
+        df.select(
+            ((F.col(col) / bin_width).cast("long") * bin_width).alias("bin_lo")
+        )
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("bin_lo").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin_lo",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bin_lo").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    outs = []
+    for num, den in HIST_Q_PROBES:
+        cand = (
+            cum.where(F.col("cum") * den >= F.col("total") * num)
+            .orderBy(F.col("bin_lo").asc())
+            .limit(1)
+        )
+        outs.append(
+            cand.select(
+                F.lit(f"{num}/{den}").alias("q"),
+                "bin_lo",
+                F.round(
+                    F.col("bin_lo")
+                    + bin_width
+                    * (
+                        (F.col("total") * num / F.lit(float(den)))
+                        - (F.col("cum") - F.col("cnt"))
+                    )
+                    / F.col("cnt"),
+                    4,
+                ).alias("est"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_histogram_quantiles(
+    table: str, col: str, bin_width: int = HIST_Q_BIN
+) -> str:
+    """DuckDB oracle mirroring :func:`histogram_quantiles` exactly."""
+    probes = []
+    for num, den in HIST_Q_PROBES:
+        probes.append(
+            f"""
+SELECT '{num}/{den}' AS q, bin_lo,
+       round(bin_lo + {bin_width} *
+             ((total * {num} / {float(den)}) - (cum - cnt)) / cnt, 4) AS est
+FROM (SELECT bin_lo, cnt, cum, total FROM cum
+      WHERE cum * {den} >= total * {num}
+      ORDER BY bin_lo ASC LIMIT 1)"""
+        )
+    body = "\nUNION ALL".join(probes)
+    return f"""
+WITH hist AS (
+  SELECT CAST(({col} // {bin_width}) * {bin_width} AS BIGINT) AS bin_lo,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM {table} GROUP BY 1
+),
+cum AS (
+  SELECT bin_lo, cnt,
+         sum(cnt) OVER (ORDER BY bin_lo ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS total
+  FROM hist
+)
+{body}
+"""

@@ -870,3 +870,28 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
     )
+
+
+def _hist_q_oracle() -> str:
+    from javascript_vector_database_spark.operators.sketch import (
+        sql_histogram_quantiles,
+    )
+
+    return sql_histogram_quantiles("documents", "n_chars")
+
+
+@register("sketch_histogram_quantiles", oracle=_hist_q_oracle())
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates (p50/p90/p99 of document length) from a
+    mergeable fixed-bin histogram sketch — the persistable counterpart
+    of the exact profile_length_quantiles: bins merge across splits by
+    integer addition, the estimate is located by an integer rank
+    comparison and one deterministic interpolation (see
+    operators/sketch.py)."""
+    from javascript_vector_database_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "documents"), "n_chars"
+    )

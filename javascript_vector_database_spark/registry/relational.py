@@ -519,3 +519,51 @@ def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_qty").cast("double").alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# integer-exact PageRank over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES_SQL = """
+SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    from javascript_vector_database_spark.operators.graph import sql_pagerank
+
+    return sql_pagerank(_COPURCHASE_EDGES_SQL)
+
+
+@register("graph_pagerank_copurchase", oracle=_pagerank_oracle())
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts sharing an order
+    are linked — the association graph a recommender mines), 3 integer-
+    exact power iterations (operators/graph.py: BIGINT fixed-point ranks,
+    DIV floor division — deterministic where float PageRank is shuffle-
+    order-dependent).
+
+    Scale shape: the edge build is a self-equi-join on l_orderkey whose
+    per-order fan-out is bounded by order SIZE (groups of ~4, never a
+    hot-key blowup); each round is one join + one map-side-combined sum
+    on the edge list, the standard Pregel round.  The edge list is
+    cached across the 3 rounds (it feeds every one)."""
+    from javascript_vector_database_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .cache()
+    )
+    try:
+        return pagerank(edges).select("node", F.col("rank").alias("pagerank"))
+    finally:
+        pass  # cache released with the session; rounds all reuse it

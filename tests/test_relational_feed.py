@@ -25,6 +25,7 @@ NAMES = [
     "sketch_hll_distinct_users",
     "sketch_hll_users_by_type",
     "sketch_cms_token_freq",
+    "sketch_histogram_quantiles",
     "events_session_window_agg",
     "join_salted_skew",
     "set_ops_intersect_except",
@@ -37,6 +38,7 @@ NAMES = [
     "agg_q18_large_orders",
     "events_scd2_state_intervals",
     "events_gapfill_hourly",
+    "graph_pagerank_copurchase",
     "text_keywords",
 ]
 
@@ -326,3 +328,37 @@ def test_gapfill_fills_holes_and_carries_value(spark):
     for h in (1, 2, 3):
         assert got[dt(2024, 1, 1, h)] == (0, 5.0)  # hole, value carried
     assert got[dt(2024, 1, 1, 4)] == (1, 5.0)
+
+
+def test_integer_pagerank_matches_local_model(spark):
+    """Pin the integer fixed-point iteration on a 3-node path graph
+    against a pure-Python model of the same formula (rank DIV outdeg,
+    85/100 damping in integer space)."""
+    from javascript_vector_database_spark.operators.graph import (
+        BASE_MASS,
+        DAMP_DEN,
+        DAMP_NUM,
+        PAGERANK_ROUNDS,
+        RANK_SCALE,
+        pagerank,
+        symmetric_edges,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    edges = symmetric_edges(pairs)
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+
+    adj = {1: [2], 2: [1, 3], 3: [2]}
+    rank = {n: RANK_SCALE for n in adj}
+    for _ in range(PAGERANK_ROUNDS):
+        contrib = {n: 0 for n in adj}
+        for src, dsts in adj.items():
+            for d in dsts:
+                contrib[d] += rank[src] // len(adj[src])
+        rank = {
+            n: BASE_MASS + (DAMP_NUM * c) // DAMP_DEN
+            for n, c in contrib.items()
+        }
+    assert got == rank
+    # the middle node of a path must outrank the endpoints
+    assert got[2] > got[1] == got[3]

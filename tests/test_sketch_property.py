@@ -102,3 +102,28 @@ def test_cms_split_merge_is_exact(spark):
     for r in a.collect() + b.collect():
         merged[(r["i"], r["pos"])] = merged.get((r["i"], r["pos"]), 0) + r["cnt"]
     assert merged == one
+
+
+def test_histogram_sketch_merges_and_brackets(spark, sf_oracle):
+    """Split-built histograms merged by bin-sum give the IDENTICAL
+    quantile estimates as the one-shot sketch, and each estimate lies
+    inside its covering bin (never extrapolates)."""
+    from pyspark.sql import functions as F
+
+    from javascript_vector_database_spark.operators.sketch import (
+        HIST_Q_BIN,
+        histogram_quantiles,
+    )
+    from javascript_vector_database_spark.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    one = {r["q"]: (r["bin_lo"], r["est"]) for r in
+           histogram_quantiles(docs, "n_chars").collect()}
+    halves = docs.where(F.col("doc_id") % 2 == 0).unionByName(
+        docs.where(F.col("doc_id") % 2 == 1)
+    )
+    merged = {r["q"]: (r["bin_lo"], r["est"]) for r in
+              histogram_quantiles(halves, "n_chars").collect()}
+    assert one == merged and len(one) == 3
+    for bin_lo, est in one.values():
+        assert bin_lo <= est <= bin_lo + HIST_Q_BIN
