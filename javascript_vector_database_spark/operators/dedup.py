@@ -382,7 +382,9 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs.  Quadratic unless blocked —
-    pass ``block_col`` (e.g. a source/label/LSH bucket) at scale."""
+    pass ``block_col`` (e.g. a source/label/LSH bucket) at scale, or use
+    :func:`jaccard_prefix_pairs`, whose rarity-prefix blocking needs no
+    caller-supplied key and returns the identical result."""
     sh = spread(df).select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
@@ -1025,3 +1027,89 @@ FROM {src} a JOIN {src} b
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (PPJoin-style, Chaudhuri ICDE'06)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = DEFAULT_SHINGLE,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs >= t_num/t_den WITHOUT a caller-supplied
+    block key — the scale answer to :func:`ngram_jaccard_pairs`'s
+    documented "quadratic unless blocked" caveat.
+
+    Prefix filtering: order every doc's distinct shingles by global
+    rarity (document frequency asc, gram asc — a total order both
+    engines agree on) and keep only the first
+    ``p = L - ceil(t*L) + 1`` grams.  Any two sets with Jaccard >= t
+    share >= ceil(t*L) elements, which cannot all avoid a doc's p-gram
+    prefix — so equality on ONE prefix gram is a lossless blocking key,
+    and the result is IDENTICAL to the quadratic join (the oracle is the
+    plain all-pairs SQL).  The threshold is an exact integer fraction;
+    the prefix length and the final >= t gate are integer arithmetic
+    (inter * den >= num * union), so no engine disagrees on a boundary
+    pair.
+
+    Scale shape: one gram-df aggregate, one join back, one per-doc
+    window (all key-partitioned shuffles); the candidate self-join keys
+    on the RAREST grams of each doc — a gram shared by m docs emits
+    O(m^2) candidates, but prefix grams are by construction low-df, the
+    opposite tail from the LSH hot-bucket case (boilerplate grams have
+    huge df and never enter a prefix).  Verification is row-local
+    array_intersect on candidate pairs only."""
+    from pyspark.sql.window import Window
+
+    g = spread(df).select(
+        F.col(id_col), shingles(_as_col(text_col), shingle_k).alias("sh")
+    )
+    ex = g.select(id_col, F.explode("sh").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    w = Window.partitionBy(id_col).orderBy(F.col("gdf").asc(), F.col("g").asc())
+    ranked = (
+        ex.join(dfreq, "g")
+        .select(
+            id_col,
+            "g",
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy(id_col))
+            .alias("L"),
+        )
+    )
+    # p = L - ceil(t*L) + 1, all integer
+    pref = ranked.where(
+        F.col("r")
+        <= F.col("L") - F.expr(f"({t_num} * L + {t_den} - 1) DIV {t_den}") + 1
+    ).select(id_col, "g")
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "g")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ga = g.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    gb = g.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(inter * t_den >= F.lit(t_num) * uni)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / uni, 6).alias("jaccard"),
+        )
+    )

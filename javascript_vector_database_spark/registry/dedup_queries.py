@@ -337,3 +337,31 @@ def dedup_batch_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cosine_batch_vs_corpus(
         emb.where(is_batch), emb.where(~is_batch), dim=64
     )
+
+
+def _jaccard_prefix_oracle() -> str:
+    # the prefix filter is LOSSLESS, so the oracle is the plain all-pairs
+    # join at the same threshold — integer-gated exactly like the Spark
+    # side (inter * 2 >= 1 * union for t = 1/2)
+    sh = _sql_shingles("text")
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * 2
+      >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+"""
+
+
+@register("dedup_jaccard_prefix", oracle=_jaccard_prefix_oracle())
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 pairs over the WHOLE corpus via prefix
+    filtering (PPJoin-style) — no block key needed: each doc's rarest
+    ceil(L/2)+... prefix grams are a lossless blocking key, so the
+    output equals the quadratic join the oracle runs (which is only
+    feasible for DuckDB because the test corpus is small — that
+    asymmetry is the point)."""
+    return dedup.jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))

@@ -27,6 +27,7 @@ DEDUP_QUERIES = [
     "dedup_cosine_pairs",
     "dedup_duplicate_clusters",
     "dedup_batch_vs_corpus",
+    "dedup_jaccard_prefix",
 ]
 
 
@@ -310,3 +311,25 @@ def test_winnow_pairs_fp_cap_bounds_degenerate_corpus(spark):
     assert 0 < len(pairs) <= WINNOW_FP_CAP ** 2 // 2
     ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
     assert max(ids) < WINNOW_FP_CAP  # only the min-id members pair up
+
+
+def test_jaccard_prefix_boundary_and_losslessness(spark, sf_oracle):
+    """Prefix filtering is lossless: (a) a boundary pair at exactly
+    t = 1/2 is kept and a below-threshold pair dropped (integer gate, no
+    float boundary flake); (b) on the real corpus the result equals the
+    unblocked quadratic join at the same threshold."""
+    toy = spark.createDataFrame(
+        [(1, "x y"), (2, "x y z w"), (3, "x q r s")], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_pairs(toy, shingle_k=1).collect()
+    }
+    assert got == {(1, 2): 0.5}
+
+    docs = load_table(spark, sf_oracle, "documents")
+    quad = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    pref = dedup.jaccard_prefix_pairs(docs)
+    a = sorted((r["id_a"], r["id_b"]) for r in quad.collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in pref.collect())
+    assert a == b and len(a) > 0
