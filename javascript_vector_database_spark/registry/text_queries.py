@@ -386,3 +386,46 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return keyword_terms(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts (the single, fully-SQL-expressible round of the
+# distributed BPE trainer — operators/bpe.py; the k-round trainer is
+# iterative/driver-looped and pinned by tests instead)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+def _bpe_pairs_oracle() -> str:
+    from javascript_vector_database_spark.operators.bpe import (
+        sql_bpe_pair_counts,
+    )
+
+    # the builder already guards 1-based ranges; empty words are filtered
+    # on both engines (Spark's sequence(1,0) DESCENDS instead of being
+    # empty — the filter keeps the two constructions aligned)
+    return sql_bpe_pair_counts(
+        "documents", T.sql_word_tokens("text"), BPE_TOP_PAIRS
+    ).replace("GROUP BY word", "GROUP BY word HAVING length(word) > 0")
+
+
+@register("text_bpe_pair_counts", oracle=_bpe_pairs_oracle())
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 BPE statistics: adjacent character-pair counts over the
+    VOCAB table (word, count) — the corpus is read once for the word
+    aggregate, then every BPE round is bounded by vocabulary size
+    (heaps' law), which is the whole scale story of BPE training."""
+    from javascript_vector_database_spark.operators import bpe
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        bpe.word_vocab(docs)
+        .where(F.length("word") > 0)
+        .withColumn("syms", bpe._initial_symbols(F.col("word")))
+    )
+    return (
+        bpe._adjacent_pairs(vocab)
+        .orderBy(F.col("pair_cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -197,6 +197,7 @@ PROFILING_QUERIES = [
     "curation_split_assign",
     "curation_pipeline",
     "profile_unpivot_lang_stats",
+    "text_bpe_pair_counts",
 ]
 
 
@@ -333,3 +334,38 @@ def test_jaccard_prefix_boundary_and_losslessness(spark, sf_oracle):
     a = sorted((r["id_a"], r["id_b"]) for r in quad.collect())
     b = sorted((r["id_a"], r["id_b"]) for r in pref.collect())
     assert a == b and len(a) > 0
+
+
+def test_bpe_trainer_matches_local_model(spark, sf_smoke):
+    """The distributed BPE trainer (vocab-table rounds, driver gets one
+    argmax row per round) learns the IDENTICAL merge table — pairs,
+    order, and counts — as a pure-Python reference implementation of the
+    same algorithm over the same corpus."""
+    from javascript_vector_database_spark.operators import bpe
+
+    docs = load_table(spark, sf_smoke, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    dist = bpe.bpe_train(docs, n_merges=6)
+    loc = bpe.bpe_train_local(texts, n_merges=6)
+    assert dist == loc and len(dist) == 6
+    # merged symbols must actually compose (round k's pair can use round
+    # <k's output), proving re-tokenization is applied between rounds
+    alphabet = {a for a, _, _ in dist} | {b for _, b, _ in dist}
+    assert any(len(s) > 1 and s != bpe.EOW for s in alphabet)
+
+
+def test_bpe_greedy_merge_semantics(spark):
+    """Pin the fold's greedy leftmost non-overlapping behavior: 'aaa'
+    under merge (a,a) becomes [aa, a], and a merge product never chains
+    with the following symbol in the same round."""
+    from pyspark.sql import functions as F
+
+    from javascript_vector_database_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "b"],)], ["syms"]
+    )
+    out = [r["syms"] for r in bpe._apply_merge(df, "a", "a").collect()]
+    assert ["aa", "a"] in out
+    out2 = [r["syms"] for r in bpe._apply_merge(df, "a", "b").collect()]
+    assert ["ab", "b"] in out2
