@@ -348,3 +348,89 @@ def curation_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.bloom_contamination_pairs(
         docs.where(~is_eval), docs.where(is_eval)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate removal (C4's repeated-line pass)
+# ---------------------------------------------------------------------------
+
+#: segment width (the synthetic corpus has no newlines, so "lines" are
+#: fixed 8-token segments — same granularity as curation_chunk_dedup)
+BP_SEG = 8
+#: a segment occurring this often corpus-wide is boilerplate
+BP_MIN_REPEATS = 3
+
+_BOILERPLATE_ORACLE = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+seg AS (
+  SELECT doc_id, k AS seg_idx,
+         array_to_string(toks[(k * {BP_SEG} + 1):(k * {BP_SEG} + {BP_SEG})], ' ') AS seg
+  FROM t, LATERAL unnest(range(0, CAST(ceil(len(toks) / {float(BP_SEG)}) AS BIGINT))) AS u(k)
+),
+bad AS (SELECT seg FROM seg GROUP BY seg HAVING count(*) >= {BP_MIN_REPEATS}),
+m AS (SELECT s.doc_id, s.seg_idx, s.seg, b.seg IS NOT NULL AS is_bad
+      FROM seg s LEFT JOIN bad b USING (seg))
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT is_bad THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS clean_text,
+       CAST(sum(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM m GROUP BY doc_id
+"""
+
+
+@register("curation_remove_boilerplate", oracle=_BOILERPLATE_ORACLE)
+def curation_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's repeated-line pass, segment-granular: any 8-token segment
+    occurring >= 3 times corpus-wide is boilerplate; each doc's
+    surviving segments are reassembled IN ORDER into clean_text (docs
+    that were pure boilerplate keep an empty string, not a dropped row).
+
+    Scale shape: segmentation is a row-local explode; the repeat count
+    is one groupBy on the segment string (map-side combined — the same
+    key distribution as chunk dedup); the flag join is AQE-sized (the
+    bad-segment set is unbounded on a templated crawl — never hint
+    broadcast); reassembly sorts each doc's own handful of segments
+    row-locally (collect_list skips the NULLed-out bad segments,
+    sort_array orders by the unique seg_idx)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("__t"))
+    nseg = F.ceil(F.size("__t") / F.lit(float(BP_SEG))).cast("long")
+    seg = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), nseg - 1)).alias("seg_idx"),
+        "__t",
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.array_join(
+            F.slice(F.col("__t"), (F.col("seg_idx") * BP_SEG + 1).cast("int"), BP_SEG),
+            " ",
+        ).alias("seg"),
+    )
+    bad = (
+        seg.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= BP_MIN_REPEATS)
+        .select("seg", F.lit(True).alias("is_bad"))
+    )
+    marked = seg.join(bad, "seg", "left").select(
+        "doc_id", "seg_idx", "seg", F.coalesce("is_bad", F.lit(False)).alias("is_bad")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_bad"), F.struct("seg_idx", "seg")
+                        )
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.col("is_bad").cast("long")).cast("bigint").alias("n_dropped"),
+    )

@@ -429,3 +429,49 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_cnt").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+#: the fixed probe phrase (adjacent-token exact match)
+PHRASE = ("hash", "join")
+
+_PHRASE_ORACLE = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(range(1, len(toks)),
+                i -> toks[i] = '{PHRASE[0]}' AND toks[i + 1] = '{PHRASE[1]}'))
+            AS BIGINT) AS n_hits
+FROM t
+WHERE len(list_filter(range(1, len(toks)),
+          i -> toks[i] = '{PHRASE[0]}' AND toks[i + 1] = '{PHRASE[1]}')) > 0
+"""
+
+
+@register("text_phrase_search", oracle=_PHRASE_ORACLE)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact adjacent-phrase occurrence counts — the positional-index
+    query BM25's bag-of-words scoring cannot answer.  Token positions
+    explode row-locally (codegen sequence+getItem, no interpreted HOF on
+    the corpus side); the per-doc count is one map-side-combined groupBy.
+    At scale the same shape runs against a PERSISTED (token, doc, pos)
+    posting table instead of re-tokenizing."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("__t")).where(F.size("__t") >= 2)
+    ex = base.select(
+        "doc_id",
+        "__t",
+        F.explode(F.sequence(F.lit(0), F.size("__t") - 2)).alias("__i"),
+    )
+    hit = (F.col("__t").getItem(F.col("__i")) == PHRASE[0]) & (
+        F.col("__t").getItem(F.col("__i") + 1) == PHRASE[1]
+    )
+    return (
+        ex.where(hit)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )

@@ -23,6 +23,7 @@ CURATION_QUERIES = [
     "curation_lm_quality",
     "curation_domain_cap",
     "curation_contamination_bloom",
+    "curation_remove_boilerplate",
 ]
 
 
@@ -257,3 +258,30 @@ def test_bloom_contamination_equals_exact_and_prunes(spark, sf_oracle):
     n_set = sum(bin(w & (2**64 - 1)).count("1") for w in bitmap)
     # k=2 probes: expected FP rate = (n_set/m)^2 — must stay well under 1%
     assert (n_set / curation.BLOOM_M) ** 2 < 0.01
+
+
+def test_boilerplate_removal_semantics(spark, tmp_path):
+    """On a constructed corpus: the repeated segment vanishes from every
+    doc, surviving segments reassemble in order, and an all-boilerplate
+    doc yields an empty clean_text (not a dropped row)."""
+    boiler = " ".join(["spam"] * 8)
+    uniq = {
+        1: " ".join(f"u1w{i}" for i in range(8)),
+        2: " ".join(f"u2w{i}" for i in range(8)),
+    }
+    rows = [
+        (1, f"{uniq[1]} {boiler}", "en", "s", 0),
+        (2, f"{boiler} {uniq[2]}", "en", "s", 0),
+        (3, boiler, "en", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_dropped"])
+        for r in registry.queries()["curation_remove_boilerplate"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1] == (uniq[1], 1)
+    assert out[2] == (uniq[2], 1)
+    assert out[3] == ("", 1)

@@ -198,6 +198,7 @@ PROFILING_QUERIES = [
     "curation_pipeline",
     "profile_unpivot_lang_stats",
     "text_bpe_pair_counts",
+    "text_phrase_search",
 ]
 
 
@@ -369,3 +370,20 @@ def test_bpe_greedy_merge_semantics(spark):
     assert ["aa", "a"] in out
     out2 = [r["syms"] for r in bpe._apply_merge(df, "a", "b").collect()]
     assert ["ab", "b"] in out2
+
+
+def test_phrase_search_counts_overlaps(spark, tmp_path):
+    """'hash join hash join hash' holds two non-overlapping and the
+    positional count sees BOTH 'hash join' occurrences; docs without the
+    phrase are absent."""
+    rows = [
+        (1, "hash join hash join hash", "en", "s", 0),
+        (2, "join hash", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in registry.queries()["text_phrase_search"](spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 2}
