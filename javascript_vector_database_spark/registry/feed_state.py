@@ -895,3 +895,195 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         load_table(spark, sf_dir, "documents"), "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# closed-form regression analytics over hourly event series
+# ---------------------------------------------------------------------------
+
+#: fixed epoch origin for hour indices (a query constant, not derived
+#: from data — keeps x values small and identical on both engines)
+_TREND_EPOCH = "2024-01-01 00:00:00"
+
+_TREND_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor((epoch(ts) - epoch(TIMESTAMP '{_TREND_EPOCH}')) / 3600)
+              AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, n AS n_hours,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept
+FROM s
+"""
+
+
+@register("events_hourly_trend", oracle=_TREND_ORACLE)
+def events_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of hourly event volume — closed-form
+    regression from FOUR exact integer sums (n, Σx, Σy, Σxy, Σxx), so
+    the only float ops are the final divisions (identical IEEE
+    expressions on both engines; a streaming agg of the same five
+    integers maintains the trend incrementally).  Two map-side-combined
+    groupBys, key domains (type, hour) then (type)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.floor(
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit(_TREND_EPOCH).cast("timestamp"))
+        )
+        / 3600
+    ).cast("long")
+    hourly = ev.groupBy("event_type", x.alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+_CORR_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor((epoch(ts) - epoch(TIMESTAMP '{_TREND_EPOCH}')) / 3600)
+              AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(sum(y) AS BIGINT) AS s1,
+         CAST(sum(y * y) AS BIGINT) AS s2,
+         min(h) AS mn, max(h) AS mx
+  FROM hourly GROUP BY 1
+),
+sab AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(sum(a.y * b.y) AS BIGINT) AS sab
+  FROM hourly a JOIN hourly b
+    ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT sab.type_a, sab.type_b, sab.sab,
+         sa.s1 AS sa, sa.s2 AS saa, sb.s1 AS sb, sb.s2 AS sbb,
+         min(least(sa.mn, sb.mn)) OVER () AS gmn,
+         max(greatest(sa.mx, sb.mx)) OVER () AS gmx
+  FROM sab
+  JOIN stats sa ON sa.event_type = sab.type_a
+  JOIN stats sb ON sb.event_type = sab.type_b
+)
+SELECT type_a, type_b,
+       round(CAST(n * sab - sa * sb AS DOUBLE)
+             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS pearson_r
+FROM (SELECT *, gmx - gmn + 1 AS n FROM j)
+"""
+
+
+@register("events_corr_pairs", oracle=_CORR_ORACLE)
+def events_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' hourly series —
+    SPARSE algebra: a missing hour is an exact 0, and 0 contributes
+    nothing to any moment, so no dense spine is ever materialized.
+    sum(ya*yb) comes from an equi-join of the sparse hourly tables on
+    the hour; per-type sums from one groupBy; the global hour count n
+    from a window over the (types^2/2)-row pair frame.  All moments are
+    exact integers; the denominator is sqrt(a)*sqrt(b) — the same
+    expression shape on both engines (IEEE-correctly-rounded sqrt), so
+    the doubles agree bit-for-bit.  Pairs that never co-occur in any
+    hour are absent by construction (mirrored in the oracle)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.floor(
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit(_TREND_EPOCH).cast("timestamp"))
+        )
+        / 3600
+    ).cast("long")
+    hourly = ev.groupBy("event_type", h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+        F.min("h").alias("mn"),
+        F.max("h").alias("mx"),
+    )
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "h", F.col("y").alias("ya")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), "h", F.col("y").alias("yb")
+    )
+    sab = (
+        a.join(b, "h")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.col("ya") * F.col("yb")).cast("long").alias("sab"))
+    )
+    sa = stats.select(
+        F.col("event_type").alias("type_a"),
+        F.col("s1").alias("sa"),
+        F.col("s2").alias("saa"),
+        F.col("mn").alias("mn_a"),
+        F.col("mx").alias("mx_a"),
+    )
+    sb = stats.select(
+        F.col("event_type").alias("type_b"),
+        F.col("s1").alias("sb"),
+        F.col("s2").alias("sbb"),
+        F.col("mn").alias("mn_b"),
+        F.col("mx").alias("mx_b"),
+    )
+    w = Window.partitionBy()
+    j = (
+        sab.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .withColumn(
+            "n",
+            F.max(F.greatest("mx_a", "mx_b")).over(w)
+            - F.min(F.least("mn_a", "mn_b")).over(w)
+            + 1,
+        )
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    )
+    return j.select(
+        "type_a", "type_b", F.round(num / den, 6).alias("pearson_r")
+    )

@@ -39,6 +39,8 @@ NAMES = [
     "events_scd2_state_intervals",
     "events_gapfill_hourly",
     "graph_pagerank_copurchase",
+    "events_hourly_trend",
+    "events_corr_pairs",
     "text_keywords",
 ]
 
@@ -362,3 +364,56 @@ def test_integer_pagerank_matches_local_model(spark):
     assert got == rank
     # the middle node of a path must outrank the endpoints
     assert got[2] > got[1] == got[3]
+
+
+def test_corr_pairs_perfect_and_bounds(spark, tmp_path, sf_oracle):
+    """Two event types firing identically every hour correlate at
+    exactly 1.0; on the real corpus every r lies in [-1, 1] and all
+    type pairs appear."""
+    from datetime import datetime as dt, timedelta
+
+    rows = []
+    eid = 0
+    for hour in range(6):
+        for k in range(hour + 1):  # varying hourly volume 1..6
+            for typ in ("x", "y"):
+                eid += 1
+                rows.append(
+                    (eid, dt(2024, 1, 1) + timedelta(hours=hour, minutes=k), 1, typ, 0.0, "")
+                )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = registry.queries()["events_corr_pairs"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["pearson_r"] == 1.0
+
+    real = registry.queries()["events_corr_pairs"](spark, sf_oracle).collect()
+    assert len(real) == 10  # C(5,2) type pairs
+    assert all(-1.0 <= r["pearson_r"] <= 1.0 for r in real)
+
+
+def test_hourly_trend_recovers_constructed_slope(spark, tmp_path):
+    """A series with exactly k+1 events in hour k has slope 1 and
+    intercept 1 - x0 relative to the fixed epoch origin."""
+    from datetime import datetime as dt, timedelta
+
+    rows = []
+    eid = 0
+    for hour in range(8):
+        for k in range(hour + 1):
+            eid += 1
+            rows.append(
+                (eid, dt(2024, 1, 2) + timedelta(hours=hour, minutes=k), 1, "z", 0.0, "")
+            )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = registry.queries()["events_hourly_trend"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_hours"] == 8 and r["slope"] == 1.0
+    # hour index of 2024-01-02 00:00 relative to the 2024-01-01 origin
+    assert r["intercept"] == 1.0 - 24.0
