@@ -104,6 +104,11 @@ _SCALE_HEADLINE = [
     "agg_q17_small_quantity_revenue",
     "sketch_cms_token_freq",
     "curation_domain_cap",
+    # graph rounds (3 joins+sums over the co-purchase edges), rarity-
+    # prefix self-join, corpus-wide segment-count groupBy
+    "graph_pagerank_copurchase",
+    "dedup_jaccard_prefix",
+    "curation_remove_boilerplate",
 ]
 
 
@@ -487,6 +492,18 @@ def main() -> None:
         "sketch_cms_token_freq",
         "events_scd2_state_intervals",
         "events_gapfill_hourly",
+        "graph_pagerank_copurchase",
+        "sketch_histogram_quantiles",
+        "dedup_jaccard_prefix",
+        "text_bpe_pair_counts",
+        "curation_remove_boilerplate",
+        "text_phrase_search",
+        "events_hourly_trend",
+        "events_corr_pairs",
+        "events_dwell_stats",
+        "profile_ntile_deciles",
+        "orders_price_outliers",
+        "division_suppliers_full_brand",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -102,8 +102,20 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # NEW this round (r5): the 384-dim reference-geometry family + the
-    # deterministic-register HLL sketch
+    # NEW this round (r5, late session): relational shapes, time-series,
+    # sketches, graph, LM-pipeline additions
+    "agg_q17_small_quantity_revenue", "agg_q18_large_orders",
+    "profile_unpivot_lang_stats", "curation_domain_cap",
+    "events_scd2_state_intervals", "events_gapfill_hourly",
+    "sketch_cms_token_freq", "curation_contamination_bloom",
+    "graph_pagerank_copurchase", "sketch_histogram_quantiles",
+    "dedup_jaccard_prefix", "text_bpe_pair_counts",
+    "curation_remove_boilerplate", "text_phrase_search",
+    "events_hourly_trend", "events_corr_pairs",
+    "events_dwell_stats", "profile_ntile_deciles",
+    "orders_price_outliers", "division_suppliers_full_brand",
+    # NEW this round (r5, first session): the 384-dim reference-geometry
+    # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",
     "knn_ann_range_compat_384", "compat_index_string_384", "ann_ivf_384",
     "sketch_hll_distinct_users", "sketch_hll_users_by_type",

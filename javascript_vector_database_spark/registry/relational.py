@@ -567,3 +567,186 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pagerank(edges).select("node", F.col("rank").alias("pagerank"))
     finally:
         pass  # cache released with the session; rounds all reuse it
+
+
+# ---------------------------------------------------------------------------
+# inter-event dwell times, ntile deciles, z-score outliers, relational
+# division
+# ---------------------------------------------------------------------------
+
+_DWELL_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lead(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(sum(nxt - s) AS DOUBLE) / count(*), 6) AS avg_gap_s,
+       CAST(min(nxt - s) AS BIGINT) AS min_gap_s,
+       CAST(max(nxt - s) AS BIGINT) AS max_gap_s
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("events_dwell_stats", oracle=_DWELL_ORACLE)
+def events_dwell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell-time stats: the gap from each event to the same
+    user's NEXT event (any type), attributed to the earlier event's
+    type.  One (user)-partitioned sort feeds the lead(); gaps are exact
+    integer seconds (timestamp->long truncation is floor on both
+    engines), so only the final avg division is float."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    s = F.col("ts").cast("long")
+    seq = ev.select(
+        "event_type", s.alias("s"), F.lead(s).over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    gap = F.col("nxt") - F.col("s")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.sum(gap).cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_gap_s"
+        ),
+        F.min(gap).cast("bigint").alias("min_gap_s"),
+        F.max(gap).cast("bigint").alias("max_gap_s"),
+    )
+
+
+_NTILE_ORACLE = """
+WITH d AS (
+  SELECT n_chars,
+         ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+  FROM documents
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM d GROUP BY decile
+"""
+
+
+@register("profile_ntile_deciles", oracle=_NTILE_ORACLE)
+def profile_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count decile assignment (ntile over a doc_id-tiebroken
+    total order — deterministic cross-engine) summarized per decile.
+    ntile's global sort is the documented cost: at 100 TB you ASSIGN
+    deciles from the quantile sketch's boundaries instead
+    (sketch_histogram_quantiles); this query is the exact
+    small-partition form."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))
+             * CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+  FROM orders GROUP BY 1
+),
+z AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+           AS o_totalprice,
+         (CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+          - CAST(s.sx AS DOUBLE) / s.n)
+         / sqrt((CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE)
+                 * CAST(s.sx AS DOUBLE) / s.n) / (s.n - 1)) AS zval
+  FROM orders o JOIN s ON s.o_orderpriority = o.o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice, round(zval, 6) AS z
+FROM z WHERE abs(zval) >= 2.0
+"""
+
+
+@register("orders_price_outliers", oracle=_ZSCORE_ORACLE)
+def orders_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority z-score outliers (|z| >= 2) of order value.  Moments
+    are exact decimal sums; mean and sample-std expressions have the
+    IDENTICAL shape on both engines, so z agrees bit-for-bit and the
+    threshold never flakes.  The 5-row stats side broadcast-joins back
+    onto the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).alias("sx"),
+        F.sum(dec * dec).alias("sxx"),
+    )
+    x = dec.cast("double")
+    mean = F.col("sx").cast("double") / F.col("n")
+    std = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    z = (x - mean) / std
+    return (
+        orders.join(F.broadcast(s), "o_orderpriority")
+        .where(F.abs(z) >= 2.0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(x, 2).alias("o_totalprice"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+_DIVISION_ORACLE = """
+WITH target AS (SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#6' AND p_size <= 3),
+cov AS (
+  SELECT l.l_suppkey, count(DISTINCT l.l_partkey) AS n_parts
+  FROM lineitem l JOIN target t ON t.p_partkey = l.l_partkey
+  GROUP BY 1
+)
+SELECT c.l_suppkey, s.s_name, CAST(c.n_parts AS BIGINT) AS n_parts
+FROM cov c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+WHERE c.n_parts = (SELECT count(*) FROM target)
+"""
+
+
+@register("division_suppliers_full_brand", oracle=_DIVISION_ORACLE)
+def division_suppliers_full_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION: suppliers who have shipped EVERY part of the
+    divisor set (Brand#6, size <= 3) — the for-all query join/semi-join
+    algebra cannot express directly; here as the count-matching form:
+    one broadcast semi-restriction of lineitem to the divisor, a
+    distinct-count per supplier, and an equality against the divisor
+    cardinality (a bounded driver-side count of a FILTERED DIMENSION —
+    the same bounded-collect class as the IVF centroid fetch)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    # divisor: the Brand#6 small-size part set
+    target = part.where(
+        (F.col("p_brand") == "Brand#6") & (F.col("p_size") <= 3)
+    ).select("p_partkey")
+    n_target = target.count()
+    cov = (
+        li.join(F.broadcast(target), li["l_partkey"] == target["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.count_distinct("l_partkey").cast("bigint").alias("n_parts"))
+        .where(F.col("n_parts") == n_target)
+    )
+    return cov.join(F.broadcast(sup), cov["l_suppkey"] == sup["s_suppkey"]).select(
+        "l_suppkey", "s_name", "n_parts"
+    )

@@ -41,6 +41,10 @@ NAMES = [
     "graph_pagerank_copurchase",
     "events_hourly_trend",
     "events_corr_pairs",
+    "events_dwell_stats",
+    "profile_ntile_deciles",
+    "orders_price_outliers",
+    "division_suppliers_full_brand",
     "text_keywords",
 ]
 
@@ -417,3 +421,42 @@ def test_hourly_trend_recovers_constructed_slope(spark, tmp_path):
     assert r["n_hours"] == 8 and r["slope"] == 1.0
     # hour index of 2024-01-02 00:00 relative to the 2024-01-01 origin
     assert r["intercept"] == 1.0 - 24.0
+
+
+def test_relational_division_semantics(spark, tmp_path):
+    """Division keeps only suppliers covering the WHOLE divisor set: one
+    supplier ships both target parts, one ships just one, one ships
+    only non-target parts."""
+    import datetime as dtm
+
+    part = spark.createDataFrame(
+        [(1, "p1", "Brand#6", "t", 1, 1.0), (2, "p2", "Brand#6", "t", 2, 1.0),
+         (3, "p3", "Brand#9", "t", 1, 1.0)],
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+    sup = spark.createDataFrame(
+        [(10, "full", 0, 0.0), (11, "half", 0, 0.0), (12, "none", 0, 0.0)],
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    d = dtm.datetime(2024, 1, 1)
+    li_rows = [
+        (1, 1, 10, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (1, 2, 10, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (2, 1, 11, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+        (3, 3, 12, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+    part.write.parquet(str(tmp_path / "part.parquet"))
+    sup.write.parquet(str(tmp_path / "supplier.parquet"))
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = registry.queries()["division_suppliers_full_brand"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r["l_suppkey"], r["s_name"], r["n_parts"]) for r in out] == [
+        (10, "full", 2)
+    ]

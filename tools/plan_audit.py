@@ -91,6 +91,22 @@ AUDITED = [
     "events_hopping_window_agg",
     "agg_regional_revenue",
     "text_keywords",
+    "agg_q17_small_quantity_revenue",
+    "agg_q18_large_orders",
+    "profile_unpivot_lang_stats",
+    "curation_domain_cap",
+    "events_scd2_state_intervals",
+    "events_gapfill_hourly",
+    "sketch_cms_token_freq",
+    "curation_contamination_bloom",
+    "graph_pagerank_copurchase",
+    "sketch_histogram_quantiles",
+    "dedup_jaccard_prefix",
+    "text_bpe_pair_counts",
+    "curation_remove_boilerplate",
+    "text_phrase_search",
+    "events_hourly_trend",
+    "events_corr_pairs",
 ]
 
 
