@@ -504,6 +504,7 @@ def main() -> None:
         "profile_ntile_deciles",
         "orders_price_outliers",
         "division_suppliers_full_brand",
+        "text_phrase_postings_join",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -475,3 +475,32 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
+
+
+@register("text_phrase_postings_join", oracle=_PHRASE_ORACLE)
+def text_phrase_postings_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME phrase query answered the way a persisted positional
+    inverted index answers it: a (doc, pos, token) posting list,
+    restricted to the two phrase terms, self-joined on
+    (doc, pos+1 == pos) — each term's postings are a tiny slice of the
+    corpus, and the equi-join never touches non-matching tokens.  At
+    100 TB the postings table is WRITTEN ONCE (partitioned/bucketed by
+    token) and every phrase query is two posting fetches + this join;
+    same oracle as text_phrase_search (identical result, different
+    plan)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    post = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    a = post.where(F.col("tok") == PHRASE[0]).select(
+        "doc_id", (F.col("pos") + 1).alias("next_pos")
+    )
+    b = post.where(F.col("tok") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("next_pos")
+    )
+    return (
+        a.join(b, ["doc_id", "next_pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )

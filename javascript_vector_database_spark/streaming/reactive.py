@@ -389,3 +389,46 @@ def streaming_live_count(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_cms_counters(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    col: str = "tok",
+    query_name: str = "cms_stream",
+):
+    """Live frequency sketch: maintain the deterministic Count-Min
+    counters (operators/sketch.py) as a streaming SUM aggregation —
+    the additive sibling of :func:`streaming_hll_registers`'s max
+    registers.  State is bounded at d*w = 4096 (row, position) cells no
+    matter how many items flow; sums are exact integers, so arbitrary
+    micro-batch boundaries produce the bit-identical sketch a one-shot
+    batch build does (the mergeable-sketch property, streaming-composed).
+    Probe the live table with ``cms_estimate`` for current counts."""
+    from javascript_vector_database_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        _md5_pair,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    v1, v2 = _md5_pair(F.col(col))
+    rows = stream.select(
+        v1.alias("__v1"),
+        v2.alias("__v2"),
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i"),
+    )
+    cells = (
+        rows.select(
+            "i", ((F.col("__v1") + F.col("i") * F.col("__v2")) % CMS_W).alias("pos")
+        )
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

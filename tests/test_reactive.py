@@ -518,3 +518,54 @@ def test_stateful_user_stats_accumulates(spark, tmp_path):
         assert latest[2] == (1, 5.0, 5.0)
     finally:
         q.stop()
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """The live CMS cell table after N micro-batches is bit-identical to
+    the batch sketch over the union (exact integer sums are
+    batch-boundary invariant), state stays bounded at d*w cells, and
+    probing the live table estimates correctly."""
+    from javascript_vector_database_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        cms_counters,
+        cms_estimate,
+    )
+    from javascript_vector_database_spark.streaming.reactive import (
+        streaming_cms_counters,
+    )
+
+    src = str(tmp_path / "cms_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "tok string"
+
+    def write(toks):
+        spark.createDataFrame([(t,) for t in toks], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    batch1 = [f"tok{i % 7}" for i in range(100)]
+    batch2 = [f"tok{i % 11}" for i in range(150)]
+    write(batch1)
+    q = streaming_cms_counters(spark, src, schema, query_name="cms_live")
+    try:
+        q.processAllAvailable()
+        write(batch2)
+        q.processAllAvailable()
+        live = spark.sql("SELECT * FROM cms_live")
+        assert live.count() <= CMS_D * CMS_W
+        both = spark.createDataFrame([(t,) for t in batch1 + batch2], schema)
+        one = {
+            (r["i"], r["pos"]): r["cnt"] for r in cms_counters(both, "tok").collect()
+        }
+        got = {(r["i"], r["pos"]): r["cnt"] for r in live.collect()}
+        assert got == one
+        qdf = spark.createDataFrame([("tok0",), ("zz_absent",)], schema)
+        est = {
+            r["tok"]: r["est_count"]
+            for r in cms_estimate(live, qdf, "tok").collect()
+        }
+        exact_tok0 = sum(1 for t in batch1 + batch2 if t == "tok0")
+        assert est["tok0"] >= exact_tok0 and est["zz_absent"] == 0
+    finally:
+        q.stop()

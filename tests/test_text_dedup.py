@@ -199,6 +199,7 @@ PROFILING_QUERIES = [
     "profile_unpivot_lang_stats",
     "text_bpe_pair_counts",
     "text_phrase_search",
+    "text_phrase_postings_join",
 ]
 
 
