@@ -505,6 +505,7 @@ def main() -> None:
         "orders_price_outliers",
         "division_suppliers_full_brand",
         "text_phrase_postings_join",
+        "events_funnel_latency",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -152,3 +152,99 @@ SELECT f.cohort_week,
 FROM active a JOIN first f USING (u)
 GROUP BY 1, 2
 """
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step, from_type, to_type, n_users, avg_gap_s, max_gap_s): how
+    long converting users take between consecutive funnel steps, from
+    the same earliest-completion cascade as :func:`funnel_counts` (the
+    greedy chain's timestamps are each user's EARLIEST legal chain, so
+    the gaps are the canonical time-to-convert).  Gaps are exact integer
+    seconds; only the avg division is float.  Same scale shape as the
+    counts: one min-groupBy per step, user-key joins."""
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("t"),
+    )
+    prev: DataFrame | None = None
+    chain: list[DataFrame] = []
+    for i, s in enumerate(steps):
+        step_ev = ev.where(F.col("t") == s)
+        if prev is None:
+            cur = step_ev.groupBy("u").agg(F.min("ts").alias(f"t{i}"))
+        else:
+            cur = (
+                step_ev.join(prev, "u")
+                .where(F.col("ts") > F.col(f"t{i - 1}"))
+                .groupBy("u")
+                .agg(F.min("ts").alias(f"t{i}"))
+            )
+        if prev is not None:
+            cur = cur.join(prev.select("u", f"t{i - 1}"), "u")
+        chain.append(cur)
+        prev = cur
+    out = None
+    for i in range(1, len(steps)):
+        gap = F.col(f"t{i}").cast("long") - F.col(f"t{i - 1}").cast("long")
+        one = chain[i].agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.sum(gap).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_gap_s"
+            ),
+            F.max(gap).cast("bigint").alias("max_gap_s"),
+        ).select(
+            F.lit(i).alias("step"),
+            F.lit(steps[i - 1]).alias("from_type"),
+            F.lit(steps[i]).alias("to_type"),
+            "n_users",
+            "avg_gap_s",
+            "max_gap_s",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def sql_funnel_latency(
+    table: str,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB oracle for :func:`funnel_latency` (same cascade, same
+    integer-second gaps)."""
+    ctes = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"u0 AS (SELECT {user_col} AS u, min({ts_col}) AS t0 "
+                f"FROM {table} WHERE {type_col} = '{s}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"u{i} AS (SELECT e.{user_col} AS u, p.t{i - 1}, "
+                f"min(e.{ts_col}) AS t{i} "
+                f"FROM {table} e JOIN u{i - 1} p ON p.u = e.{user_col} "
+                f"WHERE e.{type_col} = '{s}' AND e.{ts_col} > p.t{i - 1} "
+                f"GROUP BY 1, 2)"
+            )
+    arms = []
+    for i in range(1, len(steps)):
+        gap = (
+            f"(CAST(floor(epoch(t{i})) AS BIGINT)"
+            f" - CAST(floor(epoch(t{i - 1})) AS BIGINT))"
+        )
+        arms.append(
+            f"SELECT {i} AS step, '{steps[i - 1]}' AS from_type, "
+            f"'{steps[i]}' AS to_type, "
+            f"CAST(count(*) AS BIGINT) AS n_users, "
+            f"round(CAST(sum({gap}) AS DOUBLE) / count(*), 6) AS avg_gap_s, "
+            f"CAST(max({gap}) AS BIGINT) AS max_gap_s FROM u{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)

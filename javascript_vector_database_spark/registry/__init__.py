@@ -115,6 +115,7 @@ _PRIORITY = [
     "events_dwell_stats", "profile_ntile_deciles",
     "orders_price_outliers", "division_suppliers_full_brand",
     "text_phrase_postings_join",
+    "events_funnel_latency",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

@@ -1087,3 +1087,24 @@ def events_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "type_a", "type_b", F.round(num / den, 6).alias("pearson_r")
     )
+
+
+def _funnel_latency_oracle() -> str:
+    from javascript_vector_database_spark.operators.funnel import (
+        sql_funnel_latency,
+    )
+
+    return sql_funnel_latency("events", FUNNEL_STEPS)
+
+
+@register("events_funnel_latency", oracle=_funnel_latency_oracle())
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between consecutive funnel steps (the report
+    beside events_funnel_counts): per transition, converting users'
+    count, average and max gap in exact integer seconds from the same
+    earliest-completion cascade."""
+    from javascript_vector_database_spark.operators.funnel import (
+        funnel_latency,
+    )
+
+    return funnel_latency(load_table(spark, sf_dir, "events"), FUNNEL_STEPS)

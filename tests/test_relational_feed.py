@@ -45,6 +45,7 @@ NAMES = [
     "profile_ntile_deciles",
     "orders_price_outliers",
     "division_suppliers_full_brand",
+    "events_funnel_latency",
     "text_keywords",
 ]
 
@@ -460,3 +461,34 @@ def test_relational_division_semantics(spark, tmp_path):
     assert [(r["l_suppkey"], r["s_name"], r["n_parts"]) for r in out] == [
         (10, "full", 2)
     ]
+
+
+def test_funnel_latency_greedy_gaps(spark, tmp_path):
+    """Constructed funnel: the gaps come from each user's EARLIEST legal
+    chain (view@0 -> click@60 -> purchase@180), and a user who clicks
+    before viewing does not convert."""
+    from datetime import datetime as dt
+
+    base = dt(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view", 0.0, ""),
+        (2, base.replace(minute=1), 1, "click", 0.0, ""),
+        (3, base.replace(minute=3), 1, "purchase", 0.0, ""),
+        # a later, slower chain for the same user must NOT change gaps
+        (4, base.replace(hour=1), 1, "click", 0.0, ""),
+        # user 2: click precedes the first view -> no conversion
+        (5, base, 2, "click", 0.0, ""),
+        (6, base.replace(minute=5), 2, "view", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["step"]: (r["n_users"], r["avg_gap_s"], r["max_gap_s"])
+        for r in registry.queries()["events_funnel_latency"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1] == (1, 60.0, 60)    # view -> click
+    assert out[2] == (1, 120.0, 120)  # click -> purchase
