@@ -506,6 +506,7 @@ def main() -> None:
         "division_suppliers_full_brand",
         "text_phrase_postings_join",
         "events_funnel_latency",
+        "events_asof_join_forward",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

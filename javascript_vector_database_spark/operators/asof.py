@@ -30,10 +30,15 @@ def asof_join(
     right_ts: str,
     right_vals: list[str],
     right_key: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of: latest right row with right_ts <= left_ts per key.
-    Ties on right_ts resolve to the greatest of the first ``right_vals``
-    column (deterministic).  Left rows with no prior right row keep NULLs.
+    """As-of join.  ``direction="backward"`` (default): latest right row
+    with right_ts <= left_ts per key; ``"forward"``: earliest right row
+    with right_ts >= left_ts (same union-merge single-shuffle plan, the
+    sort simply runs descending so the carried value is the nearest
+    FOLLOWING row).  Ties on right_ts resolve to the greatest of the
+    first ``right_vals`` column (deterministic).  Left rows with no
+    matching-side row keep NULLs.
 
     The right-side values are carried forward as ONE struct, so every
     output column comes from the SAME as-of row even when some of its
@@ -57,10 +62,15 @@ def asof_join(
         "__side", F.lit(1)
     )
     u = l.unionByName(r, allowMissingColumns=True)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    ts_ord = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(key)
         .orderBy(
-            F.col("__ts").asc(),
+            ts_ord,
             F.col("__side").asc(),  # right rows first at equal ts (inclusive)
             # struct order = field order, so this is right_vals[0] asc first
             F.col("__rv").asc_nulls_first(),

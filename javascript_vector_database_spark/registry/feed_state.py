@@ -1108,3 +1108,43 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return funnel_latency(load_table(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+_ASOF_FWD_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+  FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+"""
+
+
+@register("events_asof_join_forward", oracle=_ASOF_FWD_ORACLE)
+def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each event matched with the user's earliest
+    order at-or-after the event time (the lead-time question backward
+    as-of cannot answer; the pair completes the kdb aj/af surface).
+    Identical union-merge single-shuffle plan, descending sort; checked
+    against DuckDB's native forward ASOF JOIN."""
+    from javascript_vector_database_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    return asof_join(
+        ev, o,
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_vals=["o_orderkey", "o_totalprice"], right_key="o_custkey",
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")

@@ -46,6 +46,7 @@ NAMES = [
     "orders_price_outliers",
     "division_suppliers_full_brand",
     "events_funnel_latency",
+    "events_asof_join_forward",
     "text_keywords",
 ]
 
@@ -492,3 +493,28 @@ def test_funnel_latency_greedy_gaps(spark, tmp_path):
     }
     assert out[1] == (1, 60.0, 60)    # view -> click
     assert out[2] == (1, 120.0, 120)  # click -> purchase
+
+
+def test_asof_forward_semantics(spark):
+    """Forward as-of: equal timestamps match (inclusive), the NEAREST
+    following row wins, and rows with no following right row keep NULL."""
+    from datetime import datetime as dt
+
+    from javascript_vector_database_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, dt(2024, 1, 2)), (2, 7, dt(2024, 1, 5)), (3, 8, dt(2024, 1, 1))],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(7, dt(2024, 1, 2), 100), (7, dt(2024, 1, 4), 200)],
+        ["k", "rts", "v"],
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts",
+            right_vals=["v"], direction="forward",
+        ).collect()
+    }
+    assert out == {1: 100, 2: None, 3: None}

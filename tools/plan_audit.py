@@ -107,6 +107,12 @@ AUDITED = [
     "text_phrase_search",
     "events_hourly_trend",
     "events_corr_pairs",
+    "events_dwell_stats",
+    "profile_ntile_deciles",
+    "orders_price_outliers",
+    "division_suppliers_full_brand",
+    "text_phrase_postings_join",
+    "events_funnel_latency",
 ]
 
 
