@@ -507,6 +507,7 @@ def main() -> None:
         "text_phrase_postings_join",
         "events_funnel_latency",
         "events_asof_join_forward",
+        "orders_winsorized_mean",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -750,3 +750,87 @@ def division_suppliers_full_brand(spark: SparkSession, sf_dir: str) -> DataFrame
     return cov.join(F.broadcast(sup), cov["l_suppkey"] == sup["s_suppkey"]).select(
         "l_suppkey", "s_name", "n_parts"
     )
+
+
+_WINSOR_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC,
+                                     o_orderkey ASC) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+b AS (
+  SELECT o_orderpriority,
+         max(CASE WHEN rn = (5 * n + 99) // 100 THEN p END) AS lo,
+         max(CASE WHEN rn = (95 * n + 99) // 100 THEN p END) AS hi,
+         CAST(max(n) AS BIGINT) AS n
+  FROM r GROUP BY 1
+)
+SELECT r.o_orderpriority, b.n AS n_orders,
+       floor(CAST(sum(r.p) * 1000000 AS DOUBLE) / b.n) / 1000000.0
+         AS raw_mean,
+       floor(CAST(sum(least(greatest(r.p, b.lo), b.hi)) * 1000000 AS DOUBLE)
+             / b.n) / 1000000.0 AS winsorized_mean
+FROM r JOIN b USING (o_orderpriority)
+GROUP BY 1, 2
+"""
+
+
+@register("orders_winsorized_mean", oracle=_WINSOR_ORACLE)
+def orders_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group mean: clip order values at the group's exact
+    type-1 p05/p95 boundaries (integer rank ceil(q*n), orderkey
+    tiebreak — no interpolation, so the boundary VALUES are exact
+    decimals) and average the clipped decimals.  One ranked sort per
+    group feeds both the boundary pick (conditional agg) and the
+    clipped sum; only the two final mean divisions are float.  The
+    robust counterpart of orders_price_outliers' z-gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        p.asc(), F.col("o_orderkey").asc()
+    )
+    r = orders.select(
+        "o_orderpriority",
+        p.alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    lo_rank = F.expr("(5 * n + 99) DIV 100")
+    hi_rank = F.expr("(95 * n + 99) DIV 100")
+    b = r.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("p"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("p"))).alias("hi"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    clipped = F.least(F.greatest(F.col("p"), F.col("lo")), F.col("hi"))
+    return (
+        r.join(F.broadcast(b.drop("n")), "o_orderpriority")
+        .groupBy("o_orderpriority", "n")
+        # means are truncated at micro precision via floor, NOT round:
+        # the exact quotient can land exactly on a rounding tie (decimal
+        # sums over n = 2^a*5^b groups terminate), and Spark rounds
+        # HALF_UP where DuckDB rounds half-even — floor of an exact-
+        # integer-valued double has no tie to disagree on
+        .agg(
+            (
+                F.floor((F.sum("p") * 1000000).cast("double") / F.col("n"))
+                / F.lit(1000000.0)
+            ).alias("raw_mean"),
+            (
+                F.floor(
+                    (F.sum(clipped) * 1000000).cast("double") / F.col("n")
+                )
+                / F.lit(1000000.0)
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").alias("n_orders"),
+            "raw_mean",
+            "winsorized_mean",
+        )
+    )

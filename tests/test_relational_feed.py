@@ -47,6 +47,7 @@ NAMES = [
     "division_suppliers_full_brand",
     "events_funnel_latency",
     "events_asof_join_forward",
+    "orders_winsorized_mean",
     "text_keywords",
 ]
 
