@@ -508,6 +508,7 @@ def main() -> None:
         "events_funnel_latency",
         "events_asof_join_forward",
         "orders_winsorized_mean",
+        "curation_luhn_cc_detect",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

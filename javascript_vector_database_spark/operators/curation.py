@@ -689,3 +689,42 @@ def bloom_contamination_pairs(
         .agg(F.count_distinct("sh").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card-number detection
+# ---------------------------------------------------------------------------
+
+CC_LEN = 16
+CC_TOKEN = "[CC]"
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """Luhn checksum over a FIXED 16-digit string, unrolled to a 16-term
+    integer expression (pure codegen — no HOF, no UDF): from the right,
+    every second digit doubles, minus 9 when > 9; valid iff the total is
+    divisible by 10.  Validation-gated detection is what separates a
+    card-number scrubber from a 16-digit-regex scrubber (phone+account
+    collisions pass the regex but fail the checksum 90% of the time)."""
+    total = F.lit(0)
+    for i in range(1, CC_LEN + 1):
+        d = F.substring(candidate, i, 1).cast("int")
+        if (CC_LEN - i) % 2 == 1:  # positions doubled (odd offset from right)
+            t = d * 2
+            term = F.when(t > 9, t - 9).otherwise(t)
+        else:
+            term = d
+        total = total + term
+    return total % 10 == 0
+
+
+def sql_luhn_valid(candidate: str) -> str:
+    """DuckDB mirror of :func:`luhn_valid` (same unrolled 16 terms)."""
+    terms = []
+    for i in range(1, CC_LEN + 1):
+        d = f"CAST(substr({candidate}, {i}, 1) AS INT)"
+        if (CC_LEN - i) % 2 == 1:
+            terms.append(f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)")
+        else:
+            terms.append(d)
+    return f"(({' + '.join(terms)}) % 10 = 0)"

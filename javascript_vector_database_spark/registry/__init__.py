@@ -118,6 +118,7 @@ _PRIORITY = [
     "events_funnel_latency",
     "events_asof_join_forward",
     "orders_winsorized_mean",
+    "curation_luhn_cc_detect",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

@@ -434,3 +434,71 @@ def curation_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.sum(F.col("is_bad").cast("long")).cast("bigint").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card detection (validation-gated PII)
+# ---------------------------------------------------------------------------
+
+#: deterministic 16-digit candidate: 15 doc_id-derived digits + a check
+#: digit that is CORRECT for ~1 in 10 docs (exercises both branches)
+_CC_SPARK = None  # built inline below
+
+
+def _cc_candidate_spark() -> F.Column:
+    body = F.lpad(
+        ((F.col("doc_id") + 7) * 479001599 % 999999999999937).cast("string"),
+        15,
+        "0",
+    )
+    return F.concat(body, (F.col("doc_id") % 10).cast("string"))
+
+
+_CC_SQL = (
+    "lpad(CAST((doc_id + 7) * 479001599 % 999999999999937 AS VARCHAR), 15, '0')"
+    " || CAST(doc_id % 10 AS VARCHAR)"
+)
+
+
+def _luhn_oracle() -> str:
+    valid = curation.sql_luhn_valid("cand")
+    return f"""
+WITH t AS (SELECT doc_id,
+                  text || ' card ' || {_CC_SQL} AS raw,
+                  {_CC_SQL} AS cand
+           FROM documents)
+SELECT doc_id, cand AS cc_candidate,
+       {valid} AS luhn_valid,
+       CASE WHEN {valid}
+            THEN replace(raw, cand, '{curation.CC_TOKEN}')
+            ELSE raw END AS scrubbed
+FROM t
+"""
+
+
+@register("curation_luhn_cc_detect", oracle=_luhn_oracle())
+def curation_luhn_cc_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-VALIDATED card-number scrubbing: every doc carries a
+    synthetic 16-digit candidate, but only Luhn-valid ones (~1 in 10)
+    are redacted — the validation gate a real PII pass needs so phone/
+    account digit runs aren't mass-redacted.  The checksum is a 16-term
+    unrolled integer expression riding the scan (no HOF, no UDF, zero
+    shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _cc_candidate_spark()
+    t = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" card "), cand).alias("raw"),
+        cand.alias("cand"),
+    )
+    valid = curation.luhn_valid(F.col("cand"))
+    return t.select(
+        "doc_id",
+        F.col("cand").alias("cc_candidate"),
+        valid.alias("luhn_valid"),
+        F.when(
+            valid, F.replace(F.col("raw"), F.col("cand"), F.lit(curation.CC_TOKEN))
+        )
+        .otherwise(F.col("raw"))
+        .alias("scrubbed"),
+    )

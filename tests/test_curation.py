@@ -24,6 +24,7 @@ CURATION_QUERIES = [
     "curation_domain_cap",
     "curation_contamination_bloom",
     "curation_remove_boilerplate",
+    "curation_luhn_cc_detect",
 ]
 
 
@@ -285,3 +286,18 @@ def test_boilerplate_removal_semantics(spark, tmp_path):
     assert out[1] == (uniq[1], 1)
     assert out[2] == (uniq[2], 1)
     assert out[3] == ("", 1)
+
+
+def test_luhn_validates_known_numbers(spark):
+    """Pin the checksum on canonical vectors: 4111111111111111 is valid,
+    4111111111111112 is not."""
+    df = spark.createDataFrame(
+        [("4111111111111111",), ("4111111111111112",)], ["c"]
+    )
+    got = {
+        r["c"]: r["ok"]
+        for r in df.select(
+            "c", curation.luhn_valid(F.col("c")).alias("ok")
+        ).collect()
+    }
+    assert got == {"4111111111111111": True, "4111111111111112": False}
