@@ -509,6 +509,8 @@ def main() -> None:
         "events_asof_join_forward",
         "orders_winsorized_mean",
         "curation_luhn_cc_detect",
+        "events_markov_transitions",
+        "events_cusum_alarms",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -1148,3 +1148,126 @@ def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_vals=["o_orderkey", "o_totalprice"], right_key="o_custkey",
         direction="forward",
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix + integer CUSUM changepoint alarms
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       floor(CAST(c.n * 1000000 AS DOUBLE) / t.tot) / 1000000.0 AS p
+FROM c JOIN t USING (from_type)
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types over each
+    user's ordered stream: one (user)-sorted lag, one count groupBy over
+    the types^2 key domain, probabilities floored at micro precision
+    (the tie-free division discipline — n/tot can terminate exactly on
+    a rounding boundary where the engines' round() modes disagree)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.floor((F.col("n") * 1000000).cast("double") / F.col("tot"))
+            / F.lit(1000000.0)
+        ).alias("p"),
+    )
+
+
+#: CUSUM alarm threshold in units of H (i.e., cumulative extra events
+#: above the per-type mean before an alarm fires)
+_CUSUM_K = 25
+
+_CUSUM_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+               CAST(sum(y) AS BIGINT) AS t
+        FROM hourly GROUP BY 1),
+p AS (
+  SELECT h.event_type, h.h, t.nh,
+         sum(t.nh * h.y - t.t) OVER (PARTITION BY h.event_type
+                                     ORDER BY h.h ASC
+                                     ROWS UNBOUNDED PRECEDING) AS pf
+  FROM hourly h JOIN tot t USING (event_type)
+),
+c AS (
+  SELECT event_type, h, nh,
+         pf - min(pf) OVER (PARTITION BY event_type ORDER BY h ASC
+                            ROWS UNBOUNDED PRECEDING) AS s
+  FROM p
+)
+SELECT event_type, h AS hour, CAST(s AS BIGINT) AS cusum
+FROM c WHERE s >= {_CUSUM_K} * nh
+"""
+
+
+@register("events_cusum_alarms", oracle=_CUSUM_ORACLE)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint alarms over hourly volume, fully
+    integer: the drift term is nh*y - total (mean-zero without any
+    division), and the nonlinear CUSUM recursion
+    s_t = max(0, s_{t-1} + d_t) is rewritten via the prefix-min
+    identity s_t = P_t - min_{j<=t} P_j — two stacked windows on ONE
+    sorted pass, no iterative fold.  Alarms fire when the statistic
+    exceeds {_CUSUM_K} cumulative extra events (in nh units).  The
+    sequential-detection complement of events_anomaly_hours'
+    sliding z-score (CUSUM catches small SUSTAINED shifts)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("y").cast("long").alias("t"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("h").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "h",
+        "nh",
+        F.sum(F.col("nh") * F.col("y") - F.col("t")).over(w).alias("pf"),
+    )
+    c = p.select(
+        "event_type",
+        "h",
+        "nh",
+        (F.col("pf") - F.min("pf").over(w)).alias("s"),
+    )
+    return c.where(F.col("s") >= _CUSUM_K * F.col("nh")).select(
+        "event_type", F.col("h").alias("hour"), F.col("s").cast("bigint").alias("cusum")
+    )

@@ -48,6 +48,8 @@ NAMES = [
     "events_funnel_latency",
     "events_asof_join_forward",
     "orders_winsorized_mean",
+    "events_markov_transitions",
+    "events_cusum_alarms",
     "text_keywords",
 ]
 
@@ -519,3 +521,37 @@ def test_asof_forward_semantics(spark):
         ).collect()
     }
     assert out == {1: 100, 2: None, 3: None}
+
+
+def test_cusum_prefix_min_identity(spark, tmp_path):
+    """The windowed prefix-min rewrite equals the textbook recursion
+    s_t = max(0, s_{t-1} + d_t) on a constructed shifted series (flat
+    then step up), and the alarm fires during the shift only."""
+    from datetime import datetime as dt, timedelta
+
+    rows, eid = [], 0
+    # 12 flat hours of 2 events, then 6 hours of 30 events (the shift)
+    for hour in range(18):
+        n = 2 if hour < 12 else 30
+        for k in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt(2024, 1, 1) + timedelta(hours=hour, seconds=k), 1, "x", 0.0, "")
+            )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = registry.queries()["events_cusum_alarms"](spark, str(tmp_path)).collect()
+
+    # textbook recursion, pure python
+    ys = [2] * 12 + [30] * 6
+    nh, tot = len(ys), sum(ys)
+    s, expected = 0, {}
+    for i, y in enumerate(ys):
+        s = max(0, s + nh * y - tot)
+        if s >= 25 * nh:
+            expected[dt(2024, 1, 1) + timedelta(hours=i)] = s
+    got = {r["hour"]: r["cusum"] for r in out}
+    assert got == expected and len(expected) > 0
+    assert min(expected) >= dt(2024, 1, 1, 12)  # alarms only in the shift
