@@ -388,3 +388,17 @@ def test_phrase_search_counts_overlaps(spark, tmp_path):
         for r in registry.queries()["text_phrase_search"](spark, str(tmp_path)).collect()
     }
     assert out == {1: 2}
+
+
+def test_jaccard_prefix_mass_duplicate_guard(spark):
+    """Degenerate mass-duplicated corpus: 200 byte-identical copies +
+    one unrelated doc.  The exact-dup collapse means the prefix join
+    sees TWO unique texts; the output is exactly the C(200,2) clique at
+    jaccard 1.0 (output-sized work, no candidate blowup)."""
+    rows = [(i, "a b c d e f") for i in range(200)] + [(999, "p q r s t u")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.jaccard_prefix_pairs(df, shingle_k=1).collect()
+    assert len(out) == 200 * 199 // 2
+    assert all(r["jaccard"] == 1.0 for r in out)
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert 999 not in ids
