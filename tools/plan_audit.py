@@ -113,6 +113,11 @@ AUDITED = [
     "division_suppliers_full_brand",
     "text_phrase_postings_join",
     "events_funnel_latency",
+    "events_asof_join_forward",
+    "orders_winsorized_mean",
+    "curation_luhn_cc_detect",
+    "events_markov_transitions",
+    "events_cusum_alarms",
 ]
 
 
