@@ -511,6 +511,8 @@ def main() -> None:
         "curation_luhn_cc_detect",
         "events_markov_transitions",
         "events_cusum_alarms",
+        "profile_benford_digits",
+        "orders_mad_outliers",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -120,6 +120,7 @@ _PRIORITY = [
     "orders_winsorized_mean",
     "curation_luhn_cc_detect",
     "events_markov_transitions", "events_cusum_alarms",
+    "profile_benford_digits", "orders_mad_outliers",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

@@ -379,3 +379,66 @@ def profile_unpivot_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unpivot(
         ["lang"], ["n_docs", "total_chars", "max_chars"], "metric", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile
+# ---------------------------------------------------------------------------
+
+#: expected Benford frequencies log10(1 + 1/d), emitted as the SAME
+#: decimal literals on both engines (never derived via log at runtime)
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def _benford_oracle() -> str:
+    exp = " ".join(
+        f"WHEN {d} THEN {_BENFORD[d]}" for d in sorted(_BENFORD)
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders
+),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT c.digit, c.n,
+       floor(CAST(c.n * 1000000 AS DOUBLE) / t.tot) / 1000000.0 AS observed,
+       CAST(CASE c.digit {exp} END AS DOUBLE) AS expected
+FROM c, t
+"""
+
+
+@register("profile_benford_digits", oracle=_benford_oracle())
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order values — the
+    fraud/synthetic-data smell test a profiling pass runs over monetary
+    columns.  The digit comes from the DECIMAL's string form (identical
+    rendering cross-engine — never float log10); observed frequencies
+    use the tie-free floor-at-micro division; expected frequencies are
+    fixed decimal literals.  One scan, one 9-key groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy()
+    expected = F.lit(None).cast("double")
+    for d in sorted(_BENFORD, reverse=True):
+        expected = F.when(F.col("digit") == d, F.lit(_BENFORD[d])).otherwise(
+            expected
+        )
+    return c.select(
+        "digit",
+        "n",
+        (
+            F.floor((F.col("n") * 1000000).cast("double") / F.sum("n").over(w))
+            / F.lit(1000000.0)
+        ).alias("observed"),
+        expected.alias("expected"),
+    )

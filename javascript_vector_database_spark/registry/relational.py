@@ -834,3 +834,94 @@ def orders_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean",
         )
     )
+
+
+_MAD_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC,
+                                     o_orderkey ASC) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+med AS (
+  SELECT o_orderpriority, max(CASE WHEN rn = (n + 1) // 2 THEN p END) AS m
+  FROM r GROUP BY 1
+),
+dev AS (
+  SELECT r.o_orderpriority, r.o_orderkey, r.p, abs(r.p - med.m) AS ad, med.m
+  FROM r JOIN med USING (o_orderpriority)
+),
+dr AS (
+  SELECT o_orderpriority, ad,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY ad ASC) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM dev
+),
+mad AS (
+  SELECT o_orderpriority, max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+  FROM dr GROUP BY 1
+)
+SELECT d.o_orderkey, d.o_orderpriority,
+       round(CAST(d.p AS DOUBLE), 2) AS o_totalprice,
+       round(CAST(d.m AS DOUBLE), 2) AS median_price,
+       round(CAST(mad.mad AS DOUBLE), 2) AS mad
+FROM dev d JOIN mad USING (o_orderpriority)
+WHERE d.ad > 5 * mad.mad
+"""
+
+
+@register("orders_mad_outliers", oracle=_MAD_ORACLE)
+def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers — the robust sibling of the
+    z-score gate, with ZERO float in the decision: the type-1 median
+    (integer rank (n+1) DIV 2, orderkey tiebreak), the absolute
+    deviations, the MAD, and the |x - med| > 5*MAD gate are all exact
+    DECIMAL comparisons.  Two ranked windows + two conditional-agg
+    boundary picks; floats appear only in the display rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    wr = W.partitionBy("o_orderpriority").orderBy(p.asc(), F.col("o_orderkey").asc())
+    r = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        p.alias("p"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    med = r.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("p"))).alias("m")
+    )
+    dev = r.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "p",
+        "m",
+        F.abs(F.col("p") - F.col("m")).alias("ad"),
+    )
+    wd = W.partitionBy("o_orderpriority").orderBy(F.col("ad").asc())
+    dr = dev.select(
+        "o_orderpriority",
+        "ad",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    mad = dr.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("ad"))).alias(
+            "mad"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .where(F.col("ad") > F.lit(5) * F.col("mad"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("p").cast("double"), 2).alias("o_totalprice"),
+            F.round(F.col("m").cast("double"), 2).alias("median_price"),
+            F.round(F.col("mad").cast("double"), 2).alias("mad"),
+        )
+    )

@@ -50,6 +50,7 @@ NAMES = [
     "orders_winsorized_mean",
     "events_markov_transitions",
     "events_cusum_alarms",
+    "orders_mad_outliers",
     "text_keywords",
 ]
 

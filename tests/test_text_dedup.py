@@ -200,6 +200,7 @@ PROFILING_QUERIES = [
     "text_bpe_pair_counts",
     "text_phrase_search",
     "text_phrase_postings_join",
+    "profile_benford_digits",
 ]
 
 
