@@ -513,6 +513,8 @@ def main() -> None:
         "events_cusum_alarms",
         "profile_benford_digits",
         "orders_mad_outliers",
+        "basket_association_rules",
+        "customer_rfm_segments",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -925,3 +925,134 @@ def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mad").cast("double"), 2).alias("mad"),
         )
     )
+
+
+#: minimum pair support for an association rule
+_BASKET_MIN_SUPPORT = 3
+
+_BASKET_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sup AS (
+  SELECT pa, pb, CAST(count(*) AS BIGINT) AS support
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+),
+item AS (
+  SELECT l_partkey, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem GROUP BY 1
+)
+SELECT s.pa, s.pb, s.support,
+       floor(CAST(s.support * 1000000 AS DOUBLE) / ia.n_orders) / 1000000.0
+         AS conf_a_to_b,
+       floor(CAST(s.support * 1000000 AS DOUBLE) / ib.n_orders) / 1000000.0
+         AS conf_b_to_a
+FROM sup s
+JOIN item ia ON ia.l_partkey = s.pa
+JOIN item ib ON ib.l_partkey = s.pb
+"""
+
+
+@register("basket_association_rules", oracle=_BASKET_ORACLE)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over part co-occurrence: pair
+    support (orders containing both) with confidence in both directions
+    (support / item order-count, tie-free floor-at-micro).  The pair
+    build is the same bounded per-order fan-out self-join as the
+    PageRank edge list; support pruning (HAVING) runs BEFORE the item
+    joins, so only frequent pairs reach them — the apriori property as
+    plan structure."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o").where(F.col("pa") < F.col("pb")).distinct()
+    )
+    sup = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    item = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    conf = lambda n: (  # noqa: E731
+        F.floor((F.col("support") * 1000000).cast("double") / F.col(n))
+        / F.lit(1000000.0)
+    )
+    return (
+        sup.join(
+            F.broadcast(item.select(F.col("l_partkey").alias("pa"),
+                                    F.col("n_orders").alias("na"))), "pa"
+        )
+        .join(
+            F.broadcast(item.select(F.col("l_partkey").alias("pb"),
+                                    F.col("n_orders").alias("nb"))), "pb"
+        )
+        .select(
+            "pa", "pb", "support",
+            conf("na").alias("conf_a_to_b"),
+            conf("nb").alias("conf_b_to_a"),
+        )
+    )
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, frequency,
+         round(CAST(monetary AS DOUBLE), 2) AS monetary,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_quartile,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quartile,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_quartile
+  FROM base
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register("customer_rfm_segments", oracle=_RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-bucket customers independently by
+    recency, frequency, and monetary value (ntile over custkey-
+    tiebroken total orders — deterministic), then profile the 64
+    segments.  One customer-grain aggregate feeds three windows over
+    the SAME 1500-row frame; the segment rollup is a 64-key groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = base.select(
+        "o_custkey",
+        "frequency",
+        F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc()))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
+        .alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_monetary"),
+    )

@@ -51,6 +51,8 @@ NAMES = [
     "events_markov_transitions",
     "events_cusum_alarms",
     "orders_mad_outliers",
+    "basket_association_rules",
+    "customer_rfm_segments",
     "text_keywords",
 ]
 
