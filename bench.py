@@ -515,6 +515,8 @@ def main() -> None:
         "orders_mad_outliers",
         "basket_association_rules",
         "customer_rfm_segments",
+        "events_session_funnel",
+        "graph_degree_histogram",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

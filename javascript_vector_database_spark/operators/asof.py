@@ -148,6 +148,32 @@ def multires_rollup(
     return fine_df, coarse_df
 
 
+def with_session_ids(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-EVENT session ids (the building block under :func:`sessionize`
+    and the within-session analytics): the input plus a ``session_id``
+    column — running count of >gap breaks over one (key)-sorted pass."""
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev) > gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",
@@ -158,20 +184,7 @@ def sessionize(
     """Gap-based sessions: a new session starts when the time since the
     key's previous event exceeds ``gap_seconds``.  Output: one row per
     session (key, session_id, n_events, session_start, session_end)."""
-    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
-    w = Window.partitionBy(key).orderBy(*order)
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
-    is_new = F.when(
-        prev.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - prev) > gap_seconds * 1_000_000),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    with_sess = events.withColumn(
-        "session_id",
-        F.sum(is_new).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    with_sess = with_session_ids(events, key, ts_col, id_col, gap_seconds)
     return with_sess.groupBy(key, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),

@@ -122,6 +122,7 @@ _PRIORITY = [
     "events_markov_transitions", "events_cusum_alarms",
     "profile_benford_digits", "orders_mad_outliers",
     "basket_association_rules", "customer_rfm_segments",
+    "events_session_funnel", "graph_degree_histogram",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

@@ -1271,3 +1271,85 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.where(F.col("s") >= _CUSUM_K * F.col("nh")).select(
         "event_type", F.col("h").alias("hour"), F.col("s").cast("bigint").alias("cusum")
     )
+
+
+_SESSION_FUNNEL_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {_SESSION_GAP} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM marked
+),
+u0 AS (SELECT user_id, session_id, min(ts) AS t0
+       FROM sess WHERE event_type = 'view' GROUP BY 1, 2),
+u1 AS (SELECT s.user_id, s.session_id, min(s.ts) AS t1
+       FROM sess s JOIN u0 ON u0.user_id = s.user_id
+                          AND u0.session_id = s.session_id
+       WHERE s.event_type = 'click' AND s.ts > u0.t0 GROUP BY 1, 2),
+u2 AS (SELECT s.user_id, s.session_id, min(s.ts) AS t2
+       FROM sess s JOIN u1 ON u1.user_id = s.user_id
+                          AND u1.session_id = s.session_id
+       WHERE s.event_type = 'purchase' AND s.ts > u1.t1 GROUP BY 1, 2)
+SELECT 1 AS step, 'view' AS event_type,
+       CAST(count(*) AS BIGINT) AS n_sessions FROM u0
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM u1
+UNION ALL
+SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM u2
+"""
+
+
+@register("events_session_funnel", oracle=_SESSION_FUNNEL_ORACLE)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel at SESSION grain: view -> click -> purchase must all
+    happen inside one 30-min session (user-grain funnels overstate
+    conversion by crediting chains spread over weeks).  Per-event
+    session ids come from the shared one-sorted-pass assignment
+    (operators/asof.py::with_session_ids); the cascade then runs on the
+    (user, session) composite key — same earliest-completion plan shape
+    as events_funnel_counts, one min-groupBy per step."""
+    from javascript_vector_database_spark.operators.asof import (
+        with_session_ids,
+    )
+
+    ev = with_session_ids(load_table(spark, sf_dir, "events")).select(
+        "user_id", "session_id", "ts", "event_type"
+    )
+    prev = None
+    outs = []
+    for i, s in enumerate(FUNNEL_STEPS):
+        step_ev = ev.where(F.col("event_type") == s)
+        if prev is None:
+            cur = step_ev.groupBy("user_id", "session_id").agg(
+                F.min("ts").alias(f"t{i}")
+            )
+        else:
+            cur = (
+                step_ev.join(prev, ["user_id", "session_id"])
+                .where(F.col("ts") > F.col(f"t{i - 1}"))
+                .groupBy("user_id", "session_id")
+                .agg(F.min("ts").alias(f"t{i}"))
+            )
+        outs.append(
+            cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("event_type"),
+                "n_sessions",
+            )
+        )
+        prev = cur
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

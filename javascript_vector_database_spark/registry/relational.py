@@ -1056,3 +1056,31 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double"), 2
         ).alias("total_monetary"),
     )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle=f"""
+WITH edges AS ({_COPURCHASE_EDGES_SQL}),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY src)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the structure
+    profile run before any iterative graph algorithm (a heavy tail
+    here predicts PageRank/CC hot keys; see graph_pagerank_copurchase).
+    Edge build as in the PageRank query; two map-side-combined
+    groupBys, final key domain = distinct degrees."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

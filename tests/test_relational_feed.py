@@ -53,6 +53,8 @@ NAMES = [
     "orders_mad_outliers",
     "basket_association_rules",
     "customer_rfm_segments",
+    "events_session_funnel",
+    "graph_degree_histogram",
     "text_keywords",
 ]
 
