@@ -517,6 +517,8 @@ def main() -> None:
         "customer_rfm_segments",
         "events_session_funnel",
         "graph_degree_histogram",
+        "dedup_simhash_hamming",
+        "profile_split_drift",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

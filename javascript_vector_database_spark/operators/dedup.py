@@ -1167,3 +1167,64 @@ def jaccard_prefix_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+# ---------------------------------------------------------------------------
+# simhash hamming-distance pair join (pigeonhole band blocking)
+# ---------------------------------------------------------------------------
+
+#: hamming threshold and the pigeonhole band split of the 16-bit hash:
+#: k flips touch at most k bands, so k+1 bands guarantee one untouched
+#: band — equality on one band is a LOSSLESS blocking key for ham <= k
+SIMHAM_K = 2
+_SIMHAM_BANDS = ((0, 64), (6, 32), (11, 32))  # (shift, modulus): 6+5+5 bits
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHAM_K,
+) -> DataFrame:
+    """(id_a, id_b, hamming): doc pairs whose 16-bit SimHashes differ in
+    at most ``max_hamming`` bits — the BIT-space near-dup join
+    complementing the token-space LSH/prefix joins.  Blocking is the
+    pigeonhole band split (len(_SIMHAM_BANDS) = SIMHAM_K + 1 bands), so
+    the self-join keys on (band_idx, band_value) — never all-pairs —
+    and is lossless by the pigeonhole argument; verification is one
+    codegen ``bit_count(xor)`` per candidate.  The oracle is the
+    quadratic join (small corpus), the result identical."""
+    from pyspark.sql.window import Window  # noqa: F401  (parity w/ siblings)
+
+    sims = simhash_table(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (F.shiftright("simhash", sh) % mod).alias("v"),
+            )
+            for i, (sh, mod) in enumerate(_SIMHAM_BANDS)
+        ]
+    )
+    bd = sims.select(id_col, "simhash", F.explode(bands).alias("bk")).select(
+        id_col, "simhash", "bk.band", "bk.v"
+    )
+    a, b = bd.alias("a"), bd.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

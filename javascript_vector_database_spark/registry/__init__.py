@@ -123,6 +123,7 @@ _PRIORITY = [
     "profile_benford_digits", "orders_mad_outliers",
     "basket_association_rules", "customer_rfm_segments",
     "events_session_funnel", "graph_degree_histogram",
+    "dedup_simhash_hamming", "profile_split_drift",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

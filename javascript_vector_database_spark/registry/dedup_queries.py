@@ -365,3 +365,23 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasible for DuckDB because the test corpus is small — that
     asymmetry is the point)."""
     return dedup.jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simham_oracle() -> str:
+    sim = _simhash_oracle().strip()
+    return f"""
+WITH s AS ({sim})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHAM_K}
+"""
+
+
+@register("dedup_simhash_hamming", oracle=_simham_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs within hamming distance 2, blocked by the
+    pigeonhole band split (3 bands of the 16-bit hash — a k-flip pair
+    always shares one untouched band, so the blocking is lossless and
+    the quadratic oracle is the ground truth)."""
+    return dedup.simhash_hamming_pairs(load_table(spark, sf_dir, "documents"))

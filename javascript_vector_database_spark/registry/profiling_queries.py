@@ -442,3 +442,62 @@ def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("observed"),
         expected.alias("expected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# split drift (chi-square distance between split length distributions)
+# ---------------------------------------------------------------------------
+
+_DRIFT_BUCKET = 50
+
+_DRIFT_ORACLE = f"""
+WITH b AS (
+  SELECT (n_chars // {_DRIFT_BUCKET}) * {_DRIFT_BUCKET} AS bucket_lo,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM b)
+SELECT b.bucket_lo, b.na, b.nb,
+       -- chi-square contribution with EXACT integer numerator:
+       -- (na*tb - nb*ta)^2 / (ta*tb*(na+nb)) — one float division
+       round(CAST((b.na * t.tb - b.nb * t.ta) * (b.na * t.tb - b.nb * t.ta)
+                  AS DOUBLE)
+             / (CAST(t.ta AS DOUBLE) * t.tb * (b.na + b.nb)), 8)
+         AS chi2_term
+FROM b, t
+"""
+
+
+@register("profile_split_drift", oracle=_DRIFT_ORACLE)
+def profile_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two splits (doc_id parity standing in
+    for train/val): per length-bucket counts and the chi-square
+    homogeneity contribution, with the numerator kept as an EXACT
+    integer (na*tb - nb*ta)^2 so only one float division remains — the
+    drift gate a pipeline runs after re-sampling to prove the splits
+    still match.  One conditional-aggregation scan, ~40 bucket keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / _DRIFT_BUCKET) * _DRIFT_BUCKET).cast("long")
+    b = docs.groupBy(bucket.alias("bucket_lo")).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    w = Window.partitionBy()
+    ta = F.sum("na").over(w)
+    tb = F.sum("nb").over(w)
+    num = (F.col("na") * tb - F.col("nb") * ta)
+    return b.select(
+        "bucket_lo",
+        "na",
+        "nb",
+        F.round(
+            (num * num).cast("double")
+            / (ta.cast("double") * tb * (F.col("na") + F.col("nb"))),
+            8,
+        ).alias("chi2_term"),
+    )

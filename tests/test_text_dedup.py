@@ -28,6 +28,7 @@ DEDUP_QUERIES = [
     "dedup_duplicate_clusters",
     "dedup_batch_vs_corpus",
     "dedup_jaccard_prefix",
+    "dedup_simhash_hamming",
 ]
 
 
@@ -201,6 +202,7 @@ PROFILING_QUERIES = [
     "text_phrase_search",
     "text_phrase_postings_join",
     "profile_benford_digits",
+    "profile_split_drift",
 ]
 
 
@@ -403,3 +405,26 @@ def test_jaccard_prefix_mass_duplicate_guard(spark):
     assert all(r["jaccard"] == 1.0 for r in out)
     ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
     assert 999 not in ids
+
+
+def test_simhash_hamming_blocking_lossless(spark, sf_smoke):
+    """The pigeonhole band blocking returns exactly the quadratic
+    hamming join's pairs (no pair with <= k flips can miss all k+1
+    bands)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    blocked = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_hamming_pairs(docs).collect()
+    )
+    sims = dedup.simhash_table(docs)
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    quad = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .where((F.col("id_a") < F.col("id_b")) & (ham <= dedup.SIMHAM_K))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .collect()
+    )
+    assert blocked == quad and len(blocked) > 0
