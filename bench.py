@@ -519,6 +519,7 @@ def main() -> None:
         "graph_degree_histogram",
         "dedup_simhash_hamming",
         "profile_split_drift",
+        "knn_mmr_rerank",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -345,3 +345,87 @@ def candidate_count(
         c = (F.col(f"idx{i}") > F.lit(lo)) & (F.col(f"idx{i}") < F.lit(hi))
         cond = c if cond is None else (cond | c)
     return src.where(cond).count()
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 20
+MMR_K = 5
+#: trade-off weight 1/2 — an EXACT binary fraction, so lambda*x is a
+#: pure halving with no rounding on either engine
+MMR_LAMBDA_NUM, MMR_LAMBDA_DEN = 1, 2
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    qvec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pool: int = MMR_POOL,
+    k: int = MMR_K,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
+    from the top-``pool`` cosine candidates, greedily pick ``k`` items
+    maximizing 0.5*rel(q,c) - 0.5*max_sim(c, selected) — the diversity
+    pass a RAG retriever runs after ANN so the k contexts aren't k
+    near-copies.  Output: (rank, vec_id, rel).
+
+    Shape: the candidate pool is ONE TakeOrderedAndProject over the
+    corpus (the only corpus-scale work); each of the k-1 greedy rounds
+    is an argmax over <= pool rows with the already-selected vectors
+    inlined as literals (the ann_scale literal-fold idiom), costing one
+    bounded driver row per round — same contract as the BPE trainer's
+    per-round argmax.  Determinism: rel and pairwise sims are the same
+    sequential HOF folds the distance queries hash-match on; lambda=1/2
+    halves exactly; argmax ties break on the id."""
+    from javascript_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    cand = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            cosine_similarity(F.col(vec_col), qlit).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col(id_col).asc())
+        .limit(pool)
+        .cache()
+    )
+    first = cand.orderBy(F.col("rel").desc(), F.col(id_col).asc()).limit(1).collect()[0]
+    selected = [(first[id_col], [float(x) for x in first[vec_col]], float(first["rel"]))]
+    for _ in range(k - 1):
+        sims = [
+            cosine_similarity(
+                F.col(vec_col), F.array(*[F.lit(v) for v in vec])
+            )
+            for _sid, vec, _r in selected
+        ]
+        maxsim = sims[0]
+        for s in sims[1:]:
+            maxsim = F.greatest(maxsim, s)
+        score = (
+            F.col("rel") * MMR_LAMBDA_NUM / MMR_LAMBDA_DEN
+            - maxsim * (MMR_LAMBDA_DEN - MMR_LAMBDA_NUM) / MMR_LAMBDA_DEN
+        )
+        nxt = (
+            cand.where(~F.col(id_col).isin([sid for sid, _v, _r in selected]))
+            .orderBy(score.desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        r = nxt[0]
+        selected.append(
+            (r[id_col], [float(x) for x in r[vec_col]], float(r["rel"]))
+        )
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        [(i + 1, sid, rel) for i, (sid, _v, rel) in enumerate(selected)],
+        ["rank", id_col, "rel"],
+    )
+    return out.select("rank", id_col, F.round("rel", 6).alias("rel"))

@@ -124,6 +124,7 @@ _PRIORITY = [
     "basket_association_rules", "customer_rfm_segments",
     "events_session_funnel", "graph_degree_histogram",
     "dedup_simhash_hamming", "profile_split_drift",
+    "knn_mmr_rerank",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

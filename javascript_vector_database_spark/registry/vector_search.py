@@ -325,3 +325,65 @@ def flagship_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle() -> str:
+    from javascript_vector_database_spark.operators.knn import (
+        MMR_K,
+        MMR_LAMBDA_DEN,
+        MMR_LAMBDA_NUM,
+        MMR_POOL,
+    )
+
+    cos_q = osql.sql_cosine("embedding", "qv")
+    ctes = [
+        osql.QVEC_CTE,
+        f"""cand AS (
+  SELECT vec_id, embedding, {cos_q} AS rel
+  FROM embeddings, q ORDER BY rel DESC, vec_id ASC LIMIT {MMR_POOL})""",
+        "s1 AS (SELECT vec_id, embedding, rel FROM cand "
+        "ORDER BY rel DESC, vec_id ASC LIMIT 1)",
+    ]
+    for i in range(2, MMR_K + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        sims = ", ".join(
+            osql.sql_cosine("c.embedding", f"{p}.embedding") for p in prev
+        )
+        maxsim = f"greatest({sims})" if len(prev) > 1 else sims
+        notin = ", ".join(f"{p}.vec_id" for p in prev)
+        ctes.append(
+            f"""r{i} AS (
+  SELECT c.vec_id, c.embedding, c.rel,
+         c.rel * {MMR_LAMBDA_NUM} / {MMR_LAMBDA_DEN}
+         - ({maxsim}) * {MMR_LAMBDA_DEN - MMR_LAMBDA_NUM} / {MMR_LAMBDA_DEN}
+           AS score
+  FROM cand c, {', '.join(prev)}
+  WHERE c.vec_id NOT IN ({notin}))"""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, embedding, rel FROM r{i} "
+            "ORDER BY score DESC, vec_id ASC LIMIT 1)"
+        )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, round(rel, 6) AS rel FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + arms
+
+
+@register("knn_mmr_rerank", oracle=_mmr_oracle())
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k (operators/knn.py::mmr_rerank): greedy
+    0.5*relevance - 0.5*max-similarity-to-selected over the top-20
+    cosine pool — the diversity pass a RAG retriever runs after ANN.
+    The oracle unrolls the identical greedy selection as CTE levels."""
+    from javascript_vector_database_spark.operators.knn import mmr_rerank
+    from javascript_vector_database_spark.registry import get_query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, get_query_vec(spark, sf_dir))

@@ -152,3 +152,32 @@ def test_compat_string_range_divergence(spark):
     # the quirk: the string window across the digit-count boundary is
     # lexicographically empty — the reference would MISS both candidates
     assert compat == set()
+
+
+def test_mmr_skips_near_copies(spark):
+    """MMR must pass over a near-copy of an already-selected item in
+    favor of a diverse one, where plain top-k would take the copy."""
+    from javascript_vector_database_spark.operators.knn import mmr_rerank
+
+    rows = [
+        (1, [0.9, 0.43, 0.0], "a"),    # best match to q
+        (2, [0.9, 0.44, 0.0], "b"),    # near-copy of 1 (sim ~1)
+        (3, [0.9, -0.43, 0.0], "c"),   # equally relevant, diverse
+        (4, [0.7, 0.0, 0.7], "d"),     # diverse
+        (5, [-1.0, 0.0, 0.0], "e"),    # anti-relevant
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = [r["vec_id"] for r in mmr_rerank(emb, [1.0, 0.0, 0.0], k=3)
+           .orderBy("rank").collect()]
+    assert out[0] == 1
+    assert 2 not in out[1:]  # the near-copy is passed over
+    assert set(out[1:]) <= {3, 4}
+
+
+def test_mmr_oracle(spark, sf_oracle):
+    compare(
+        spark,
+        sf_oracle,
+        registry.queries()["knn_mmr_rerank"],
+        registry.oracle_sql()["knn_mmr_rerank"],
+    )
