@@ -118,6 +118,15 @@ AUDITED = [
     "curation_luhn_cc_detect",
     "events_markov_transitions",
     "events_cusum_alarms",
+    "profile_benford_digits",
+    "orders_mad_outliers",
+    "basket_association_rules",
+    "customer_rfm_segments",
+    "events_session_funnel",
+    "graph_degree_histogram",
+    "dedup_simhash_hamming",
+    "profile_split_drift",
+    "knn_mmr_rerank",
 ]
 
 
