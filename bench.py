@@ -520,6 +520,9 @@ def main() -> None:
         "dedup_simhash_hamming",
         "profile_split_drift",
         "knn_mmr_rerank",
+        "customer_pareto_share",
+        "text_lang_confusion",
+        "curation_universe_sample",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -125,6 +125,8 @@ _PRIORITY = [
     "events_session_funnel", "graph_degree_histogram",
     "dedup_simhash_hamming", "profile_split_drift",
     "knn_mmr_rerank",
+    "customer_pareto_share", "text_lang_confusion",
+    "curation_universe_sample",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

@@ -502,3 +502,63 @@ def curation_luhn_cc_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("raw"))
         .alias("scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# consistent (universe) sampling across tables
+# ---------------------------------------------------------------------------
+
+#: keep users whose hash bucket falls under this rate (10%)
+_UNIVERSE_RATE_BP = 1000
+
+
+def _universe_oracle() -> str:
+    from javascript_vector_database_spark.operators.curation import (
+        sql_hash_bucket,
+    )
+
+    pred = lambda col: f"{sql_hash_bucket(col)} < {_UNIVERSE_RATE_BP}"  # noqa: E731
+    return f"""
+SELECT 'events' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE {pred('user_id')}
+UNION ALL
+SELECT 'orders',
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT)
+FROM orders WHERE {pred('o_custkey')}
+"""
+
+
+@register("curation_universe_sample", oracle=_universe_oracle())
+def curation_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIVERSE sampling: the same md5-bucket predicate on the USER key
+    samples every table, so a sampled user's whole history survives
+    across events AND orders (per-row Bernoulli sampling would shatter
+    joins — a 10% row sample keeps only ~1% of user-order pairs).  The
+    predicate is the engine-portable hash bucket the mixture sampler
+    uses; zero shuffle — both gates ride their scans."""
+    from javascript_vector_database_spark.operators.curation import (
+        portable_hash_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    a = (
+        ev.where(portable_hash_bucket(F.col("user_id")) < _UNIVERSE_RATE_BP)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(F.lit("events").alias("table_name"), "n_rows", "n_users")
+    )
+    b = (
+        orders.where(portable_hash_bucket(F.col("o_custkey")) < _UNIVERSE_RATE_BP)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct("o_custkey").cast("bigint").alias("n_users"),
+        )
+        .select(F.lit("orders").alias("table_name"), "n_rows", "n_users")
+    )
+    return a.unionByName(b)

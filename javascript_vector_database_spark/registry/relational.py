@@ -1084,3 +1084,63 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+_PARETO_ORACLE = """
+WITH c AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT o_custkey, rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS rn,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev) OVER () AS tot,
+         count(*) OVER () AS n
+  FROM c
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       floor(CAST(max(cum) * 1000000 AS DOUBLE) / max(CAST(tot AS DOUBLE)))
+         / 1000000.0 AS cum_revenue_share
+FROM (SELECT *, CAST(ceil(rn * 10.0 / n) AS INT) AS decile FROM r)
+GROUP BY decile
+"""
+
+
+@register("customer_pareto_share", oracle=_PARETO_ORACLE)
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 report): customers ranked by
+    revenue, cumulative share at each population decile.  Exact decimal
+    running sums over one custkey-tiebroken sort; the share division is
+    the tie-free floor-at-micro.  decile = ceil(rn*10/n) — integer-
+    exact bucketing off the same window frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = W.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    r = c.select(
+        "o_custkey",
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.sum("rev")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("rev").over(W.partitionBy()).alias("tot"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    d = r.withColumn(
+        "decile", F.ceil(F.col("rn") * 10.0 / F.col("n")).cast("int")
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (
+            F.floor(
+                (F.max("cum") * 1000000).cast("double")
+                / F.max(F.col("tot").cast("double"))
+            )
+            / F.lit(1000000.0)
+        ).alias("cum_revenue_share"),
+    )

@@ -504,3 +504,27 @@ def text_phrase_postings_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
+
+
+_LANG_CONFUSION_ORACLE = f"""
+SELECT lang AS actual, {T.sql_lang_id('text')} AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+@register("text_lang_confusion", oracle=_LANG_CONFUSION_ORACLE)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language-ID heuristic against the
+    labeled ``lang`` column — the evaluation every classifier-gated
+    curation pass needs before it gates anything.  One scan, one
+    (langs^2)-key groupBy."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.col("lang").alias("actual"),
+            T.lang_id("text").alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -25,6 +25,7 @@ CURATION_QUERIES = [
     "curation_contamination_bloom",
     "curation_remove_boilerplate",
     "curation_luhn_cc_detect",
+    "curation_universe_sample",
 ]
 
 

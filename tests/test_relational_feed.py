@@ -55,6 +55,7 @@ NAMES = [
     "customer_rfm_segments",
     "events_session_funnel",
     "graph_degree_histogram",
+    "customer_pareto_share",
     "text_keywords",
 ]
 

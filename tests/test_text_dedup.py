@@ -203,6 +203,7 @@ PROFILING_QUERIES = [
     "text_phrase_postings_join",
     "profile_benford_digits",
     "profile_split_drift",
+    "text_lang_confusion",
 ]
 
 
