@@ -127,6 +127,9 @@ AUDITED = [
     "dedup_simhash_hamming",
     "profile_split_drift",
     "knn_mmr_rerank",
+    "customer_pareto_share",
+    "text_lang_confusion",
+    "curation_universe_sample",
 ]
 
 
