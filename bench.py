@@ -523,6 +523,9 @@ def main() -> None:
         "customer_pareto_share",
         "text_lang_confusion",
         "curation_universe_sample",
+        "sketch_comparison_report",
+        "quality_checks_report",
+        "orders_wow_growth",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -127,6 +127,8 @@ _PRIORITY = [
     "knn_mmr_rerank",
     "customer_pareto_share", "text_lang_confusion",
     "curation_universe_sample",
+    "sketch_comparison_report", "quality_checks_report",
+    "orders_wow_growth",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

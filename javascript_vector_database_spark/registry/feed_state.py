@@ -1353,3 +1353,48 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _sketch_report_oracle() -> str:
+    from javascript_vector_database_spark.operators.sketch import (
+        sql_kmv_distinct_estimate,
+    )
+
+    kmv = sql_kmv_distinct_estimate("events", "user_id").strip()
+    hll = _hll_oracle().strip()
+    return f"""
+SELECT 'exact' AS method,
+       CAST(count(DISTINCT user_id) AS DOUBLE) AS estimate
+FROM events
+UNION ALL
+SELECT 'kmv', kmv_estimate FROM ({kmv})
+UNION ALL
+SELECT 'hll', hll_estimate FROM ({hll})
+"""
+
+
+@register("sketch_comparison_report", oracle=_sketch_report_oracle())
+def sketch_comparison_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family side by side on one question (distinct users):
+    exact, KMV, and deterministic-register HLL in a single 3-row report
+    — the calibration table a pipeline keeps so downstream consumers
+    know each sketch's bias on THEIR key distribution.  Composes the
+    registered operators; each arm keeps its own scale shape (exact
+    pays a distinct shuffle, KMV a per-distinct-hash row, HLL a
+    256-row bound)."""
+    from javascript_vector_database_spark.operators.sketch import (
+        hll_distinct_estimate,
+        kmv_distinct_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("double").alias("estimate")
+    ).select(F.lit("exact").alias("method"), "estimate")
+    kmv = kmv_distinct_estimate(ev, "user_id").select(
+        F.lit("kmv").alias("method"), F.col("kmv_estimate").alias("estimate")
+    )
+    hll = hll_distinct_estimate(ev, "user_id").select(
+        F.lit("hll").alias("method"), F.col("hll_estimate").alias("estimate")
+    )
+    return exact.unionByName(kmv).unionByName(hll)

@@ -1144,3 +1144,156 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("cum_revenue_share"),
     )
+
+
+_QUALITY_CHECKS_ORACLE = """
+SELECT 'orders_pk_unique' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem_qty_positive',
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events_ts_in_range',
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2020-01-01 00:00:00'
+                       OR ts > TIMESTAMP '2030-01-01 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+"""
+
+
+@register("quality_checks_report", oracle=_QUALITY_CHECKS_ORACLE)
+def quality_checks_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-style data-quality suite as ONE query: pk uniqueness,
+    not-null, two referential-integrity anti-joins, a domain check, and
+    a timestamp range check — each arm a count of VIOLATIONS (all 0 on
+    healthy data, and the zeros are what the report proves).  Anti-join
+    arms broadcast the dim side; every other arm rides its scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def arm(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+        )
+
+    arms = [
+        arm(
+            "orders_pk_unique",
+            orders.agg(
+                (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+                    "n_violations"
+                )
+            ),
+        ),
+        arm(
+            "orders_custkey_not_null",
+            orders.agg(
+                F.sum(
+                    F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+                ).alias("n_violations")
+            ),
+        ),
+        arm(
+            "orders_fk_customer",
+            orders.join(
+                F.broadcast(cust),
+                orders["o_custkey"] == cust["c_custkey"],
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n_violations")),
+        ),
+        arm(
+            "lineitem_fk_orders",
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n_violations")),
+        ),
+        arm(
+            "lineitem_qty_positive",
+            li.agg(
+                F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+                    "n_violations"
+                )
+            ),
+        ),
+        arm(
+            "events_ts_in_range",
+            ev.agg(
+                F.sum(
+                    F.when(
+                        (F.col("ts") < F.lit("2020-01-01 00:00:00").cast("timestamp"))
+                        | (
+                            F.col("ts")
+                            > F.lit("2030-01-01 00:00:00").cast("timestamp")
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_violations")
+            ),
+        ),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+_WOW_ORACLE = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT week,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       floor(CAST((rev - lag(rev) OVER (ORDER BY week ASC)) * 1000000
+                  AS DOUBLE)
+             / CAST(lag(rev) OVER (ORDER BY week ASC) AS DOUBLE))
+         / 1000000.0 AS wow_growth
+FROM weekly
+"""
+
+
+@register("orders_wow_growth", oracle=_WOW_ORACLE)
+def orders_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: exact decimal weekly sums, growth
+    as the tie-free floor-at-micro ratio of the exact delta over the
+    prior week (first week NULL).  One coarse-key groupBy + one tiny
+    ordered window."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = W.orderBy(F.col("week").asc())
+    prev = F.lag("rev").over(w)
+    return weekly.select(
+        "week",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        (
+            F.floor(
+                ((F.col("rev") - prev) * 1000000).cast("double")
+                / prev.cast("double")
+            )
+            / F.lit(1000000.0)
+        ).alias("wow_growth"),
+    )

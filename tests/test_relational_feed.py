@@ -56,6 +56,9 @@ NAMES = [
     "events_session_funnel",
     "graph_degree_histogram",
     "customer_pareto_share",
+    "sketch_comparison_report",
+    "quality_checks_report",
+    "orders_wow_growth",
     "text_keywords",
 ]
 
