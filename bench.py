@@ -526,6 +526,9 @@ def main() -> None:
         "sketch_comparison_report",
         "quality_checks_report",
         "orders_wow_growth",
+        "agg_q10_returned_items",
+        "agg_q4_late_orders",
+        "lineitem_ship_latency",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

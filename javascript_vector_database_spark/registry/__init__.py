@@ -129,6 +129,8 @@ _PRIORITY = [
     "curation_universe_sample",
     "sketch_comparison_report", "quality_checks_report",
     "orders_wow_growth",
+    "agg_q10_returned_items", "agg_q4_late_orders",
+    "lineitem_ship_latency",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

@@ -59,6 +59,9 @@ NAMES = [
     "sketch_comparison_report",
     "quality_checks_report",
     "orders_wow_growth",
+    "agg_q10_returned_items",
+    "agg_q4_late_orders",
+    "lineitem_ship_latency",
     "text_keywords",
 ]
 
