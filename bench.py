@@ -529,6 +529,9 @@ def main() -> None:
         "agg_q10_returned_items",
         "agg_q4_late_orders",
         "lineitem_ship_latency",
+        "events_props_json_stats",
+        "events_cohort_ltv",
+        "embedding_norm_profile",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -131,6 +131,8 @@ _PRIORITY = [
     "orders_wow_growth",
     "agg_q10_returned_items", "agg_q4_late_orders",
     "lineitem_ship_latency",
+    "events_props_json_stats", "events_cohort_ltv",
+    "embedding_norm_profile",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

@@ -1398,3 +1398,96 @@ def sketch_comparison_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hll").alias("method"), F.col("hll_estimate").alias("estimate")
     )
     return exact.unionByName(kmv).unionByName(hll)
+
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_props_json_stats", oracle=_PROPS_ORACLE)
+def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads: extract a typed field from the JSON
+    ``props`` column (get_json_object — JVM-side JSON path, rides the
+    scan) and aggregate it per type.  The schema-on-read pattern for
+    event properties too sparse/variable to column-ize; at 100 TB the
+    hot fields graduate to real columns and this query is the
+    migration's before/after check."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+_COHORT_LTV_ORACLE = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+),
+wk AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+           AS week_offset,
+         sum(CAST(e.value AS DECIMAL(18,2))) AS rev
+  FROM events e JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset,
+       round(CAST(sum(rev) OVER (PARTITION BY cohort_week
+                                 ORDER BY week_offset ASC
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+         AS cum_value
+FROM wk
+"""
+
+
+@register("events_cohort_ltv", oracle=_COHORT_LTV_ORACLE)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: cumulative event value per signup-week
+    cohort across week offsets — the monetary sibling of the retention
+    triangle.  Exact decimal sums; the cumulative window runs over the
+    tiny (cohort, offset) frame, raw events are touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    wk = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy(F.col("week_offset").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wk.select(
+        "cohort_week",
+        "week_offset",
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias("cum_value"),
+    )

@@ -387,3 +387,31 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_rerank(emb, get_query_vec(spark, sf_dir))
+
+
+@register(
+    "embedding_norm_profile",
+    oracle=f"""
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min({osql.sql_l2_norm('embedding')}), 6) AS min_norm,
+       round(max({osql.sql_l2_norm('embedding')}), 6) AS max_norm
+FROM embeddings GROUP BY label
+""",
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-health profile per label: count and the min/max L2 norm
+    (a zero or exploded norm is a broken embedding batch).  min/max of
+    identically-computed doubles are order-independent — the one vector
+    statistic that is exactly oracle-checkable without decimal tricks;
+    a MEAN norm would be a shuffle-order-dependent float sum and is
+    deliberately absent."""
+    from javascript_vector_database_spark.functions.vector import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = l2_norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min(n), 6).alias("min_norm"),
+        F.round(F.max(n), 6).alias("max_norm"),
+    )

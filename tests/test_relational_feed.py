@@ -62,6 +62,9 @@ NAMES = [
     "agg_q10_returned_items",
     "agg_q4_late_orders",
     "lineitem_ship_latency",
+    "events_props_json_stats",
+    "events_cohort_ltv",
+    "embedding_norm_profile",
     "text_keywords",
 ]
 
