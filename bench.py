@@ -532,6 +532,8 @@ def main() -> None:
         "events_props_json_stats",
         "events_cohort_ltv",
         "embedding_norm_profile",
+        "events_top_journeys",
+        "text_collocations_lift",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

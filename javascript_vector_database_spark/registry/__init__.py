@@ -133,6 +133,7 @@ _PRIORITY = [
     "lineitem_ship_latency",
     "events_props_json_stats", "events_cohort_ltv",
     "embedding_norm_profile",
+    "events_top_journeys", "text_collocations_lift",
     # NEW this round (r5, first session): the 384-dim reference-geometry
     # family + the deterministic-register HLL sketch
     "knn_exact_384", "knn_ann_similarity_384",

@@ -1491,3 +1491,73 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         F.round(F.sum("rev").over(w).cast("double"), 2).alias("cum_value"),
     )
+
+
+_JOURNEY_TOP = 15
+
+_JOURNEY_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {_SESSION_GAP} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM marked
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS journey
+  FROM sess GROUP BY 1, 2
+)
+SELECT journey, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, journey ASC
+LIMIT {_JOURNEY_TOP}
+"""
+
+
+@register("events_top_journeys", oracle=_JOURNEY_ORACLE)
+def events_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session journeys (the ordered event-type path of each 30-min
+    session, e.g. 'view>click>purchase') — path mining, the report
+    behind every 'users who did X then Y' product question.  Session
+    ids from the shared one-sorted-pass assignment; the path string is
+    a row-local ordered aggregation per session (collect_list +
+    sort_array on the unique (ts, event_id) key, mirrored by DuckDB's
+    ORDER BY string_agg); journeys groupBy + TakeOrdered top-15."""
+    from javascript_vector_database_spark.operators.asof import (
+        with_session_ids,
+    )
+
+    ev = with_session_ids(load_table(spark, sf_dir, "events"))
+    paths = (
+        ev.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("journey")
+        )
+    )
+    return (
+        paths.groupBy("journey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("journey").asc())
+        .limit(_JOURNEY_TOP)
+    )

@@ -528,3 +528,82 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+#: minimum bigram count for the collocation report
+_COLLOC_MIN = 50
+_COLLOC_TOP = 20
+
+_COLLOC_ORACLE = f"""
+WITH t AS (SELECT {T.sql_word_tokens('text')} AS toks FROM documents),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM uni),
+bi AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b, CAST(count(*) AS BIGINT) AS nab
+  FROM t, LATERAL unnest(range(1, len(toks))) AS u(i)
+  GROUP BY 1, 2 HAVING count(*) >= {_COLLOC_MIN}
+),
+tb AS (SELECT CAST(sum(nab) AS BIGINT) AS nb FROM
+       (SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS nab
+        FROM t, LATERAL unnest(range(1, len(toks))) AS u(i) GROUP BY 1, 2))
+SELECT bi.a, bi.b, bi.nab,
+       -- lift = P(ab) / (P(a) P(b)) with the EXACT integer cross-product
+       -- numerator nab*nt*nt and denominator nb*na*nbk: one float division
+       floor(CAST(bi.nab * tot.nt * tot.nt AS DOUBLE) * 1000000
+             / (CAST(tb.nb AS DOUBLE) * ua.n * ub.n)) / 1000000.0 AS lift
+FROM bi, tot, tb
+JOIN uni ua ON ua.tok = bi.a
+JOIN uni ub ON ub.tok = bi.b
+ORDER BY bi.nab DESC, bi.a ASC, bi.b ASC
+LIMIT {_COLLOC_TOP}
+"""
+
+
+@register("text_collocations_lift", oracle=_COLLOC_ORACLE)
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations with LIFT — P(ab)/(P(a)P(b)) as an exact
+    integer cross-product ratio (one float division, floored at micro;
+    PMI's log would add a cross-libm transcendental for zero analytical
+    gain at ranking time).  Bigram explode is row-local; unigram and
+    bigram tables are the standard two aggregates."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(toks.alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ex = base.where(F.size("__t") >= 2).select(
+        "__t", F.explode(F.sequence(F.lit(0), F.size("__t") - 2)).alias("__i")
+    )
+    bi_all = ex.select(
+        F.col("__t").getItem(F.col("__i")).alias("a"),
+        F.col("__t").getItem(F.col("__i") + 1).alias("b"),
+    ).groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("nab"))
+    bi = bi_all.where(F.col("nab") >= _COLLOC_MIN)
+    # the two corpus totals are single bounded scalars — collected once
+    # and inlined as literals (the ann_scale idiom), NOT joined: a
+    # keyless 1-row broadcast join compiles to the banned
+    # BroadcastNestedLoopJoin
+    nt = int(uni.agg(F.sum("n")).first()[0])
+    nb = int(bi_all.agg(F.sum("nab")).first()[0])
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("na"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("nb_tok"))
+    j = bi.join(F.broadcast(ua), "a").join(F.broadcast(ub), "b")
+    lift = (
+        F.floor(
+            (F.col("nab") * F.lit(nt) * F.lit(nt)).cast("double")
+            * 1000000
+            / (F.lit(float(nb)) * F.col("na") * F.col("nb_tok"))
+        )
+        / F.lit(1000000.0)
+    )
+    return (
+        j.select("a", "b", "nab", lift.alias("lift"))
+        .orderBy(F.col("nab").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(_COLLOC_TOP)
+    )

@@ -65,6 +65,7 @@ NAMES = [
     "events_props_json_stats",
     "events_cohort_ltv",
     "embedding_norm_profile",
+    "events_top_journeys",
     "text_keywords",
 ]
 

@@ -204,6 +204,7 @@ PROFILING_QUERIES = [
     "profile_benford_digits",
     "profile_split_drift",
     "text_lang_confusion",
+    "text_collocations_lift",
 ]
 
 
