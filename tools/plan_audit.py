@@ -130,6 +130,17 @@ AUDITED = [
     "customer_pareto_share",
     "text_lang_confusion",
     "curation_universe_sample",
+    "sketch_comparison_report",
+    "quality_checks_report",
+    "orders_wow_growth",
+    "agg_q10_returned_items",
+    "agg_q4_late_orders",
+    "lineitem_ship_latency",
+    "events_props_json_stats",
+    "events_cohort_ltv",
+    "embedding_norm_profile",
+    "events_top_journeys",
+    "text_collocations_lift",
 ]
 
 
