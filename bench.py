@@ -534,6 +534,7 @@ def main() -> None:
         "embedding_norm_profile",
         "events_top_journeys",
         "text_collocations_lift",
+        "sketch_grouped_quantiles",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -499,3 +499,99 @@ cum AS (
 )
 {body}
 """
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame, group_col: str, col: str, bin_width: int = HIST_Q_BIN
+) -> DataFrame:
+    """(group, q, bin_lo, est): the histogram-quantile sketch per group —
+    the persisted per-domain profile (each group's bins merge across
+    splits independently, same integer discipline as the global
+    :func:`histogram_quantiles`).  The running-count window partitions
+    by group, so no single-partition global sort exists at ANY group
+    count — this is the form a 100 TB profile actually runs; the global
+    sketch is the one-group special case."""
+    from pyspark.sql.window import Window
+
+    hist = (
+        df.select(
+            F.col(group_col).alias("g"),
+            ((F.col(col) / bin_width).cast("long") * bin_width).alias("bin_lo"),
+        )
+        .groupBy("g", "bin_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wg = Window.partitionBy("g")
+    w = wg.orderBy("bin_lo").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "g",
+        "bin_lo",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wg).alias("total"),
+    )
+    outs = []
+    for num, den in HIST_Q_PROBES:
+        wq = Window.partitionBy("g").orderBy(F.col("bin_lo").asc())
+        cand = (
+            cum.where(F.col("cum") * den >= F.col("total") * num)
+            .withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") == 1)
+        )
+        outs.append(
+            cand.select(
+                F.col("g").alias(group_col),
+                F.lit(f"{num}/{den}").alias("q"),
+                "bin_lo",
+                F.round(
+                    F.col("bin_lo")
+                    + bin_width
+                    * (
+                        (F.col("total") * num / F.lit(float(den)))
+                        - (F.col("cum") - F.col("cnt"))
+                    )
+                    / F.col("cnt"),
+                    4,
+                ).alias("est"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_grouped_histogram_quantiles(
+    table: str, group_col: str, col: str, bin_width: int = HIST_Q_BIN
+) -> str:
+    """DuckDB oracle mirroring :func:`grouped_histogram_quantiles`."""
+    probes = []
+    for num, den in HIST_Q_PROBES:
+        probes.append(
+            f"""
+SELECT {group_col}, '{num}/{den}' AS q, bin_lo,
+       round(bin_lo + {bin_width} *
+             ((total * {num} / {float(den)}) - (cum - cnt)) / cnt, 4) AS est
+FROM (SELECT {group_col}, bin_lo, cnt, cum, total,
+             row_number() OVER (PARTITION BY {group_col}
+                                ORDER BY bin_lo ASC) AS rn
+      FROM cum WHERE cum * {den} >= total * {num})
+WHERE rn = 1"""
+        )
+    body = "\nUNION ALL".join(probes)
+    return f"""
+WITH hist AS (
+  SELECT {group_col}, CAST(({col} // {bin_width}) * {bin_width} AS BIGINT)
+           AS bin_lo,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM {table} GROUP BY 1, 2
+),
+cum AS (
+  SELECT {group_col}, bin_lo, cnt,
+         sum(cnt) OVER (PARTITION BY {group_col} ORDER BY bin_lo ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY {group_col}) AS total
+  FROM hist
+)
+{body}
+"""

@@ -146,6 +146,7 @@ _PRIORITY = [
     "lineitem_ship_latency", "events_props_json_stats",
     "events_cohort_ltv", "embedding_norm_profile",
     "events_top_journeys", "text_collocations_lift",
+    "sketch_grouped_quantiles",
     # CHANGED after their r4 stamp
     "dedup_lsh_pairs", "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star", "curation_pipeline",

@@ -1561,3 +1561,26 @@ def events_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("journey").asc())
         .limit(_JOURNEY_TOP)
     )
+
+
+def _grouped_hist_q_oracle() -> str:
+    from javascript_vector_database_spark.operators.sketch import (
+        sql_grouped_histogram_quantiles,
+    )
+
+    return sql_grouped_histogram_quantiles("documents", "source", "n_chars")
+
+
+@register("sketch_grouped_quantiles", oracle=_grouped_hist_q_oracle())
+def sketch_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE p50/p90/p99 document length from the grouped histogram
+    sketch — the partitioned form of sketch_histogram_quantiles whose
+    windows never collapse to one partition (the shape a per-domain
+    100 TB profile actually runs)."""
+    from javascript_vector_database_spark.operators.sketch import (
+        grouped_histogram_quantiles,
+    )
+
+    return grouped_histogram_quantiles(
+        load_table(spark, sf_dir, "documents"), "source", "n_chars"
+    )

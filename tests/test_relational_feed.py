@@ -66,6 +66,7 @@ NAMES = [
     "events_cohort_ltv",
     "embedding_norm_profile",
     "events_top_journeys",
+    "sketch_grouped_quantiles",
     "text_keywords",
 ]
 

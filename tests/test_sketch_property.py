@@ -127,3 +127,28 @@ def test_histogram_sketch_merges_and_brackets(spark, sf_oracle):
     assert one == merged and len(one) == 3
     for bin_lo, est in one.values():
         assert bin_lo <= est <= bin_lo + HIST_Q_BIN
+
+
+def test_grouped_quantile_sketch_matches_global_on_one_group(spark, sf_oracle):
+    """The grouped sketch restricted to a single-group frame equals the
+    global sketch on that frame (the global form is the one-group
+    special case), and split-merge invariance holds per group."""
+    from pyspark.sql import functions as F
+
+    from javascript_vector_database_spark.operators.sketch import (
+        grouped_histogram_quantiles,
+        histogram_quantiles,
+    )
+    from javascript_vector_database_spark.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    one_src = docs.where(F.col("source") == "src0")
+    grouped = {
+        (r["q"],): (r["bin_lo"], r["est"])
+        for r in grouped_histogram_quantiles(one_src, "source", "n_chars").collect()
+    }
+    glob = {
+        (r["q"],): (r["bin_lo"], r["est"])
+        for r in histogram_quantiles(one_src, "n_chars").collect()
+    }
+    assert grouped == glob and len(grouped) == 3
