@@ -535,6 +535,8 @@ def main() -> None:
         "events_top_journeys",
         "text_collocations_lift",
         "sketch_grouped_quantiles",
+        "orders_trailing_week_revenue",
+        "orders_percent_rank_top",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -147,6 +147,7 @@ _PRIORITY = [
     "events_cohort_ltv", "embedding_norm_profile",
     "events_top_journeys", "text_collocations_lift",
     "sketch_grouped_quantiles",
+    "orders_trailing_week_revenue", "orders_percent_rank_top",
     # CHANGED after their r4 stamp
     "dedup_lsh_pairs", "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star", "curation_pipeline",

@@ -1400,3 +1400,87 @@ def lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("latency_days")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
     )
+
+
+_TRAILING_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day_idx,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(sum(rev) OVER (ORDER BY day_idx ASC
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE), 2) AS trailing_7d
+FROM daily
+"""
+
+
+@register("orders_trailing_week_revenue", oracle=_TRAILING_ORACLE)
+def orders_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue via a RANGE window frame — the VALUE-based
+    frame (gaps in the date axis shrink the window) that a ROWS frame
+    cannot express; the integer day index keeps the frame bounds
+    engine-portable.  Exact decimal sums over the tiny daily rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    daily = orders.groupBy(day.alias("day_idx")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = W.orderBy(F.col("day_idx").asc()).rangeBetween(-6, 0)
+    return daily.select(
+        "day_idx",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias("trailing_7d"),
+    )
+
+
+_PRANK_ORACLE = """
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         rank() OVER (PARTITION BY o_orderpriority
+                      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC) AS rk,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       round(CAST(p AS DOUBLE), 2) AS o_totalprice,
+       floor(CAST((rk - 1) * 1000000 AS DOUBLE) / (n - 1)) / 1000000.0
+         AS pct_rank
+FROM r
+-- exact integer form of percent_rank >= 0.99
+WHERE (rk - 1) * 100 >= 99 * (n - 1)
+"""
+
+
+@register("orders_percent_rank_top", oracle=_PRANK_ORACLE)
+def orders_percent_rank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-percentile orders per priority via rank(): the >= 0.99 gate
+    is the exact integer cross-multiplication (rk-1)*100 >= 99*(n-1) —
+    never a float percent_rank comparison; the displayed pct_rank uses
+    the tie-free floor-at-micro.  rank() (not row_number) so price ties
+    share a percentile."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    w = W.partitionBy("o_orderpriority").orderBy(p.asc())
+    r = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        p.alias("p"),
+        F.rank().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    return r.where((F.col("rk") - 1) * 100 >= 99 * (F.col("n") - 1)).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("p").cast("double"), 2).alias("o_totalprice"),
+        (
+            F.floor(((F.col("rk") - 1) * 1000000).cast("double") / (F.col("n") - 1))
+            / F.lit(1000000.0)
+        ).alias("pct_rank"),
+    )

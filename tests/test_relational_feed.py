@@ -67,6 +67,8 @@ NAMES = [
     "embedding_norm_profile",
     "events_top_journeys",
     "sketch_grouped_quantiles",
+    "orders_trailing_week_revenue",
+    "orders_percent_rank_top",
     "text_keywords",
 ]
 
