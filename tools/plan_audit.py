@@ -141,6 +141,9 @@ AUDITED = [
     "embedding_norm_profile",
     "events_top_journeys",
     "text_collocations_lift",
+    "sketch_grouped_quantiles",
+    "orders_trailing_week_revenue",
+    "orders_percent_rank_top",
 ]
 
 
