@@ -537,6 +537,7 @@ def main() -> None:
         "sketch_grouped_quantiles",
         "orders_trailing_week_revenue",
         "orders_percent_rank_top",
+        "mango_all",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

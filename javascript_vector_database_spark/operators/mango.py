@@ -3,7 +3,7 @@
 The reference's entire predicate language is the mingo operator set
 registered in MAP#rxdb/dist/esm/rx-query-mingo.js:20-43:
 ``$and $or $not $nor $eq $ne $gt $gte $lt $lte $in $nin $mod $regex
-$elemMatch $size $exists $type`` plus ``$sort``/``$project`` pipeline
+$elemMatch $size $all $exists $type`` plus ``$sort``/``$project`` pipeline
 stages.  This module translates a selector dict to a single Column
 expression, so Catalyst gets a declarative predicate it can push down,
 split into partition/residual filters, and codegen — subsuming the
@@ -69,6 +69,18 @@ def _field_predicate(col: Column, ops: dict[str, Any]) -> Column:
             conds.append(F.size(col) == F.lit(int(arg)))
         elif op == "$elemMatch":
             conds.append(_elem_match(col, arg))
+        elif op == "$all":
+            # array contains EVERY listed value
+            # (MAP#mingo/dist/esm/operators/query/array/all.js); Mongo
+            # semantics: an empty $all list matches nothing
+            vals = list(arg)
+            if not vals:
+                conds.append(F.lit(False))
+            else:
+                allc = F.array_contains(col, F.lit(vals[0]))
+                for v in vals[1:]:
+                    allc = allc & F.array_contains(col, F.lit(v))
+                conds.append(allc)
         elif op == "$not":
             inner = (
                 _field_predicate(col, arg)

@@ -148,6 +148,7 @@ _PRIORITY = [
     "events_top_journeys", "text_collocations_lift",
     "sketch_grouped_quantiles",
     "orders_trailing_week_revenue", "orders_percent_rank_top",
+    "mango_all",
     # CHANGED after their r4 stamp
     "dedup_lsh_pairs", "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star", "curation_pipeline",

@@ -5,6 +5,7 @@ registers (MAP#rxdb/dist/esm/rx-query-mingo.js:20-43) demonstrated as a
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from javascript_vector_database_spark.operators.mango import find
 from javascript_vector_database_spark.registry import register
@@ -163,3 +164,24 @@ def mango_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return find(docs, {"lang": "en"}).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "mango_all",
+    oracle=(
+        "SELECT doc_id FROM documents "
+        "WHERE list_contains(regexp_split_to_array(trim(lower(text)), '\\s+'), 'hash') "
+        "AND list_contains(regexp_split_to_array(trim(lower(text)), '\\s+'), 'join')"
+    ),
+)
+def mango_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$all — the array must contain EVERY listed value
+    (MAP#mingo/dist/esm/operators/query/array/all.js): compiled to a
+    conjunction of array_contains, all scan-side.  The demo runs it over
+    a derived token-array column (the engine supports array predicates
+    on any array column, SURVEY.md §1.2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn(
+        "toks", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    )
+    return find(toks, {"toks": {"$all": ["hash", "join"]}}, projection=["doc_id"])

@@ -17,6 +17,7 @@ MANGO_QUERIES = [
     "mango_elemmatch_size",
     "mango_sort_skip_limit",
     "mango_count",
+    "mango_all",
 ]
 
 
@@ -74,3 +75,16 @@ def test_mango_nested_struct_and_elemmatch(spark):
         ).collect()
     }
     assert got == {3}
+
+
+def test_all_operator_semantics(spark):
+    """$all: every listed value must be in the array; an empty $all list
+    matches nothing (Mongo semantics)."""
+    from javascript_vector_database_spark.operators.mango import find
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a"]), (3, ["b", "a"])], ["id", "xs"]
+    )
+    got = sorted(r["id"] for r in find(df, {"xs": {"$all": ["a", "b"]}}).collect())
+    assert got == [1, 3]  # order inside the array is irrelevant
+    assert find(df, {"xs": {"$all": []}}).count() == 0
