@@ -538,6 +538,8 @@ def main() -> None:
         "orders_trailing_week_revenue",
         "orders_percent_rank_top",
         "mango_all",
+        "supplier_fill_rate",
+        "text_zipf_profile",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -149,6 +149,7 @@ _PRIORITY = [
     "sketch_grouped_quantiles",
     "orders_trailing_week_revenue", "orders_percent_rank_top",
     "mango_all",
+    "supplier_fill_rate", "text_zipf_profile",
     # CHANGED after their r4 stamp
     "dedup_lsh_pairs", "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star", "curation_pipeline",

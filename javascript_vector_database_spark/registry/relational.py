@@ -1484,3 +1484,59 @@ def orders_percent_rank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("pct_rank"),
     )
+
+
+_FILL_RATE_ORACLE = """
+SELECT l.l_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                    CAST(l.l_shipdate AS DATE)) <= 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+       floor(CAST(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                          CAST(l.l_shipdate AS DATE)) <= 30
+                           THEN 1 ELSE 0 END) * 1000000 AS DOUBLE)
+             / count(*)) / 1000000.0 AS fill_rate
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY 1, 2
+HAVING count(*) >= 20
+"""
+
+
+@register("supplier_fill_rate", oracle=_FILL_RATE_ORACLE)
+def supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier 30-day fill rate — the entity scorecard form of the
+    shipping-latency histogram: one fact-fact join, broadcast supplier
+    dim, integer on-time counts with the tie-free floor-at-micro rate,
+    a HAVING floor so thin suppliers don't report noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier")
+    on_time = F.when(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        <= 30,
+        1,
+    ).otherwise(0)
+    g = (
+        li.join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("l_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(on_time).cast("bigint").alias("n_on_time"),
+        )
+        .where(F.col("n_items") >= 20)
+    )
+    return g.select(
+        "l_suppkey",
+        "s_name",
+        "n_items",
+        "n_on_time",
+        (
+            F.floor((F.col("n_on_time") * 1000000).cast("double") / F.col("n_items"))
+            / F.lit(1000000.0)
+        ).alias("fill_rate"),
+    )

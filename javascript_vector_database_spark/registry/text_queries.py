@@ -607,3 +607,50 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("nab").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(_COLLOC_TOP)
     )
+
+
+_ZIPF_TOP = 30
+
+_ZIPF_ORACLE = f"""
+WITH c AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({T.sql_word_tokens('text')}) AS tok FROM documents)
+  GROUP BY 1
+)
+SELECT tok, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT) AS rnk,
+       CAST(freq * row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT)
+         AS zipf_product
+FROM c
+ORDER BY rnk ASC
+LIMIT {_ZIPF_TOP}
+"""
+
+
+@register("text_zipf_profile", oracle=_ZIPF_ORACLE)
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile: the top-30 tokens with rank and the
+    rank*frequency product (constant under Zipf's law — a flat column
+    of zipf_product is natural text, a cliff is synthetic/templated;
+    this corpus is synthetic and the profile SHOWS it).  Exact integers
+    throughout — no log-log fit needed at ranking time."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from javascript_vector_database_spark.functions.text import word_tokens
+
+    c = (
+        docs.select(F.explode(word_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    # TakeOrdered first: only the 30 survivors see the rank window, so
+    # no global single-partition pass over the (possibly huge) vocab
+    top = c.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(_ZIPF_TOP)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    return (
+        top.select(
+            "tok",
+            "freq",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .withColumn("zipf_product", (F.col("freq") * F.col("rnk")).cast("long"))
+    )

@@ -69,6 +69,7 @@ NAMES = [
     "sketch_grouped_quantiles",
     "orders_trailing_week_revenue",
     "orders_percent_rank_top",
+    "supplier_fill_rate",
     "text_keywords",
 ]
 

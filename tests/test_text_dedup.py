@@ -205,6 +205,7 @@ PROFILING_QUERIES = [
     "profile_split_drift",
     "text_lang_confusion",
     "text_collocations_lift",
+    "text_zipf_profile",
 ]
 
 
