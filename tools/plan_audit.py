@@ -144,6 +144,9 @@ AUDITED = [
     "sketch_grouped_quantiles",
     "orders_trailing_week_revenue",
     "orders_percent_rank_top",
+    "mango_all",
+    "supplier_fill_rate",
+    "text_zipf_profile",
 ]
 
 
