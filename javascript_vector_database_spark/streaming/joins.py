@@ -47,3 +47,29 @@ def stream_interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {bound_secs} SECONDS"))
     )
     return lw.join(rw, cond, how).drop(rw[key])
+
+
+def stream_static_enrich(
+    spark,
+    source_dir: str,
+    schema,
+    dim_df,
+    key: str,
+    query_name: str = "enrich_stream",
+):
+    """Stream-static enrichment: every micro-batch equi-joins the static
+    dimension (Spark plans it as a broadcast against each batch — the
+    streaming form of the lookup join, reference src/search.ts join
+    semantics under a readStream source).  The static side is re-read
+    per batch if it is a file source, so slowly-changing dims pick up
+    updates without restarting the query.  Append-mode memory sink."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    enriched = stream.join(dim_df, key)
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -85,3 +85,38 @@ def test_stream_interval_join_requires_distinct_ts_names(spark):
     df = spark.createDataFrame([], IMP_SCHEMA)
     with pytest.raises(ValueError):
         stream_interval_join(df, df, left_ts="imp_ts", right_ts="imp_ts")
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Each micro-batch broadcast-joins the static dim; rows with no dim
+    match are dropped (inner), and batches arriving AFTER the query
+    started still enrich."""
+    import os
+
+    from javascript_vector_database_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "enrich_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "id long, k long"
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], ["k", "tier"])
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(10, 1), (11, 3)])  # k=3 has no dim row
+    q = stream_static_enrich(spark, src, schema, dim, "k", query_name="enr")
+    try:
+        q.processAllAvailable()
+        write([(12, 2)])
+        q.processAllAvailable()
+        got = {
+            (r["id"], r["tier"])
+            for r in spark.sql("SELECT id, tier FROM enr").collect()
+        }
+        assert got == {(10, "gold"), (12, "silver")}
+    finally:
+        q.stop()
