@@ -595,3 +595,89 @@ cum AS (
 )
 {body}
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-sketch set algebra
+# ---------------------------------------------------------------------------
+
+
+def kmv_union_intersection(
+    a: DataFrame, a_col: str, b: DataFrame, b_col: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """(op, estimate) for op in ('union', 'intersection') — the
+    theta-sketch set algebra (Dasgupta et al.) over the deterministic
+    KMV hashes:
+
+    * union: the k smallest hashes of A union B ARE the union's KMV
+      sketch (mergeability), so n̂_union = (k-1)/f_k as usual;
+    * intersection: with theta = f_k from the UNION sketch, every
+      distinct hash < theta is a uniform sample of the union, so
+      n̂_inter = |{common hashes < theta}| / theta.
+
+    Both estimates derive from the same two distinct-hash tables; all
+    thresholds are the deterministic md5 fractions, so the estimates
+    hash-match the oracle exactly.  Scale shape: two distinct-by-hash
+    aggregates, a TakeOrdered k-row union merge, one broadcast
+    semi-join for the common-hash count."""
+    fa = a.select(hash_frac(a_col).alias("f")).distinct()
+    fb = b.select(hash_frac(b_col).alias("f")).distinct()
+    union_k = (
+        fa.unionByName(fb).distinct().orderBy(F.col("f").asc()).limit(k)
+    )
+    theta_row = union_k.agg(
+        F.max("f").alias("theta"), F.count(F.lit(1)).alias("kk")
+    ).first()
+    theta, kk = float(theta_row["theta"]), int(theta_row["kk"])
+    spark = a.sparkSession
+    if kk < k:
+        # fewer than k distinct hashes: the sketch IS the exact union
+        union_est = float(kk)
+        inter = fa.join(fb, "f", "left_semi").count()
+        inter_est = float(inter)
+    else:
+        union_est = float(k - 1) / theta
+        common_below = (
+            fa.where(F.col("f") < theta)
+            .join(fb.where(F.col("f") < theta), "f", "left_semi")
+            .count()
+        )
+        inter_est = common_below / theta
+    return spark.createDataFrame(
+        [("union", round(union_est, 6)), ("intersection", round(inter_est, 6))],
+        ["op", "estimate"],
+    )
+
+
+def sql_kmv_union_intersection(
+    a_table: str, a_col: str, b_table: str, b_col: str, k: int = DEFAULT_K
+) -> str:
+    """DuckDB oracle mirroring :func:`kmv_union_intersection`."""
+    def frac(col):
+        return (
+            f"(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT"
+            f" / 4294967296.0)"
+        )
+
+    return f"""
+WITH fa AS (SELECT DISTINCT {frac(a_col)} AS f FROM {a_table}),
+fb AS (SELECT DISTINCT {frac(b_col)} AS f FROM {b_table}),
+uk AS (SELECT f FROM (SELECT f FROM fa UNION SELECT f FROM fb)
+       ORDER BY f ASC LIMIT {k}),
+t AS (SELECT max(f) AS theta, count(*) AS kk FROM uk),
+common AS (
+  SELECT count(*) AS c FROM fa
+  WHERE f < (SELECT theta FROM t)
+    AND f IN (SELECT f FROM fb WHERE f < (SELECT theta FROM t))
+),
+common_all AS (SELECT count(*) AS c FROM fa WHERE f IN (SELECT f FROM fb))
+SELECT 'union' AS op,
+       round(CASE WHEN t.kk < {k} THEN CAST(t.kk AS DOUBLE)
+                  ELSE {float(k - 1)} / t.theta END, 6) AS estimate
+FROM t
+UNION ALL
+SELECT 'intersection',
+       round(CASE WHEN t.kk < {k} THEN CAST(common_all.c AS DOUBLE)
+                  ELSE common.c / t.theta END, 6)
+FROM t, common, common_all
+"""

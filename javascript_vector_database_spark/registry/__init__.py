@@ -150,6 +150,7 @@ _PRIORITY = [
     "orders_trailing_week_revenue", "orders_percent_rank_top",
     "mango_all",
     "supplier_fill_rate", "text_zipf_profile",
+    "sketch_kmv_set_ops",
     # CHANGED after their r4 stamp
     "dedup_lsh_pairs", "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star", "curation_pipeline",

@@ -1584,3 +1584,31 @@ def sketch_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_histogram_quantiles(
         load_table(spark, sf_dir, "documents"), "source", "n_chars"
     )
+
+
+def _kmv_setops_oracle() -> str:
+    from javascript_vector_database_spark.operators.sketch import (
+        sql_kmv_union_intersection,
+    )
+
+    # k=256: the intersection estimator samples ~k * (inter/union)
+    # hashes, so the default k=64 leaves ~6 samples (40% RSE) on this
+    # 10%-overlap pair; 256 brings it to ~20%
+    return sql_kmv_union_intersection(
+        "events", "user_id", "orders", "o_custkey", k=256
+    )
+
+
+@register("sketch_kmv_set_ops", oracle=_kmv_setops_oracle())
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over KMV: union cardinality from the
+    merged k-minimum sketch, intersection from the common hashes below
+    the union's theta — the estimate-without-materializing answer to
+    'how many users both browse AND buy' (operators/sketch.py)."""
+    from javascript_vector_database_spark.operators.sketch import (
+        kmv_union_intersection,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_union_intersection(ev, "user_id", orders, "o_custkey", k=256)

@@ -70,6 +70,7 @@ NAMES = [
     "orders_trailing_week_revenue",
     "orders_percent_rank_top",
     "supplier_fill_rate",
+    "sketch_kmv_set_ops",
     "text_keywords",
 ]
 

@@ -152,3 +152,30 @@ def test_grouped_quantile_sketch_matches_global_on_one_group(spark, sf_oracle):
         for r in histogram_quantiles(one_src, "n_chars").collect()
     }
     assert grouped == glob and len(grouped) == 3
+
+
+def test_kmv_set_ops_accuracy(spark, sf_oracle):
+    """The theta-sketch union/intersection estimates land within 3x the
+    sketch's relative standard error of the exact answers."""
+    import duckdb
+
+    from javascript_vector_database_spark import registry
+
+    out = {
+        r["op"]: r["estimate"]
+        for r in registry.queries()["sketch_kmv_set_ops"](spark, sf_oracle).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_oracle}/events.parquet'")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_oracle}/orders.parquet'")
+    ex_u = con.sql(
+        "SELECT count(*) FROM (SELECT user_id FROM events "
+        "UNION SELECT o_custkey FROM orders)"
+    ).fetchone()[0]
+    ex_i = con.sql(
+        "SELECT count(*) FROM (SELECT DISTINCT user_id FROM events "
+        "INTERSECT SELECT DISTINCT o_custkey FROM orders)"
+    ).fetchone()[0]
+    con.close()
+    assert abs(out["union"] - ex_u) / ex_u < 3 * (1 / 254**0.5)
+    assert abs(out["intersection"] - ex_i) / ex_i < 0.6  # tiny-sample op
