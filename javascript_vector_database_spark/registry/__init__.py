@@ -151,6 +151,7 @@ _PRIORITY = [
     "mango_all",
     "supplier_fill_rate", "text_zipf_profile",
     "sketch_kmv_set_ops",
+    "sketch_hll_rolling_distinct",
     # CHANGED after their r4 stamp
     "dedup_lsh_pairs", "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star", "curation_pipeline",

@@ -1612,3 +1612,101 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     return kmv_union_intersection(ev, "user_id", orders, "o_custkey", k=256)
+
+
+def _hll_rolling_oracle() -> str:
+    from javascript_vector_database_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_W_BITS,
+    )
+
+    two53 = 2 ** (HLL_W_BITS + 1)
+    h = "md5(CAST(user_id AS VARCHAR))"
+    bucket = f"('0x' || substr({h}, 1, 2))::BIGINT"
+    w = f"('0x' || substr({h}, 3, 13))::BIGINT"
+    alpha_num = repr(HLL_ALPHA * HLL_M * HLL_M * float(two53))
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day_idx,
+         {bucket} AS b,
+         max(CASE WHEN {w} = 0 THEN {HLL_W_BITS + 1}
+             ELSE {HLL_W_BITS + 1} - length(bin({w})) END) AS M
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(day_idx) AS mn, max(day_idx) AS mx FROM daily),
+spine AS (
+  SELECT b, unnest(generate_series(bounds.mn, bounds.mx)) AS day_idx
+  FROM (SELECT DISTINCT b FROM daily), bounds
+),
+dense AS (
+  SELECT s.b, s.day_idx,
+         max(d.M) OVER (PARTITION BY s.b ORDER BY s.day_idx ASC
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS M
+  FROM spine s LEFT JOIN daily d ON d.b = s.b AND d.day_idx = s.day_idx
+),
+agg AS (
+  SELECT day_idx,
+         coalesce(CAST(sum(CAST(pow(2, {HLL_W_BITS + 1} - M) AS BIGINT))
+                       AS BIGINT), 0) AS s,
+         count(M) AS v
+  FROM dense GROUP BY 1
+),
+tot AS (
+  SELECT day_idx, s + ({HLL_M} - v) * {two53} AS total,
+         CAST({HLL_M} - v AS BIGINT) AS zeros
+  FROM agg
+)
+SELECT day_idx,
+       round(CASE WHEN ({alpha_num} / total) <= {2.5 * HLL_M} AND zeros > 0
+             THEN {float(HLL_M)} * ln({float(HLL_M)} / zeros)
+             ELSE {alpha_num} / total END, 4) AS hll_estimate,
+       zeros AS hll_zero_registers
+FROM tot
+"""
+
+
+@register("sketch_hll_rolling_distinct", oracle=_hll_rolling_oracle())
+def sketch_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day from MERGEABLE daily HLL
+    registers — the query exact distinct cannot answer cheaply (a
+    sliding COUNT DISTINCT re-scans every window): daily (day, bucket,
+    M) registers are built once, each day's trailing-week sketch is a
+    window MAX over the densified (bucket x day) spine, and the
+    estimate folds 256 registers per day.  The spine bounds are two
+    bounded driver scalars (the division-query precedent); everything
+    else is registers, never raw events."""
+    from javascript_vector_database_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    daily = hll_registers(ev.withColumn("day_idx", day), "user_id", ["day_idx"])
+    b_row = daily.agg(F.min("day_idx"), F.max("day_idx")).first()
+    mn, mx = int(b_row[0]), int(b_row[1])
+    spine = (
+        daily.select("b")
+        .distinct()
+        .select(
+            "b",
+            F.explode(F.sequence(F.lit(mn), F.lit(mx))).alias("day_idx"),
+        )
+    )
+    w = (
+        Window.partitionBy("b")
+        .orderBy(F.col("day_idx").asc())
+        .rowsBetween(-6, 0)
+    )
+    dense = (
+        spine.join(daily, ["b", "day_idx"], "left")
+        .select("b", "day_idx", F.max("M").over(w).alias("M"))
+        .where(F.col("M").isNotNull())
+    )
+    return hll_estimate_from_registers(
+        dense.select("day_idx", "b", "M"), ["day_idx"]
+    )

@@ -71,6 +71,7 @@ NAMES = [
     "orders_percent_rank_top",
     "supplier_fill_rate",
     "sketch_kmv_set_ops",
+    "sketch_hll_rolling_distinct",
     "text_keywords",
 ]
 

@@ -179,3 +179,38 @@ def test_kmv_set_ops_accuracy(spark, sf_oracle):
     con.close()
     assert abs(out["union"] - ex_u) / ex_u < 3 * (1 / 254**0.5)
     assert abs(out["intersection"] - ex_i) / ex_i < 0.6  # tiny-sample op
+
+
+def test_rolling_hll_tracks_exact_window(spark, sf_oracle):
+    """Each day's trailing-7-day estimate lands within HLL error of the
+    EXACT trailing-7-day distinct count (the register merge must pick
+    up buckets last touched earlier in the window, not just today's)."""
+    import duckdb
+
+    from javascript_vector_database_spark import registry
+
+    est = {
+        r["day_idx"]: r["hll_estimate"]
+        for r in registry.queries()["sketch_hll_rolling_distinct"](
+            spark, sf_oracle
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_oracle}/events.parquet'")
+    exact = dict(
+        con.sql(
+            """
+WITH d AS (SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS BIGINT) AS day_idx, user_id FROM events),
+days AS (SELECT DISTINCT day_idx FROM d)
+SELECT days.day_idx,
+       (SELECT count(DISTINCT user_id) FROM d
+        WHERE d.day_idx BETWEEN days.day_idx - 6 AND days.day_idx) AS n
+FROM days
+"""
+        ).fetchall()
+    )
+    con.close()
+    assert len(est) == len(exact) > 0
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n < 0.25, (day, est[day], n)
