@@ -147,6 +147,8 @@ AUDITED = [
     "mango_all",
     "supplier_fill_rate",
     "text_zipf_profile",
+    "sketch_kmv_set_ops",
+    "sketch_hll_rolling_distinct",
 ]
 
 
