@@ -542,6 +542,7 @@ def main() -> None:
         "text_zipf_profile",
         "sketch_kmv_set_ops",
         "sketch_hll_rolling_distinct",
+        "dedup_jaccard_clusters",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -152,6 +152,7 @@ _PRIORITY = [
     "supplier_fill_rate", "text_zipf_profile",
     "sketch_kmv_set_ops",
     "sketch_hll_rolling_distinct",
+    "dedup_jaccard_clusters",
     # CHANGED after their r4 stamp
     "dedup_lsh_pairs", "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star", "curation_pipeline",

@@ -385,3 +385,38 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     always shares one untouched band, so the blocking is lossless and
     the quadratic oracle is the ground truth)."""
     return dedup.simhash_hamming_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _jaccard_clusters_oracle() -> str:
+    # same transitive-closure oracle, over the EXACT Jaccard >= 1/2 edge
+    # set (the prefix join's output) instead of the LSH candidates
+    pairs = _jaccard_prefix_oracle()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_jaccard_clusters", oracle=_jaccard_clusters_oracle())
+def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the exact-dedup pipeline: connected components over
+    the PPJoin prefix-filtered Jaccard >= 1/2 pairs — unlike the LSH
+    cluster queries these edges are EXACT similarity, so the clusters
+    are ground-truth duplicate groups, not candidate groups.  Same
+    min-label fixpoint machinery (observe-fused probes); oracle is the
+    recursive-CTE transitive closure over the quadratic pair set."""
+    pairs = dedup.jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).cache()
+    return dedup.duplicate_clusters(pairs)

@@ -29,6 +29,7 @@ DEDUP_QUERIES = [
     "dedup_batch_vs_corpus",
     "dedup_jaccard_prefix",
     "dedup_simhash_hamming",
+    "dedup_jaccard_clusters",
 ]
 
 
