@@ -543,6 +543,8 @@ def main() -> None:
         "sketch_kmv_set_ops",
         "sketch_hll_rolling_distinct",
         "dedup_jaccard_clusters",
+        "events_retention_rate",
+        "orders_basket_size_hist",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -1710,3 +1710,45 @@ def sketch_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_from_registers(
         dense.select("day_idx", "b", "M"), ["day_idx"]
     )
+
+
+def _retention_rate_oracle() -> str:
+    from javascript_vector_database_spark.operators.funnel import (
+        sql_retention_cohorts,
+    )
+
+    inner = sql_retention_cohorts("events").strip()
+    return f"""
+WITH r AS ({inner}),
+base AS (SELECT cohort_week, n_users AS cohort_size FROM r WHERE week_offset = 0)
+SELECT r.cohort_week, r.week_offset, r.n_users,
+       floor(CAST(r.n_users * 1000000 AS DOUBLE) / base.cohort_size)
+         / 1000000.0 AS retention_rate
+FROM r JOIN base USING (cohort_week)
+"""
+
+
+@register("events_retention_rate", oracle=_retention_rate_oracle())
+def events_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle NORMALIZED by cohort size (offset-0 row =
+    1.0 by construction) — the form the report is actually read in;
+    tie-free floor-at-micro rates over the tiny cohort frame."""
+    from javascript_vector_database_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    r = retention_cohorts(load_table(spark, sf_dir, "events"))
+    base = r.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return r.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        (
+            F.floor(
+                (F.col("n_users") * 1000000).cast("double") / F.col("cohort_size")
+            )
+            / F.lit(1000000.0)
+        ).alias("retention_rate"),
+    )

@@ -1540,3 +1540,26 @@ def supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("fill_rate"),
     )
+
+
+@register(
+    "orders_basket_size_hist",
+    oracle="""
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1)
+GROUP BY n_lines
+""",
+)
+def orders_basket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution (lineitems per order) — the structural
+    profile that sizes every per-order fan-out in this repo (the
+    co-purchase self-join, Q18's HAVING): two map-side-combined
+    groupBys, final key domain = distinct basket sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return per.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )

@@ -72,6 +72,8 @@ NAMES = [
     "supplier_fill_rate",
     "sketch_kmv_set_ops",
     "sketch_hll_rolling_distinct",
+    "events_retention_rate",
+    "orders_basket_size_hist",
     "text_keywords",
 ]
 
