@@ -149,6 +149,9 @@ AUDITED = [
     "text_zipf_profile",
     "sketch_kmv_set_ops",
     "sketch_hll_rolling_distinct",
+    "dedup_jaccard_clusters",
+    "events_retention_rate",
+    "orders_basket_size_hist",
 ]
 
 
