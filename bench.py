@@ -545,6 +545,7 @@ def main() -> None:
         "dedup_jaccard_clusters",
         "events_retention_rate",
         "orders_basket_size_hist",
+        "events_stickiness",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -154,6 +154,7 @@ _PRIORITY = [
     "sketch_hll_rolling_distinct",
     "dedup_jaccard_clusters",
     "events_retention_rate", "orders_basket_size_hist",
+    "events_stickiness",
     # CHANGED after their r4 stamp
     "dedup_lsh_pairs", "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star", "curation_pipeline",

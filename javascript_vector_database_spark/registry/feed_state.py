@@ -1752,3 +1752,50 @@ def events_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("retention_rate"),
     )
+
+
+def _stickiness_oracle() -> str:
+    rolling = _hll_rolling_oracle().strip()
+    return f"""
+WITH wau AS ({rolling}),
+dau AS (
+  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day_idx,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1
+)
+SELECT d.day_idx, d.dau,
+       round(w.hll_estimate, 4) AS wau_est,
+       floor(CAST(d.dau * 1000000 AS DOUBLE) / w.hll_estimate) / 1000000.0
+         AS stickiness
+FROM dau d JOIN wau w USING (day_idx)
+"""
+
+
+@register("events_stickiness", oracle=_stickiness_oracle())
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: exact daily distinct (cheap at any
+    scale — one day's keys) over the trailing-week HLL estimate (the
+    expensive side, answered from registers by
+    sketch_hll_rolling_distinct's machinery).  The canonical
+    exact-where-cheap / sketch-where-expensive split of a product
+    dashboard."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    dau = ev.groupBy(day.alias("day_idx")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    wau = sketch_hll_rolling_distinct(spark, sf_dir).select(
+        "day_idx", F.round("hll_estimate", 4).alias("wau_est")
+    )
+    return dau.join(wau, "day_idx").select(
+        "day_idx",
+        "dau",
+        "wau_est",
+        (
+            F.floor((F.col("dau") * 1000000).cast("double") / F.col("wau_est"))
+            / F.lit(1000000.0)
+        ).alias("stickiness"),
+    )

@@ -74,6 +74,7 @@ NAMES = [
     "sketch_hll_rolling_distinct",
     "events_retention_rate",
     "orders_basket_size_hist",
+    "events_stickiness",
     "text_keywords",
 ]
 

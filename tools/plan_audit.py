@@ -152,6 +152,7 @@ AUDITED = [
     "dedup_jaccard_clusters",
     "events_retention_rate",
     "orders_basket_size_hist",
+    "events_stickiness",
 ]
 
 
