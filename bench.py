@@ -546,6 +546,8 @@ def main() -> None:
         "events_retention_rate",
         "orders_basket_size_hist",
         "events_stickiness",
+        "curation_weighted_sample",
+        "dedup_multipass_pairs",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -155,6 +155,7 @@ _PRIORITY = [
     "dedup_jaccard_clusters",
     "events_retention_rate", "orders_basket_size_hist",
     "events_stickiness",
+    "curation_weighted_sample", "dedup_multipass_pairs",
     # CHANGED after their r4 stamp
     "dedup_lsh_pairs", "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star", "curation_pipeline",

@@ -562,3 +562,50 @@ def curation_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orders").alias("table_name"), "n_rows", "n_users")
     )
     return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def _weighted_sample_oracle() -> str:
+    from javascript_vector_database_spark.functions.text import (
+        sql_quality_score,
+    )
+    from javascript_vector_database_spark.operators.curation import (
+        sql_hash_bucket,
+    )
+
+    q = sql_quality_score("text")
+    return f"""
+SELECT doc_id, {q} AS quality
+FROM documents
+WHERE {sql_hash_bucket('doc_id')} < CAST(floor({q} * 10000) AS BIGINT)
+"""
+
+
+@register("curation_weighted_sample", oracle=_weighted_sample_oracle())
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED sampling: each doc survives with probability
+    equal to its quality score (the soft-filtering mix a pre-training
+    pipeline uses instead of a hard threshold — high-quality docs are
+    kept almost surely, mediocre ones proportionally).  The draw is the
+    engine-portable md5 bucket against floor(quality * 10000) — both
+    sides compute identical doubles, so the floor product and the
+    comparison agree bit-for-bit; deterministic, reproducible, stable
+    under appends (same guarantees as the per-class mixture sampler)."""
+    from javascript_vector_database_spark.functions.text import quality_score
+    from javascript_vector_database_spark.operators.curation import (
+        portable_hash_bucket,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = quality_score("text")
+    return (
+        docs.select("doc_id", q.alias("quality"))
+        .where(
+            portable_hash_bucket(F.col("doc_id"))
+            < F.floor(F.col("quality") * 10000).cast("long")
+        )
+    )

@@ -420,3 +420,34 @@ def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     ).cache()
     return dedup.duplicate_clusters(pairs)
+
+
+def _multipass_oracle() -> str:
+    lsh = _lsh_pairs_oracle().strip()
+    pj = _jaccard_prefix_oracle().strip()
+    sh = _simham_oracle().strip()
+    return f"""
+WITH l AS ({lsh}), p AS ({pj}), s AS ({sh})
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT id_a, id_b FROM l
+  UNION ALL SELECT id_a, id_b FROM p
+  UNION ALL SELECT id_a, id_b FROM s
+)
+"""
+
+
+@register("dedup_multipass_pairs", oracle=_multipass_oracle())
+def dedup_multipass_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocking (the entity-resolution recall stack): the
+    UNION of three independent candidate generators — token-space LSH
+    banding, exact prefix-filtered Jaccard, and bit-space SimHash
+    hamming — deduplicated to one pair set.  Each pass catches near-dups
+    the others' geometry misses (MinHash needs shingle overlap, SimHash
+    tolerates scattered bit flips, the exact join anchors precision);
+    at 100 TB the passes share the scan and their pair sets are tiny, so
+    the union is output-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    l = dedup.lsh_band_pairs(docs).select("id_a", "id_b")
+    p = dedup.jaccard_prefix_pairs(docs).select("id_a", "id_b")
+    s = dedup.simhash_hamming_pairs(docs).select("id_a", "id_b")
+    return l.unionByName(p).unionByName(s).distinct()

@@ -26,6 +26,7 @@ CURATION_QUERIES = [
     "curation_remove_boilerplate",
     "curation_luhn_cc_detect",
     "curation_universe_sample",
+    "curation_weighted_sample",
 ]
 
 

@@ -30,6 +30,7 @@ DEDUP_QUERIES = [
     "dedup_jaccard_prefix",
     "dedup_simhash_hamming",
     "dedup_jaccard_clusters",
+    "dedup_multipass_pairs",
 ]
 
 

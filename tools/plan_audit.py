@@ -153,6 +153,8 @@ AUDITED = [
     "events_retention_rate",
     "orders_basket_size_hist",
     "events_stickiness",
+    "curation_weighted_sample",
+    "dedup_multipass_pairs",
 ]
 
 
