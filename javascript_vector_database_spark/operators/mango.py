@@ -37,8 +37,36 @@ def _is_operator_dict(v: Any) -> bool:
     return isinstance(v, dict) and any(str(k).startswith("$") for k in v)
 
 
-def _field_predicate(col: Column, ops: dict[str, Any]) -> Column:
-    """Translate one field's operator dict, e.g. {"$gt": 5, "$lt": 9}."""
+def _resolve_dtype(schema, dotted: str):
+    """Walk a dot-path through a StructType; None when unresolvable
+    (unknown field, or no schema was provided)."""
+    from pyspark.sql.types import MapType, StructType
+
+    if schema is None:
+        return None
+    cur = schema
+    for part in str(dotted).split("."):
+        if isinstance(cur, MapType):
+            # dot-path on a map is key access — every value has valueType
+            cur = cur.valueType
+        elif isinstance(cur, StructType):
+            try:
+                cur = cur[part].dataType
+            except KeyError:
+                return None
+        else:
+            return None
+    return cur
+
+
+def _field_predicate(col: Column, ops: dict[str, Any], dtype=None) -> Column:
+    """Translate one field's operator dict, e.g. {"$gt": 5, "$lt": 9}.
+
+    ``dtype`` (optional, from the input schema) lets type-polymorphic
+    operators like ``$all`` pick the mingo semantics for the actual
+    column type; without it, array semantics are assumed."""
+    from pyspark.sql.types import ArrayType
+
     conds: list[Column] = []
     for op, arg in ops.items():
         if op == "$eq":
@@ -72,10 +100,19 @@ def _field_predicate(col: Column, ops: dict[str, Any]) -> Column:
         elif op == "$all":
             # array contains EVERY listed value
             # (MAP#mingo/dist/esm/operators/query/array/all.js); Mongo
-            # semantics: an empty $all list matches nothing
+            # semantics: an empty $all list matches nothing, and $all on
+            # a SCALAR field degrades to equality (the scalar must equal
+            # every listed value) — array_contains would fail analysis
+            # on a non-array column, so dispatch on the schema type when
+            # the caller supplied one (find() does)
             vals = list(arg)
             if not vals:
                 conds.append(F.lit(False))
+            elif dtype is not None and not isinstance(dtype, ArrayType):
+                allc = col == F.lit(vals[0])
+                for v in vals[1:]:
+                    allc = allc & (col == F.lit(v))
+                conds.append(allc)
             else:
                 allc = F.array_contains(col, F.lit(vals[0]))
                 for v in vals[1:]:
@@ -83,7 +120,7 @@ def _field_predicate(col: Column, ops: dict[str, Any]) -> Column:
                 conds.append(allc)
         elif op == "$not":
             inner = (
-                _field_predicate(col, arg)
+                _field_predicate(col, arg, dtype)
                 if isinstance(arg, dict)
                 else (col == F.lit(arg))
             )
@@ -124,26 +161,29 @@ def _elem_match(col: Column, arg: dict[str, Any]) -> Column:
     return F.exists(col, elem_pred)
 
 
-def mango_to_column(selector: dict[str, Any]) -> Column:
-    """Translate a full Mango selector to one boolean Column."""
+def mango_to_column(selector: dict[str, Any], schema=None) -> Column:
+    """Translate a full Mango selector to one boolean Column.
+
+    ``schema`` (the input DataFrame's StructType, optional) enables
+    type-dispatch for polymorphic operators ($all on scalar fields)."""
     if not selector:
         return F.lit(True)
     conds: list[Column] = []
     for key, val in selector.items():
         if key == "$and":
-            sub = [mango_to_column(s) for s in val]
+            sub = [mango_to_column(s, schema) for s in val]
             acc = sub[0]
             for c in sub[1:]:
                 acc = acc & c
             conds.append(acc)
         elif key == "$or":
-            sub = [mango_to_column(s) for s in val]
+            sub = [mango_to_column(s, schema) for s in val]
             acc = sub[0]
             for c in sub[1:]:
                 acc = acc | c
             conds.append(acc)
         elif key == "$nor":
-            sub = [mango_to_column(s) for s in val]
+            sub = [mango_to_column(s, schema) for s in val]
             acc = sub[0]
             for c in sub[1:]:
                 acc = acc | c
@@ -153,7 +193,9 @@ def mango_to_column(selector: dict[str, Any]) -> Column:
         else:
             col = F.col(key)  # dot-paths address struct fields natively
             if _is_operator_dict(val):
-                conds.append(_field_predicate(col, val))
+                conds.append(
+                    _field_predicate(col, val, _resolve_dtype(schema, key))
+                )
             else:
                 # bare value sugar {f: v} ≡ {f: {$eq: v}}
                 # (MAP#rxdb/dist/esm/rx-query-helper.js:38-44)
@@ -183,7 +225,7 @@ def find(
     if "_deleted" in df.columns:
         out = out.where(~F.col("_deleted"))
     if selector:
-        out = out.where(mango_to_column(selector))
+        out = out.where(mango_to_column(selector, df.schema))
     order: list[Column] = []
     if sort:
         for spec in sort:

@@ -423,7 +423,12 @@ def histogram_quantiles(
 
     hist = (
         df.select(
-            ((F.col(col) / bin_width).cast("long") * bin_width).alias("bin_lo")
+            # floor division (not cast-truncation): matches the oracle's
+            # `//` for negative values, and F.floor over an integer-exact
+            # division keeps bins exact for the BIGINT domain
+            (F.floor(F.col(col) / bin_width) * bin_width)
+            .cast("long")
+            .alias("bin_lo")
         )
         .groupBy("bin_lo")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -516,7 +521,10 @@ def grouped_histogram_quantiles(
     hist = (
         df.select(
             F.col(group_col).alias("g"),
-            ((F.col(col) / bin_width).cast("long") * bin_width).alias("bin_lo"),
+            # floor division — see histogram_quantiles
+            (F.floor(F.col(col) / bin_width) * bin_width)
+            .cast("long")
+            .alias("bin_lo"),
         )
         .groupBy("g", "bin_lo")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -628,8 +636,16 @@ def kmv_union_intersection(
     theta_row = union_k.agg(
         F.max("f").alias("theta"), F.count(F.lit(1)).alias("kk")
     ).first()
-    theta, kk = float(theta_row["theta"]), int(theta_row["kk"])
+    kk = int(theta_row["kk"])
     spark = a.sparkSession
+    if kk == 0:
+        # both inputs empty: max() is NULL — the sketch of the empty set
+        # estimates 0 for both ops (the oracle's CASE takes the kk<k arm
+        # with count 0, so the two engines agree)
+        return spark.createDataFrame(
+            [("union", 0.0), ("intersection", 0.0)], ["op", "estimate"]
+        )
+    theta = float(theta_row["theta"])
     if kk < k:
         # fewer than k distinct hashes: the sketch IS the exact union
         union_est = float(kk)

@@ -550,9 +550,13 @@ tb AS (SELECT CAST(sum(nab) AS BIGINT) AS nb FROM
        (SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS nab
         FROM t, LATERAL unnest(range(1, len(toks))) AS u(i) GROUP BY 1, 2))
 SELECT bi.a, bi.b, bi.nab,
-       -- lift = P(ab) / (P(a) P(b)) with the EXACT integer cross-product
-       -- numerator nab*nt*nt and denominator nb*na*nbk: one float division
-       floor(CAST(bi.nab * tot.nt * tot.nt AS DOUBLE) * 1000000
+       -- lift = P(ab) / (P(a) P(b)).  nab is cast to DOUBLE BEFORE the
+       -- nt*nt product: the all-integer form nab*nt*nt is nt^3-bounded
+       -- and overflows BIGINT past nt ~ 2M tokens (Spark wraps silently,
+       -- DuckDB raises — a silent divergence at corpus scale).  One
+       -- early rounding step buys overflow-free math at any nt; the op
+       -- order (((nab→dbl)*nt)*nt) is identical on both engines.
+       floor(CAST(bi.nab AS DOUBLE) * tot.nt * tot.nt * 1000000
              / (CAST(tb.nb AS DOUBLE) * ua.n * ub.n)) / 1000000.0 AS lift
 FROM bi, tot, tb
 JOIN uni ua ON ua.tok = bi.a
@@ -594,9 +598,13 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("na"))
     ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("nb_tok"))
     j = bi.join(F.broadcast(ua), "a").join(F.broadcast(ub), "b")
+    # nab→double FIRST (not after the integer nt*nt product): keeps the
+    # numerator overflow-free at any corpus size — see the oracle comment
     lift = (
         F.floor(
-            (F.col("nab") * F.lit(nt) * F.lit(nt)).cast("double")
+            F.col("nab").cast("double")
+            * F.lit(nt)
+            * F.lit(nt)
             * 1000000
             / (F.lit(float(nb)) * F.col("na") * F.col("nb_tok"))
         )

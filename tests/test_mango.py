@@ -88,3 +88,19 @@ def test_all_operator_semantics(spark):
     got = sorted(r["id"] for r in find(df, {"xs": {"$all": ["a", "b"]}}).collect())
     assert got == [1, 3]  # order inside the array is irrelevant
     assert find(df, {"xs": {"$all": []}}).count() == 0
+
+
+def test_all_operator_on_scalar_field(spark):
+    """mingo $all:[v] on a SCALAR field matches when the scalar equals v
+    (and a two-distinct-value list can never match a scalar) — the
+    translator dispatches on the schema type instead of failing analysis
+    with array_contains on a non-array column."""
+    from javascript_vector_database_spark.operators.mango import find
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    got = sorted(r["id"] for r in find(df, {"s": {"$all": ["a"]}}).collect())
+    assert got == [1]
+    assert find(df, {"s": {"$all": ["a", "b"]}}).count() == 0
+    # nested struct path resolves through the schema walk too
+    df2 = spark.createDataFrame([(1, {"k": "x"})], ["id", "st"])
+    assert find(df2, {"st.k": {"$all": ["x"]}}).count() == 1

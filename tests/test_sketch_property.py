@@ -214,3 +214,36 @@ FROM days
     assert len(est) == len(exact) > 0
     for day, n in exact.items():
         assert abs(est[day] - n) / n < 0.25, (day, est[day], n)
+
+
+def test_histogram_floor_bins_negative_values(spark):
+    """ADVICE r5: bin_lo must use FLOOR division (matching the oracle's
+    `//`), not cast-truncation — they differ on negatives (-10 with a
+    25-wide bin belongs to bin -25, not 0)."""
+    from javascript_vector_database_spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(-10,), (-30,), (5,), (60,)], ["v"])
+    bins = {
+        r["bin_lo"]
+        for r in histogram_quantiles(df, "v", bin_width=25).collect()
+    }
+    # -10 → -25, -30 → -50, 5 → 0, 60 → 50; probe bins are a subset
+    assert bins <= {-50, -25, 0, 50}
+    assert 0 not in bins or -25 in bins or -50 in bins  # negatives not folded into 0
+
+
+def test_kmv_set_ops_empty_inputs(spark):
+    """ADVICE r5: both inputs empty → (0.0, 0.0), not a float(None)
+    TypeError; mirrors the oracle's two-row CASE output."""
+    from javascript_vector_database_spark.operators.sketch import (
+        kmv_union_intersection,
+    )
+
+    empty = spark.createDataFrame([], "x STRING")
+    got = {
+        r["op"]: r["estimate"]
+        for r in kmv_union_intersection(empty, "x", empty, "x").collect()
+    }
+    assert got == {"union": 0.0, "intersection": 0.0}
