@@ -1112,34 +1112,47 @@ GROUP BY decile
 @register("customer_pareto_share", oracle=_PARETO_ORACLE)
 def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (the 80/20 report): customers ranked by
-    revenue, cumulative share at each population decile.  Exact decimal
-    running sums over one custkey-tiebroken sort; the share division is
-    the tie-free floor-at-micro.  decile = ceil(rn*10/n) — integer-
-    exact bucketing off the same window frame."""
+    revenue, cumulative share at each population decile.
+
+    Scale shape (r5 verdict item #2): the rank comes from
+    :func:`operators.rank.global_row_number` — P parallel range-
+    partitioned sorts + broadcast offsets — NOT an unpartitioned
+    window, so no single task ever sorts the full customer grain.  The
+    per-row running revenue the oracle words as ``max(cum)`` per decile
+    equals the running sum of per-decile revenue totals, so the only
+    cumulative window left runs over the 10 decile rows (bounded).
+    Exact decimal sums throughout; share division is the tie-free
+    floor-at-micro.  decile = ceil(rn*10/n), integer-exact."""
+    from javascript_vector_database_spark.operators.rank import (
+        global_row_number,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
-    w = W.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
-    r = c.select(
-        "o_custkey",
-        "rev",
-        F.row_number().over(w).alias("rn"),
-        F.sum("rev")
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("cum"),
-        F.sum("rev").over(W.partitionBy()).alias("tot"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    ranked = global_row_number(
+        c, [F.col("rev").desc(), F.col("o_custkey").asc()]
     )
-    d = r.withColumn(
-        "decile", F.ceil(F.col("rn") * 10.0 / F.col("n")).cast("int")
+    # n is one bounded scalar off the checkpointed rank input — inlined
+    # as a literal (the ann_scale idiom), never a keyless 1-row join
+    n = ranked.count()
+    d = ranked.withColumn(
+        "decile", F.ceil(F.col("rn") * 10.0 / F.lit(n)).cast("int")
     )
-    return d.groupBy("decile").agg(
+    per = d.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("drev"),
+    )
+    # cumulative-over-deciles: 10 bounded rows, exact decimal
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per.select(
+        "decile",
+        "n_customers",
         (
             F.floor(
-                (F.max("cum") * 1000000).cast("double")
-                / F.max(F.col("tot").cast("double"))
+                (F.sum("drev").over(wc) * 1000000).cast("double")
+                / F.sum("drev").over(W.partitionBy()).cast("double")
             )
             / F.lit(1000000.0)
         ).alias("cum_revenue_share"),
@@ -1464,17 +1477,28 @@ def orders_percent_rank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the exact integer cross-multiplication (rk-1)*100 >= 99*(n-1) —
     never a float percent_rank comparison; the displayed pct_rank uses
     the tie-free floor-at-micro.  rank() (not row_number) so price ties
-    share a percentile."""
+    share a percentile.
+
+    Scale shape (r5 verdict item #3): o_orderpriority has 5 distinct
+    values, so ``rank() OVER (PARTITION BY priority)`` would sort n/5
+    rows in ONE task per priority.  The rank instead comes from
+    :func:`operators.rank.grouped_global_rank` (range partition on
+    (priority, price) → P parallel local ranks + bounded offsets), and
+    the per-priority count joins in as a broadcast 5-row aggregate."""
+    from javascript_vector_database_spark.operators.rank import (
+        grouped_global_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     p = F.col("o_totalprice").cast("decimal(18,2)")
-    w = W.partitionBy("o_orderpriority").orderBy(p.asc())
-    r = orders.select(
-        "o_orderkey",
-        "o_orderpriority",
-        p.alias("p"),
-        F.rank().over(w).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    base = orders.select("o_orderkey", "o_orderpriority", p.alias("p"))
+    ranked = grouped_global_rank(
+        base, "o_orderpriority", F.col("p"), out="rk"
     )
+    n_by = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = ranked.join(F.broadcast(n_by), "o_orderpriority")
     return r.where((F.col("rk") - 1) * 100 >= 99 * (F.col("n") - 1)).select(
         "o_orderkey",
         "o_orderpriority",

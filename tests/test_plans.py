@@ -327,3 +327,33 @@ def test_q17_correlated_subqueries_decorrelated(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_pareto_rank_is_distributed(spark):
+    """customer_pareto_share (r5 verdict item #2): the customer-grain
+    rank must come from the range-partition + local-window construction
+    — the row_number window is partitioned by the physical partition id,
+    and NO window over the unbounded grain orders by rev globally."""
+    plan = _plan(registry.queries()["customer_pareto_share"](spark, SF))
+    # (the repartitionByRange exchange itself lives behind the
+    # localCheckpoint lineage cut, so it can't be asserted here; the
+    # correctness unit test in test_relational_feed pins the cross-
+    # partition ordering it provides)
+    rn = plan.find("row_number() windowspecdefinition(")
+    assert rn != -1, plan
+    spec = plan[rn : rn + 120]
+    assert "__pid" in spec, spec
+    # the old single-partition shape: a window spec starting at rev DESC
+    assert "windowspecdefinition(rev" not in plan, plan
+
+
+def test_percent_rank_is_distributed(spark):
+    """orders_percent_rank_top (r5 verdict item #3): rank() must be
+    partitioned by (partition id, priority) — never by the 5-value
+    priority alone, which would sort n/5 rows in one task."""
+    plan = _plan(registry.queries()["orders_percent_rank_top"](spark, SF))
+    rk = plan.find("rank(")
+    assert rk != -1, plan
+    spec_start = plan.find("windowspecdefinition(", rk)
+    spec = plan[spec_start : spec_start + 120]
+    assert "__pid" in spec, spec

@@ -580,3 +580,65 @@ def test_cusum_prefix_min_identity(spark, tmp_path):
     got = {r["hour"]: r["cusum"] for r in out}
     assert got == expected and len(expected) > 0
     assert min(expected) >= dt(2024, 1, 1, 12)  # alarms only in the shift
+
+
+def test_global_row_number_matches_single_window(spark):
+    """The distributed prefix-rank construction must reproduce the exact
+    row_number() of a single global sort — including cross-partition
+    ordering (range boundaries) and offset arithmetic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from javascript_vector_database_spark.operators.rank import (
+        global_row_number,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 997).alias("v")
+    )
+    got = {
+        (r["id"], r["rn"])
+        for r in global_row_number(
+            df, [F.col("v").desc(), F.col("id").asc()], num_partitions=16
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = {
+        (r["id"], r["rn"])
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_global_rank_matches_single_window(spark):
+    """grouped_global_rank must reproduce rank() per low-cardinality
+    group exactly — ties (rank gaps) included, which exercises the
+    equal-keys-never-split property of the range partitioner."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from javascript_vector_database_spark.operators.rank import (
+        grouped_global_rank,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 37).alias("v"),  # heavy ties within each group
+    )
+    got = {
+        (r["id"], r["rk"])
+        for r in grouped_global_rank(
+            df, "g", F.col("v"), num_partitions=16
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc())
+    want = {
+        (r["id"], r["rk"])
+        for r in df.select(
+            "id", F.rank().over(w).cast("long").alias("rk")
+        ).collect()
+    }
+    assert got == want
