@@ -1072,7 +1072,18 @@ def jaccard_prefix_pairs(
     All thresholds are exact integer fractions (prefix length, length
     filter, and the final inter*den >= num*union gate), so no engine
     disagrees on a boundary pair.  Verification is row-local
-    array_intersect on surviving candidates only."""
+    array_intersect on surviving candidates only.
+
+    Grams travel as 60-bit md5 fingerprints (hex chars 1-15 -> BIGINT,
+    the same construction as the winnowing/KMV pipelines, mirrored
+    exactly in the oracle): the gram shuffle and the verify arrays carry
+    8-byte longs instead of ~20-byte strings, and the intersect compares
+    integers.  Jaccard over fingerprints differs from string-gram
+    Jaccard only on a 60-bit collision — expected colliding gram pairs
+    ~= G^2/2^61 for G distinct grams (~3e-8 here; at 10^12 grams some
+    collisions exist but each shifts one pair's jaccard by ~1/|union|).
+    Both engines hash identically, so they agree bit-for-bit on every
+    input regardless."""
     from pyspark.sql.window import Window
 
     # --- exact-dup collapse: unique texts only, remember the groups ----
@@ -1088,14 +1099,30 @@ def jaccard_prefix_pairs(
         withh.where(F.col(id_col) == F.col("__rep"))
         .select(F.col(id_col).alias("__rid"), "__text")
     )
+    # re-spread BEFORE the CPU-heavy shingle projection: AQE coalesces
+    # the exact-collapse window's shuffle by BYTE size, and unique-doc
+    # text is small enough to land in very few partitions (measured: ONE
+    # at sf0.1 → the shingle stage ran single-threaded, 8.5s vs 0.9s).
+    # Shingling inflates each row ~10x, so size-based coalescing is the
+    # wrong signal either way — at any scale the k-gram build wants the
+    # full task fan-out, and its output would overflow a byte-coalesced
+    # partition's memory budget.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    reps = reps.repartition(n_part, F.col("__rid"))
 
     # --- prefix join over representatives -----------------------------
     # materialized ONCE: three consumers (the exploded gram table and the
     # two verify sides) would otherwise each re-run the exact-collapse
     # window + shingling over the full corpus text
-    g = reps.select(
-        F.col("__rid"), shingles(F.col("__text"), shingle_k).alias("sh")
-    ).localCheckpoint()
+    h60 = F.array_distinct(
+        F.transform(
+            shingles(F.col("__text"), shingle_k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+    g = reps.select(F.col("__rid"), h60.alias("sh")).localCheckpoint()
     ex = g.select("__rid", F.explode("sh").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
     w = Window.partitionBy("__rid").orderBy(F.col("gdf").asc(), F.col("g").asc())
@@ -1108,7 +1135,23 @@ def jaccard_prefix_pairs(
     pref = ranked.where(
         F.col("r")
         <= F.col("L") - F.expr(f"({t_num} * L + {t_den} - 1) DIV {t_den}") + 1
-    ).select("__rid", "g", "L")
+    ).select("__rid", "g", "L", "r")
+    # positional filter (PPJoin, Xiao WWW'08): both docs order their
+    # grams by the SAME global (rarity, gram) key, so for a shared gram
+    # at positions (i, j) the true overlap is bounded by
+    #   ubound = min(i-1, j-1) + 1 + min(La-i, Lb-j)
+    # (common-before + this gram + common-after).  Jaccard >= t needs
+    # overlap >= ceil(t*(La+Lb)/(1+t)); in exact integers the occurrence
+    # survives iff ubound*(t_num+t_den) >= t_num*(La+Lb).  The bound is
+    # a true overlap upper bound for EVERY shared occurrence, so any
+    # qualifying pair keeps all its occurrences — lossless — while
+    # boilerplate-tail matches (one rare gram shared late in two long
+    # docs) die in the join condition, before distinct+verify.
+    ubound = (
+        F.least(F.col("a.r") - 1, F.col("b.r") - 1)
+        + 1
+        + F.least(F.col("a.L") - F.col("a.r"), F.col("b.L") - F.col("b.r"))
+    )
     cand = (
         pref.alias("a")
         .join(
@@ -1117,7 +1160,11 @@ def jaccard_prefix_pairs(
             & (F.col("a.__rid") < F.col("b.__rid"))
             # length filter: t*max <= min, integer form (both directions)
             & (F.col("a.L") * t_num <= F.col("b.L") * t_den)
-            & (F.col("b.L") * t_num <= F.col("a.L") * t_den),
+            & (F.col("b.L") * t_num <= F.col("a.L") * t_den)
+            & (
+                ubound * (t_num + t_den)
+                >= F.lit(t_num) * (F.col("a.L") + F.col("b.L"))
+            ),
         )
         .select(
             F.col("a.__rid").alias("ra"),

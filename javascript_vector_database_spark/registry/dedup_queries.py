@@ -342,8 +342,13 @@ def dedup_batch_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_prefix_oracle() -> str:
     # the prefix filter is LOSSLESS, so the oracle is the plain all-pairs
     # join at the same threshold — integer-gated exactly like the Spark
-    # side (inter * 2 >= 1 * union for t = 1/2)
-    sh = _sql_shingles("text")
+    # side (inter * 2 >= 1 * union for t = 1/2).  Grams are the same
+    # 60-bit md5 fingerprints the Spark side shuffles (hex 1-15 ->
+    # BIGINT; see jaccard_prefix_pairs for the collision math).
+    sh = (
+        f"list_distinct(list_transform({_sql_shingles('text')}, "
+        f"s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
+    )
     return f"""
 WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
