@@ -233,6 +233,15 @@ def minhash_signatures(
     HOF fold :func:`minhash_sig` (identical double hashing) — the DuckDB
     oracle is unchanged."""
     ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+    return _minhash_from_exploded(ex, id_col, num_hashes)
+
+
+def _minhash_from_exploded(
+    ex: DataFrame, id_col: str, num_hashes: int = DEFAULT_HASHES
+) -> DataFrame:
+    """MinHash aggregation half of :func:`minhash_signatures`, reusable
+    over a precomputed (id, v1, v2) shingle-hash table (multipass shares
+    one such table across its passes)."""
     mins = ex.groupBy(id_col).agg(
         *[
             F.min((F.col("v1") + i * F.col("v2")) % MINHASH_P).alias(f"__m{i}")
@@ -286,7 +295,6 @@ def lsh_band_pairs(
 
     tests/test_text_dedup.py::test_lsh_hot_bucket_guard pins both on a
     degenerate 10k-copies corpus."""
-    rows_per_band = num_hashes // bands
     from pyspark.sql.window import Window
 
     src = spread(df).select(F.col(id_col), _as_col(text_col).alias("__text"))
@@ -307,6 +315,47 @@ def lsh_band_pairs(
     # the whole pipeline (explode -> min-agg -> md5 band hash -> explode)
     # stays inside whole-stage codegen; no interpreted HOF anywhere
     sigs = minhash_signatures(src, "__text", id_col, num_hashes, shingle_k)
+    pairs = _band_pairs_from_sigs(
+        sigs, id_col, num_hashes, bands, bucket_cap
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.distinct()
+    if jaccard_threshold is None:
+        return pairs
+    sh = df.select(
+        F.col(id_col), shingles(_as_col(text_col), shingle_k).alias("sh")
+    )
+    pairs = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def _band_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_HASHES,
+    bands: int = DEFAULT_BANDS,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Banding + capped bucket self-join half of :func:`lsh_band_pairs`,
+    reusable over a precomputed (id, mh) signature table.  Output:
+    (id_a, id_b), NOT distinct (caller unions/dedups)."""
+    from pyspark.sql.window import Window
+
+    rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -336,41 +385,15 @@ def lsh_band_pairs(
         )
     a = bands_df.alias("a")
     b = bands_df.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
     )
-    if star is not None:
-        pairs = pairs.unionByName(star)
-    pairs = pairs.distinct()
-    if jaccard_threshold is None:
-        return pairs
-    sh = df.select(
-        F.col(id_col), shingles(_as_col(text_col), shingle_k).alias("sh")
-    )
-    pairs = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -473,6 +496,14 @@ def simhash_table(
     shuffle).  ``distinct=True`` because the bit majority is over the
     distinct-shingle set (duplicates would bias the counts)."""
     ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k, distinct=True)
+    return _simhash_from_exploded(ex, id_col, bits)
+
+
+def _simhash_from_exploded(
+    ex: DataFrame, id_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Bit-majority half of :func:`simhash_table`, reusable over a
+    precomputed DISTINCT (id, v1, v2) shingle-hash table."""
     counted = ex.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
         *[
@@ -1123,6 +1154,45 @@ def jaccard_prefix_pairs(
         )
     )
     g = reps.select(F.col("__rid"), h60.alias("sh")).localCheckpoint()
+    rep_pairs = _prefix_rep_pairs(g, t_num, t_den)
+
+    # --- expand back to member level (output-sized work) ---------------
+    # (a) intra-group cliques: identical texts pair at jaccard 1.0
+    m1 = members.select("rep", F.col("member").alias("id_a"))
+    m2 = members.select("rep", F.col("member").alias("id_b"))
+    intra = (
+        m1.join(m2, "rep")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    # (b) inter-group: every member of ra pairs with every member of rb
+    # at the rep pair's jaccard; normalize order afterwards
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("ra"), F.col("member").alias("ma")),
+            "ra",
+        )
+        .join(
+            members.select(F.col("rep").alias("rb"), F.col("member").alias("mb")),
+            "rb",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
+def _prefix_rep_pairs(
+    g: DataFrame, t_num: int = 1, t_den: int = 2
+) -> DataFrame:
+    """Prefix-filter + verify half of :func:`jaccard_prefix_pairs` over a
+    precomputed (``__rid``, ``sh`` array<bigint>) distinct-gram table of
+    UNIQUE texts.  Output: (ra, rb, jaccard) rep-level pairs."""
+    from pyspark.sql.window import Window
+
     ex = g.select("__rid", F.explode("sh").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
     w = Window.partitionBy("__rid").orderBy(F.col("gdf").asc(), F.col("g").asc())
@@ -1176,7 +1246,7 @@ def jaccard_prefix_pairs(
     gb = g.select(F.col("__rid").alias("rb"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter
-    rep_pairs = (
+    return (
         cand.join(ga, "ra")
         .join(gb, "rb")
         .where(inter * t_den >= F.lit(t_num) * uni)
@@ -1186,34 +1256,6 @@ def jaccard_prefix_pairs(
             F.round(inter.cast("double") / uni, 6).alias("jaccard"),
         )
     )
-
-    # --- expand back to member level (output-sized work) ---------------
-    # (a) intra-group cliques: identical texts pair at jaccard 1.0
-    m1 = members.select("rep", F.col("member").alias("id_a"))
-    m2 = members.select("rep", F.col("member").alias("id_b"))
-    intra = (
-        m1.join(m2, "rep")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-    )
-    # (b) inter-group: every member of ra pairs with every member of rb
-    # at the rep pair's jaccard; normalize order afterwards
-    cross = (
-        rep_pairs.join(
-            members.select(F.col("rep").alias("ra"), F.col("member").alias("ma")),
-            "ra",
-        )
-        .join(
-            members.select(F.col("rep").alias("rb"), F.col("member").alias("mb")),
-            "rb",
-        )
-        .select(
-            F.least("ma", "mb").alias("id_a"),
-            F.greatest("ma", "mb").alias("id_b"),
-            "jaccard",
-        )
-    )
-    return intra.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------
@@ -1241,9 +1283,15 @@ def simhash_hamming_pairs(
     and is lossless by the pigeonhole argument; verification is one
     codegen ``bit_count(xor)`` per candidate.  The oracle is the
     quadratic join (small corpus), the result identical."""
-    from pyspark.sql.window import Window  # noqa: F401  (parity w/ siblings)
-
     sims = simhash_table(df, text_col, id_col)
+    return _hamming_pairs_from_simhash(sims, id_col, max_hamming)
+
+
+def _hamming_pairs_from_simhash(
+    sims: DataFrame, id_col: str, max_hamming: int = SIMHAM_K
+) -> DataFrame:
+    """Pigeonhole band self-join half of :func:`simhash_hamming_pairs`,
+    reusable over a precomputed (id, simhash) table."""
     bands = F.array(
         *[
             F.struct(
@@ -1274,4 +1322,110 @@ def simhash_hamming_pairs(
             ham.cast("int").alias("hamming"),
         )
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-pass blocking union over ONE shared shingle-hash table
+# ---------------------------------------------------------------------------
+
+
+def multipass_pair_union(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    max_hamming: int = SIMHAM_K,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """UNION of the three near-dup candidate generators (MinHash-LSH
+    banding, SimHash hamming, prefix-filtered exact Jaccard) computed
+    from ONE scan: the exact-dup collapse runs once, and one
+    localCheckpoint'd (id, v1, v2) shingle-hash table feeds all three
+    passes — MinHash reads (v1, v2) directly, SimHash the distinct v1
+    bits, and the prefix join the 60-bit fingerprint v1*2^28 + (v2>>4)
+    (same value as md5 hex chars 1-15, so identical to the standalone
+    :func:`jaccard_prefix_pairs` grams).  Standalone the three passes
+    tokenize + md5 the corpus once EACH; here the corpus text is read
+    and hashed exactly once.
+
+    Pair-set equivalence with the standalone union (what the oracle
+    runs): identical texts share every signature, so each pass's
+    member-level pair set is (its rep-level pair set expanded through
+    the exact-dup groups) plus the intra-group cliques — except LSH,
+    whose star collapse deliberately emits only rep-level pairs + star
+    edges (a subset of the cliques the prefix/simhash passes contribute
+    anyway).  Output: distinct (id_a, id_b), id_a < id_b."""
+    from pyspark.sql.window import Window
+
+    src = spread(df).select(F.col(id_col), _as_col(text_col).alias("__text"))
+    wth = Window.partitionBy("__th")
+    withh = src.withColumn("__th", F.md5(F.col("__text"))).withColumn(
+        "__rep", F.min(id_col).over(wth)
+    )
+    members = withh.select(
+        F.col("__rep").alias("rep"), F.col(id_col).alias("member")
+    ).localCheckpoint()
+    # re-spread before the CPU-heavy hash explode — see the same guard in
+    # jaccard_prefix_pairs (AQE byte-coalescing starves the map stage)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    reps = (
+        withh.where(F.col(id_col) == F.col("__rep"))
+        .select(F.col(id_col), "__text")
+        .repartition(n_part, F.col(id_col))
+    )
+    ex = exploded_shingle_hashes(reps, "__text", id_col, shingle_k).localCheckpoint()
+    exd = ex.dropDuplicates([id_col, "v1", "v2"])
+
+    # pass 1: token-space MinHash-LSH banding (rep-level, capped buckets)
+    sigs = _minhash_from_exploded(ex, id_col, num_hashes)
+    lsh_pairs = _band_pairs_from_sigs(sigs, id_col, num_hashes, bands, bucket_cap)
+
+    # pass 2: bit-space SimHash hamming (rep-level)
+    sims = _simhash_from_exploded(exd, id_col)
+    sim_pairs = _hamming_pairs_from_simhash(sims, id_col, max_hamming).select(
+        "id_a", "id_b"
+    )
+
+    # pass 3: prefix-filtered exact Jaccard (rep-level)
+    h60 = F.col("v1") * F.lit(268435456).cast("long") + F.shiftright("v2", 4)
+    g = (
+        exd.select(F.col(id_col).alias("__rid"), h60.alias("__h"))
+        .groupBy("__rid")
+        .agg(F.collect_set("__h").alias("sh"))
+    )
+    pj_pairs = _prefix_rep_pairs(g, t_num, t_den).select(
+        F.col("ra").alias("id_a"), F.col("rb").alias("id_b")
+    )
+
+    # expansion: dedup the rep-level union BEFORE the member fan-out so
+    # a pair caught by both passes expands once
+    rep_level = sim_pairs.unionByName(pj_pairs).distinct()
+    cross = (
+        rep_level.join(
+            members.select(F.col("rep").alias("id_a"), F.col("member").alias("ma")),
+            "id_a",
+        )
+        .join(
+            members.select(F.col("rep").alias("id_b"), F.col("member").alias("mb")),
+            "id_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+        )
+    )
+    m1 = members.select("rep", F.col("member").alias("id_a"))
+    m2 = members.select("rep", F.col("member").alias("id_b"))
+    intra = (
+        m1.join(m2, "rep")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return (
+        intra.unionByName(lsh_pairs).unionByName(cross).distinct()
     )

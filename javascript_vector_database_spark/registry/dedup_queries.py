@@ -450,9 +450,11 @@ def dedup_multipass_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the others' geometry misses (MinHash needs shingle overlap, SimHash
     tolerates scattered bit flips, the exact join anchors precision);
     at 100 TB the passes share the scan and their pair sets are tiny, so
-    the union is output-sized."""
+    the union is output-sized.  r6: the three passes now run off ONE
+    shared shingle-hash table + one exact-dup collapse
+    (dedup.multipass_pair_union) — the corpus text is tokenized and
+    md5'd exactly once instead of once per pass; the oracle stays the
+    standalone three-way union, which the shared construction equals
+    pair-for-pair (identical texts share every signature)."""
     docs = load_table(spark, sf_dir, "documents")
-    l = dedup.lsh_band_pairs(docs).select("id_a", "id_b")
-    p = dedup.jaccard_prefix_pairs(docs).select("id_a", "id_b")
-    s = dedup.simhash_hamming_pairs(docs).select("id_a", "id_b")
-    return l.unionByName(p).unionByName(s).distinct()
+    return dedup.multipass_pair_union(docs)
