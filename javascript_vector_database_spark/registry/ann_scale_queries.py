@@ -285,10 +285,14 @@ def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQ8 scalar quantization: code table + compressed-scan search
 # ---------------------------------------------------------------------------
 
-_SQ8_PARAMS_CTE = (
-    "p AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo, "
-    "CAST(max(list_max(embedding)) AS DOUBLE) AS hi FROM embeddings)"
-)
+def _sq8_params_cte(table: str = "embeddings") -> str:
+    return (
+        "p AS (SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo, "
+        f"CAST(max(list_max(embedding)) AS DOUBLE) AS hi FROM {table})"
+    )
+
+
+_SQ8_PARAMS_CTE = _sq8_params_cte()
 
 
 def _sq8_code_sql(vec_expr: str) -> str:
@@ -331,9 +335,14 @@ def ann_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQ8_SEARCH_ORACLE = f"""
-WITH {osql.QVEC_CTE},
-{_SQ8_PARAMS_CTE},
+def _sq8_search_oracle(
+    table: str = "embeddings", qcte: str = osql.QVEC_CTE
+) -> str:
+    # dim-agnostic (list_zip folds whatever length the table carries), so
+    # the same builder serves the sf tables and the 384-dim fixture
+    return f"""
+WITH {qcte},
+{_sq8_params_cte(table)},
 qc AS (SELECT {_sq8_code_sql('qv')} AS qcodes FROM q, p),
 cand AS (
   SELECT e.vec_id, e.embedding,
@@ -342,7 +351,7 @@ cand AS (
              list_zip({_sq8_code_sql('e.embedding')}, qc.qcodes),
              z -> (z[1] - z[2]) * (z[1] - z[2])),
            (x, y) -> x + y) AS qd
-  FROM embeddings e, p, qc
+  FROM {table} e, p, qc
   ORDER BY qd ASC, e.vec_id ASC
   LIMIT {TOP_K * quant.SQ8_RERANK}
 )
@@ -351,6 +360,9 @@ FROM cand, q
 ORDER BY distance ASC, vec_id ASC
 LIMIT {TOP_K}
 """
+
+
+_SQ8_SEARCH_ORACLE = _sq8_search_oracle()
 
 
 @register("ann_sq8_search", oracle=_SQ8_SEARCH_ORACLE)
@@ -414,27 +426,30 @@ from javascript_vector_database_spark.operators import pq as pqm  # noqa: E402
 _PQ_SD = ORACLE_DIM // pqm.PQ_M
 
 
-def _pq_sub_score_sql(vec: str, cent: str, s: str) -> str:
+def _pq_sub_score_sql(vec: str, cent: str, s: str, sd: int = _PQ_SD) -> str:
     """Candidate score ``||c||^2 - 2*<v_s, c>`` — the same construction
     (and left-associated double term order) as operators.pq._sub_score,
-    so codes and ADC ranks are bit-identical across engines."""
+    so codes and ADC ranks are bit-identical across engines.  ``sd`` is
+    the subspace width (dim // PQ_M); pass it to serve a different
+    dimensionality (the 384-dim fixture)."""
     dots, sqs = [], []
-    for i in range(_PQ_SD):
-        a = f"CAST({vec}[{s} * {_PQ_SD} + {i + 1}] AS DOUBLE)"
-        b = f"CAST({cent}[{s} * {_PQ_SD} + {i + 1}] AS DOUBLE)"
+    for i in range(sd):
+        a = f"CAST({vec}[{s} * {sd} + {i + 1}] AS DOUBLE)"
+        b = f"CAST({cent}[{s} * {sd} + {i + 1}] AS DOUBLE)"
         dots.append(f"({a}) * ({b})")
         sqs.append(f"({b}) * ({b})")
     return f"({' + '.join(sqs)}) - 2.0 * ({' + '.join(dots)})"
 
 
-#: codebook = the IVF hash-order sample, j = position in cid order
-_PQ_CODES_CTES = f"""{_IVF_CENTS_CTE},
+def _pq_codes_ctes(table: str = "embeddings", sd: int = _PQ_SD) -> str:
+    """Codebook = the IVF hash-order sample, j = position in cid order."""
+    return f"""{_ivf_cents_cte(table)},
 cb AS (SELECT row_number() OVER (ORDER BY cid ASC) - 1 AS j, cemb FROM cents),
 sub AS (SELECT unnest(range(0, {pqm.PQ_M})) AS s),
 cand0 AS (
   SELECT e.vec_id, sub.s, cb.j,
-         {_pq_sub_score_sql('e.embedding', 'cb.cemb', 'sub.s')} AS d
-  FROM embeddings e CROSS JOIN sub CROSS JOIN cb
+         {_pq_sub_score_sql('e.embedding', 'cb.cemb', 'sub.s', sd)} AS d
+  FROM {table} e CROSS JOIN sub CROSS JOIN cb
 ),
 codes AS (
   SELECT vec_id, s, j AS code FROM (
@@ -448,6 +463,9 @@ pqv AS (
          {", ".join(f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(pqm.PQ_M))}
   FROM codes GROUP BY vec_id
 )"""
+
+
+_PQ_CODES_CTES = _pq_codes_ctes()
 
 _PQ_CODES_ORACLE = f"""
 WITH {_PQ_CODES_CTES}
@@ -475,17 +493,21 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_search_oracle() -> str:
+def _pq_search_oracle(
+    table: str = "embeddings",
+    qcte: str = osql.QVEC_CTE,
+    sd: int = _PQ_SD,
+) -> str:
     joins = " ".join(
         f"JOIN lut l{s} ON l{s}.s = {s} AND l{s}.j = p.c{s}"
         for s in range(pqm.PQ_M)
     )
     adc = " + ".join(f"l{s}.v" for s in range(pqm.PQ_M))
     return f"""
-WITH {osql.QVEC_CTE},
-{_PQ_CODES_CTES},
+WITH {qcte},
+{_pq_codes_ctes(table, sd)},
 lut AS (
-  SELECT sub.s, cb.j, {_pq_sub_score_sql('q.qv', 'cb.cemb', 'sub.s')} AS v
+  SELECT sub.s, cb.j, {_pq_sub_score_sql('q.qv', 'cb.cemb', 'sub.s', sd)} AS v
   FROM sub CROSS JOIN cb, q
 ),
 approx AS (
@@ -496,7 +518,7 @@ cand AS (
   LIMIT {TOP_K * pqm.PQ_RERANK}
 )
 SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
-FROM embeddings e JOIN cand USING (vec_id), q
+FROM {table} e JOIN cand USING (vec_id), q
 ORDER BY distance ASC, vec_id ASC
 LIMIT {TOP_K}
 """

@@ -1799,3 +1799,164 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming==batch equivalence rows (r5 verdict "Next round" #8): the
+# mergeable-sketch property the streaming pytest suite pins — a live
+# Structured Streaming state table equals the one-shot batch construction
+# — promoted into the driver's DuckDB contract.  Each query actually RUNS
+# a streaming job (file source fed in two appends, so real cross-micro-
+# batch state folding happens) and returns the LIVE table's fold; the
+# oracle is the same batch SQL the one-shot sketch rows use, so a green
+# row certifies streaming == batch == oracle in one check.
+# ---------------------------------------------------------------------------
+
+
+def _stream_feed(spark, df, src: str, split_col: str):
+    """Write ``df`` as two deterministic halves (split on the key's
+    parity) so the streaming query folds state across >= 2 micro-batches
+    — first half before the stream starts, second mid-flight."""
+    df.where(F.col(split_col) % 2 == 0).write.mode("append").parquet(src)
+
+    def second_half():
+        df.where(F.col(split_col) % 2 != 0).write.mode("append").parquet(src)
+
+    return second_half
+
+
+@register("stream_hll_live_users", oracle=_hll_oracle())
+def stream_hll_live_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live HLL distinct-users estimate from a RUNNING stream: the
+    bounded (b, M) register state after two micro-batches, folded to the
+    estimate.  max is batch-boundary invariant, so the live table equals
+    the one-shot batch registers — certified against the SAME oracle as
+    `sketch_hll_distinct_users` (streaming/reactive.py:301)."""
+    import os
+    import shutil
+    import uuid
+
+    from javascript_vector_database_spark.operators.sketch import (
+        hll_estimate_from_registers,
+    )
+    from javascript_vector_database_spark.streaming.reactive import (
+        streaming_hll_registers,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_hll_")
+    src = os.path.join(tmp, "src")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    feed_rest = _stream_feed(spark, ev, src, "user_id")
+    name = f"hll_live_{uuid.uuid4().hex[:8]}"
+    q = streaming_hll_registers(spark, src, "user_id long", query_name=name)
+    try:
+        q.processAllAvailable()
+        feed_rest()
+        q.processAllAvailable()
+        # memory-sink rows survive stop(); fold the live registers
+        out = hll_estimate_from_registers(spark.table(name))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "stream_live_count_by_type",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+)
+def stream_live_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 incremental count at the ENGINE level, driver-certified: the
+    update-from-state streaming aggregation's live per-type counts after
+    two micro-batches equal the batch groupBy — Spark's state store
+    merges each batch's partials, the exact semantics the reference
+    maintains by ±1 count bumps (rx-query incremental count)."""
+    import os
+    import shutil
+    import uuid
+
+    from javascript_vector_database_spark.streaming.reactive import (
+        streaming_live_count,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_cnt_")
+    src = os.path.join(tmp, "src")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    feed_rest = _stream_feed(spark, ev, src, "event_id")
+    name = f"live_count_{uuid.uuid4().hex[:8]}"
+    q = streaming_live_count(
+        spark, src, "event_id long, event_type string", "event_type",
+        query_name=name,
+    )
+    try:
+        q.processAllAvailable()
+        feed_rest()
+        q.processAllAvailable()
+        live = spark.table(name).select(
+            "event_type", F.col("n").cast("long").alias("n")
+        )
+        out = spark.createDataFrame(live.collect(), live.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register("stream_cms_live_tokens", oracle=_cms_oracle())
+def stream_cms_live_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live Count-Min token frequencies from a RUNNING stream: the
+    bounded d*w counter state after two micro-batches, probed for the
+    fixed token set and joined with exact counts — same oracle as the
+    one-shot `sketch_cms_token_freq` (sums are additive across batch
+    boundaries, so live == batch bit-for-bit)."""
+    import os
+    import shutil
+    import uuid
+
+    from javascript_vector_database_spark.functions.text import word_tokens
+    from javascript_vector_database_spark.operators.sketch import cms_estimate
+    from javascript_vector_database_spark.streaming.reactive import (
+        streaming_cms_counters,
+    )
+    from javascript_vector_database_spark.tables import spread
+
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    src = os.path.join(tmp, "src")
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks_src = docs.select(
+        "doc_id", F.explode(word_tokens("text")).alias("tok")
+    )
+    feed_rest = _stream_feed(spark, toks_src, src, "doc_id")
+    name = f"cms_live_{uuid.uuid4().hex[:8]}"
+    q = streaming_cms_counters(
+        spark, src, "doc_id long, tok string", query_name=name
+    )
+    try:
+        q.processAllAvailable()
+        feed_rest()
+        q.processAllAvailable()
+        counters = spark.table(name)
+        qdf = spark.createDataFrame([(t,) for t in CMS_PROBE_TOKENS], ["tok"])
+        est = cms_estimate(counters, qdf, "tok")
+        toks = docs.select(F.explode(word_tokens("text")).alias("tok"))
+        exact = (
+            toks.where(F.col("tok").isin(*CMS_PROBE_TOKENS))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        )
+        out = est.join(F.broadcast(exact), "tok", "left").select(
+            "tok",
+            "est_count",
+            F.coalesce("exact_count", F.lit(0))
+            .cast("long")
+            .alias("exact_count"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -119,6 +119,54 @@ def ann_ivf_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_scale.ivf_search(_fixture(spark), _fixture_qvec(spark))
 
 
+def _sq8_384_oracle() -> str:
+    from javascript_vector_database_spark.registry.ann_scale_queries import (
+        _sq8_search_oracle,
+    )
+
+    return _sq8_search_oracle(table=_T, qcte=_QCTE)
+
+
+@register("ann_sq8_384", oracle=_sq8_384_oracle())
+def ann_sq8_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization at reference geometry: 384 codes/vector,
+    one global (lo, hi) affine.  Unit-norm MiniLM-like components sit in
+    [-1, 1] with most mass near 0 (|x| ~ 1/sqrt(384)), so the global
+    affine wastes levels on the tails — exactly the regime the per-dim
+    re-rank pool exists for; the exact re-rank restores the true top-k
+    (same integer code-distance + re-rank contract as `ann_sq8_search`)."""
+    from javascript_vector_database_spark.operators import quant
+
+    return quant.sq8_search(_fixture(spark), _fixture_qvec(spark))
+
+
+def _pq_384_oracle() -> str:
+    from javascript_vector_database_spark.registry.ann_scale_queries import (
+        _pq_search_oracle,
+    )
+
+    from javascript_vector_database_spark.operators import pq as pqm
+
+    return _pq_search_oracle(
+        table=_T, qcte=_QCTE, sd=REFERENCE_DIM // pqm.PQ_M
+    )
+
+
+@register("ann_pq_384", oracle=_pq_384_oracle())
+def ann_pq_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC at reference geometry: M=8 subspaces of 48 dims each (vs 8
+    at the toy dim) — the compression regime PQ was designed for (Jégou:
+    128-dim SIFT, m=8).  Codebook is the deterministic hash-order sample
+    the oracle mirrors; the trained-k-means variant rides the bench
+    recall report, not the driver contract."""
+    from javascript_vector_database_spark.operators import ann_scale
+    from javascript_vector_database_spark.operators import pq as pqm
+
+    fx = _fixture(spark)
+    cb = pqm.pq_codebook(ann_scale.collect_centroids(fx, k=pqm.PQ_K))
+    return pqm.pq_search(fx, _fixture_qvec(spark), cb)
+
+
 @register("compat_index_string_384", oracle=_compat_oracle(REFERENCE_DIM, table=_T))
 def compat_index_string_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ECMA-262-faithful fixed-width key for every fixture row."""
