@@ -102,42 +102,12 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # DRIVER WINDOW (first 50): every r5-new query needs its first
-    # stamp, but the round added 67 — the 50 below are the two waves'
-    # highest-signal operators; the 17 displaced (listed after the
-    # window) stay value-verified by the per-pytest sf0.001 sweep and
-    # the per-family sf0.01 suites.
-    # -- late-session wave, core 16
-    "agg_q17_small_quantity_revenue", "agg_q18_large_orders",
-    "profile_unpivot_lang_stats", "curation_domain_cap",
-    "events_scd2_state_intervals", "events_gapfill_hourly",
-    "sketch_cms_token_freq", "curation_contamination_bloom",
-    "graph_pagerank_copurchase", "sketch_histogram_quantiles",
-    "dedup_jaccard_prefix", "text_bpe_pair_counts",
-    "curation_remove_boilerplate", "text_phrase_search",
-    "events_hourly_trend", "events_corr_pairs",
-    # -- first-session wave: 384-dim reference geometry, HLL, winnow,
-    #    event analytics, bucketed joins, LM quality
-    "knn_exact_384", "knn_ann_similarity_384",
-    "knn_ann_range_compat_384", "compat_index_string_384", "ann_ivf_384",
-    "sketch_hll_distinct_users", "sketch_hll_users_by_type",
-    "join_bucketed_colocated", "curation_lm_quality",
-    "text_winnow_fingerprints", "text_winnow_overlap_pairs",
-    "events_funnel_counts", "events_retention_cohorts",
-    "events_hopping_window_agg", "agg_regional_revenue",
-    "text_keywords", "events_anomaly_hours",
-    # -- late-session wave, 17 more
-    "knn_mmr_rerank", "dedup_simhash_hamming",
-    "events_funnel_latency", "events_asof_join_forward",
-    "orders_winsorized_mean", "curation_luhn_cc_detect",
-    "events_markov_transitions", "events_cusum_alarms",
-    "division_suppliers_full_brand", "text_phrase_postings_join",
-    "events_dwell_stats", "profile_ntile_deciles",
-    "orders_price_outliers", "profile_benford_digits",
-    "orders_mad_outliers", "basket_association_rules",
-    "customer_rfm_segments",
-    # ---- window boundary (~50) ----
-    # r5-new beyond the window: sweep + family-suite verified
+    # DRIVER WINDOW (first 50), round 6.  The r5 verdict's top item: 31
+    # r5 registry queries had never been inside a 50-slot window — they
+    # lead this rotation (all sweep-green locally since r5), followed by
+    # the r6-new rows and the two whose implementation changed this
+    # round; 12 spare slots refresh the OLDEST (r2-era) green stamps.
+    # -- never-stamped r5 queries (31)
     "events_session_funnel", "graph_degree_histogram",
     "profile_split_drift", "customer_pareto_share",
     "text_lang_confusion", "curation_universe_sample",
@@ -156,23 +126,56 @@ _PRIORITY = [
     "events_retention_rate", "orders_basket_size_hist",
     "events_stickiness",
     "curation_weighted_sample", "dedup_multipass_pairs",
-    # CHANGED after their r4 stamp
+    # -- r6-new (5): streaming==batch equivalence + 384-dim quantizers
+    "stream_hll_live_users", "stream_live_count_by_type",
+    "stream_cms_live_tokens", "ann_sq8_384", "ann_pq_384",
+    # -- r6-changed after their last stamp (2)
+    "dedup_jaccard_prefix", "sketch_histogram_quantiles",
+    # -- spare slots: refresh the oldest (r2) stamps (12)
+    "scan_documents", "point_lookup", "mango_count",
+    "mango_sort_skip_limit", "union_dedup",
+    "join_anti_missing_vectors", "join_zip_documents_embeddings",
+    "flagship_search", "knn_exact", "knn_ann_range",
+    "dml_roundtrip", "pipeline_roundtrip",
+    # ---- window boundary (50) ----
+    # recent green stamps (r4/r5), unchanged this round
+    "agg_q17_small_quantity_revenue", "agg_q18_large_orders",
+    "profile_unpivot_lang_stats", "curation_domain_cap",
+    "events_scd2_state_intervals", "events_gapfill_hourly",
+    "sketch_cms_token_freq", "curation_contamination_bloom",
+    "graph_pagerank_copurchase",
+    "text_bpe_pair_counts",
+    "curation_remove_boilerplate", "text_phrase_search",
+    "events_hourly_trend", "events_corr_pairs",
+    "knn_exact_384", "knn_ann_similarity_384",
+    "knn_ann_range_compat_384", "compat_index_string_384", "ann_ivf_384",
+    "sketch_hll_distinct_users", "sketch_hll_users_by_type",
+    "join_bucketed_colocated", "curation_lm_quality",
+    "text_winnow_fingerprints", "text_winnow_overlap_pairs",
+    "events_funnel_counts", "events_retention_cohorts",
+    "events_hopping_window_agg", "agg_regional_revenue",
+    "text_keywords", "events_anomaly_hours",
+    "knn_mmr_rerank", "dedup_simhash_hamming",
+    "events_funnel_latency", "events_asof_join_forward",
+    "orders_winsorized_mean", "curation_luhn_cc_detect",
+    "events_markov_transitions", "events_cusum_alarms",
+    "division_suppliers_full_brand", "text_phrase_postings_join",
+    "events_dwell_stats", "profile_ntile_deciles",
+    "orders_price_outliers", "profile_benford_digits",
+    "orders_mad_outliers", "basket_association_rules",
+    "customer_rfm_segments",
     "dedup_lsh_pairs", "dedup_duplicate_clusters",
     "dedup_duplicate_clusters_star", "curation_pipeline",
-    "curation_contamination", "knn_batch_exact", "dml_roundtrip",
-    "pipeline_roundtrip", "state_fold_last_per_user",
-    "knn_exact", "knn_ann_range", "knn_ann_similarity",
+    "curation_contamination", "knn_batch_exact",
+    "state_fold_last_per_user",
+    "knn_ann_similarity",
     "knn_ann_range_compat", "compat_index_string",
-    # stale stamps
-    "join_anti_missing_vectors", "join_zip_documents_embeddings",
-    "mango_count", "mango_sort_skip_limit", "point_lookup",
-    "scan_documents", "union_dedup",
     "ann_doc_reads", "ann_ivf_batch_search", "ann_ivf_cells",
     "ann_ivf_search", "ann_ivf_search_partitioned", "ann_lsh_buckets",
     "ann_lsh_search", "ann_lsh_search_precomputed", "ann_sq8_codes",
     "ann_sq8_search", "ann_sq8_search_precomputed",
     "curation_chunk_documents", "curation_split_assign",
-    "dedup_batch_vs_corpus", "dedup_cosine_pairs", "flagship_search",
+    "dedup_batch_vs_corpus", "dedup_cosine_pairs",
     "join_salted_skew", "knn_cosine", "multimodal_byte_stats",
     "multimodal_decode_fake", "multimodal_resize_fake",
     "profile_length_quantiles", "reactive_count_ivm",

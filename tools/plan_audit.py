@@ -155,6 +155,48 @@ AUDITED = [
     "events_stickiness",
     "curation_weighted_sample",
     "dedup_multipass_pairs",
+    # r6 additions + previously-unaudited static-plan rows (the skip set
+    # is now ONLY the side-effecting roundtrips/reactive/streaming rows)
+    "ann_sq8_384",
+    "ann_pq_384",
+    "agg_top_revenue_orders",
+    "ann_doc_reads",
+    "ann_ivf_cells",
+    "ann_lsh_buckets",
+    "compat_index_string",
+    "dedup_duplicate_clusters",
+    "dedup_ngram_jaccard",
+    "events_anomaly_hours",
+    "events_windowed_agg",
+    "join_anti_missing_vectors",
+    "join_zip_documents_embeddings",
+    "knn_ann_range_compat",
+    "mango_bool_combinators",
+    "mango_count",
+    "mango_elemmatch_size",
+    "mango_eq_ne",
+    "mango_exists",
+    "mango_in_nin",
+    "mango_mod",
+    "mango_regex",
+    "mango_sort_skip_limit",
+    "multimodal_decode_fake",
+    "multimodal_frame_sample",
+    "multimodal_resize_fake",
+    "point_lookup",
+    "profile_length_histogram",
+    "profile_length_quantiles",
+    "profile_sample_per_source",
+    "rollup_orders_by_status_priority",
+    "scan_documents",
+    "set_ops_intersect_except",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_title_content_parse",
+    "text_token_count",
+    "union_dedup",
 ]
 
 
