@@ -109,6 +109,9 @@ _SCALE_HEADLINE = [
     "graph_pagerank_copurchase",
     "dedup_jaccard_prefix",
     "curation_remove_boilerplate",
+    # r6: wedge-join triangle count + the per-order Q21 aggregate at 10x
+    "graph_triangle_count",
+    "supplier_sole_late_q21",
 ]
 
 
@@ -579,9 +582,15 @@ def main() -> None:
         "events_stickiness",
         "curation_weighted_sample",
         "dedup_multipass_pairs",
-        # round-6 additions: quantizers at reference geometry
+        # round-6 additions: quantizers at reference geometry, Q6/Q7/Q21
+        # shapes, triangle count, last-touch attribution
         "ann_sq8_384",
         "ann_pq_384",
+        "supplier_sole_late_q21",
+        "graph_triangle_count",
+        "events_attribution_last_touch",
+        "agg_q6_forecast_revenue",
+        "agg_q7_nation_volume",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -100,3 +100,60 @@ def sql_pagerank(
         )
     body = "\n".join(sql).rstrip(",")
     return f"{body}\nSELECT node, rank AS pagerank FROM r{rounds}"
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count over an UNDIRECTED edge list (unique pairs,
+    src < dst) — one-row output ``(n_triangles)``.
+
+    Degree-ordered orientation (the compact-forward algorithm): every
+    edge points from its (degree, id)-smaller endpoint to the larger,
+    wedges are generated only at each edge's SMALLER endpoint, and a
+    wedge closes iff its (ordered) third edge exists — a semi-join, so
+    nothing wider than the wedge set ever materializes.  Out-degree
+    under this orientation is bounded by O(sqrt(m)) (arboricity bound),
+    so the wedge count is O(m^1.5) worst case and far less on real
+    skewed graphs — id-ordered wedging would instead explode at any
+    low-id hub (a popular part bought with 10^5 others generates 10^10
+    wedges if it pivots; under degree order it never pivots).  The
+    id-ordered 3-way self-join the DuckDB oracle runs counts the same
+    triangles (each exactly once, at a different pivot)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge (a -> b) with a strictly before b in (degree, id)
+    # order; carry b's key for the wedge ordering below.  Materialized
+    # once — three consumers (two wedge sides + the closing semi-join).
+    o = ed.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=False)
+    w1 = o.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    w2 = o.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    # order the wedge's endpoints by the SAME (degree, id) key, so the
+    # closing edge — if present — is oriented exactly (x -> y)
+    wedge = w1.join(w2, "a").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    closed = wedge.join(closing, ["x", "y"], "left_semi")
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -126,19 +126,23 @@ _PRIORITY = [
     "events_retention_rate", "orders_basket_size_hist",
     "events_stickiness",
     "curation_weighted_sample", "dedup_multipass_pairs",
-    # -- r6-new (5): streaming==batch equivalence + 384-dim quantizers
+    # -- r6-new (10): streaming==batch equivalence, 384-dim quantizers,
+    #    Q6/Q7/Q21 shapes, triangle count, last-touch attribution
     "stream_hll_live_users", "stream_live_count_by_type",
     "stream_cms_live_tokens", "ann_sq8_384", "ann_pq_384",
+    "supplier_sole_late_q21", "graph_triangle_count",
+    "events_attribution_last_touch", "agg_q6_forecast_revenue",
+    "agg_q7_nation_volume",
     # -- r6-changed after their last stamp (2)
     "dedup_jaccard_prefix", "sketch_histogram_quantiles",
-    # -- spare slots: refresh the oldest (r2) stamps (12)
+    # -- spare slots: refresh the oldest (r2) stamps (7)
     "scan_documents", "point_lookup", "mango_count",
     "mango_sort_skip_limit", "union_dedup",
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
+    # ---- window boundary (50) ----
+    # displaced refreshers + recent green stamps (r4/r5), unchanged
     "flagship_search", "knn_exact", "knn_ann_range",
     "dml_roundtrip", "pipeline_roundtrip",
-    # ---- window boundary (50) ----
-    # recent green stamps (r4/r5), unchanged this round
     "agg_q17_small_quantity_revenue", "agg_q18_large_orders",
     "profile_unpivot_lang_stats", "curation_domain_cap",
     "events_scd2_state_intervals", "events_gapfill_hourly",

@@ -1587,3 +1587,279 @@ def orders_basket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("n_lines").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: Q21-shape sole-late supplier, triangle count, attribution
+# ---------------------------------------------------------------------------
+
+_LATE_DAYS = 100
+
+_Q21_ORACLE = f"""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) > {_LATE_DAYS} AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT l.l_suppkey, CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+FROM li l
+WHERE l.late
+  AND EXISTS (SELECT 1 FROM li x
+              WHERE x.l_orderkey = l.l_orderkey
+                AND x.l_suppkey <> l.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li y
+                  WHERE y.l_orderkey = l.l_orderkey
+                    AND y.l_suppkey <> l.l_suppkey AND y.late)
+GROUP BY 1 ORDER BY n_orders DESC, l_suppkey ASC LIMIT 20
+"""
+
+
+@register("supplier_sole_late_q21", oracle=_Q21_ORACLE)
+def supplier_sole_late_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the ONLY late shipper in a
+    multi-supplier order (the blame report).  The oracle keeps Q21's
+    textbook EXISTS / NOT EXISTS pair; the Spark plan compiles the same
+    predicate to ONE per-order aggregate joined back — n_supps > 1 ==
+    the EXISTS, distinct-late-suppliers == 1 (I am late, so the one is
+    me) == the NOT EXISTS.  At 100 TB that is one map-side-combined
+    groupBy over lineitem instead of two additional lineitem-wide
+    semi/anti join shuffles; both forms are exactly equivalent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        > _LATE_DAYS
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    return (
+        j.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("l_suppkey").asc())
+        .limit(20)
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e2.src = e1.dst
+JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-purchase graph (the clustering-coefficient
+    numerator — how cliquish purchase behavior is).  Spark runs the
+    degree-ordered compact-forward algorithm (operators/graph.py:
+    triangle_count — wedges only at each edge's low-degree endpoint,
+    O(m^1.5) bound); the oracle's id-ordered 3-way self-join counts the
+    identical triangle set."""
+    from javascript_vector_database_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+_ATTR_WINDOW_DAYS = 7
+
+_ATTR_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS channel,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS) OVER w AS src_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(v) AS DOUBLE), 2) AS attributed_revenue
+FROM seq
+WHERE event_type = 'purchase' AND channel IS NOT NULL
+  AND date_diff('day', CAST(src_ts AS DATE), CAST(ts AS DATE))
+      <= {_ATTR_WINDOW_DAYS}
+GROUP BY 1
+"""
+
+
+@register("events_attribution_last_touch", oracle=_ATTR_ORACLE)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's revenue credits
+    the user's most recent non-purchase event within a 7-day lookback.
+    One per-user window (ignore-nulls last over the strictly-preceding
+    frame) carries both the channel and its timestamp — the raw stream
+    is touched once and the shuffle partitions by user, so no global
+    sort exists at any user count.  Exact decimal revenue sums."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("channel"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("src_ts"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "purchase")
+            & F.col("channel").isNotNull()
+            & (
+                F.datediff(F.col("ts").cast("date"), F.col("src_ts").cast("date"))
+                <= _ATTR_WINDOW_DAYS
+            )
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("v").cast("double"), 2).alias("attributed_revenue"),
+        )
+    )
+
+
+_Q6_ORACLE = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)
+         AS revenue_effect,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@register("agg_q6_forecast_revenue", oracle=_Q6_ORACLE)
+def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical pushdown
+    query — every predicate is sargable, so the parquet scan receives
+    all four PushedFilters and the plan is scan -> partial agg -> one
+    1-row exchange.  Exact decimal product-sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 4
+            ).alias("revenue_effect"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+_Q7_ORACLE = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+         AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_nationkey < nc.n_nationkey
+GROUP BY 1, 2
+ORDER BY volume DESC, supp_nation ASC, cust_nation ASC
+LIMIT 20
+"""
+
+
+@register("agg_q7_nation_volume", oracle=_Q7_ORACLE)
+def agg_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (shipping volume between nations): the 6-table
+    star — lineitem shuffles once onto orders; customer, supplier, and
+    both nation arms broadcast (pinned with agg_regional_revenue's plan
+    discipline).  Top-20 by exact decimal volume with name tiebreaks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    ns = nat.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nat.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .where(F.col("ns_key") < F.col("nc_key"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("volume"),
+        )
+        .orderBy(
+            F.col("volume").desc(),
+            F.col("supp_nation").asc(),
+            F.col("cust_nation").asc(),
+        )
+        .limit(20)
+    )

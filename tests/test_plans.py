@@ -357,3 +357,34 @@ def test_percent_rank_is_distributed(spark):
     spec_start = plan.find("windowspecdefinition(", rk)
     spec = plan[spec_start : spec_start + 120]
     assert "__pid" in spec, spec
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the canonical pushdown query: the date range, discount band,
+    and quantity cap must ALL reach the parquet scan, and the ReadSchema
+    must carry only the four referenced columns."""
+    plan = _plan(registry.queries()["agg_q6_forecast_revenue"](spark, SF))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read, read
+
+
+def test_q7_star_broadcasts_all_dims(spark):
+    """The Q7 6-table star: lineitem-orders is the only shuffle join;
+    customer, supplier, and both nation arms broadcast (5 BHJ) with no
+    nested loop anywhere."""
+    plan = _plan(registry.queries()["agg_q7_nation_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Degree-oriented triangle counting: wedge + closing joins must all
+    be hash joins on real keys — a nested-loop/cartesian means the
+    orientation or the semi-join broke."""
+    plan = _plan(registry.queries()["graph_triangle_count"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

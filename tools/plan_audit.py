@@ -197,6 +197,11 @@ AUDITED = [
     "text_title_content_parse",
     "text_token_count",
     "union_dedup",
+    "supplier_sole_late_q21",
+    "graph_triangle_count",
+    "events_attribution_last_touch",
+    "agg_q6_forecast_revenue",
+    "agg_q7_nation_volume",
 ]
 
 
