@@ -591,6 +591,15 @@ def main() -> None:
         "events_attribution_last_touch",
         "agg_q6_forecast_revenue",
         "agg_q7_nation_volume",
+        "agg_q2_min_cost_supplier",
+        "agg_q11_important_shares",
+        "agg_q13_customer_distribution",
+        "agg_q15_top_supplier",
+        "agg_q22_dormant_customers",
+        "graph_clustering_coefficient",
+        "graph_common_neighbors",
+        "text_tfidf_similar_pairs",
+        "ann_ivfpq_384",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

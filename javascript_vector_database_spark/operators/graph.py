@@ -125,6 +125,19 @@ def triangle_count(
     wedges if it pivots; under degree order it never pivots).  The
     id-ordered 3-way self-join the DuckDB oracle runs counts the same
     triangles (each exactly once, at a different pivot)."""
+    closed, _deg = closed_wedges(edges, src, dst)
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def closed_wedges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> tuple[DataFrame, DataFrame]:
+    """The compact-forward core shared by global and per-node triangle
+    counting: returns ``(closed, deg)`` where ``closed`` holds one row
+    ``(a, x, y)`` per triangle (each triangle appears EXACTLY once, at
+    its degree-minimal corner ``a``) and ``deg`` is ``(n, d)`` — the
+    undirected degree of every node.  See :func:`triangle_count` for the
+    orientation argument and the O(m^1.5) wedge bound."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     deg = (
         e.select(F.col("u").alias("n"))
@@ -155,5 +168,81 @@ def triangle_count(
         | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
     )
     closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    closed = wedge.join(closing, ["x", "y"], "left_semi")
-    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    closed = wedge.join(closing, ["x", "y"], "left_semi").select("a", "x", "y")
+    return closed, deg
+
+
+def local_triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation and local clustering coefficient
+    over an undirected edge list — ``(node, degree, n_triangles,
+    clustering_coef)`` for every node of degree >= 2.
+
+    Each closed wedge ``(a, x, y)`` from :func:`closed_wedges` is ONE
+    triangle touching exactly the three corner nodes, so exploding the
+    corners and counting per node yields t(v) with no double counting;
+    the coefficient is the exact ratio 2*t / (d*(d-1)) — both operands
+    integer-exact, the division the only float step (identical IEEE op
+    on any engine)."""
+    closed, deg = closed_wedges(edges, src, dst)
+    corners = closed.select(
+        F.explode(F.array(F.col("a"), F.col("x"), F.col("y"))).alias("n")
+    )
+    tri = corners.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(tri, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - F.lit(1))).cast("double")
+            ).alias("clustering_coef"),
+        )
+    )
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_pivot_degree: int = 64,
+) -> DataFrame:
+    """Link prediction by common-neighbor counting: for node pairs NOT
+    already connected, how many shared neighbors they have — ``(x, y,
+    n_common)`` with ``x < y``.  The score is kept integer-exact (the
+    Adamic-Adar refinement sums 1/ln(deg) doubles, whose shuffle-order
+    last-ulp noise defeats any cross-engine oracle; the count ranks
+    almost identically in practice).
+
+    Every candidate pair is generated at a shared neighbor (the wedge
+    pivot), which is quadratic in pivot degree — so pivots above
+    ``max_pivot_degree`` are EXCLUDED, the standard heavy-pivot cut
+    (a 10^5-degree hub contributes 10^10 pairs but almost no ranking
+    signal: sharing a mega-hub neighbor is weak evidence).  The cap
+    bounds work at m * cap and is mirrored verbatim in the oracle."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    adj = e.unionAll(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    piv = deg.where((F.col("d") >= 2) & (F.col("d") <= max_pivot_degree))
+    # both wedge sides read the capped adjacency — materialize once
+    capped = adj.join(piv.select("s"), "s", "left_semi").localCheckpoint(
+        eager=False
+    )
+    left = capped.select(F.col("s").alias("p"), F.col("t").alias("x"))
+    right = capped.select(F.col("s").alias("p"), F.col("t").alias("y"))
+    cand = (
+        left.join(right, "p")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    existing = e.select(
+        F.least(F.col("s"), F.col("t")).alias("x"),
+        F.greatest(F.col("s"), F.col("t")).alias("y"),
+    )
+    return cand.join(existing, ["x", "y"], "left_anti")

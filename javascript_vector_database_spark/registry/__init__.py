@@ -85,6 +85,7 @@ from javascript_vector_database_spark.registry import (  # noqa: E402,F401
     relational,
     mango_queries,
     ref_geometry,
+    decorrelated,
 )
 from javascript_vector_database_spark.registry.vector_search import (  # noqa: E402,F401
     flagship_search,
@@ -105,8 +106,10 @@ _PRIORITY = [
     # DRIVER WINDOW (first 50), round 6.  The r5 verdict's top item: 31
     # r5 registry queries had never been inside a 50-slot window — they
     # lead this rotation (all sweep-green locally since r5), followed by
-    # the r6-new rows and the two whose implementation changed this
-    # round; 12 spare slots refresh the OLDEST (r2-era) green stamps.
+    # the 19 r6-new rows: never-stamped queries fill the window EXACTLY
+    # (31 + 19 = 50).  The two r6-changed rows sit first past the
+    # boundary — they carry older green stamps and the local sweep
+    # re-verifies them on every pytest run.
     # -- never-stamped r5 queries (31)
     "events_session_funnel", "graph_degree_histogram",
     "profile_split_drift", "customer_pareto_share",
@@ -126,21 +129,28 @@ _PRIORITY = [
     "events_retention_rate", "orders_basket_size_hist",
     "events_stickiness",
     "curation_weighted_sample", "dedup_multipass_pairs",
-    # -- r6-new (10): streaming==batch equivalence, 384-dim quantizers,
-    #    Q6/Q7/Q21 shapes, triangle count, last-touch attribution
+    # -- r6-new (19): streaming==batch equivalence, 384-dim quantizers
+    #    (incl. IVF-PQ), Q2/Q6/Q7/Q11/Q13/Q15/Q21/Q22 shapes, triangle
+    #    count + clustering coefficient + link prediction, last-touch
+    #    attribution, fixed-point TF-IDF pair similarity
     "stream_hll_live_users", "stream_live_count_by_type",
     "stream_cms_live_tokens", "ann_sq8_384", "ann_pq_384",
     "supplier_sole_late_q21", "graph_triangle_count",
     "events_attribution_last_touch", "agg_q6_forecast_revenue",
     "agg_q7_nation_volume",
-    # -- r6-changed after their last stamp (2)
+    "agg_q2_min_cost_supplier", "agg_q11_important_shares",
+    "agg_q13_customer_distribution", "agg_q15_top_supplier",
+    "agg_q22_dormant_customers", "graph_clustering_coefficient",
+    "graph_common_neighbors", "text_tfidf_similar_pairs",
+    "ann_ivfpq_384",
+    # ---- window boundary (50) ----
+    # -- r6-changed after their last stamp (2): older stamps green,
+    #    sweep-verified locally every pytest run
     "dedup_jaccard_prefix", "sketch_histogram_quantiles",
-    # -- spare slots: refresh the oldest (r2) stamps (7)
+    # displaced refreshers + recent green stamps (r2-r5), unchanged
     "scan_documents", "point_lookup", "mango_count",
     "mango_sort_skip_limit", "union_dedup",
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
-    # ---- window boundary (50) ----
-    # displaced refreshers + recent green stamps (r4/r5), unchanged
     "flagship_search", "knn_exact", "knn_ann_range",
     "dml_roundtrip", "pipeline_roundtrip",
     "agg_q17_small_quantity_revenue", "agg_q18_large_orders",

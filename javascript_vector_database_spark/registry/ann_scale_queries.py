@@ -560,22 +560,26 @@ def ann_pq_search_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_search_oracle() -> str:
+def _ivfpq_search_oracle(
+    table: str = "embeddings",
+    qcte: str = osql.QVEC_CTE,
+    sd: int = _PQ_SD,
+) -> str:
     joins = " ".join(
         f"JOIN lut l{s} ON l{s}.s = {s} AND l{s}.j = p.c{s}"
         for s in range(pqm.PQ_M)
     )
     adc = " + ".join(f"l{s}.v" for s in range(pqm.PQ_M))
     return f"""
-WITH {osql.QVEC_CTE},
-{_PQ_CODES_CTES},{_IVF_ASSIGN_CTE},
+WITH {qcte},
+{_pq_codes_ctes(table, sd)},{_ivf_assign_cte(table)},
 probe AS (
   SELECT cid FROM cents, q
   ORDER BY {osql.sql_euclid('cemb', 'qv')} ASC, cid ASC
   LIMIT {ann_scale.N_PROBE}
 ),
 lut AS (
-  SELECT sub.s, cb.j, {_pq_sub_score_sql('q.qv', 'cb.cemb', 'sub.s')} AS v
+  SELECT sub.s, cb.j, {_pq_sub_score_sql('q.qv', 'cb.cemb', 'sub.s', sd)} AS v
   FROM sub CROSS JOIN cb, q
 ),
 approx AS (
@@ -588,7 +592,7 @@ cand AS (
   LIMIT {TOP_K * pqm.PQ_RERANK}
 )
 SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
-FROM embeddings e JOIN cand USING (vec_id), q
+FROM {table} e JOIN cand USING (vec_id), q
 ORDER BY distance ASC, vec_id ASC
 LIMIT {TOP_K}
 """

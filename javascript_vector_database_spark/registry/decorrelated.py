@@ -1,0 +1,611 @@
+"""Decorrelated-subquery TPC-H shapes, graph analytics, sparse-vector
+similarity.
+
+Round-6 breadth batch.  The five ``agg_q*`` rows complete the TPC-H
+query-shape coverage over the driver's table subset (no ``partsupp``
+table exists, so Q2/Q11 are re-grounded on lineitem as the
+part-supplier relation): each oracle keeps the TEXTBOOK correlated /
+scalar-subquery form while the Spark plan runs the decorrelated
+equivalent — per-group aggregate joined back, or a 1-row global
+aggregate broadcast — the rewrite a 100 TB plan needs (a correlated
+subquery re-executed per outer row is the classic scale cliff).
+
+Determinism discipline (the repo-wide contract): every value that
+crosses an ORDER BY or an equality filter is either integer/decimal
+exact or a single fixed IEEE expression over exact inputs — no
+distributed double SUM feeds a comparison (see graph_common_neighbors'
+integer scoring and text_tfidf_similar_pairs' fixed-point weights).
+
+No reference analog for the graph/text rows (SURVEY §7.7 extension
+class); the agg rows extend §2.4/2.6 aggregation coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.registry import register
+from javascript_vector_database_spark.tables import load_table, spread
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: cheapest eligible supplier per part (correlated MIN)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH eligible AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(l.l_extendedprice / l.l_quantity) AS unit_price
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1, 2
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+       CAST(floor(e.unit_price * 10000) AS BIGINT) AS unit_price_e4
+FROM eligible e
+JOIN part p ON p.p_partkey = e.l_partkey
+JOIN supplier s ON s.s_suppkey = e.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size BETWEEN 10 AND 25
+  AND e.unit_price = (SELECT min(x.unit_price) FROM eligible x
+                      WHERE x.l_partkey = e.l_partkey)
+ORDER BY s.s_acctbal DESC, n.n_name ASC, s.s_name ASC, p.p_partkey ASC
+LIMIT 20
+"""
+
+
+@register("agg_q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def agg_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — per part, the EUROPE supplier with the lowest
+    observed unit sale price.  The oracle keeps Q2's correlated scalar
+    MIN; Spark decorrelates it: one groupBy to the (part, supplier)
+    grain, a per-part MIN aggregate (tiny — one row per part) broadcast
+    back, equality filter.  MIN over doubles is shuffle-order-proof
+    (unlike SUM/AVG), so the double equality is exact cross-engine.
+    At 100 TB: lineitem shuffles once to the (part, supp) grain; the
+    per-part min relation is |part|-sized and broadcast.  The reported
+    price is fixed-point (floor(x * 10^4) as BIGINT): ``round(double,
+    4)`` disagrees across engines on half-way decimals (measured:
+    26.2412 vs 26.2413); floor of the identical IEEE product cannot."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    euro_supp = (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = (
+        li.join(F.broadcast(euro_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            )
+        )
+        # consumed twice (per-part min + the equality filter) —
+        # materialize so the lineitem aggregate runs once
+        .localCheckpoint(eager=False)
+    )
+    best = eligible.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("best_price")
+    )
+    return (
+        eligible.join(F.broadcast(best), "l_partkey")
+        .where(F.col("unit_price") == F.col("best_price"))
+        .join(
+            F.broadcast(part.where(F.col("p_size").between(10, 25))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.floor(F.col("unit_price") * 10000)
+            .cast("long")
+            .alias("unit_price_e4"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: parts with an outsized share of one nation's sales (global
+# scalar threshold)
+# ---------------------------------------------------------------------------
+
+_Q11_NATION = "NATION_7"
+
+_Q11_ORACLE = f"""
+WITH natl AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = '{_Q11_NATION}'
+  GROUP BY 1
+)
+SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+FROM natl
+WHERE val * 1000 > (SELECT sum(val) FROM natl)
+ORDER BY part_value DESC, l_partkey ASC
+LIMIT 50
+"""
+
+
+@register("agg_q11_important_shares", oracle=_Q11_ORACLE)
+def agg_q11_important_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose revenue from one nation's suppliers
+    exceeds 0.1% of that nation's total.  The oracle keeps Q11's global
+    scalar subquery in HAVING; Spark broadcasts the 1-row total via
+    crossJoin.  The threshold compares ``val * 1000 > total`` — decimal
+    times integer, EXACT on both engines (a `val > 0.001 * total` double
+    form would reintroduce float rounding at the gate).  100 TB: one
+    shuffle to the part grain, the total is a second tiny aggregate over
+    the already-reduced per-part rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    nation_supp = (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .where(F.col("n_name") == _Q11_NATION)
+        .select("s_suppkey")
+    )
+    natl = (
+        li.join(F.broadcast(nation_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            ).alias("val")
+        )
+    )
+    total = natl.agg(F.sum("val").alias("total"))
+    return (
+        natl.crossJoin(F.broadcast(total))
+        .where(F.col("val") * 1000 > F.col("total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: order-count distribution over customers (outer join + count)
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("agg_q13_customer_distribution", oracle=_Q13_ORACLE)
+def agg_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): the LEFT join keeps
+    zero-order customers — COUNT(o_orderkey) counts only matched rows,
+    so the 0 bucket is real, not an artifact.  Two-level aggregate: the
+    custkey grain shuffles once (orders is pre-filtered map-side), the
+    distribution grain is |distinct counts|-sized.  All-integer."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            cust["c_custkey"] == orders["o_custkey"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top-revenue supplier (scalar MAX subquery)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(r.total_rev AS DOUBLE), 2) AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s.s_suppkey ASC
+"""
+
+
+@register("agg_q15_top_supplier", oracle=_Q15_ORACLE)
+def agg_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view-plus-scalar-MAX form.  Spark
+    decorrelates the MAX into a 1-row aggregate broadcast against the
+    per-supplier revenue relation; the equality is over EXACT decimal
+    sums, so ties surface every co-maximal supplier identically on both
+    engines (the double form could drop one to rounding).  The date
+    filter is pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy(F.col("s_suppkey").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: rich-but-dormant customers (global AVG + anti join)
+# ---------------------------------------------------------------------------
+
+_Q22_SEGMENTS = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+_Q22_SEG_SQL = ", ".join(f"'{s}'" for s in _Q22_SEGMENTS)
+
+_Q22_ORACLE = f"""
+WITH pool AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_mktsegment IN ({_Q22_SEG_SQL})
+),
+avg_parts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pos, sum(bal) AS total_pos
+  FROM pool WHERE bal > 0
+)
+SELECT p.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(CAST(sum(p.bal) AS DOUBLE), 2) AS total_acctbal
+FROM pool p, avg_parts a
+WHERE p.bal * a.n_pos > a.total_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey)
+GROUP BY 1
+ORDER BY p.c_mktsegment ASC
+"""
+
+
+@register("agg_q22_dormant_customers", oracle=_Q22_ORACLE)
+def agg_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — above-average-balance customers in selected
+    segments who never ordered.  The above-average gate is the exact
+    cross-multiplied form ``bal * n > total`` (decimal x bigint, no AVG
+    double ever materializes — a distributed double AVG is shuffle-order
+    noise at the boundary); the NOT EXISTS is a left_anti join on
+    custkey.  100 TB: customer shuffles once for the anti join; the
+    2-scalar aggregate broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    pool = cust.where(
+        F.col("c_mktsegment").isin(*_Q22_SEGMENTS)
+    ).select("c_custkey", "c_mktsegment", _dec("c_acctbal").alias("bal"))
+    avg_parts = pool.where(F.col("bal") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.sum("bal").alias("total_pos"),
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_parts))
+        .where(F.col("bal") * F.col("n_pos") > F.col("total_pos"))
+        .join(orders, pool["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.round(F.sum("bal").cast("double"), 2).alias("total_acctbal"),
+        )
+        .orderBy(F.col("c_mktsegment").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph: local clustering coefficient + common-neighbor link prediction
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_PAIRS = """
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        # the pair list feeds many consumers (degrees, adjacency both
+        # directions, wedge sides, the anti join) — materialize ONCE or
+        # every consumer replays the lineitem self-join
+        .localCheckpoint(eager=False)
+    )
+
+
+_MIN_COEF_DEGREE = 5
+
+_CLUSTERING_ORACLE = f"""
+WITH {_COPURCHASE_PAIRS},
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT src AS n FROM pairs UNION ALL SELECT dst AS n FROM pairs
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.src = e1.dst
+  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+t AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+    UNION ALL SELECT c AS n FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.n AS node, deg.d AS degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+       2.0 * coalesce(t.t, 0) / (deg.d * (deg.d - 1)) AS clustering_coef
+FROM deg LEFT JOIN t ON t.n = deg.n
+WHERE deg.d >= {_MIN_COEF_DEGREE}
+ORDER BY clustering_coef DESC, node ASC
+LIMIT 20
+"""
+
+
+@register("graph_clustering_coefficient", oracle=_CLUSTERING_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-cliquish parts in the co-purchase graph: local clustering
+    coefficient 2t/(d(d-1)) per node, top-20 over degree >= 5.  Spark
+    explodes each compact-forward closed wedge to its three corners
+    (operators/graph.py:local_triangle_counts) — per-node counts with no
+    double counting and the same O(m^1.5) bound as the global count; the
+    oracle unions the corners of its id-ordered triangle triples.  Both
+    coefficient operands are integer-exact; the single division is the
+    only float op."""
+    from javascript_vector_database_spark.operators.graph import (
+        local_triangle_counts,
+    )
+
+    return (
+        local_triangle_counts(_copurchase_edges(spark, sf_dir))
+        .where(F.col("degree") >= _MIN_COEF_DEGREE)
+        .orderBy(F.col("clustering_coef").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+_CN_CAP = 64
+
+_COMMON_NEIGHBOR_ORACLE = f"""
+WITH {_COPURCHASE_PAIRS},
+adj AS (
+  SELECT src AS p, dst AS t FROM pairs
+  UNION ALL SELECT dst AS p, src AS t FROM pairs
+),
+deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+capped AS (
+  SELECT a.p, a.t FROM adj a JOIN deg ON deg.p = a.p
+  WHERE deg.d BETWEEN 2 AND {_CN_CAP}
+),
+cand AS (
+  SELECT l.t AS x, r.t AS y, CAST(count(*) AS BIGINT) AS n_common
+  FROM capped l JOIN capped r ON l.p = r.p AND l.t < r.t
+  GROUP BY 1, 2
+)
+SELECT x, y, n_common FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM pairs e WHERE e.src = c.x AND e.dst = c.y)
+ORDER BY n_common DESC, x ASC, y ASC
+LIMIT 20
+"""
+
+
+@register("graph_common_neighbors", oracle=_COMMON_NEIGHBOR_ORACLE)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: the top-20 NOT-yet-
+    connected part pairs by shared-neighbor count (the products most
+    likely to be bought together next).  Wedge pivots above degree
+    {cap} are excluded — the standard heavy-pivot cut, quadratic work
+    bounded at m*cap, mirrored verbatim in the oracle (a mega-hub
+    contributes enormous pair volume and near-zero ranking signal).
+    Integer-exact scoring; see operators/graph.py:common_neighbor_pairs
+    for why Adamic-Adar's double sum is deliberately NOT the key."""
+    from javascript_vector_database_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+
+    return (
+        common_neighbor_pairs(
+            _copurchase_edges(spark, sf_dir), max_pivot_degree=_CN_CAP
+        )
+        .orderBy(
+            F.col("n_common").desc(), F.col("x").asc(), F.col("y").asc()
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sparse-vector similarity: fixed-point TF-IDF pair search
+# ---------------------------------------------------------------------------
+
+#: fixed-point weight scale: term weight = IDF_SCALE // df (integer
+#: reciprocal-df).  Magnitude bound: tf <= ~10^2, w <= IDF_SCALE/2 =
+#: 5*10^4, so a per-term dot contribution tf1*w*tf2*w <= 2.5*10^13 and a
+#: 10^4-term overlap stays < 10^18 — inside int64.  log-idf would need a
+#: transcendental whose last ulp differs across libm implementations;
+#: the integer reciprocal keeps both engines bit-identical.
+IDF_SCALE = 100_000
+#: postings above this df are dropped from scoring on BOTH sides — the
+#: heavy-posting cut (stopword-ish terms pair everything with
+#: everything: df^2 join fanout, near-zero weight anyway at w <= 390).
+TFIDF_DF_CAP = 256
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ({IDF_SCALE} // df.df) AS wt
+  FROM tf JOIN df USING (term)
+  WHERE df.df BETWEEN 2 AND {TFIDF_DF_CAP}
+),
+norms AS (
+  SELECT doc_id, sum(wt * wt) AS norm2 FROM w GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.wt * b.wt) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+ORDER BY cosine DESC, d.doc_a ASC, d.doc_b ASC
+LIMIT 20
+"""
+
+
+@register("text_tfidf_similar_pairs", oracle=_TFIDF_ORACLE)
+def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector similarity search WITHOUT embeddings: top-20 most
+    similar document pairs by TF-IDF cosine, via an inverted-index
+    (postings) join — candidate pairs exist ONLY where a term is shared,
+    never all-pairs.  Weights are fixed-point integers (IDF_SCALE // df;
+    see the constant's bound note), so dot products and norms are exact
+    BIGINTs on both engines and the one float division at the end is a
+    fixed IEEE expression — the same determinism discipline as the
+    integer PageRank.  100 TB: tf/df are two token-grain aggregates, the
+    postings join shuffles on term with the df cap bounding per-term
+    fanout at cap^2 — the same guard class as the LSH bucket cap."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = (
+        tf.join(
+            df.where(F.col("df").between(2, TFIDF_DF_CAP)), "term"
+        )
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.expr(f"{IDF_SCALE} DIV df")).alias("wt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("norm2")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )

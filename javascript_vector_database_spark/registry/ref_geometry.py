@@ -167,6 +167,33 @@ def ann_pq_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pqm.pq_search(fx, _fixture_qvec(spark), cb)
 
 
+def _ivfpq_384_oracle() -> str:
+    from javascript_vector_database_spark.operators import pq as pqm
+    from javascript_vector_database_spark.registry.ann_scale_queries import (
+        _ivfpq_search_oracle,
+    )
+
+    return _ivfpq_search_oracle(
+        table=_T, qcte=_QCTE, sd=REFERENCE_DIM // pqm.PQ_M
+    )
+
+
+@register("ann_ivfpq_384", oracle=_ivfpq_384_oracle())
+def ann_ivfpq_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at reference geometry — the full FAISS-style composition
+    (coarse probe x 48-dim-subspace ADC x exact re-rank) on the clustered
+    384-dim fixture.  Completes the quantizer family at reference
+    dimensionality: exact/range-compat/similarity/IVF/SQ8/PQ all have a
+    384 sibling; this row adds the composed cell-pruned code scan."""
+    from javascript_vector_database_spark.operators import ann_scale
+    from javascript_vector_database_spark.operators import pq as pqm
+
+    fx = _fixture(spark)
+    cents = ann_scale.collect_centroids(fx)
+    cb = pqm.pq_codebook(cents)
+    return pqm.ivfpq_search(fx, _fixture_qvec(spark), cents, cb)
+
+
 @register("compat_index_string_384", oracle=_compat_oracle(REFERENCE_DIM, table=_T))
 def compat_index_string_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ECMA-262-faithful fixed-width key for every fixture row."""

@@ -26,6 +26,12 @@ ALL_NAMES = sorted(registry.queries())
 #: CartesianProduct — is a 100 TB regression and fails the sweep.
 BNLJ_ALLOWED = {
     "knn_batch_exact",  # 5-row query table broadcast against the corpus
+    # decorrelated scalar subqueries: a ONE-row global aggregate
+    # (total / max / (count, sum) pair) broadcast-crossJoined against
+    # the grouped relation — the side is 1 row by construction
+    "agg_q11_important_shares",
+    "agg_q15_top_supplier",
+    "agg_q22_dormant_customers",
 }
 
 
