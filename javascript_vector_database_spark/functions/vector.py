@@ -20,6 +20,20 @@ def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def lit_double_array(values: list[float]) -> Column:
+    """``array<double>`` literal via ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round trip per element —
+    measured 3.2s of pure driver time for a 16x384 centroid block (6144
+    lits).  Formatting the shortest round-trip repr into a single
+    ``F.expr`` string hands the whole literal to the JVM parser at once
+    (~ms).  Bit-exact: Python's repr emits the shortest decimal that
+    round-trips, and Java's ``Double.parseDouble`` is correctly rounded,
+    so every parsed double equals the source double."""
+    body = ", ".join(f"{float(x)!r}D" for x in values)
+    return F.expr(f"array({body})")
+
+
 def _dbl(x: Column) -> Column:
     return x.cast("double")
 

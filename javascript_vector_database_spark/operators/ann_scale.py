@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from javascript_vector_database_spark.functions.vector import dot, euclidean_distance
+from javascript_vector_database_spark.functions.vector import (
+    dot,
+    euclidean_distance,
+    lit_double_array,
+)
 from javascript_vector_database_spark.operators.knn import _py_euclid, _qvec_lit
 from javascript_vector_database_spark.pivots import TOP_K, make_pivots
 
@@ -92,7 +96,7 @@ def ivf_cell_expr(vec: Column | str, cents: list[tuple[int, list[float]]]) -> Co
     cent_arr = F.array(*[
         F.struct(
             F.lit(cid).cast("long").alias("cid"),
-            F.array(*[F.lit(x) for x in cemb]).alias("cemb"),
+            lit_double_array(cemb).alias("cemb"),
         )
         for cid, cemb in cents
     ])

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from javascript_vector_database_spark.functions.vector import (
     euclidean_distance,
     index_nr_to_string,
+    lit_double_array,
 )
 from javascript_vector_database_spark.pivots import (
     DOCS_PER_INDEX_SIDE,
@@ -42,7 +43,7 @@ from javascript_vector_database_spark.pivots import (
 
 
 def _qvec_lit(query_vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in query_vec])
+    return lit_double_array(query_vec)
 
 
 def _py_euclid(a: list[float], b: list[float]) -> float:
@@ -384,7 +385,7 @@ def mmr_rerank(
         cosine_similarity,
     )
 
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    qlit = lit_double_array(qvec)
     cand = (
         emb.select(
             F.col(id_col),
@@ -400,7 +401,7 @@ def mmr_rerank(
     for _ in range(k - 1):
         sims = [
             cosine_similarity(
-                F.col(vec_col), F.array(*[F.lit(v) for v in vec])
+                F.col(vec_col), lit_double_array(vec)
             )
             for _sid, vec, _r in selected
         ]

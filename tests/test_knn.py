@@ -181,3 +181,29 @@ def test_mmr_oracle(spark, sf_oracle):
         registry.queries()["knn_mmr_rerank"],
         registry.oracle_sql()["knn_mmr_rerank"],
     )
+
+
+def test_lit_double_array_bit_identical(spark):
+    """The one-parse literal path must produce bit-identical doubles to
+    the per-element F.lit path — incl. subnormals, huge magnitudes,
+    negative zero, and non-terminating binary fractions."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from javascript_vector_database_spark.functions.vector import (
+        lit_double_array,
+    )
+
+    vals = [
+        0.1 + 0.2, -0.0, 5e-324, 1e300, -1.7976931348623157e308,
+        123456789.123456789, 2.0 ** -1022, 1 / 3,
+    ]
+    old = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in vals]).alias("a")
+    ).first()["a"]
+    new = spark.range(1).select(lit_double_array(vals).alias("a")).first()["a"]
+    assert all(
+        struct.pack("d", a) == struct.pack("d", b) for a, b in zip(old, new)
+    )
+    assert len(old) == len(new) == len(vals)

@@ -388,3 +388,42 @@ def test_triangle_count_no_cartesian(spark):
     plan = _plan(registry.queries()["graph_triangle_count"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q2_decorrelated_all_dims_broadcast(spark):
+    """Q2's decorrelated plan: the region-filtered supplier relation and
+    the per-part min both broadcast — no shuffle join anywhere except
+    the (part, supplier) aggregate's own exchange."""
+    plan = _plan(registry.queries()["agg_q2_min_cost_supplier"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q22_scalar_broadcast_and_anti(spark):
+    """Q22: the 1-row (count, sum) aggregate rides a broadcast nested
+    loop (bounded by construction); the NOT EXISTS compiles to a
+    broadcast/shuffled hash anti join, never a per-row subquery."""
+    plan = _plan(registry.queries()["agg_q22_dormant_customers"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_common_neighbors_no_cartesian(spark):
+    """Link prediction: wedge generation joins on the pivot key and the
+    anti join on the pair key — all hash joins, no cartesian."""
+    plan = _plan(registry.queries()["graph_common_neighbors"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_tfidf_postings_join_stays_jvm(spark):
+    """The TF-IDF postings join: no Python boundary anywhere (the whole
+    pipeline is token explode + joins + integer aggregates) and no
+    cartesian — candidate pairs exist only through the shared-term join."""
+    plan = _plan(registry.queries()["text_tfidf_similar_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
