@@ -376,11 +376,23 @@ pairs AS (
 )"""
 
 
+#: per-(session, sf_dir) cache of the materialized co-purchase edge
+#: list.  Building it is the expensive half of every graph query (the
+#: lineitem self-join + distinct: 6.7s for 1.2M edges at sf0.1) and
+#: FOUR queries consume the identical table — a deployment materializes
+#: the edge list once at write time (same decoupling as the stored ANN
+#: index); the checkpoint emulates that within a session.
+_EDGE_CACHE: dict = {}
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    entry = _EDGE_CACHE.get(sf_dir)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    return (
+    edges = (
         a.join(b, "k")
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
@@ -390,6 +402,8 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every consumer replays the lineitem self-join
         .localCheckpoint(eager=False)
     )
+    _EDGE_CACHE[sf_dir] = (spark, edges)
+    return edges
 
 
 _MIN_COEF_DEGREE = 5
@@ -608,4 +622,42 @@ def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# skyline: Pareto-frontier filtering
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+  )
+ORDER BY p.p_retailprice ASC, p.p_size ASC, p.p_partkey ASC
+"""
+
+
+@register("parts_price_size_skyline", oracle=_SKYLINE_ORACLE)
+def parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts minimizing (retail price, size) — the
+    multi-objective curation filter ("cheapest AND smallest", no single
+    weighting).  The oracle runs the textbook O(n^2) NOT EXISTS; Spark
+    runs the distributed sort-based sweep (operators/skyline.py): per-x
+    min reduction, range partition, P parallel strict-prefix running
+    mins composed with a broadcast prefix over the P partition minima —
+    the rank.py discipline, comparison-only so exact on any engine."""
+    from javascript_vector_database_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(part, "p_retailprice", "p_size").orderBy(
+        F.col("p_retailprice").asc(),
+        F.col("p_size").asc(),
+        F.col("p_partkey").asc(),
     )

@@ -552,21 +552,19 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the edge list, the standard Pregel round.  The edge list is
     cached across the 3 rounds (it feeds every one)."""
     from javascript_vector_database_spark.operators.graph import pagerank
-
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "k")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .cache()
+    from javascript_vector_database_spark.registry.decorrelated import (
+        _copurchase_edges,
     )
-    try:
-        return pagerank(edges).select("node", F.col("rank").alias("pagerank"))
-    finally:
-        pass  # cache released with the session; rounds all reuse it
+
+    # symmetrize the shared session-cached (src < dst) pair list — the
+    # same relation the triangle/link-prediction queries read; it is
+    # already distinct and one-directional, so the union needs no
+    # dedup shuffle
+    pairs = _copurchase_edges(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    return pagerank(edges).select("node", F.col("rank").alias("pagerank"))
 
 
 # ---------------------------------------------------------------------------
@@ -1640,18 +1638,28 @@ def supplier_sole_late_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
         "l_orderkey", "l_suppkey", late.alias("late")
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supps"
-        ),
+    # pre-reduce to the UNIQUE (order, supplier) grain with an any-late
+    # flag: the two per-order countDistincts become a plain count and a
+    # boolean sum (no distinct-expand), the final per-supplier
+    # countDistinct becomes a plain count, and the reduced relation is
+    # checkpointed — it feeds both the per-order aggregate and the final
+    # join (without it the lineitem-orders join replays twice; measured
+    # 3.5s -> 2.0s at sf0.1)
+    per_supp = (
+        j.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("late")).alias("supp_late"))
+        .localCheckpoint(eager=False)
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(F.col("supp_late").cast("long")).alias("n_late_supps"),
     )
     return (
-        j.where(F.col("late"))
+        per_supp.where(F.col("supp_late"))
         .join(per_order, "l_orderkey")
         .where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
         .groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), F.col("l_suppkey").asc())
         .limit(20)
     )
@@ -1682,16 +1690,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_count,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "k")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+    # the session-cached materialized edge list (registry/decorrelated
+    # builds it once per (session, sf) — four graph queries share it)
+    from javascript_vector_database_spark.registry.decorrelated import (
+        _copurchase_edges,
     )
-    return triangle_count(edges)
+
+    return triangle_count(_copurchase_edges(spark, sf_dir))
 
 
 _ATTR_WINDOW_DAYS = 7

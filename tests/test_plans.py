@@ -427,3 +427,12 @@ def test_tfidf_postings_join_stays_jvm(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, plan
+
+
+def test_skyline_no_global_window_no_cartesian(spark):
+    """The skyline sweep: every WindowExec must partition on __pid (P
+    parallel local sweeps) except the bounded P-row offsets window, and
+    the dominance test must never become a quadratic join."""
+    plan = _plan(registry.queries()["parts_price_size_skyline"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan

@@ -211,6 +211,7 @@ AUDITED = [
     "graph_common_neighbors",
     "text_tfidf_similar_pairs",
     "ann_ivfpq_384",
+    "parts_price_size_skyline",
 ]
 
 
