@@ -109,9 +109,14 @@ _SCALE_HEADLINE = [
     "graph_pagerank_copurchase",
     "dedup_jaccard_prefix",
     "curation_remove_boilerplate",
-    # r6: wedge-join triangle count + the per-order Q21 aggregate at 10x
+    # r6: wedge-join triangle count + the per-order Q21 aggregate at 10x,
+    # plus the corner-explode coefficient, the df-capped postings join,
+    # and the range-partitioned skyline sweep
     "graph_triangle_count",
     "supplier_sole_late_q21",
+    "graph_clustering_coefficient",
+    "text_tfidf_similar_pairs",
+    "parts_price_size_skyline",
 ]
 
 
@@ -395,6 +400,21 @@ def main() -> None:
     ]
     results["pq_384_trained_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(pq_384t_sets, exact384)
+    ) / len(q384)
+    # the rerank knob: 16 codewords per 48-dim subspace is coarse, so
+    # ADC rank quality (not re-rank exactness) limits recall at 384 —
+    # widening the exact-re-rank pool 8 -> 32 buys recall at the cost of
+    # 4x more full-width rows read in phase 2 (still k*rerank = 320 of
+    # the corpus, independent of corpus size)
+    pq_384r_sets = [
+        {
+            r["vec_id"]
+            for r in pqm.pq_search(emb384, qv, cbt384, rerank=32).collect()
+        }
+        for qv in q384
+    ]
+    results["pq_384_trained_rerank32_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(pq_384r_sets, exact384)
     ) / len(q384)
     emb384.unpersist()
 
