@@ -246,3 +246,87 @@ def common_neighbor_pairs(
         F.greatest(F.col("s"), F.col("t")).alias("y"),
     )
     return cand.join(existing, ["x", "y"], "left_anti")
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, rounds: int = PAGERANK_ROUNDS
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns ONLY to the seed set
+    (``seeds``: one ``node`` column), so ranks measure affinity TO the
+    seeds — the "more like these" recommendation primitive.  Same
+    integer fixed-point discipline as :func:`pagerank` (BIGINT ranks,
+    DIV floor, no float sum anywhere); non-seed nodes start at 0 and
+    only enter the frontier when mass reaches them, so the rank relation
+    grows with the seeds' r-hop neighborhood, not the graph (the
+    locality that makes PPR cheap on huge graphs).  Rows whose rank
+    floors to 0 are dropped each round — bounds the relation and is
+    mirrored in the oracle."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    seed_nodes = seeds.select("node").distinct().localCheckpoint(eager=False)
+    ranks = seed_nodes.select(
+        "node", F.lit(RANK_SCALE).cast("long").alias("rank")
+    )
+    # every round re-reads (edges ⋈ outdeg) — materialize it once
+    withdeg = edges.join(deg, "src").localCheckpoint(eager=False)
+    is_seed = F.col("__s").isNotNull()
+    for _ in range(rounds):
+        contrib = withdeg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("rank DIV outdeg").alias("c"))
+        summed = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        ranks = (
+            seed_nodes.select(F.col("node"), F.lit(1).alias("__s"))
+            .join(summed, "node", "full")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(BASE_MASS)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(s, 0)) DIV {DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .where(F.col("rank") > 0)
+        )
+    return ranks
+
+
+def sql_personalized_pagerank(
+    edges_cte: str, seeds_cte: str, rounds: int = PAGERANK_ROUNDS
+) -> str:
+    """DuckDB oracle for :func:`personalized_pagerank`: the identical
+    integer iteration unrolled as CTE levels.  ``seeds_cte`` must select
+    one ``node`` column (deduplicated)."""
+    sql = [f"WITH edges AS ({edges_cte}),"]
+    sql.append(f"seeds AS (SELECT DISTINCT node FROM ({seeds_cte})),")
+    sql.append(
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src),"
+    )
+    sql.append(
+        f"r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank"
+        " FROM seeds),"
+    )
+    for i in range(rounds):
+        sql.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+  FROM edges e JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r{i + 1} AS (
+  SELECT * FROM (
+    SELECT coalesce(s.node, c.node) AS node,
+           CAST((CASE WHEN s.node IS NOT NULL THEN {BASE_MASS} ELSE 0 END)
+                + ({DAMP_NUM} * coalesce(c.s, 0)) // {DAMP_DEN} AS BIGINT)
+             AS rank
+    FROM seeds s FULL JOIN c{i} c ON c.node = s.node
+  ) WHERE rank > 0
+),"""
+        )
+    body = "\n".join(sql).rstrip(",")
+    return f"{body}\nSELECT node, rank FROM r{rounds}"

@@ -661,3 +661,60 @@ def parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").asc(),
         F.col("p_partkey").asc(),
     )
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank: seeded-teleport recommendation affinity
+# ---------------------------------------------------------------------------
+
+_PPR_BRAND = "Brand#1"
+
+
+def _ppr_oracle() -> str:
+    from javascript_vector_database_spark.operators.graph import (
+        sql_personalized_pagerank,
+    )
+
+    edges_cte = f"""
+  WITH {_COPURCHASE_PAIRS.strip()}
+  SELECT src, dst FROM pairs
+  UNION ALL SELECT dst AS src, src AS dst FROM pairs
+"""
+    seeds_cte = (
+        f"SELECT p_partkey AS node FROM part WHERE p_brand = '{_PPR_BRAND}'"
+    )
+    inner = sql_personalized_pagerank(edges_cte, seeds_cte)
+    return f"""
+SELECT node, rank AS ppr_rank FROM ({inner})
+ORDER BY rank DESC, node ASC LIMIT 50
+"""
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'More like Brand#1': personalized PageRank over the co-purchase
+    graph with teleport mass pinned to one brand's parts — the
+    recommendation-affinity primitive.  Same BIGINT fixed-point
+    discipline as `graph_pagerank_copurchase` (operators/graph.py:
+    personalized_pagerank) so the oracle's unrolled CTEs match exactly;
+    non-seed ranks grow only within the seeds' 3-hop neighborhood, the
+    locality that makes PPR cheap at graph scale."""
+    from javascript_vector_database_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    pairs = _copurchase_edges(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _PPR_BRAND)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return (
+        personalized_pagerank(edges, seeds)
+        .select("node", F.col("rank").alias("ppr_rank"))
+        .orderBy(F.col("ppr_rank").desc(), F.col("node").asc())
+        .limit(50)
+    )

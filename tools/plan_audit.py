@@ -212,6 +212,7 @@ AUDITED = [
     "text_tfidf_similar_pairs",
     "ann_ivfpq_384",
     "parts_price_size_skyline",
+    "graph_personalized_pagerank",
 ]
 
 
