@@ -622,6 +622,7 @@ def main() -> None:
         "ann_ivfpq_384",
         "parts_price_size_skyline",
         "graph_personalized_pagerank",
+        "brand_price_size_skyline",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

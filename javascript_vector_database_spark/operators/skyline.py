@@ -93,3 +93,45 @@ def skyline_2d(
         (pts[x] == frontier["__fx"]) & (pts[y] == frontier["__fy"]),
         "left_semi",
     )
+
+
+def skyline_2d_grouped(
+    df: DataFrame,
+    group: str,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Per-group 2D skyline: the rows of ``df`` on their OWN group's
+    minimizing (x, y) frontier.
+
+    Unlike the global form, the sweep here needs no range-partition
+    machinery: the per-x reduction leaves x unique within each group, so
+    one window PARTITIONED BY the group key (ordered by x, strict-prefix
+    running min) is both exact and naturally distributed — the shuffle
+    key is the group, and WindowExec sorts each group independently.
+    Correct at scale when groups are plentiful; a single giant group
+    degrades to that group's local sort (for that shape use the
+    range-partitioned :func:`skyline_2d` per group instead)."""
+    pts = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    cand = pts.groupBy(group, x).agg(F.min(y).alias("__y"))
+    wloc = (
+        Window.partitionBy(group)
+        .orderBy(F.col(x).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        cand.withColumn("__prefix", F.min("__y").over(wloc))
+        .where(F.col("__prefix").isNull() | (F.col("__y") < F.col("__prefix")))
+        .select(
+            F.col(group).alias("__fg"),
+            F.col(x).alias("__fx"),
+            F.col("__y").alias("__fy"),
+        )
+    )
+    return pts.join(
+        frontier,
+        (pts[group] == frontier["__fg"])
+        & (pts[x] == frontier["__fx"])
+        & (pts[y] == frontier["__fy"]),
+        "left_semi",
+    )

@@ -718,3 +718,42 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ppr_rank").desc(), F.col("node").asc())
         .limit(50)
     )
+
+
+_GROUPED_SKYLINE_ORACLE = """
+SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_brand = p.p_brand
+      AND q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+  )
+ORDER BY p.p_brand ASC, p.p_retailprice ASC, p.p_size ASC, p.p_partkey ASC
+"""
+
+
+@register("brand_price_size_skyline", oracle=_GROUPED_SKYLINE_ORACLE)
+def brand_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (cheapest-and-smallest WITHIN each
+    brand).  The grouped sweep needs no range-partition machinery: the
+    window partitions on the brand key, so every group sorts
+    independently — the naturally distributed form when groups are
+    plentiful (operators/skyline.py:skyline_2d_grouped documents the
+    one-giant-group caveat).  Oracle: group-correlated NOT EXISTS."""
+    from javascript_vector_database_spark.operators.skyline import (
+        skyline_2d_grouped,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d_grouped(
+        part, "p_brand", "p_retailprice", "p_size"
+    ).orderBy(
+        F.col("p_brand").asc(),
+        F.col("p_retailprice").asc(),
+        F.col("p_size").asc(),
+        F.col("p_partkey").asc(),
+    )

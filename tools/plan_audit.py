@@ -213,6 +213,7 @@ AUDITED = [
     "ann_ivfpq_384",
     "parts_price_size_skyline",
     "graph_personalized_pagerank",
+    "brand_price_size_skyline",
 ]
 
 
