@@ -1,0 +1,133 @@
+"""Property tests for the skyline sweep and personalized PageRank —
+brute-force cross-checks on adversarial inputs the parquet tables don't
+exercise (duplicates, total ties, frontier-only sets, disconnected
+seeds)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.operators.graph import (
+    personalized_pagerank,
+)
+from javascript_vector_database_spark.operators.skyline import (
+    skyline_2d,
+    skyline_2d_grouped,
+)
+
+
+def _brute_skyline(points):
+    out = []
+    for i, (x, y) in enumerate(points):
+        dominated = any(
+            qx <= x and qy <= y and (qx < x or qy < y) for qx, qy in points
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+def _check(spark, points):
+    df = spark.createDataFrame(points, schema="x long, y long")
+    got = sorted(
+        (r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()
+    )
+    want = sorted(
+        (x, y) for x, y in points
+        if not any(
+            qx <= x and qy <= y and (qx < x or qy < y) for qx, qy in points
+        )
+    )
+    assert got == want, (points, got, want)
+
+
+def test_skyline_duplicates_and_ties(spark):
+    # duplicate frontier points survive in every copy; equal points do
+    # not dominate each other
+    _check(spark, [(1, 5), (1, 5), (2, 4), (2, 4), (3, 3)])
+    # same x, different y: only the min-y row survives
+    _check(spark, [(1, 5), (1, 4), (1, 3)])
+    # same y, different x: only the min-x row survives
+    _check(spark, [(5, 1), (4, 1), (3, 1)])
+    # all identical: everything survives
+    _check(spark, [(2, 2)] * 4)
+    # anti-chain: everything survives
+    _check(spark, [(1, 4), (2, 3), (3, 2), (4, 1)])
+    # chain: one survivor
+    _check(spark, [(1, 1), (2, 2), (3, 3)])
+
+
+def test_skyline_random_matches_bruteforce(spark):
+    rng = random.Random(20260814)
+    for trial in range(3):
+        pts = [
+            (rng.randrange(0, 12), rng.randrange(0, 12)) for _ in range(60)
+        ]
+        _check(spark, pts)
+
+
+def test_skyline_grouped_matches_per_group_bruteforce(spark):
+    rng = random.Random(7)
+    rows = [
+        (g, rng.randrange(0, 8), rng.randrange(0, 8))
+        for g in ("a", "b", "c")
+        for _ in range(25)
+    ]
+    df = spark.createDataFrame(rows, schema="g string, x long, y long")
+    got = sorted(
+        (r["g"], r["x"], r["y"])
+        for r in skyline_2d_grouped(df, "g", "x", "y").collect()
+    )
+    want = []
+    for g in ("a", "b", "c"):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        want.extend(
+            (g, x, y) for x, y in pts
+            if not any(
+                qx <= x and qy <= y and (qx < x or qy < y) for qx, qy in pts
+            )
+        )
+    assert got == sorted(want)
+
+
+def test_ppr_locality_and_seed_mass(spark):
+    """A path graph a-b-c-d-e with seed {a}: after 3 rounds mass reaches
+    at most 3 hops (d), never e; and every round's output is exactly the
+    integer recurrence (checked via a tiny manual simulation)."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    e = spark.createDataFrame(pairs, schema="src long, dst long")
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(1,)], schema="node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds, rounds=3).collect()
+    }
+    # manual integer simulation of the same recurrence
+    from javascript_vector_database_spark.operators.graph import (
+        BASE_MASS,
+        DAMP_DEN,
+        DAMP_NUM,
+        RANK_SCALE,
+    )
+
+    adj = {1: [2], 2: [1, 3], 3: [2, 4], 4: [3, 5], 5: [4]}
+    deg = {n: len(v) for n, v in adj.items()}
+    ranks = {1: RANK_SCALE}
+    for _ in range(3):
+        contrib: dict[int, int] = {}
+        for n, r in ranks.items():
+            for m in adj[n]:
+                contrib[m] = contrib.get(m, 0) + r // deg[n]
+        new = {}
+        for n in set(contrib) | {1}:
+            base = BASE_MASS if n == 1 else 0
+            r = base + (DAMP_NUM * contrib.get(n, 0)) // DAMP_DEN
+            if r > 0:
+                new[n] = r
+        ranks = new
+    assert got == ranks, (got, ranks)
+    assert 5 not in got  # 4 hops away: unreachable in 3 rounds
