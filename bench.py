@@ -623,6 +623,7 @@ def main() -> None:
         "parts_price_size_skyline",
         "graph_personalized_pagerank",
         "brand_price_size_skyline",
+        "dedup_cosine_pairs_384",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

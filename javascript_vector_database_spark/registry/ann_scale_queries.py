@@ -220,8 +220,12 @@ def ann_ivf_search_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lsh_sql_bucket(vec_expr: str, dim: int) -> str:
-    planes = ann_scale.hyperplanes(dim)
+def _lsh_sql_bucket(vec_expr: str, dim: int, bits: int | None = None) -> str:
+    planes = (
+        ann_scale.hyperplanes(dim)
+        if bits is None
+        else ann_scale.hyperplanes(dim, bits=bits)
+    )
     bits = [
         f"CASE WHEN {osql.sql_dot(vec_expr, pivot_sql_literal(h))} > 0 "
         f"THEN '1' ELSE '0' END"

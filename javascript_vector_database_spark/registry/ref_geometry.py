@@ -237,3 +237,41 @@ def compat_index_string_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.select(
         "vec_id", index_nr_to_string(F.col("idx0")).alias("idx0_str")
     )
+
+
+def _cosine_pairs_384_oracle() -> str:
+    from javascript_vector_database_spark import oracle as osql
+    from javascript_vector_database_spark.registry.ann_scale_queries import (
+        _lsh_sql_bucket,
+    )
+
+    bucket = _lsh_sql_bucket("embedding", REFERENCE_DIM, bits=6)
+    cos = (
+        f"round({osql.sql_dot('a.embedding', 'b.embedding')}"
+        " / (a.nrm * b.nrm), 6)"
+    )
+    return f"""
+WITH side AS (
+  SELECT vec_id, embedding, {bucket} AS blk,
+         {osql.sql_l2_norm('embedding')} AS nrm
+  FROM {_T}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+FROM side a JOIN side b ON a.blk = b.blk AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.2
+"""
+
+
+@register("dedup_cosine_pairs_384", oracle=_cosine_pairs_384_oracle())
+def dedup_cosine_pairs_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at reference geometry: the same
+    hyperplane-LSH blocked self-join as `dedup_cosine_pairs`, with 6
+    sign bits — at 384 dims random hyperplanes split the fixture's
+    clusters finely (each plane cuts through cluster noise), so fewer
+    bits keep blocking recall while the within-block pair count stays
+    ~n^2/2^bits.  Dimension-agnostic operator + parameterized oracle."""
+    from javascript_vector_database_spark.operators import dedup
+
+    return dedup.cosine_near_dup_pairs(
+        _fixture(spark), dim=REFERENCE_DIM, lsh_bits=6
+    )

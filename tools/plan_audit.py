@@ -214,6 +214,7 @@ AUDITED = [
     "parts_price_size_skyline",
     "graph_personalized_pagerank",
     "brand_price_size_skyline",
+    "dedup_cosine_pairs_384",
 ]
 
 
