@@ -757,3 +757,79 @@ def brand_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").asc(),
         F.col("p_partkey").asc(),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-touch linear attribution (completes the attribution family)
+# ---------------------------------------------------------------------------
+
+_LIN_ATTR_ORACLE = """
+WITH touches AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+),
+pur AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT p.event_id, t.event_type AS channel, p.v_cents,
+         count(*) OVER (PARTITION BY p.event_id) AS n
+  FROM pur p JOIN touches t ON t.user_id = p.user_id
+    AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum((v_cents * 10000) // n) AS BIGINT) AS credit_micro
+FROM m GROUP BY 1 ORDER BY channel ASC
+"""
+
+
+@register("events_attribution_linear", oracle=_LIN_ATTR_ORACLE)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: every non-purchase event in the
+    7-day lookback shares the purchase's revenue equally (vs the
+    single-credit `events_attribution_last_touch`).  Credits are BIGINT
+    micro-cents via integer floor division — `value/n` as a double (or
+    decimal) division would round differently under reordering, while
+    `(v_cents * 10000) DIV n` is the same deterministic floor on both
+    engines (the PageRank discipline applied to money).  Plan: one
+    equi-join on user_id with the time window as a residual range
+    predicate, then a window keyed by the PURCHASE id (high cardinality
+    — every partition is one purchase's touch set, never a global
+    sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v_cents"),
+    )
+    from pyspark.sql import Window as _W
+
+    m = (
+        pur.join(touches, F.col("t_user") == F.col("p_user"))
+        .where(
+            (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(_W.partitionBy("p_id")))
+    )
+    return (
+        m.select(
+            "channel",
+            F.expr("(v_cents * 10000) DIV n").alias("credit"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            F.sum("credit").cast("long").alias("credit_micro"),
+        )
+        .orderBy(F.col("channel").asc())
+    )

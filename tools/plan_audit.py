@@ -215,6 +215,7 @@ AUDITED = [
     "graph_personalized_pagerank",
     "brand_price_size_skyline",
     "dedup_cosine_pairs_384",
+    "events_attribution_linear",
 ]
 
 
