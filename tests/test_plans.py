@@ -436,3 +436,28 @@ def test_skyline_no_global_window_no_cartesian(spark):
     plan = _plan(registry.queries()["parts_price_size_skyline"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_ppr_no_cartesian(spark):
+    """Personalized PageRank rounds: contribution joins and the full
+    outer against seeds must all be hash joins."""
+    plan = _plan(registry.queries()["graph_personalized_pagerank"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_grouped_skyline_windows_on_group(spark):
+    """The grouped sweep's window must partition on the group key —
+    a bare orderBy window would be the single-partition shape."""
+    plan = _plan(registry.queries()["brand_price_size_skyline"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    spec = plan.find("windowspecdefinition(p_brand")
+    assert spec != -1, plan
+
+
+def test_linear_attribution_no_cartesian(spark):
+    """The touch-purchase match must be an equi-join on user with the
+    window as a residual predicate — never a cross join."""
+    plan = _plan(registry.queries()["events_attribution_linear"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
