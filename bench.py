@@ -625,6 +625,7 @@ def main() -> None:
         "brand_price_size_skyline",
         "dedup_cosine_pairs_384",
         "events_attribution_linear",
+        "text_editdistance_pairs",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -216,6 +216,7 @@ AUDITED = [
     "brand_price_size_skyline",
     "dedup_cosine_pairs_384",
     "events_attribution_linear",
+    "text_editdistance_pairs",
 ]
 
 
