@@ -927,7 +927,14 @@ def text_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q-gram form measured 9.2M join volume / 67s at sf0.1; this one
     ~0.5s).  The candidate set is verified with one Levenshtein per
     unordered pair; every value is integer-exact and the segmentation
-    arithmetic is one shared SQL fragment on both engines."""
+    arithmetic is one shared SQL fragment on both engines.
+
+    Mass-duplication note: on an exactly-duplicated corpus the OUTPUT
+    itself is quadratic in copy count (every copy pair is a true ED-0
+    pair — 10x copies = 250.7k pairs / 20s, measured), which no
+    blocking avoids while the contract returns the full pair list; the
+    regime's production variant is the dedup family's exact-dup
+    collapse (join representatives, expand group pairs)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     k, n, L = _ED_K, _ED_NSEG, _ED_LEN
     s = docs.select(
