@@ -626,6 +626,11 @@ def main() -> None:
         "dedup_cosine_pairs_384",
         "events_attribution_linear",
         "text_editdistance_pairs",
+        "agg_q3_shipping_priority",
+        "agg_q5_local_supplier_volume",
+        "agg_q8_market_share",
+        "agg_q14_promo_effect",
+        "agg_q19_disjunctive_revenue",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -217,6 +217,11 @@ AUDITED = [
     "dedup_cosine_pairs_384",
     "events_attribution_linear",
     "text_editdistance_pairs",
+    "agg_q3_shipping_priority",
+    "agg_q5_local_supplier_volume",
+    "agg_q8_market_share",
+    "agg_q14_promo_effect",
+    "agg_q19_disjunctive_revenue",
 ]
 
 
