@@ -1333,3 +1333,52 @@ def agg_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS (rounds out rollup/cube)
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+ORDER BY gid ASC, status ASC, priority ASC
+"""
+
+
+@register("agg_grouping_sets_revenue", oracle=_GSETS_ORACLE)
+def agg_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over orders — the four-set lattice
+    ((status), (priority), (status, priority), ()) in ONE pass (the
+    Expand operator replicates each input row once per set with
+    map-side partial aggregation, not four scans).  `grouping()` bits
+    disambiguate a real NULL from a superaggregate row, composed into
+    the same gid on both engines.  Rounds out the OLAP grouping surface
+    beside the existing rollup and cube rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderstatus", "o_orderpriority", _dec("o_totalprice").alias("tp")
+    )
+    df.createOrReplaceTempView("__gsets_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2
+                    + grouping(o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(tp) AS DOUBLE), 2) AS total_price
+        FROM __gsets_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        ORDER BY gid ASC, status ASC, priority ASC
+        """
+    )

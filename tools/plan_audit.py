@@ -222,6 +222,7 @@ AUDITED = [
     "agg_q8_market_share",
     "agg_q14_promo_effect",
     "agg_q19_disjunctive_revenue",
+    "agg_grouping_sets_revenue",
 ]
 
 
