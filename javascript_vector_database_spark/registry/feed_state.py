@@ -1960,3 +1960,87 @@ def stream_cms_live_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+_SSJOIN_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM v JOIN p ON p.user_id = v.user_id
+  AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 600 SECOND
+GROUP BY 1
+"""
+
+
+@register("stream_interval_join_live", oracle=_SSJOIN_ORACLE)
+def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join in the driver contract: TWO live
+    feeds (views and purchases), each delivered across two micro-batches
+    split on event-id parity — so matches must form ACROSS batch
+    boundaries out of buffered join state — correlated within a 600s
+    view->purchase window (streaming/joins.py:stream_interval_join) and
+    certified against the one-shot batch interval join.  The test
+    watermark is effectively unbounded so no row is late-dropped and
+    live == batch exactly; production bounds it and the docstring there
+    carries the state-size law (state ~ arrival rate x bound)."""
+    import os
+    import shutil
+    import uuid
+
+    from javascript_vector_database_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_ssjoin_")
+    vsrc = os.path.join(tmp, "views")
+    psrc = os.path.join(tmp, "purchases")
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("vts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    feed_v = _stream_feed(spark, views, vsrc, "event_id")
+    feed_p = _stream_feed(spark, purchases, psrc, "event_id")
+    left = spark.readStream.schema(
+        "event_id long, user_id long, vts timestamp"
+    ).parquet(vsrc)
+    right = spark.readStream.schema(
+        "event_id long, user_id long, pts timestamp"
+    ).parquet(psrc)
+    joined = stream_interval_join(
+        left.drop("event_id"),
+        right.drop("event_id"),
+        key="user_id",
+        left_ts="vts",
+        right_ts="pts",
+        bound_secs=600,
+        watermark_secs=10**9,
+    )
+    name = f"ssjoin_live_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed_v()
+        feed_p()
+        q.processAllAvailable()
+        out = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
