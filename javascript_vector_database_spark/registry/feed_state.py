@@ -2044,3 +2044,58 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+_SDEDUP_ORACLE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_first_seen
+FROM events GROUP BY event_type
+"""
+
+
+@register("stream_dedup_live", oracle=_SDEDUP_ORACLE)
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup in the driver contract (the streaming face
+    of the dedup family): a live feed deduplicated on (event_type,
+    user_id) with ``dropDuplicates`` state held across micro-batches —
+    each key's FIRST arrival survives, later copies (including copies
+    arriving in later batches) are suppressed by state, and the
+    surviving count per type equals the batch COUNT(DISTINCT).  The
+    test holds dedup state unbounded so live == batch exactly; the
+    production form is ``dropDuplicatesWithinWatermark`` (pinned in
+    tests/test_reactive.py) where state is bounded by the lateness
+    window."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(tmp, "src")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    feed_rest = _stream_feed(spark, ev, src, "event_id")
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, user_id long"
+    ).parquet(src)
+    deduped = stream.dropDuplicates(["event_type", "user_id"])
+    name = f"dedup_live_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed_rest()
+        q.processAllAvailable()
+        out = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_first_seen"))
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
