@@ -30,7 +30,17 @@ def lit_double_array(values: list[float]) -> Column:
     (~ms).  Bit-exact: Python's repr emits the shortest decimal that
     round-trips, and Java's ``Double.parseDouble`` is correctly rounded,
     so every parsed double equals the source double."""
-    body = ", ".join(f"{float(x)!r}D" for x in values)
+    def one(x: float) -> str:
+        x = float(x)
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if x == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"{x!r}D"
+
+    body = ", ".join(one(x) for x in values)
     return F.expr(f"array({body})")
 
 

@@ -406,6 +406,16 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def symmetric_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-direction view of the shared (src < dst) pair list — the
+    PageRank-family input.  The pair list is already distinct and
+    one-directional, so the union needs no dedup shuffle."""
+    pairs = _copurchase_edges(spark, sf_dir)
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 _MIN_COEF_DEGREE = 5
 
 _CLUSTERING_ORACLE = f"""
@@ -703,10 +713,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         personalized_pagerank,
     )
 
-    pairs = _copurchase_edges(spark, sf_dir)
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = symmetric_copurchase_edges(spark, sf_dir)
     seeds = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_brand") == _PPR_BRAND)
@@ -898,6 +905,14 @@ cand AS (
   JOIN bside b ON b.la = a.la AND b.i = a.i AND b.content = a.content
               AND abs(b.p - a.start_i) <= {k}
               AND a.doc_id <> b.doc_id
+  UNION
+  -- keys shorter than k+1 chars cannot be segmented and so can never
+  -- index; a short key still PROBES long keys via bside, but a pair of
+  -- two short keys has no indexing side — enumerate that (bounded:
+  -- every member is <= k chars) pool directly
+  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+  FROM s s1 JOIN s s2
+    ON s1.la < {n} AND s2.la < {n} AND s1.doc_id < s2.doc_id
 )
 SELECT c.doc_a, c.doc_b,
        CAST(levenshtein(sa.sk, sb.sk) AS BIGINT) AS edit_distance
@@ -936,11 +951,19 @@ def text_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime's production variant is the dedup family's exact-dup
     collapse (join representatives, expand group pairs)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    k, n, L = _ED_K, _ED_NSEG, _ED_LEN
     s = docs.select(
         "doc_id",
-        F.substring(F.lower(F.col("text")), 1, L).alias("sk"),
+        F.substring(F.lower(F.col("text")), 1, _ED_LEN).alias("sk"),
     ).withColumn("la", F.length("sk")).localCheckpoint(eager=False)
+    return edit_distance_pairs(s)
+
+
+def edit_distance_pairs(s: DataFrame) -> DataFrame:
+    """PassJoin core over a keyed frame ``(doc_id, sk, la)`` — see
+    :func:`text_editdistance_pairs` for the algorithm.  Exposed
+    separately so synthetic corpora (short strings, adversarial shapes)
+    can be tested against brute force directly."""
+    k, n = _ED_K, _ED_NSEG
     seg = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("i")
     a_st, a_ln = _ed_seg_sql("la", "i")
     aside = (
@@ -1002,6 +1025,20 @@ def text_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # keys shorter than k+1 chars cannot be segmented and never index;
+    # a short key still probes long keys through bside, but a pair of
+    # TWO short keys has no indexing side — enumerate that pool (every
+    # member <= k chars, bounded by construction) on a constant hash
+    # key so the tiny self-join never plans as a cartesian
+    shorts = s.where(F.col("la") < n).withColumn("__o", F.lit(1))
+    s1 = shorts.select(F.col("doc_id").alias("doc_a"), "__o")
+    s2 = shorts.select(F.col("doc_id").alias("doc_b"), "__o")
+    short_cand = (
+        s1.join(s2, "__o")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = cand.unionByName(short_cand)
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sk").alias("sk_a"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sk").alias("sk_b"))
     return (

@@ -553,17 +553,10 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached across the 3 rounds (it feeds every one)."""
     from javascript_vector_database_spark.operators.graph import pagerank
     from javascript_vector_database_spark.registry.decorrelated import (
-        _copurchase_edges,
+        symmetric_copurchase_edges,
     )
 
-    # symmetrize the shared session-cached (src < dst) pair list — the
-    # same relation the triangle/link-prediction queries read; it is
-    # already distinct and one-directional, so the union needs no
-    # dedup shuffle
-    pairs = _copurchase_edges(spark, sf_dir)
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    edges = symmetric_copurchase_edges(spark, sf_dir).cache()
     return pagerank(edges).select("node", F.col("rank").alias("pagerank"))
 
 
@@ -1665,12 +1658,15 @@ def supplier_sole_late_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRIANGLE_ORACLE = """
-WITH pairs AS (
-  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+# the canonical co-purchase pairs CTE — imported so this oracle can
+# never drift from the edge list its Spark side reads (the clustering/
+# link-prediction/PPR oracles interpolate the same constant)
+from javascript_vector_database_spark.registry.decorrelated import (  # noqa: E402
+    _COPURCHASE_PAIRS as _PAIRS_CTE,
 )
+
+_TRIANGLE_ORACLE = f"""
+WITH {_PAIRS_CTE.strip()}
 SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM pairs e1
 JOIN pairs e2 ON e2.src = e1.dst

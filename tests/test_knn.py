@@ -198,6 +198,7 @@ def test_lit_double_array_bit_identical(spark):
     vals = [
         0.1 + 0.2, -0.0, 5e-324, 1e300, -1.7976931348623157e308,
         123456789.123456789, 2.0 ** -1022, 1 / 3,
+        float("nan"), float("inf"), float("-inf"),
     ]
     old = spark.range(1).select(
         F.array(*[F.lit(float(x)) for x in vals]).alias("a")

@@ -19,14 +19,12 @@ from javascript_vector_database_spark.operators.skyline import (
 
 
 def _brute_skyline(points):
-    out = []
-    for i, (x, y) in enumerate(points):
-        dominated = any(
+    return sorted(
+        (x, y) for x, y in points
+        if not any(
             qx <= x and qy <= y and (qx < x or qy < y) for qx, qy in points
         )
-        if not dominated:
-            out.append((x, y))
-    return sorted(out)
+    )
 
 
 def _check(spark, points):
@@ -34,13 +32,7 @@ def _check(spark, points):
     got = sorted(
         (r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()
     )
-    want = sorted(
-        (x, y) for x, y in points
-        if not any(
-            qx <= x and qy <= y and (qx < x or qy < y) for qx, qy in points
-        )
-    )
-    assert got == want, (points, got, want)
+    assert got == _brute_skyline(points), (points, got)
 
 
 def test_skyline_duplicates_and_ties(spark):
@@ -83,12 +75,7 @@ def test_skyline_grouped_matches_per_group_bruteforce(spark):
     want = []
     for g in ("a", "b", "c"):
         pts = [(x, y) for gg, x, y in rows if gg == g]
-        want.extend(
-            (g, x, y) for x, y in pts
-            if not any(
-                qx <= x and qy <= y and (qx < x or qy < y) for qx, qy in pts
-            )
-        )
+        want.extend((g, x, y) for x, y in _brute_skyline(pts))
     assert got == sorted(want)
 
 
@@ -131,3 +118,42 @@ def test_ppr_locality_and_seed_mass(spark):
         ranks = new
     assert got == ranks, (got, ranks)
     assert 5 not in got  # 4 hops away: unreachable in 3 rounds
+
+
+def test_passjoin_short_strings_vs_bruteforce(spark):
+    """The PassJoin both-short branch: strings shorter than k+1 chars
+    cannot index; every short-short pair must still surface (their ED
+    is <= k unconditionally), alongside short-long and long-long pairs,
+    matching a quadratic Levenshtein reference."""
+    from javascript_vector_database_spark.registry.decorrelated import (
+        _ED_K,
+        edit_distance_pairs,
+    )
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    keys = ["ab", "ab", "a", "b", "abc", "abd", "abcd", "xbcd",
+            "zzzzzz", "zzzzyz", "qqqqqqqq", ""]
+    rows = [(i, s, len(s)) for i, s in enumerate(keys)]
+    df = spark.createDataFrame(rows, schema="doc_id long, sk string, la long")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["edit_distance"])
+        for r in edit_distance_pairs(df).collect()
+    )
+    want = sorted(
+        (i, j, ed(keys[i], keys[j]))
+        for i in range(len(keys))
+        for j in range(i + 1, len(keys))
+        if ed(keys[i], keys[j]) <= _ED_K
+    )
+    assert got == want, (got, want)
