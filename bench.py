@@ -632,6 +632,7 @@ def main() -> None:
         "agg_q14_promo_effect",
         "agg_q19_disjunctive_revenue",
         "agg_grouping_sets_revenue",
+        "graph_harmonic_hubs",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -144,7 +144,7 @@ _PRIORITY = [
     "graph_common_neighbors", "text_tfidf_similar_pairs",
     "ann_ivfpq_384",
     # ---- window boundary (50) ----
-    # -- r6-new past the window (14): sweep-verified, stamps next round
+    # -- r6-new past the window (15): sweep-verified, stamps next round
     "parts_price_size_skyline", "graph_personalized_pagerank",
     "brand_price_size_skyline", "dedup_cosine_pairs_384",
     "events_attribution_linear", "text_editdistance_pairs",
@@ -152,6 +152,7 @@ _PRIORITY = [
     "agg_q8_market_share", "agg_q14_promo_effect",
     "agg_q19_disjunctive_revenue", "agg_grouping_sets_revenue",
     "stream_interval_join_live", "stream_dedup_live",
+    "graph_harmonic_hubs",
     # -- r6-changed after their last stamp (2): older stamps green,
     #    sweep-verified locally every pytest run
     "dedup_jaccard_prefix", "sketch_histogram_quantiles",

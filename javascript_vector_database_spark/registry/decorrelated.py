@@ -1419,3 +1419,89 @@ def agg_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid ASC, status ASC, priority ASC
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# hub harmonic centrality: integer 2-hop reachability for top-degree seeds
+# ---------------------------------------------------------------------------
+
+_HUB_SEEDS = 20
+
+_HARMONIC_ORACLE = f"""
+WITH {_COPURCHASE_PAIRS.strip()},
+adj AS (
+  SELECT src AS p, dst AS n FROM pairs
+  UNION ALL SELECT dst AS p, src AS n FROM pairs
+),
+deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+seeds AS (SELECT p FROM deg ORDER BY d DESC, p ASC LIMIT {_HUB_SEEDS}),
+h1 AS (
+  SELECT DISTINCT a.p, a.n FROM adj a JOIN seeds s ON s.p = a.p
+),
+h2 AS (
+  SELECT DISTINCT h.p, a.n
+  FROM h1 h JOIN adj a ON a.p = h.n
+  WHERE a.n <> h.p
+    AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.p = h.p AND x.n = a.n)
+)
+SELECT d.p AS node, d.d AS degree,
+       CAST(2 * (SELECT count(*) FROM h1 WHERE h1.p = d.p)
+            + (SELECT count(*) FROM h2 WHERE h2.p = d.p) AS BIGINT)
+         AS harmonic_2x
+FROM deg d JOIN seeds s ON s.p = d.p
+ORDER BY harmonic_2x DESC, node ASC
+"""
+
+
+@register("graph_harmonic_hubs", oracle=_HARMONIC_ORACLE)
+def graph_harmonic_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (2-hop horizon) for the 20 highest-degree
+    parts: ``2*|1-hop| + |2-hop-only|`` — harmonic weights 1 and 1/2
+    carried in DOUBLED integer units so the score stays BIGINT-exact
+    (the PageRank discipline again).  Seeding at the top-degree nodes
+    bounds the frontier expansion at seeds x deg^2 rather than the
+    full-graph sum(deg^2) — the standard centrality-probe shape for
+    graphs too dense to sweep whole; the seed pick itself is exact
+    (degree desc, id tiebreak).  Oracle: correlated counts over the
+    same hop sets built from the canonical pairs CTE."""
+    adj = symmetric_copurchase_edges(spark, sf_dir).select(
+        F.col("src").alias("p"), F.col("dst").alias("n")
+    )
+    deg = adj.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    seeds = (
+        deg.orderBy(F.col("d").desc(), F.col("p").asc())
+        .limit(_HUB_SEEDS)
+        .select("p")
+        .localCheckpoint(eager=False)
+    )
+    h1 = (
+        adj.join(F.broadcast(seeds), "p", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mid = h1.select(F.col("p").alias("sp"), F.col("n").alias("m"))
+    h2 = (
+        mid.join(adj, mid["m"] == adj["p"])
+        .where(F.col("n") != F.col("sp"))
+        .select(F.col("sp").alias("p"), "n")
+        .distinct()
+        .join(h1, ["p", "n"], "left_anti")
+    )
+    c1 = h1.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    c2 = h2.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    return (
+        deg.join(F.broadcast(seeds), "p", "left_semi")
+        .join(c1, "p", "left")
+        .join(c2, "p", "left")
+        .select(
+            F.col("p").alias("node"),
+            F.col("d").alias("degree"),
+            (
+                F.lit(2) * F.coalesce(F.col("n1"), F.lit(0))
+                + F.coalesce(F.col("n2"), F.lit(0))
+            )
+            .cast("long")
+            .alias("harmonic_2x"),
+        )
+        .orderBy(F.col("harmonic_2x").desc(), F.col("node").asc())
+    )

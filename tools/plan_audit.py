@@ -223,6 +223,7 @@ AUDITED = [
     "agg_q14_promo_effect",
     "agg_q19_disjunctive_revenue",
     "agg_grouping_sets_revenue",
+    "graph_harmonic_hubs",
 ]
 
 
