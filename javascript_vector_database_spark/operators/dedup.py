@@ -1138,7 +1138,11 @@ def jaccard_prefix_pairs(
     # wrong signal either way — at any scale the k-gram build wants the
     # full task fan-out, and its output would overflow a byte-coalesced
     # partition's memory budget.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from javascript_vector_database_spark.session import (
+        shuffle_partitions_or_default,
+    )
+
+    n_part = shuffle_partitions_or_default(df.sparkSession)
     reps = reps.repartition(n_part, F.col("__rid"))
 
     # --- prefix join over representatives -----------------------------
@@ -1372,7 +1376,11 @@ def multipass_pair_union(
     ).localCheckpoint()
     # re-spread before the CPU-heavy hash explode — see the same guard in
     # jaccard_prefix_pairs (AQE byte-coalescing starves the map stage)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from javascript_vector_database_spark.session import (
+        shuffle_partitions_or_default,
+    )
+
+    n_part = shuffle_partitions_or_default(df.sparkSession)
     reps = (
         withh.where(F.col(id_col) == F.col("__rep"))
         .select(F.col(id_col), "__text")

@@ -35,7 +35,11 @@ from pyspark.sql.window import Window
 def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
     if num_partitions is not None:
         return num_partitions
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from javascript_vector_database_spark.session import (
+        shuffle_partitions_or_default,
+    )
+
+    return shuffle_partitions_or_default(df.sparkSession)
 
 
 def global_row_number(

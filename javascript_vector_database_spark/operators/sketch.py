@@ -423,10 +423,12 @@ def histogram_quantiles(
 
     hist = (
         df.select(
-            # floor division (not cast-truncation): matches the oracle's
-            # `//` for negative values, and F.floor over an integer-exact
-            # division keeps bins exact for the BIGINT domain
-            (F.floor(F.col(col) / bin_width) * bin_width)
+            # bin_lo = v - pmod(v, bw): PURE-INTEGER floor-division bin
+            # start, exact at any BIGINT (Spark's `/` is double division,
+            # so floor(v/bw) rounds beyond 2^53; DuckDB's `//` truncates
+            # toward zero on negatives — this form sidesteps both, and
+            # the oracle mirrors it with v - (((v % bw) + bw) % bw))
+            (F.col(col) - F.pmod(F.col(col), F.lit(bin_width)))
             .cast("long")
             .alias("bin_lo")
         )
@@ -491,7 +493,10 @@ FROM (SELECT bin_lo, cnt, cum, total FROM cum
     body = "\nUNION ALL".join(probes)
     return f"""
 WITH hist AS (
-  SELECT CAST(({col} // {bin_width}) * {bin_width} AS BIGINT) AS bin_lo,
+  -- v - (((v % bw) + bw) % bw): integer floor-division bin start (DuckDB
+  -- `//` truncates toward zero on negatives; this mirrors Spark's pmod)
+  SELECT CAST({col} - ((({col} % {bin_width}) + {bin_width})
+                       % {bin_width}) AS BIGINT) AS bin_lo,
          CAST(count(*) AS BIGINT) AS cnt
   FROM {table} GROUP BY 1
 ),
@@ -521,8 +526,8 @@ def grouped_histogram_quantiles(
     hist = (
         df.select(
             F.col(group_col).alias("g"),
-            # floor division — see histogram_quantiles
-            (F.floor(F.col(col) / bin_width) * bin_width)
+            # integer floor-division bin — see histogram_quantiles
+            (F.col(col) - F.pmod(F.col(col), F.lit(bin_width)))
             .cast("long")
             .alias("bin_lo"),
         )
@@ -589,8 +594,8 @@ WHERE rn = 1"""
     body = "\nUNION ALL".join(probes)
     return f"""
 WITH hist AS (
-  SELECT {group_col}, CAST(({col} // {bin_width}) * {bin_width} AS BIGINT)
-           AS bin_lo,
+  SELECT {group_col}, CAST({col} - ((({col} % {bin_width}) + {bin_width})
+                           % {bin_width}) AS BIGINT) AS bin_lo,
          CAST(count(*) AS BIGINT) AS cnt
   FROM {table} GROUP BY 1, 2
 ),

@@ -51,14 +51,11 @@ def skyline_2d(
     dominance is undefined against missing coordinates."""
     pts = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
     if num_partitions is None:
-        # some platforms set shuffle.partitions to a non-numeric value
-        # ("auto"); fall back to the cluster's default parallelism
-        try:
-            num_partitions = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        except (TypeError, ValueError):
-            num_partitions = df.sparkSession.sparkContext.defaultParallelism
+        from javascript_vector_database_spark.session import (
+            shuffle_partitions_or_default,
+        )
+
+        num_partitions = shuffle_partitions_or_default(df.sparkSession)
     # step 1: one candidate per x — the per-x minimum y
     cand = pts.groupBy(x).agg(F.min(y).alias("__y"))
     part = (

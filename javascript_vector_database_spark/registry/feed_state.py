@@ -1816,11 +1816,17 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stream_feed(spark, df, src: str, split_col: str):
     """Write ``df`` as two deterministic halves (split on the key's
     parity) so the streaming query folds state across >= 2 micro-batches
-    — first half before the stream starts, second mid-flight."""
-    df.where(F.col(split_col) % 2 == 0).write.mode("append").parquet(src)
+    — first half before the stream starts, second mid-flight.
+
+    NULL keys coalesce to 0 so the two halves PARTITION the table by
+    construction — a bare ``col % 2`` predicate pair silently drops
+    NULL-key rows from both halves and would diverge from the batch
+    oracle (r6 ADVICE)."""
+    parity = F.coalesce(F.col(split_col), F.lit(0)) % 2
+    df.where(parity == 0).write.mode("append").parquet(src)
 
     def second_half():
-        df.where(F.col(split_col) % 2 != 0).write.mode("append").parquet(src)
+        df.where(parity != 0).write.mode("append").parquet(src)
 
     return second_half
 

@@ -9,7 +9,7 @@ sum), then cast back to DOUBLE and rounded for the output column."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -1014,33 +1014,76 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+def _exact_ntile(rn_col: str, n: int, k: int) -> Column:
+    """ntile(k) of row ``rn_col`` (1-based row_number) among ``n`` total
+    rows, as a closed-form INTEGER expression: with q = n div k and
+    r = n mod k, the first r buckets hold q+1 rows (SQL-standard ntile,
+    verified against DuckDB), so
+    ``bucket = ceil(rn/(q+1))`` up to the r*(q+1) cut and
+    ``r + ceil((rn-cut)/q)`` past it — all DIV arithmetic, exact at any
+    BIGINT row count."""
+    q, r = divmod(n, k)
+    if q == 0:  # n < k: one row per bucket
+        return F.col(rn_col).cast("int")
+    cut = r * (q + 1)
+    return F.expr(
+        f"CAST(CASE WHEN {rn_col} <= {cut} "
+        f"THEN ({rn_col} + {q}) DIV {q + 1} "
+        f"ELSE {r} + (({rn_col} - {cut}) + {q - 1}) DIV {q} END AS INT)"
+    )
+
+
 @register("customer_rfm_segments", oracle=_RFM_ORACLE)
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: quartile-bucket customers independently by
-    recency, frequency, and monetary value (ntile over custkey-
-    tiebroken total orders — deterministic), then profile the 64
-    segments.  One customer-grain aggregate feeds three windows over
-    the SAME 1500-row frame; the segment rollup is a 64-key groupBy."""
+    recency, frequency, and monetary value, then profile the 64
+    segments (64-key groupBy).
+
+    Scale shape (r6 verdict item #2): each quartile dimension ranks
+    through :func:`operators.rank.global_row_number` — P parallel
+    range-partitioned sorts + broadcast offsets — and the bucket is the
+    closed-form :func:`_exact_ntile` over that rank, so NO unpartitioned
+    ``ntile`` window ever sorts the full customer grain (the r5-flagged
+    shape fixed on pareto/percent_rank and previously missed here).
+    Custkey tiebreaks make each order total, so ranks (hence buckets)
+    are deterministic and equal the oracle's ntile."""
+    from javascript_vector_database_spark.operators.rank import (
+        global_row_number,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
+    # monetary is decimal(18,2): round(cast double, 2) is value-identical,
+    # so ordering by the rounded column matches the oracle's ntile order
     scored = base.select(
         "o_custkey",
+        "last_order",
         "frequency",
         F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc()))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
-        .alias("m_quartile"),
     )
+    scored = global_row_number(
+        scored,
+        [F.col("last_order").desc(), F.col("o_custkey").asc()],
+        out="__rn_r",
+    )
+    # one bounded scalar off the checkpointed rank input (pareto idiom);
+    # the count materializes the checkpoint the later stages reuse
+    n = scored.count()
+    dims = [
+        ("r_quartile", "__rn_r", None),
+        ("f_quartile", "__rn_f", [F.col("frequency").desc(), F.col("o_custkey").asc()]),
+        ("m_quartile", "__rn_m", [F.col("monetary").desc(), F.col("o_custkey").asc()]),
+    ]
+    for quart, rn_name, order in dims:
+        if order is not None:
+            scored = global_row_number(scored, order, out=rn_name)
+        scored = scored.withColumn(quart, _exact_ntile(rn_name, n, 4)).drop(
+            rn_name
+        )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(

@@ -15,6 +15,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partitions_or_default(spark: SparkSession) -> int:
+    """Integer value of ``spark.sql.shuffle.partitions``, falling back to
+    the cluster's default parallelism when the conf is non-numeric (some
+    platforms set it to "auto").  The single guard shared by every
+    operator that range-partitions explicitly (rank/skyline/dedup)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(
     app_name: str = "javascript-vector-database-spark",
     cpus: int | None = None,
