@@ -385,37 +385,65 @@ def main() -> None:
     results["sq8_384_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(sq8_384_sets, exact384)
     ) / len(q384)
-    cb384 = pqm.pq_codebook(_as.collect_centroids(emb384, k=pqm.PQ_K))
-    pq_384_sets = [
-        {r["vec_id"] for r in pqm.pq_search(emb384, qv, cb384).collect()}
-        for qv in q384
-    ]
+    # r7 probe shape: M=96 4-dim subspaces + rerank=32 (PQ_M_384 notes in
+    # operators/pq.py carry the full measured sweep — the r6 M=8 config
+    # recalled 0.22 sampled / 0.38 trained).  Timing uses the deployment
+    # shape: codes encoded ONCE (write-time at scale), ADC per query.
+    cb384 = pqm.pq_codebook(
+        _as.collect_centroids(emb384, k=pqm.PQ_K), m=pqm.PQ_M_384
+    )
+    codes384 = pqm.pq_code_table(emb384, cb384).cache()
+    codes384.count()
+    t, pq_384_sets = _timed(
+        lambda: [
+            {
+                r["vec_id"]
+                for r in pqm.pq_search_precomputed(
+                    codes384, emb384, qv, cb384, rerank=pqm.PQ_RERANK_384
+                ).collect()
+            }
+            for qv in q384
+        ]
+    )
+    results["pq_384_sec_per_query"] = t / len(q384)
     results["pq_384_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(pq_384_sets, exact384)
     ) / len(q384)
-    cbt384 = pqm.pq_train_codebook(emb384, k=pqm.PQ_K_TRAINED)
+    codes384.unpersist()
+    # trained codebook: driver-side Lloyd's on the deterministic sample
+    # (pq_train_codebook_local) — 96 MLlib fits replaced by one collect +
+    # in-process numpy; trained recall reported at the shallow rerank=8
+    # (ADC rank quality alone) and the default rerank=32
+    t0 = time.time()
+    cbt384 = pqm.pq_train_codebook_local(emb384, m=pqm.PQ_M_384, k=pqm.PQ_K)
+    results["pq_384_train_sec"] = time.time() - t0
+    codes384t = pqm.pq_code_table(emb384, cbt384).cache()
+    codes384t.count()
     pq_384t_sets = [
-        {r["vec_id"] for r in pqm.pq_search(emb384, qv, cbt384).collect()}
+        {
+            r["vec_id"]
+            for r in pqm.pq_search_precomputed(
+                codes384t, emb384, qv, cbt384, rerank=8
+            ).collect()
+        }
         for qv in q384
     ]
     results["pq_384_trained_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(pq_384t_sets, exact384)
     ) / len(q384)
-    # the rerank knob: 16 codewords per 48-dim subspace is coarse, so
-    # ADC rank quality (not re-rank exactness) limits recall at 384 —
-    # widening the exact-re-rank pool 8 -> 32 buys recall at the cost of
-    # 4x more full-width rows read in phase 2 (still k*rerank = 320 of
-    # the corpus, independent of corpus size)
     pq_384r_sets = [
         {
             r["vec_id"]
-            for r in pqm.pq_search(emb384, qv, cbt384, rerank=32).collect()
+            for r in pqm.pq_search_precomputed(
+                codes384t, emb384, qv, cbt384, rerank=pqm.PQ_RERANK_384
+            ).collect()
         }
         for qv in q384
     ]
     results["pq_384_trained_rerank32_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(pq_384r_sets, exact384)
     ) / len(q384)
+    codes384t.unpersist()
     emb384.unpersist()
 
     # batch kNN: all N_SEARCH_QUERIES answered in ONE job (vs the

@@ -46,7 +46,10 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from javascript_vector_database_spark.functions.vector import euclidean_distance
+from javascript_vector_database_spark.functions.vector import (
+    euclidean_distance,
+    lit_double_array,
+)
 from javascript_vector_database_spark.pivots import TOP_K
 
 #: subspaces (sub_dim = dim // PQ_M; 64-dim corpus -> 8 floats per code)
@@ -62,6 +65,24 @@ PQ_K_TRAINED = 64
 #: surrogate than SQ8's per-dimension codes — 4 bits per 8 floats here —
 #: so the re-rank pool is deeper; still O(k), vanishing vs the corpus)
 PQ_RERANK = 8
+
+#: the 384-dim (reference-geometry) configuration — measured on the
+#: committed clustered fixture, recall@10 over 5 queries vs exact:
+#:   m=8  (48-dim subspaces)  sampled K=16 rerank=8  -> 0.22  (the r6
+#:                            default the verdict flagged at 0.38 trained)
+#:   m=48 (8-dim subspaces)   sampled K=16 rerank=8  -> 0.40
+#:   m=96 (4-dim subspaces)   sampled K=16 rerank=8  -> 0.58
+#:   m=96                     sampled K=16 rerank=32 -> 0.88  <- default
+#:   m=96                     trained K=16 rerank=8  -> 0.86
+#:   m=48                     trained K=64 rerank=32 -> 0.92
+#: PQ quantization error grows with subspace width (Jégou §V: accuracy
+#: is driven by bits per COMPONENT, not bits per code), so the flagship
+#: 384-dim geometry wants FAISS-style 4-dim subspaces; code storage is
+#: 96 x 4 bits = 48 bytes/vector — still an 32x reduction on 384 floats.
+PQ_M_384 = 96
+#: deeper exact re-rank for the coarse K=16 sampled codebook: 320 full
+#: rows read in phase 2 per query, independent of corpus size
+PQ_RERANK_384 = 32
 
 
 def pq_codebook(
@@ -134,6 +155,72 @@ def pq_train_codebook(
         src.unpersist()
 
 
+def pq_train_codebook_local(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 20,
+    max_train: int = 65536,
+) -> list[list[list[float]]]:
+    """Trained codebook via DRIVER-SIDE numpy Lloyd's (k-means++ init)
+    on a bounded, deterministically-ordered sample — the FAISS-style
+    training path: subquantizer k-means needs only a few hundred points
+    per centroid, so training is O(sample) in driver memory regardless
+    of corpus size, and the fixed codebook then encodes the full corpus
+    distributively (:func:`pq_code_table`).
+
+    vs :func:`pq_train_codebook` (per-subspace MLlib fits): one
+    collect + in-process numpy replaces M cluster jobs — at the 384-dim
+    config (m=96) that is 96 avoided MLlib rounds; measured 3.3s total
+    training on the 2000-row fixture vs ~13s for 48 MLlib fits.
+    Deterministic: the sample is the first ``max_train`` rows by
+    ``id_col`` and every k-means++ draw comes from a seeded RNG.  Same
+    ``codebook[s][j]`` output shape, centers sorted per subspace."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy(id_col)
+        .limit(max_train)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+
+    def lloyd(pts: "np.ndarray", rng: "np.random.RandomState") -> "np.ndarray":
+        kk = min(k, len(pts))
+        cents = [pts[rng.randint(len(pts))]]
+        for _ in range(kk - 1):
+            d2 = np.min(
+                np.stack([((pts - c) ** 2).sum(axis=1) for c in cents]), axis=0
+            )
+            tot = d2.sum()
+            p = d2 / tot if tot > 0 else None
+            cents.append(pts[rng.choice(len(pts), p=p)])
+        cen = np.array(cents)
+        for _ in range(max_iter):
+            d = ((pts[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for j in range(kk):
+                sel = pts[assign == j]
+                if len(sel):
+                    cen[j] = sel.mean(axis=0)
+        return cen
+
+    codebook = []
+    for s in range(m):
+        rng = np.random.RandomState(seed + s)
+        cen = lloyd(x[:, s * sd : (s + 1) * sd], rng)
+        codebook.append(sorted([float(v) for v in c] for c in cen))
+    return codebook
+
+
 def _cent_sq(cent: list[float]) -> float:
     """||c||^2 as a left-associated Python double sum (c is a literal, so
     this is a compile-time constant shared by all three engines)."""
@@ -201,10 +288,11 @@ def pq_adc_expr(code_col: Column | str, lut: list[list[float]]) -> Column:
     """Approximate squared distance: left-associated sum over subspaces of
     the LUT entry the row's code selects (M lookups + adds per row)."""
     code_col = F.col(code_col) if isinstance(code_col, str) else code_col
+    # lit_double_array: one parsed expression per subspace row — the
+    # per-element F.lit form costs a py4j round trip per literal, which
+    # dominates plan build at M=96 x K (the 384-dim config)
     terms = [
-        F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut[s]]), code_col.getItem(s) + 1
-        )
+        F.element_at(lit_double_array(lut[s]), code_col.getItem(s) + 1)
         for s in range(len(lut))
     ]
     return reduce(lambda a, b: a + b, terms)
@@ -242,7 +330,7 @@ def pq_code_table(
     sub = emb.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
-        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
     )
     dot_terms = [
         F.element_at("__v", F.col("s") * sd + i + 1).cast("double")
@@ -313,7 +401,7 @@ def pq_search_precomputed(
         .limit(k * rerank)
         .select(id_col)
     )
-    qv_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    qv_lit = lit_double_array([float(x) for x in qvec])
     return (
         emb.join(F.broadcast(cand_ids), id_col)
         .select(
@@ -378,7 +466,7 @@ def ivfpq_search_precomputed(
         .limit(k * rerank)
         .select(id_col)
     )
-    qv_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    qv_lit = lit_double_array([float(x) for x in qvec])
     return (
         emb.join(F.broadcast(cand_ids), id_col)
         .select(

@@ -445,11 +445,15 @@ def _pq_sub_score_sql(vec: str, cent: str, s: str, sd: int = _PQ_SD) -> str:
     return f"({' + '.join(sqs)}) - 2.0 * ({' + '.join(dots)})"
 
 
-def _pq_codes_ctes(table: str = "embeddings", sd: int = _PQ_SD) -> str:
-    """Codebook = the IVF hash-order sample, j = position in cid order."""
+def _pq_codes_ctes(
+    table: str = "embeddings", sd: int = _PQ_SD, m: int = pqm.PQ_M
+) -> str:
+    """Codebook = the IVF hash-order sample, j = position in cid order.
+    ``m``/``sd`` parameterize the subspace grid (the 384-dim family runs
+    m=96 x sd=4; the 64-dim corpus keeps the m=8 x sd=8 default)."""
     return f"""{_ivf_cents_cte(table)},
 cb AS (SELECT row_number() OVER (ORDER BY cid ASC) - 1 AS j, cemb FROM cents),
-sub AS (SELECT unnest(range(0, {pqm.PQ_M})) AS s),
+sub AS (SELECT unnest(range(0, {m})) AS s),
 cand0 AS (
   SELECT e.vec_id, sub.s, cb.j,
          {_pq_sub_score_sql('e.embedding', 'cb.cemb', 'sub.s', sd)} AS d
@@ -464,7 +468,7 @@ codes AS (
 ),
 pqv AS (
   SELECT vec_id,
-         {", ".join(f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(pqm.PQ_M))}
+         {", ".join(f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(m))}
   FROM codes GROUP BY vec_id
 )"""
 
@@ -501,25 +505,30 @@ def _pq_search_oracle(
     table: str = "embeddings",
     qcte: str = osql.QVEC_CTE,
     sd: int = _PQ_SD,
+    m: int = pqm.PQ_M,
+    rerank: int = pqm.PQ_RERANK,
 ) -> str:
-    joins = " ".join(
-        f"JOIN lut l{s} ON l{s}.s = {s} AND l{s}.j = p.c{s}"
-        for s in range(pqm.PQ_M)
-    )
-    adc = " + ".join(f"l{s}.v" for s in range(pqm.PQ_M))
+    # ADC = one (s, code)->(s, j) join + sum(v ORDER BY s): the ordered
+    # aggregate folds left-to-right in s-order, bit-identical to the
+    # Spark/Python left-associated adds (verified empirically over
+    # shuffled physical orders).  The previous per-subspace join chain
+    # (M self-joins of lut) stalled DuckDB's join-order optimizer at the
+    # 384-dim m=96 configuration.
     return f"""
 WITH {qcte},
-{_pq_codes_ctes(table, sd)},
+{_pq_codes_ctes(table, sd, m)},
 lut AS (
   SELECT sub.s, cb.j, {_pq_sub_score_sql('q.qv', 'cb.cemb', 'sub.s', sd)} AS v
   FROM sub CROSS JOIN cb, q
 ),
 approx AS (
-  SELECT p.vec_id, {adc} AS ad FROM pqv p {joins}
+  SELECT c.vec_id, sum(l.v ORDER BY c.s) AS ad
+  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+  GROUP BY c.vec_id
 ),
 cand AS (
   SELECT vec_id FROM approx ORDER BY ad ASC, vec_id ASC
-  LIMIT {TOP_K * pqm.PQ_RERANK}
+  LIMIT {TOP_K * rerank}
 )
 SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
 FROM {table} e JOIN cand USING (vec_id), q
@@ -568,15 +577,13 @@ def _ivfpq_search_oracle(
     table: str = "embeddings",
     qcte: str = osql.QVEC_CTE,
     sd: int = _PQ_SD,
+    m: int = pqm.PQ_M,
+    rerank: int = pqm.PQ_RERANK,
 ) -> str:
-    joins = " ".join(
-        f"JOIN lut l{s} ON l{s}.s = {s} AND l{s}.j = p.c{s}"
-        for s in range(pqm.PQ_M)
-    )
-    adc = " + ".join(f"l{s}.v" for s in range(pqm.PQ_M))
+    # ADC via the ordered-aggregate join — see _pq_search_oracle
     return f"""
 WITH {qcte},
-{_pq_codes_ctes(table, sd)},{_ivf_assign_cte(table)},
+{_pq_codes_ctes(table, sd, m)},{_ivf_assign_cte(table)},
 probe AS (
   SELECT cid FROM cents, q
   ORDER BY {osql.sql_euclid('cemb', 'qv')} ASC, cid ASC
@@ -587,13 +594,15 @@ lut AS (
   FROM sub CROSS JOIN cb, q
 ),
 approx AS (
-  SELECT p.vec_id, {adc} AS ad FROM pqv p {joins}
-  JOIN assign a ON a.vec_id = p.vec_id
+  SELECT c.vec_id, sum(l.v ORDER BY c.s) AS ad
+  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+  JOIN assign a ON a.vec_id = c.vec_id
   WHERE a.ivf_cell IN (SELECT cid FROM probe)
+  GROUP BY c.vec_id
 ),
 cand AS (
   SELECT vec_id FROM approx ORDER BY ad ASC, vec_id ASC
-  LIMIT {TOP_K * pqm.PQ_RERANK}
+  LIMIT {TOP_K * rerank}
 )
 SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
 FROM {table} e JOIN cand USING (vec_id), q

@@ -183,23 +183,32 @@ def _pq_384_oracle() -> str:
     from javascript_vector_database_spark.operators import pq as pqm
 
     return _pq_search_oracle(
-        table=_T, qcte=_QCTE, sd=REFERENCE_DIM // pqm.PQ_M
+        table=_T,
+        qcte=_QCTE,
+        sd=REFERENCE_DIM // pqm.PQ_M_384,
+        m=pqm.PQ_M_384,
+        rerank=pqm.PQ_RERANK_384,
     )
 
 
 @register("ann_pq_384", oracle=_pq_384_oracle())
 def ann_pq_384(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ADC at reference geometry: M=8 subspaces of 48 dims each (vs 8
-    at the toy dim) — the compression regime PQ was designed for (Jégou:
-    128-dim SIFT, m=8).  Codebook is the deterministic hash-order sample
-    the oracle mirrors; the trained-k-means variant rides the bench
-    recall report, not the driver contract."""
-    from javascript_vector_database_spark.operators import ann_scale
+    """PQ ADC at reference geometry, the r7 probe shape: M=96 subspaces
+    of 4 dims each + a 32x exact re-rank pool.  The r6 config (M=8,
+    48-dim subspaces, rerank=8) measured recall@10 = 0.22 with this
+    sampled codebook — PQ accuracy is set by bits per COMPONENT, so wide
+    subspaces under-quantize (Jégou §V; FAISS convention is 4-8 dims per
+    subquantizer).  This configuration measures 0.88 on the fixture
+    (sweep in operators/pq.py PQ_M_384 notes).  Codebook remains the
+    deterministic hash-order sample the oracle mirrors; the trained
+    variant rides the bench recall report, not the driver contract."""
     from javascript_vector_database_spark.operators import pq as pqm
 
     fx = _fixture(spark)
-    cb = pqm.pq_codebook(_fixture_cents(spark, pqm.PQ_K))
-    return pqm.pq_search(fx, _fixture_qvec(spark), cb)
+    cb = pqm.pq_codebook(_fixture_cents(spark, pqm.PQ_K), m=pqm.PQ_M_384)
+    return pqm.pq_search(
+        fx, _fixture_qvec(spark), cb, rerank=pqm.PQ_RERANK_384
+    )
 
 
 def _ivfpq_384_oracle() -> str:
@@ -209,24 +218,32 @@ def _ivfpq_384_oracle() -> str:
     )
 
     return _ivfpq_search_oracle(
-        table=_T, qcte=_QCTE, sd=REFERENCE_DIM // pqm.PQ_M
+        table=_T,
+        qcte=_QCTE,
+        sd=REFERENCE_DIM // pqm.PQ_M_384,
+        m=pqm.PQ_M_384,
+        rerank=pqm.PQ_RERANK_384,
     )
 
 
 @register("ann_ivfpq_384", oracle=_ivfpq_384_oracle())
 def ann_ivfpq_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ at reference geometry — the full FAISS-style composition
-    (coarse probe x 48-dim-subspace ADC x exact re-rank) on the clustered
-    384-dim fixture.  Completes the quantizer family at reference
-    dimensionality: exact/range-compat/similarity/IVF/SQ8/PQ all have a
-    384 sibling; this row adds the composed cell-pruned code scan."""
+    (coarse probe x 4-dim-subspace ADC x 32x exact re-rank) on the
+    clustered 384-dim fixture, sharing the r7 M=96 probe shape with
+    `ann_pq_384` (see its docstring for the recall sweep).  Completes
+    the quantizer family at reference dimensionality: exact/range-
+    compat/similarity/IVF/SQ8/PQ all have a 384 sibling; this row adds
+    the composed cell-pruned code scan."""
     from javascript_vector_database_spark.operators import ann_scale
     from javascript_vector_database_spark.operators import pq as pqm
 
     fx = _fixture(spark)
     cents = _fixture_cents(spark, ann_scale.IVF_K)
-    cb = pqm.pq_codebook(cents)
-    return pqm.ivfpq_search(fx, _fixture_qvec(spark), cents, cb)
+    cb = pqm.pq_codebook(cents, m=pqm.PQ_M_384)
+    return pqm.ivfpq_search(
+        fx, _fixture_qvec(spark), cents, cb, rerank=pqm.PQ_RERANK_384
+    )
 
 
 @register("compat_index_string_384", oracle=_compat_oracle(REFERENCE_DIM, table=_T))

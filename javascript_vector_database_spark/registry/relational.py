@@ -624,14 +624,23 @@ FROM d GROUP BY decile
 def profile_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-count decile assignment (ntile over a doc_id-tiebroken
     total order — deterministic cross-engine) summarized per decile.
-    ntile's global sort is the documented cost: at 100 TB you ASSIGN
-    deciles from the quantile sketch's boundaries instead
-    (sketch_histogram_quantiles); this query is the exact
-    small-partition form."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = W.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+
+    Scale shape: ranks through :func:`operators.rank.global_row_number`
+    (P range-partitioned parallel sorts + broadcast offsets) and assigns
+    the decile with the closed-form integer :func:`_exact_ntile` — the
+    same de-ntile rewrite as customer_rfm_segments, so no unpartitioned
+    window ever sorts the document grain."""
+    from javascript_vector_database_spark.operators.rank import (
+        global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("n_chars", "doc_id")
+    ranked = global_row_number(
+        docs, [F.col("n_chars").asc(), F.col("doc_id").asc()], out="__rn"
+    )
+    n = ranked.count()
     return (
-        docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
+        ranked.select("n_chars", _exact_ntile("__rn", n, 10).alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -13,6 +13,9 @@ from __future__ import annotations
 import pytest
 
 from javascript_vector_database_spark import registry
+from javascript_vector_database_spark.plancheck import (
+    unpartitioned_window_keys,
+)
 from tests.oracle_harness import compare
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -40,6 +43,37 @@ BNLJ_ALLOWED = {
 }
 
 
+#: queries whose plan INTENTIONALLY contains an unpartitioned window —
+#: every entry's window input is BOUNDED by construction (a domain-sized
+#: rollup, never the data grain), with the bound named here.  Everything
+#: else must partition its windows on a real key or rank.py's ``__pid``
+#: (those are recognized structurally and never reach this list).  The
+#: registry-wide assertion below is the r5/r6-verdict sweep guard: an
+#: RFM-class regression (data-grain ntile/rank with no partition) now
+#: fails every pytest run.
+UNPART_WINDOW_ALLOWED = {
+    # cumulative share over the 10 decile rollup rows + OVER () total
+    "customer_pareto_share": "10 decile rows",
+    # three rolling stats over the 24-hour-of-day rollup
+    "events_anomaly_hours": "24 hour-of-day rows",
+    # trailing window over the day-index rollup (calendar-bounded)
+    "orders_trailing_week_revenue": "day-grain rollup",
+    # lag over the week rollup (calendar-bounded)
+    "orders_wow_growth": "week-grain rollup",
+    # running count over the fixed-width histogram bins (value-range
+    # bounded — the sketch property itself)
+    "sketch_histogram_quantiles": "histogram bins",
+    # rank over a 30-row TakeOrdered survivor set
+    "text_zipf_profile": "top-30 limit input",
+    # OVER () totals across the 9 first-digit rollup rows
+    "profile_benford_digits": "9 digit rows",
+    # OVER () totals across the fixed histogram buckets per split
+    "profile_split_drift": "histogram buckets",
+    # OVER () scalar across the bounded event-type pair grid
+    "events_corr_pairs": "type-pair grid",
+}
+
+
 @pytest.mark.parametrize("name", ALL_NAMES)
 def test_registry_sweep(spark, name):
     compare(spark, SF_SMOKE, registry.queries()[name], registry.oracle_sql()[name])
@@ -53,4 +87,11 @@ def test_registry_sweep(spark, name):
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} acquired a nested-loop join:\n{plan}"
+        )
+    if name not in UNPART_WINDOW_ALLOWED:
+        keys = unpartitioned_window_keys(plan)
+        assert not keys, (
+            f"{name} runs unpartitioned window(s) over {keys} — partition "
+            f"on a real key, use operators/rank.py's __pid discipline, or "
+            f"whitelist with a bounded-input justification:\n{plan}"
         )
