@@ -206,6 +206,59 @@ def local_triangle_counts(
     )
 
 
+def seeded_triangle_counts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-SEED triangle participation and local clustering coefficient —
+    ``(node, degree, n_triangles, clustering_coef)`` for exactly the
+    nodes in ``seeds`` (one ``node`` column, bounded by construction).
+
+    The bounded sibling of :func:`local_triangle_counts`: instead of the
+    all-node O(m^1.5) compact-forward sweep, wedges are generated ONLY
+    at the seed pivots — each seed's neighbor pairs (deg^2 of them) are
+    checked for a closing edge with a semi-join against the unique-pair
+    edge list, so total work is sum over seeds of deg^2, independent of
+    the rest of the graph (the same seeds x deg^2 probe bound as the
+    harmonic-hubs centrality).  The right shape when the graph is too
+    dense to sweep whole and only a bounded report (top hubs, a watch
+    list) is needed.  t(v) counts each triangle at v once (its two other
+    corners appear as an ordered (x < y) pair exactly once)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    adj = e.unionAll(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    sd = seeds.select(F.col("node").alias("s")).distinct()
+    # both wedge sides read the seed-restricted adjacency — once
+    nb = adj.join(F.broadcast(sd), "s", "left_semi").localCheckpoint(
+        eager=False
+    )
+    left = nb.select(F.col("s").alias("p"), F.col("t").alias("x"))
+    right = nb.select(F.col("s").alias("p"), F.col("t").alias("y"))
+    pairs = left.join(right, "p").where(F.col("x") < F.col("y"))
+    closing = e.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    tri = (
+        pairs.join(closing, ["x", "y"], "left_semi")
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(F.broadcast(sd), "s", "left_semi")
+        .join(tri, deg["s"] == tri["p"], "left")
+        .select(
+            F.col("s").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - F.lit(1))).cast("double")
+            ).alias("clustering_coef"),
+        )
+    )
+
+
 def common_neighbor_pairs(
     edges: DataFrame,
     src: str = "src",

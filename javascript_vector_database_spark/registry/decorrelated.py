@@ -1505,3 +1505,65 @@ def graph_harmonic_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("harmonic_2x").desc(), F.col("node").asc())
     )
+
+
+_CLUSTERING_HUBS_ORACLE = f"""
+WITH {_COPURCHASE_PAIRS.strip()},
+adj AS (
+  SELECT src AS p, dst AS t FROM pairs
+  UNION ALL SELECT dst AS p, src AS t FROM pairs
+),
+deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+seeds AS (SELECT p FROM deg ORDER BY d DESC, p ASC LIMIT {_HUB_SEEDS}),
+nb AS (SELECT a.p, a.t FROM adj a JOIN seeds s ON s.p = a.p),
+wedge AS (
+  SELECT l.p, l.t AS x, r.t AS y
+  FROM nb l JOIN nb r ON l.p = r.p AND l.t < r.t
+),
+t AS (
+  SELECT w.p, CAST(count(*) AS BIGINT) AS t
+  FROM wedge w JOIN pairs e ON e.src = w.x AND e.dst = w.y
+  GROUP BY 1
+)
+SELECT d.p AS node, d.d AS degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+       2.0 * coalesce(t.t, 0) / (d.d * (d.d - 1)) AS clustering_coef
+FROM deg d JOIN seeds s ON s.p = d.p LEFT JOIN t ON t.p = d.p
+ORDER BY clustering_coef DESC, node ASC
+"""
+
+
+@register("graph_clustering_coefficient_hubs", oracle=_CLUSTERING_HUBS_ORACLE)
+def graph_clustering_coefficient_hubs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clustering coefficient for the 20 highest-degree parts ONLY — the
+    bounded sibling of `graph_clustering_coefficient`: wedges generate
+    at the seed pivots (operators/graph.py:seeded_triangle_counts), so
+    work is seeds x deg^2 regardless of graph size, vs the all-node
+    O(m^1.5) compact-forward sweep.  The same seeded-probe shape as
+    `graph_harmonic_hubs`; seeds share its exact (degree desc, id) pick.
+    A hub's coefficient is the interesting one operationally: it says
+    whether a high-degree part anchors one community (high) or bridges
+    many (low)."""
+    from javascript_vector_database_spark.operators.graph import (
+        seeded_triangle_counts,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    a = edges.select(F.col("src").alias("n"))
+    b = edges.select(F.col("dst").alias("n"))
+    deg = (
+        a.unionAll(b)
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    seeds = (
+        deg.orderBy(F.col("d").desc(), F.col("n").asc())
+        .limit(_HUB_SEEDS)
+        .select(F.col("n").alias("node"))
+        .localCheckpoint(eager=False)
+    )
+    return seeded_triangle_counts(edges, seeds).orderBy(
+        F.col("clustering_coef").desc(), F.col("node").asc()
+    )

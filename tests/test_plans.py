@@ -461,3 +461,17 @@ def test_linear_attribution_no_cartesian(spark):
     plan = _plan(registry.queries()["events_attribution_linear"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_clustering_hubs_seed_restricted(spark):
+    """The seeded clustering-coefficient probe: the adjacency must be
+    restricted to the bounded seed set via BROADCAST semi-joins (never a
+    shuffle of the full adjacency against 20 seeds), the closing-edge
+    test must stay a semi-join, and nothing may go quadratic."""
+    plan = _plan(
+        registry.queries()["graph_clustering_coefficient_hubs"](spark, SF)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan

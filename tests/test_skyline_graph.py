@@ -10,7 +10,9 @@ import random
 from pyspark.sql import functions as F
 
 from javascript_vector_database_spark.operators.graph import (
+    local_triangle_counts,
     personalized_pagerank,
+    seeded_triangle_counts,
 )
 from javascript_vector_database_spark.operators.skyline import (
     skyline_2d,
@@ -157,3 +159,34 @@ def test_passjoin_short_strings_vs_bruteforce(spark):
         if ed(keys[i], keys[j]) <= _ED_K
     )
     assert got == want, (got, want)
+
+
+def test_seeded_triangle_counts_match_full_sweep(spark):
+    # the seeded probe must agree exactly with the all-node compact-
+    # forward sweep on the seed set — random graph incl. hub + triangles
+    rng = random.Random(11)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randint(0, 25), rng.randint(0, 25)) for _ in range(140)
+            )
+            if a != b
+        }
+    )
+    e = spark.createDataFrame(edges, schema="src long, dst long")
+    full = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coef"])
+        for r in local_triangle_counts(e).collect()
+    }
+    seed_ids = sorted(full)[::3]  # every third node, incl. deg>=2 only
+    seeds = spark.createDataFrame(
+        [(s,) for s in seed_ids], schema="node long"
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coef"])
+        for r in seeded_triangle_counts(e, seeds).collect()
+    }
+    assert set(got) == set(seed_ids)
+    for s in seed_ids:
+        assert got[s] == full[s], (s, got[s], full[s])
