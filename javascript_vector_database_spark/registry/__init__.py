@@ -103,14 +103,47 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # DRIVER WINDOW (first 50), round 6.  The r5 verdict's top item: 31
-    # r5 registry queries had never been inside a 50-slot window — they
-    # lead this rotation (all sweep-green locally since r5), followed by
-    # the 19 r6-new rows: never-stamped queries fill the window EXACTLY
-    # (31 + 19 = 50).  The two r6-changed rows sit first past the
-    # boundary — they carry older green stamps and the local sweep
-    # re-verifies them on every pytest run.
-    # -- never-stamped r5 queries (31)
+    # DRIVER WINDOW (first 50), round 7.  Composition:
+    #   15 never-stamped late-r6 rows (the r6 verdict's top item — they
+    #      outgrew the r6 window; all sweep-green locally since r6);
+    #   11 r7-changed rows (RFM/ntile de-windowing, integer histogram
+    #      bins, PQ-384 M=96 + rerank=32 reconfig, null-safe stream
+    #      split, shared shuffle-partitions guard);
+    #    4 PQ-family rows whose ORACLES moved to the ordered-sum ADC;
+    #    1 r7-new row (seeded clustering-coefficient probe);
+    #   19 oldest-stamp refreshers (r2/r3 stamps, unchanged).
+    # -- never-stamped late-r6 (15)
+    "parts_price_size_skyline", "brand_price_size_skyline",
+    "graph_personalized_pagerank", "graph_harmonic_hubs",
+    "dedup_cosine_pairs_384", "events_attribution_linear",
+    "text_editdistance_pairs", "agg_q3_shipping_priority",
+    "agg_q5_local_supplier_volume", "agg_q8_market_share",
+    "agg_q14_promo_effect", "agg_q19_disjunctive_revenue",
+    "agg_grouping_sets_revenue", "stream_interval_join_live",
+    "stream_dedup_live",
+    # -- r7-changed (11)
+    "customer_rfm_segments", "profile_ntile_deciles",
+    "sketch_histogram_quantiles", "sketch_grouped_quantiles",
+    "ann_pq_384", "ann_ivfpq_384",
+    "stream_hll_live_users", "stream_live_count_by_type",
+    "stream_cms_live_tokens",
+    "dedup_jaccard_prefix", "dedup_multipass_pairs",
+    # -- r7 oracle-changed PQ family (4)
+    "ann_pq_search", "ann_pq_search_precomputed",
+    "ann_ivfpq_search", "ann_ivfpq_search_partitioned",
+    # -- r7-new (1)
+    "graph_clustering_coefficient_hubs",
+    # -- oldest-stamp refreshers (19): r2/r3 driver stamps, unchanged
+    "scan_documents", "point_lookup", "mango_count",
+    "mango_sort_skip_limit", "union_dedup",
+    "join_anti_missing_vectors", "join_zip_documents_embeddings",
+    "flagship_search", "knn_exact", "knn_ann_range",
+    "knn_ann_similarity", "knn_ann_range_compat", "compat_index_string",
+    "knn_cosine", "dml_roundtrip", "pipeline_roundtrip",
+    "reactive_count_ivm", "reactive_query_ivm", "reactive_topk_ivm",
+    # ---- window boundary (50) ----
+    # everything below carries a green r4-r6 stamp and is unchanged;
+    # the local sf0.001 sweep re-verifies all of it on every pytest run
     "events_session_funnel", "graph_degree_histogram",
     "profile_split_drift", "customer_pareto_share",
     "text_lang_confusion", "curation_universe_sample",
@@ -119,7 +152,6 @@ _PRIORITY = [
     "lineitem_ship_latency", "events_props_json_stats",
     "events_cohort_ltv", "embedding_norm_profile",
     "events_top_journeys", "text_collocations_lift",
-    "sketch_grouped_quantiles",
     "orders_trailing_week_revenue", "orders_percent_rank_top",
     "mango_all",
     "supplier_fill_rate", "text_zipf_profile",
@@ -128,13 +160,8 @@ _PRIORITY = [
     "dedup_jaccard_clusters",
     "events_retention_rate", "orders_basket_size_hist",
     "events_stickiness",
-    "curation_weighted_sample", "dedup_multipass_pairs",
-    # -- r6-new (19): streaming==batch equivalence, 384-dim quantizers
-    #    (incl. IVF-PQ), Q2/Q6/Q7/Q11/Q13/Q15/Q21/Q22 shapes, triangle
-    #    count + clustering coefficient + link prediction, last-touch
-    #    attribution, fixed-point TF-IDF pair similarity
-    "stream_hll_live_users", "stream_live_count_by_type",
-    "stream_cms_live_tokens", "ann_sq8_384", "ann_pq_384",
+    "curation_weighted_sample",
+    "ann_sq8_384",
     "supplier_sole_late_q21", "graph_triangle_count",
     "events_attribution_last_touch", "agg_q6_forecast_revenue",
     "agg_q7_nation_volume",
@@ -142,67 +169,6 @@ _PRIORITY = [
     "agg_q13_customer_distribution", "agg_q15_top_supplier",
     "agg_q22_dormant_customers", "graph_clustering_coefficient",
     "graph_common_neighbors", "text_tfidf_similar_pairs",
-    "ann_ivfpq_384",
-    # ---- window boundary (50) ----
-    # -- r6-new past the window (15): sweep-verified, stamps next round
-    "parts_price_size_skyline", "graph_personalized_pagerank",
-    "brand_price_size_skyline", "dedup_cosine_pairs_384",
-    "events_attribution_linear", "text_editdistance_pairs",
-    "agg_q3_shipping_priority", "agg_q5_local_supplier_volume",
-    "agg_q8_market_share", "agg_q14_promo_effect",
-    "agg_q19_disjunctive_revenue", "agg_grouping_sets_revenue",
-    "stream_interval_join_live", "stream_dedup_live",
-    "graph_harmonic_hubs",
-    # -- r6-changed after their last stamp (2): older stamps green,
-    #    sweep-verified locally every pytest run
-    "dedup_jaccard_prefix", "sketch_histogram_quantiles",
-    # displaced refreshers + recent green stamps (r2-r5), unchanged
-    "scan_documents", "point_lookup", "mango_count",
-    "mango_sort_skip_limit", "union_dedup",
-    "join_anti_missing_vectors", "join_zip_documents_embeddings",
-    "flagship_search", "knn_exact", "knn_ann_range",
-    "dml_roundtrip", "pipeline_roundtrip",
-    "agg_q17_small_quantity_revenue", "agg_q18_large_orders",
-    "profile_unpivot_lang_stats", "curation_domain_cap",
-    "events_scd2_state_intervals", "events_gapfill_hourly",
-    "sketch_cms_token_freq", "curation_contamination_bloom",
-    "graph_pagerank_copurchase",
-    "text_bpe_pair_counts",
-    "curation_remove_boilerplate", "text_phrase_search",
-    "events_hourly_trend", "events_corr_pairs",
-    "knn_exact_384", "knn_ann_similarity_384",
-    "knn_ann_range_compat_384", "compat_index_string_384", "ann_ivf_384",
-    "sketch_hll_distinct_users", "sketch_hll_users_by_type",
-    "join_bucketed_colocated", "curation_lm_quality",
-    "text_winnow_fingerprints", "text_winnow_overlap_pairs",
-    "events_funnel_counts", "events_retention_cohorts",
-    "events_hopping_window_agg", "agg_regional_revenue",
-    "text_keywords", "events_anomaly_hours",
-    "knn_mmr_rerank", "dedup_simhash_hamming",
-    "events_funnel_latency", "events_asof_join_forward",
-    "orders_winsorized_mean", "curation_luhn_cc_detect",
-    "events_markov_transitions", "events_cusum_alarms",
-    "division_suppliers_full_brand", "text_phrase_postings_join",
-    "events_dwell_stats", "profile_ntile_deciles",
-    "orders_price_outliers", "profile_benford_digits",
-    "orders_mad_outliers", "basket_association_rules",
-    "customer_rfm_segments",
-    "dedup_lsh_pairs", "dedup_duplicate_clusters",
-    "dedup_duplicate_clusters_star", "curation_pipeline",
-    "curation_contamination", "knn_batch_exact",
-    "state_fold_last_per_user",
-    "knn_ann_similarity",
-    "knn_ann_range_compat", "compat_index_string",
-    "ann_doc_reads", "ann_ivf_batch_search", "ann_ivf_cells",
-    "ann_ivf_search", "ann_ivf_search_partitioned", "ann_lsh_buckets",
-    "ann_lsh_search", "ann_lsh_search_precomputed", "ann_sq8_codes",
-    "ann_sq8_search", "ann_sq8_search_precomputed",
-    "curation_chunk_documents", "curation_split_assign",
-    "dedup_batch_vs_corpus", "dedup_cosine_pairs",
-    "join_salted_skew", "knn_cosine", "multimodal_byte_stats",
-    "multimodal_decode_fake", "multimodal_resize_fake",
-    "profile_length_quantiles", "reactive_count_ivm",
-    "reactive_query_ivm", "reactive_topk_ivm",
 ]
 
 

@@ -224,6 +224,8 @@ AUDITED = [
     "agg_q19_disjunctive_revenue",
     "agg_grouping_sets_revenue",
     "graph_harmonic_hubs",
+    # r7 additions
+    "graph_clustering_coefficient_hubs",
 ]
 
 
