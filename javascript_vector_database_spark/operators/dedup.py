@@ -396,6 +396,70 @@ def _band_pairs_from_sigs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs:
+    ``|S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) >= threshold`` over distinct
+    k-shingle sets — the SUB-document duplication detector (a document
+    embedded verbatim inside a larger one scores ~1.0 here while its
+    Jaccard shrinks with the size ratio; Broder's containment measure,
+    the shape train/eval decontamination and quote/boilerplate-inclusion
+    sweeps need).  Output: (id_a, id_b, overlap_coef), id_a < id_b.
+
+    Scale shape: exact-duplicate texts collapse to one representative
+    first (the multipass discipline — mass-duplicated corpora would
+    otherwise multiply every posting), then an inverted-index join on
+    the 64-bit shingle hashes pairs ONLY documents that actually share a
+    shingle (candidate volume is sum over shingles of df^2 on the
+    UNIQUE-text corpus, no caller-supplied block key), and per-pair
+    intersection counts meet the per-doc set sizes for the coefficient.
+    Hash-set counts stand in for string-set counts (64 bits; the
+    jaccard_prefix_pairs collision math).  The DuckDB oracle runs the
+    textbook quadratic list_intersect over the same representatives."""
+    from pyspark.sql.window import Window
+
+    src = spread(df).select(F.col(id_col), _as_col(text_col).alias("__text"))
+    wth = Window.partitionBy("__th")
+    withh = src.withColumn("__th", F.md5("__text")).withColumn(
+        "__rep", F.min(id_col).over(wth)
+    )
+    reps = withh.where(F.col(id_col) == F.col("__rep")).select(
+        id_col, "__text"
+    )
+    # three consumers (sizes + both posting sides) — materialize once
+    ex = exploded_shingle_hashes(
+        reps, "__text", id_col, shingle_k, distinct=True
+    ).localCheckpoint(eager=False)
+    sizes = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    a = ex.select(F.col(id_col).alias("id_a"), "v1", "v2")
+    b = ex.select(F.col(id_col).alias("id_b"), "v1", "v2")
+    inter = (
+        a.join(b, ["v1", "v2"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "overlap_coef",
+            F.round(F.col("__c") / F.least("__sa", "__sb"), 6),
+        )
+        .where(F.col("overlap_coef") >= threshold)
+        .select("id_a", "id_b", "overlap_coef")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -301,6 +301,68 @@ def common_neighbor_pairs(
     return cand.join(existing, ["x", "y"], "left_anti")
 
 
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """``rounds`` synchronous peels toward the k-core of an undirected
+    graph: each round drops every node whose CURRENT degree is below
+    ``k``, then restricts the edge set to survivors — ``(node,
+    core_degree)`` of the remaining subgraph.  The k-core proper is this
+    iterated to fixpoint; a FIXED round count makes the result exact and
+    identical on any engine (the same bounded-unroll contract as the
+    PageRank oracles) and is how the scan runs at scale anyway — each
+    round is one groupBy + two semi-joins, and peeling converges
+    geometrically on real degree-skewed graphs.  Dense-core membership
+    is the standard spam/bot-cluster and community-seed signal.
+
+    ``edges`` is the unique-pair (src < dst) list; checkpoints pin each
+    round's survivor set so lineage stays shallow."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    adj = e.unionAll(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    for _ in range(rounds):
+        deg = adj.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        keep = (
+            deg.where(F.col("d") >= k)
+            .select("s")
+            .localCheckpoint(eager=False)
+        )
+        adj = (
+            adj.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("t")), "t", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return adj.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    ).select(F.col("s").alias("node"), "core_degree")
+
+
+def sql_kcore_peel(edges_cte: str, k: int, rounds: int) -> str:
+    """DuckDB oracle for :func:`kcore_peel`: the identical peeling
+    rounds unrolled as CTE levels.  ``edges_cte`` selects the unique
+    (src, dst) pair list."""
+    sql = [f"WITH pairs AS ({edges_cte}),"]
+    sql.append(
+        "adj0 AS (SELECT src AS s, dst AS t FROM pairs"
+        " UNION ALL SELECT dst AS s, src AS t FROM pairs),"
+    )
+    for i in range(rounds):
+        sql.append(
+            f"""k{i} AS (
+  SELECT s FROM (SELECT s, count(*) AS d FROM adj{i} GROUP BY 1)
+  WHERE d >= {k}
+),
+adj{i + 1} AS (
+  SELECT a.s, a.t FROM adj{i} a
+  JOIN k{i} x ON x.s = a.s JOIN k{i} y ON y.s = a.t
+),"""
+        )
+    body = "\n".join(sql).rstrip(",")
+    return (
+        f"{body}\nSELECT s AS node, CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM adj{rounds} GROUP BY 1"
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame, seeds: DataFrame, rounds: int = PAGERANK_ROUNDS
 ) -> DataFrame:

@@ -413,6 +413,81 @@ def pq_search_precomputed(
     )
 
 
+def pq_batch_search(
+    codes: DataFrame,
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    q_id: str = "query_id",
+) -> DataFrame:
+    """Batch ADC: top-k per query for a WHOLE query set in ONE scan of
+    the stored code table — the PQ analog of :func:`knn.knn_batch`'s
+    amortization (the corpus codes are read once for |Q| queries, not
+    |Q| times), composed with PQ's own I/O story (the scan reads M-byte
+    codes, never the float vectors).
+
+    Every query's ADC is its own EXPRESSION-level fold
+    (:func:`pq_adc_expr` — M literal-array lookups, left-associated
+    adds, deterministic on any engine; never a float groupBy-sum whose
+    shuffle order could flip candidate boundaries), stacked via one
+    explode to (query, id, ad) skinny rows.  Per-query k*rerank
+    candidates come from a row_number window Catalyst rewrites to a
+    two-phase WindowGroupLimit (partial top-k below the exchange — the
+    knn_batch plan shape), and the exact re-rank joins the bounded
+    survivor set back to the vector table with the broadcast query
+    vectors.  Output: (query_id, id, distance)."""
+    from pyspark.sql.window import Window
+
+    ad_structs = [
+        F.struct(
+            F.lit(int(qid)).cast("long").alias("q"),
+            pq_adc_expr(F.col(code_col), py_pq_lut(qv, codebook)).alias("ad"),
+        )
+        for qid, qv in queries
+    ]
+    scored = codes.select(
+        F.col(id_col), F.explode(F.array(*ad_structs)).alias("__x")
+    ).select(
+        F.col("__x.q").alias(q_id),
+        F.col(id_col),
+        F.col("__x.ad").alias("__ad"),
+    )
+    wc = Window.partitionBy(q_id).orderBy(
+        F.col("__ad").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(wc))
+        .where(F.col("__rn") <= k * rerank)
+        .select(q_id, id_col)
+    )
+    qdf = codes.sparkSession.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        schema=f"{q_id} long, __qv array<double>",
+    )
+    wr = Window.partitionBy(q_id).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        emb.join(cand, id_col)
+        .join(F.broadcast(qdf), q_id)
+        .select(
+            q_id,
+            id_col,
+            F.round(
+                euclidean_distance(F.col(vec_col), F.col("__qv")), 6
+            ).alias("distance"),
+        )
+        .withColumn("__rn", F.row_number().over(wr))
+        .where(F.col("__rn") <= k)
+        .select(q_id, id_col, "distance")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ: coarse cell probe + ADC within the probed cells
 # ---------------------------------------------------------------------------

@@ -110,8 +110,9 @@ _PRIORITY = [
     #      bins, PQ-384 M=96 + rerank=32 reconfig, null-safe stream
     #      split, shared shuffle-partitions guard);
     #    4 PQ-family rows whose ORACLES moved to the ordered-sum ADC;
-    #    1 r7-new row (seeded clustering-coefficient probe);
-    #   19 oldest-stamp refreshers (r2/r3 stamps, unchanged).
+    #    5 r7-new rows (seeded clustering coefficient, batch PQ ADC,
+    #      containment pairs, OLS trend, k-core peel);
+    #   15 oldest-stamp refreshers (r2/r3 stamps, unchanged).
     # -- never-stamped late-r6 (15)
     "parts_price_size_skyline", "brand_price_size_skyline",
     "graph_personalized_pagerank", "graph_harmonic_hubs",
@@ -131,17 +132,22 @@ _PRIORITY = [
     # -- r7 oracle-changed PQ family (4)
     "ann_pq_search", "ann_pq_search_precomputed",
     "ann_ivfpq_search", "ann_ivfpq_search_partitioned",
-    # -- r7-new (1)
-    "graph_clustering_coefficient_hubs",
-    # -- oldest-stamp refreshers (19): r2/r3 driver stamps, unchanged
+    # -- r7-new (5)
+    "graph_clustering_coefficient_hubs", "ann_pq_batch_search",
+    "dedup_containment_pairs", "orders_weekly_trend_ols",
+    "graph_kcore_peel",
+    # -- oldest-stamp refreshers (15): r2/r3 driver stamps, unchanged
     "scan_documents", "point_lookup", "mango_count",
     "mango_sort_skip_limit", "union_dedup",
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
     "flagship_search", "knn_exact", "knn_ann_range",
-    "knn_ann_similarity", "knn_ann_range_compat", "compat_index_string",
-    "knn_cosine", "dml_roundtrip", "pipeline_roundtrip",
+    "dml_roundtrip", "pipeline_roundtrip",
     "reactive_count_ivm", "reactive_query_ivm", "reactive_topk_ivm",
     # ---- window boundary (50) ----
+    # displaced refreshers (r3 stamps; their 384 siblings carry r5
+    # stamps, so these four were the lowest-value refresh slots)
+    "knn_ann_similarity", "knn_ann_range_compat", "compat_index_string",
+    "knn_cosine",
     # everything below carries a green r4-r6 stamp and is unchanged;
     # the local sf0.001 sweep re-verifies all of it on every pytest run
     "events_session_funnel", "graph_degree_histogram",

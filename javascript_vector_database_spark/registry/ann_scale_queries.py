@@ -611,6 +611,78 @@ LIMIT {TOP_K}
 """
 
 
+def _pq_batch_oracle(
+    table: str = "embeddings",
+    sd: int = _PQ_SD,
+    m: int = pqm.PQ_M,
+    rerank: int = pqm.PQ_RERANK,
+) -> str:
+    from javascript_vector_database_spark.registry.vector_search import (
+        BATCH_QUERY_IDS,
+    )
+
+    qs = (
+        f"qs AS (SELECT vec_id AS query_id, embedding AS qv FROM {table} "
+        f"WHERE vec_id IN {BATCH_QUERY_IDS})"
+    )
+    return f"""
+WITH {qs},
+{_pq_codes_ctes(table, sd, m)},
+lut AS (
+  SELECT q.query_id, sub.s, cb.j,
+         {_pq_sub_score_sql('q.qv', 'cb.cemb', 'sub.s', sd)} AS v
+  FROM sub CROSS JOIN cb CROSS JOIN qs q
+),
+approx AS (
+  SELECT l.query_id, c.vec_id, sum(l.v ORDER BY c.s) AS ad
+  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY ad ASC, vec_id ASC) AS rn
+    FROM approx
+  ) WHERE rn <= {TOP_K * rerank}
+),
+d AS (
+  SELECT c.query_id, e.vec_id,
+         round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
+  FROM {table} e JOIN cand c USING (vec_id)
+  JOIN qs q ON q.query_id = c.query_id
+)
+SELECT query_id, vec_id, distance FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance ASC, vec_id ASC) AS rn
+  FROM d
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("ann_pq_batch_search", oracle=_pq_batch_oracle())
+def ann_pq_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch PQ ADC: top-10 for the 5 batch query vectors in ONE scan of
+    the code table — knn_batch_exact's amortization composed with PQ's
+    code-only I/O (the probe never reads a float vector; each query's
+    ADC is an expression-level literal fold, stacked skinny and
+    WindowGroupLimit-pruned per query before the bounded exact
+    re-rank)."""
+    from javascript_vector_database_spark.registry.vector_search import (
+        BATCH_QUERY_IDS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pqm.pq_codebook(ann_scale.collect_centroids(emb, k=pqm.PQ_K))
+    codes = pqm.pq_code_table(emb, cb)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(
+            F.col("vec_id").isin(list(BATCH_QUERY_IDS))
+        ).collect()
+    ]
+    return pqm.pq_batch_search(codes, emb, queries, cb)
+
+
 @register("ann_ivfpq_search", oracle=_ivfpq_search_oracle())
 def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (the FAISS IVF_PQ composition): probe the nprobe nearest

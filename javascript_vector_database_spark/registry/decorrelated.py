@@ -1507,6 +1507,45 @@ def graph_harmonic_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: co-purchase degrees run ~40-210 at the test scales (median 89/115 at
+#: sf0.001/sf0.01) with a SHARP core transition (k=80 already cascades
+#: to an empty 3-peel core at sf0.001); k=70 peels ~15% of nodes while
+#: keeping a dense survivor core at both scales.  A production run sets
+#: k against its own degree profile (graph_degree_histogram)
+_KCORE_K = 70
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    from javascript_vector_database_spark.operators.graph import (
+        sql_kcore_peel,
+    )
+
+    edges_cte = (
+        "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    )
+    return sql_kcore_peel(edges_cte, _KCORE_K, _KCORE_ROUNDS)
+
+
+@register("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction of the co-purchase graph: three synchronous
+    peels toward the k=70 core (operators/graph.py:kcore_peel) — each round
+    drops nodes of current degree < k and restricts edges to survivors;
+    output is every surviving part with its core degree.  Fixed-round
+    peeling is the exact, engine-portable scan of the k-core fixpoint
+    (the PageRank bounded-unroll contract); membership in a dense core
+    is the standard community-seed / anomalous-cluster signal.  Rides
+    the shared materialized edge table."""
+    from javascript_vector_database_spark.operators.graph import kcore_peel
+
+    return kcore_peel(
+        _copurchase_edges(spark, sf_dir), _KCORE_K, _KCORE_ROUNDS
+    )
+
+
 _CLUSTERING_HUBS_ORACLE = f"""
 WITH {_COPURCHASE_PAIRS.strip()},
 adj AS (

@@ -177,6 +177,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_THRESHOLD = 0.8
+
+
+def _containment_oracle() -> str:
+    sh = _sql_shingles("text")
+    return f"""
+WITH g AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents
+),
+reps AS (SELECT doc_id, text FROM g WHERE doc_id = rep),
+sh AS (SELECT doc_id, {sh} AS sh FROM reps),
+scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / least(len(a.sh), len(b.sh)), 6) AS overlap_coef
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, overlap_coef FROM scored
+WHERE overlap_coef >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_containment_pairs", oracle=_containment_oracle())
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) pairs over unique-text
+    representatives — the sub-document duplication detector: a document
+    embedded verbatim in a larger one scores ~1.0 while its Jaccard
+    shrinks with the size ratio.  Spark pairs candidates through an
+    inverted-index join on shingle hashes (only docs sharing a shingle
+    ever meet — no block key, no quadratic pass); the oracle runs the
+    textbook quadratic list_intersect over the same representatives."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=_CONTAINMENT_THRESHOLD,
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

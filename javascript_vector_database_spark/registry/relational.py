@@ -999,6 +999,92 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OLS_ORACLE = """
+WITH weekly AS (
+  SELECT o_orderpriority AS priority,
+         datediff('day', DATE '1970-01-05',
+                  CAST(date_trunc('week', o_orderdate) AS DATE)) // 7 AS x,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y_cents
+  FROM orders GROUP BY 1, 2
+),
+s AS (
+  SELECT priority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y_cents) AS BIGINT) AS sy,
+         CAST(sum(x * y_cents) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM weekly GROUP BY 1
+)
+SELECT priority, n AS n_weeks,
+       round(CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                  AS DOUBLE)
+             / CAST((n * sxx - sx * sx) * 100 AS DOUBLE), 6)
+         AS slope_per_week,
+       round(CAST(CAST(sy AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+                  AS DOUBLE)
+             / CAST((n * sxx - sx * sx) * 100 AS DOUBLE), 6)
+         AS intercept
+FROM s
+"""
+
+
+@register("orders_weekly_trend_ols", oracle=_OLS_ORACLE)
+def orders_weekly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of weekly revenue — slope and intercept
+    from the closed-form normal equations over EXACT integer sums:
+    weekly revenue is summed as decimal then carried in BIGINT cents, x
+    is the integer week index (Monday-epoch DIV 7), and
+    ``slope = (n*Σxy − Σx*Σy) / (n*Σx² − (Σx)²)`` — every operand a
+    shuffle-order-proof BIGINT (the PageRank determinism discipline
+    applied to regression), with ONE double division at the end.  Bound
+    check: Σxy <= weeks x max_week x max_cents ~ 1e15 « 2^63.  Two
+    map-side-combined groupBys (fact -> (priority, week) -> priority);
+    no window, no collect — the trend-extraction shape a monitoring
+    pipeline runs over any metric at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "datediff(CAST(date_trunc('week', o_orderdate) AS DATE), "
+            "DATE '1970-01-05') DIV 7"
+        ).alias("x"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y_cents")
+    )
+    s = weekly.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y_cents").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y_cents")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    # numerators in DECIMAL: sy*sxx reaches ~1e21 (past int64) at sf0.01
+    # already — decimal(19,0) x decimal(19,0) stays exact to 38 digits on
+    # both engines; the denominator (n*sxx ~ 1e12) stays BIGINT
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * 100
+    return s.select(
+        "priority",
+        F.col("n").alias("n_weeks"),
+        F.round(
+            (d19("n") * d19("sxy") - d19("sx") * d19("sy")).cast("double")
+            / den.cast("double"),
+            6,
+        ).alias("slope_per_week"),
+        F.round(
+            (d19("sy") * d19("sxx") - d19("sx") * d19("sxy")).cast("double")
+            / den.cast("double"),
+            6,
+        ).alias("intercept"),
+    )
+
+
 _RFM_ORACLE = """
 WITH base AS (
   SELECT o_custkey,

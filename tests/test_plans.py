@@ -463,6 +463,18 @@ def test_linear_attribution_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_pq_batch_partial_group_limit(spark):
+    """Batch PQ ADC must inherit knn_batch's two-phase WindowGroupLimit
+    (per-query partial top-k*rerank below the exchange) AND never join
+    the float-vector table before candidate pruning — only the bounded
+    survivor set reaches the exact re-rank."""
+    plan = _plan(registry.queries()["ann_pq_batch_search"](spark, SF))
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1 and "Partial" in plan[partial:], plan
+    assert "row_number(), 80, Partial" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_clustering_hubs_seed_restricted(spark):
     """The seeded clustering-coefficient probe: the adjacency must be
     restricted to the bounded seed set via BROADCAST semi-joins (never a

@@ -226,6 +226,10 @@ AUDITED = [
     "graph_harmonic_hubs",
     # r7 additions
     "graph_clustering_coefficient_hubs",
+    "ann_pq_batch_search",
+    "dedup_containment_pairs",
+    "orders_weekly_trend_ols",
+    "graph_kcore_peel",
 ]
 
 
