@@ -117,6 +117,12 @@ _SCALE_HEADLINE = [
     "graph_clustering_coefficient",
     "text_tfidf_similar_pairs",
     "parts_price_size_skyline",
+    # r7: the seeded probe must undercut the full sweep at 10x (verdict
+    # check), the containment posting join on the mass-dup corpus, and
+    # the three-round peel's semi-join cascade
+    "graph_clustering_coefficient_hubs",
+    "dedup_containment_pairs",
+    "graph_kcore_peel",
 ]
 
 
@@ -661,6 +667,12 @@ def main() -> None:
         "agg_q19_disjunctive_revenue",
         "agg_grouping_sets_revenue",
         "graph_harmonic_hubs",
+        # round-7 additions
+        "graph_clustering_coefficient_hubs",
+        "ann_pq_batch_search",
+        "dedup_containment_pairs",
+        "orders_weekly_trend_ols",
+        "graph_kcore_peel",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

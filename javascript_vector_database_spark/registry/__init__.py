@@ -110,9 +110,10 @@ _PRIORITY = [
     #      bins, PQ-384 M=96 + rerank=32 reconfig, null-safe stream
     #      split, shared shuffle-partitions guard);
     #    4 PQ-family rows whose ORACLES moved to the ordered-sum ADC;
-    #    5 r7-new rows (seeded clustering coefficient, batch PQ ADC,
-    #      containment pairs, OLS trend, k-core peel);
-    #   15 oldest-stamp refreshers (r2/r3 stamps, unchanged).
+    #    6 r7-new rows (seeded clustering coefficient, batch PQ ADC,
+    #      containment pairs, OLS trend, k-core peel, order-confluent
+    #      live sessionization);
+    #   14 oldest-stamp refreshers (r2/r3 stamps, unchanged).
     # -- never-stamped late-r6 (15)
     "parts_price_size_skyline", "brand_price_size_skyline",
     "graph_personalized_pagerank", "graph_harmonic_hubs",
@@ -132,20 +133,22 @@ _PRIORITY = [
     # -- r7 oracle-changed PQ family (4)
     "ann_pq_search", "ann_pq_search_precomputed",
     "ann_ivfpq_search", "ann_ivfpq_search_partitioned",
-    # -- r7-new (5)
+    # -- r7-new (6)
     "graph_clustering_coefficient_hubs", "ann_pq_batch_search",
     "dedup_containment_pairs", "orders_weekly_trend_ols",
-    "graph_kcore_peel",
-    # -- oldest-stamp refreshers (15): r2/r3 driver stamps, unchanged
+    "graph_kcore_peel", "stream_sessionize_live",
+    # -- oldest-stamp refreshers (14): r2/r3 driver stamps, unchanged
     "scan_documents", "point_lookup", "mango_count",
     "mango_sort_skip_limit", "union_dedup",
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
     "flagship_search", "knn_exact", "knn_ann_range",
     "dml_roundtrip", "pipeline_roundtrip",
-    "reactive_count_ivm", "reactive_query_ivm", "reactive_topk_ivm",
+    "reactive_count_ivm", "reactive_query_ivm",
     # ---- window boundary (50) ----
-    # displaced refreshers (r3 stamps; their 384 siblings carry r5
-    # stamps, so these four were the lowest-value refresh slots)
+    # displaced refreshers (r3 stamps; the knn rows' 384 siblings carry
+    # r5 stamps and the reactive family keeps two fresher slots above,
+    # so these five were the lowest-value refresh slots)
+    "reactive_topk_ivm",
     "knn_ann_similarity", "knn_ann_range_compat", "compat_index_string",
     "knn_cosine",
     # everything below carries a green r4-r6 stamp and is unchanged;

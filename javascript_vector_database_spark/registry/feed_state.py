@@ -1968,6 +1968,94 @@ def stream_cms_live_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_STREAM_SESSION_ORACLE = """
+WITH pts AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+o AS (
+  SELECT user_id, ms,
+         lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS pms
+  FROM pts
+),
+s AS (
+  SELECT user_id, ms,
+         sum(CASE WHEN pms IS NULL OR ms - pms > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ms
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(min(ms) AS BIGINT) AS session_start_ms,
+       CAST(max(ms) AS BIGINT) AS session_end_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("stream_sessionize_live", oracle=_STREAM_SESSION_ORACLE)
+def stream_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-confluent LIVE sessionization (6th streaming==batch row):
+    per-user gap-interval-merge state (streaming/stateful.py:
+    streaming_session_intervals) fed the events table in two PARITY
+    halves — each user's events arrive OUT OF ORDER across micro-batch
+    boundaries, the case that breaks in-order session trackers — and the
+    final state equals the batch lag/sum sessionization because gap-
+    connected components are a property of the point set, not the
+    arrival sequence.  Certifies the §2.12 custom-state operator against
+    the same SQL oracle a batch sessionizer answers to."""
+    import os
+    import shutil
+    import uuid
+
+    from javascript_vector_database_spark.streaming.stateful import (
+        streaming_session_intervals,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    src = os.path.join(tmp, "src")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) DIV 1000").alias("ms"),
+    )
+    feed_rest = _stream_feed(spark, ev, src, "event_id")
+    name = f"sess_live_{uuid.uuid4().hex[:8]}"
+    q = streaming_session_intervals(
+        spark, src, "event_id long, user_id long, ms long", query_name=name
+    )
+    try:
+        q.processAllAvailable()
+        feed_rest()
+        q.processAllAvailable()
+        live = spark.table(name)
+        wv = Window.partitionBy("user_id").orderBy(
+            F.col("version").desc()
+        )
+        latest = (
+            live.withColumn("__rn", F.row_number().over(wv))
+            .where(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.explode(
+                    F.arrays_zip(
+                        F.col("starts").alias("s"),
+                        F.col("ends").alias("e"),
+                        F.col("counts").alias("c"),
+                    )
+                ).alias("iv"),
+            )
+        )
+        out = latest.select(
+            "user_id",
+            F.col("iv.s").cast("long").alias("session_start_ms"),
+            F.col("iv.e").cast("long").alias("session_end_ms"),
+            F.col("iv.c").cast("long").alias("n_events"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _SSJOIN_ORACLE = """
 WITH v AS (
   SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'

@@ -140,3 +140,82 @@ def stateful_session_tracker(
         .queryName(query_name)
         .start()
     )
+
+
+def _merge_session_intervals(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    gap = SESSION_GAP_MS
+    if state.exists:
+        starts, ends, counts = (list(x) for x in state.get)
+    else:
+        starts, ends, counts = [], [], []
+    for pdf in pdfs:
+        for ms in pdf["ms"].astype("int64").tolist():
+            ms = int(ms)
+            hit = [
+                i
+                for i, (s, e) in enumerate(zip(starts, ends))
+                if s - gap <= ms <= e + gap
+            ]
+            ns, ne, nc = ms, ms, 1
+            for i in hit:
+                ns = min(ns, starts[i])
+                ne = max(ne, ends[i])
+                nc += counts[i]
+            for i in reversed(hit):
+                del starts[i], ends[i], counts[i]
+            starts.append(ns)
+            ends.append(ne)
+            counts.append(nc)
+    state.update((starts, ends, counts))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "version": [int(sum(counts))],
+            "starts": [starts],
+            "ends": [ends],
+            "counts": [counts],
+        }
+    )
+
+
+def streaming_session_intervals(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    query_name: str = "session_intervals",
+):
+    """Order-CONFLUENT sessionization: per-user state is the set of
+    gap-closed intervals (start, end, n_events), and each arriving event
+    point merges every interval within ``SESSION_GAP_MS`` of it.  The
+    final intervals are the gap-connected components of the user's event
+    point set — a property of the SET, not the arrival sequence — so the
+    live state equals the batch lag/sum sessionization no matter how
+    micro-batches interleave or reorder events (the property the naive
+    append-only tracker above lacks; it needs in-order arrival + event-
+    time timeouts).  This is the sessionizer a backfill-plus-live
+    pipeline needs: replaying history into a running query converges to
+    the same sessions.  State per user is bounded by that user's session
+    count; update mode emits the user's full current interval set with a
+    monotone version (= events absorbed), so the latest version per user
+    is the authoritative state."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _merge_session_intervals,
+        outputStructType=(
+            "user_id long, version long, starts array<bigint>, "
+            "ends array<bigint>, counts array<bigint>"
+        ),
+        stateStructType=(
+            "starts array<bigint>, ends array<bigint>, counts array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -120,3 +120,88 @@ def test_stream_static_enrich(spark, tmp_path):
         assert got == {(10, "gold"), (12, "silver")}
     finally:
         q.stop()
+
+
+def test_session_interval_merge_is_order_confluent(spark, tmp_path):
+    # gap-connected components are a property of the point SET — feeding
+    # the same events in three adversarially interleaved thirds must
+    # converge to the batch sessionization exactly (incl. the bridging
+    # case: two far points first, the connector arriving LAST merges
+    # both intervals into one session)
+    import random
+    import uuid
+
+    from javascript_vector_database_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        streaming_session_intervals,
+    )
+
+    gap = SESSION_GAP_MS
+    rng = random.Random(5)
+    rows = []
+    eid = 0
+    for uid in range(1, 6):
+        base = 1_000_000_000_000 + uid * 10 * gap
+        # three clusters, the middle one bridging the first via a chain
+        for off in (0, gap, 2 * gap, 5 * gap, 11 * gap, 11 * gap + 10):
+            rows.append((eid, uid, base + off))
+            eid += 1
+    rng.shuffle(rows)
+    thirds = [rows[0::3], rows[1::3], rows[2::3]]
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, user_id long, ms long"
+    name = f"sess_conf_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(thirds[0], schema=schema).write.mode(
+        "append"
+    ).parquet(src)
+    q = streaming_session_intervals(spark, src, schema, query_name=name)
+    try:
+        q.processAllAvailable()
+        for part in thirds[1:]:
+            spark.createDataFrame(part, schema=schema).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+        live = spark.table(name)
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        wv = Window.partitionBy("user_id").orderBy(F.col("version").desc())
+        got = sorted(
+            (
+                r["user_id"],
+                r["iv"]["starts"],
+                r["iv"]["ends"],
+                r["iv"]["counts"],
+            )
+            for r in live.withColumn("__rn", F.row_number().over(wv))
+            .where(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.explode(
+                    F.arrays_zip("starts", "ends", "counts")
+                ).alias("iv"),
+            )
+            .collect()
+        )
+    finally:
+        q.stop()
+
+    # batch reference: sort each user's points, split on gap
+    expect = []
+    per_user = {}
+    for _, uid, ms in rows:
+        per_user.setdefault(uid, []).append(ms)
+    for uid, pts in per_user.items():
+        pts.sort()
+        cur = [pts[0], pts[0], 1]
+        for ms in pts[1:]:
+            if ms - cur[1] > gap:
+                expect.append((uid, cur[0], cur[1], cur[2]))
+                cur = [ms, ms, 1]
+            else:
+                cur[1] = ms
+                cur[2] += 1
+        expect.append((uid, cur[0], cur[1], cur[2]))
+    assert got == sorted(expect)
