@@ -445,3 +445,151 @@ r{i + 1} AS (
         )
     body = "\n".join(sql).rstrip(",")
     return f"{body}\nSELECT node, rank FROM r{rounds}"
+
+
+# ---------------------------------------------------------------------------
+# label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+#: synchronous LPA rounds — fixed and small (the bounded-unroll contract
+#: that makes the oracle expressible; production tunes per degree profile)
+LPA_ROUNDS = 2
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a fully
+    deterministic update: each round every node adopts the label with the
+    highest count among its neighbors, ties to the smallest label.  No
+    reference analog (SURVEY §7.7 extension class, beside PageRank/CC).
+
+    Determinism: labels and counts are BIGINTs; the per-node argmax is a
+    row_number over (count DESC, label ASC) — no float, no engine
+    ambiguity, so the unrolled-CTE oracle matches exactly.  The textbook
+    asynchronous/randomized variant is NOT reproducible across engines;
+    the synchronous min-tie form is the standard deterministic rendition.
+
+    Scale shape: each round is one equi-join of the label relation onto
+    the adjacency list (shuffle on node id), one map-side-combined
+    groupBy(node, label), and one window partitioned BY NODE (never
+    global).  Work per round is O(m); rounds is a small constant.
+
+    ``edges`` must be the SYMMETRIC distinct edge list."""
+    from pyspark.sql.window import Window
+
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").cast("long").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        nbr = edges.join(labels.withColumnRenamed("node", "dst"), "dst").select(
+            F.col("src").alias("node"), "label"
+        )
+        cnt = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        labels = (
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+def sql_label_propagation(edges_cte: str, rounds: int = LPA_ROUNDS) -> str:
+    """DuckDB oracle for :func:`label_propagation`: the identical
+    synchronous min-tie update unrolled as CTE levels.  ``edges_cte``
+    must select the symmetric (src, dst) edge list."""
+    sql = [f"WITH edges AS ({edges_cte}),"]
+    sql.append(
+        "l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label"
+        " FROM edges),"
+    )
+    for i in range(rounds):
+        sql.append(
+            f"""c{i} AS (
+  SELECT e.src AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM edges e JOIN l{i} l ON l.node = e.dst
+  GROUP BY 1, 2
+),
+l{i + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+),"""
+        )
+    body = "\n".join(sql).rstrip(",")
+    return f"{body}\nSELECT node, label FROM l{rounds}"
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS (bounded-hop reachability)
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 3
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = BFS_MAX_HOPS
+) -> DataFrame:
+    """(node, hops): minimum hop distance from the seed set, bounded at
+    ``max_hops`` rounds — nodes farther than the bound are absent.  The
+    frontier-expansion primitive behind "within N hops of these items"
+    queries (impact radius, recommendation neighborhoods).
+
+    Exact by construction: hop counts are BIGINTs and min() is
+    order-insensitive, so the unrolled-CTE oracle matches bit-for-bit.
+    Seeds that never appear in the edge list still report hops 0 (they
+    are distance 0 from themselves).
+
+    Scale shape: each round is one equi-join of the current distance
+    relation onto the adjacency (shuffle on node id) and one min-groupBy
+    with map-side partials; the relation is checkpointed per round so
+    lineage stays shallow even though it feeds both the expansion and
+    the union.  Work per round is O(frontier-adjacent edges).
+
+    ``edges`` must be the SYMMETRIC distinct edge list; ``seeds`` one
+    ``node`` column."""
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+    )
+    for _ in range(max_hops):
+        cand = dist.join(edges.withColumnRenamed("src", "node"), "node").select(
+            F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("hops").cast("long").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def sql_bfs_hops(
+    edges_cte: str, seeds_cte: str, max_hops: int = BFS_MAX_HOPS
+) -> str:
+    """DuckDB oracle for :func:`bfs_hops`: min-union frontier expansion
+    unrolled as CTE levels.  ``seeds_cte`` must select one ``node``
+    column."""
+    sql = [f"WITH edges AS ({edges_cte}),"]
+    sql.append(f"seeds AS (SELECT DISTINCT node FROM ({seeds_cte})),")
+    sql.append("d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM seeds),")
+    for i in range(max_hops):
+        sql.append(
+            f"""d{i + 1} AS (
+  SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+    SELECT node, hops FROM d{i}
+    UNION ALL
+    SELECT e.dst AS node, d.hops + 1 AS hops
+    FROM edges e JOIN d{i} d ON d.node = e.src
+  ) GROUP BY node
+),"""
+        )
+    body = "\n".join(sql).rstrip(",")
+    return f"{body}\nSELECT node, hops FROM d{max_hops}"

@@ -1606,3 +1606,110 @@ def graph_clustering_coefficient_hubs(
     return seeded_triangle_counts(edges, seeds).orderBy(
         F.col("clustering_coef").desc(), F.col("node").asc()
     )
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+def _lpa_oracle() -> str:
+    from javascript_vector_database_spark.operators.graph import (
+        LPA_ROUNDS,
+        sql_label_propagation,
+    )
+
+    adj = (
+        "WITH pairs AS ("
+        "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+        "SELECT src, dst FROM pairs "
+        "UNION ALL SELECT dst AS src, src AS dst FROM pairs"
+    )
+    inner = sql_label_propagation(adj, LPA_ROUNDS)
+    return f"""
+WITH lab AS (
+{inner}
+)
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM lab GROUP BY 1
+ORDER BY n_members DESC, community ASC
+LIMIT 20
+"""
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase communities by size after two synchronous
+    label-propagation rounds (operators/graph.py:label_propagation) —
+    deterministic majority-label update with min-label ties, so the
+    unrolled-CTE oracle reproduces the labeling exactly.  Rides the
+    shared materialized edge table; each round is O(m) with every
+    shuffle keyed on the high-cardinality node id and the per-node
+    argmax window partitioned by node."""
+    from javascript_vector_database_spark.operators.graph import (
+        label_propagation,
+    )
+
+    labels = label_propagation(symmetric_copurchase_edges(spark, sf_dir))
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounded-hop BFS reach from one brand's parts
+# ---------------------------------------------------------------------------
+
+
+def _bfs_oracle() -> str:
+    from javascript_vector_database_spark.operators.graph import (
+        BFS_MAX_HOPS,
+        sql_bfs_hops,
+    )
+
+    adj = (
+        "WITH pairs AS ("
+        "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+        "SELECT src, dst FROM pairs "
+        "UNION ALL SELECT dst AS src, src AS dst FROM pairs"
+    )
+    seeds = (
+        f"SELECT p_partkey AS node FROM part WHERE p_brand = '{_PPR_BRAND}'"
+    )
+    inner = sql_bfs_hops(adj, seeds, BFS_MAX_HOPS)
+    return f"""
+WITH d AS (
+{inner}
+)
+SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes
+FROM d GROUP BY 1
+ORDER BY hops ASC
+"""
+
+
+@register("graph_bfs_reach", oracle=_bfs_oracle())
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact radius of one brand: how many parts sit 0/1/2/3 co-purchase
+    hops from Brand#1's parts (operators/graph.py:bfs_hops — bounded
+    multi-source BFS, min-hop exact).  The same seed set as personalized
+    PageRank, so the two rows cross-check each other's neighborhood:
+    every node PPR ranks must appear here within the round bound."""
+    from javascript_vector_database_spark.operators.graph import bfs_hops
+
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _PPR_BRAND)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    d = bfs_hops(symmetric_copurchase_edges(spark, sf_dir), seeds)
+    return (
+        d.groupBy("hops")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.col("hops").asc())
+    )
