@@ -134,6 +134,49 @@ def ivf_assign(
     )
 
 
+def ivf_assign_dist(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cents: int = IVF_K,
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Like :func:`ivf_assign` but keeps the distance to the winning
+    centroid — the input to medoid selection / semantic dedup.  Same
+    single scan-local fold (the (d, cid) argmin struct is simply
+    returned whole instead of projected to cid)."""
+    if cents is None:
+        cents = collect_centroids(emb, id_col, vec_col, k_cents)
+    vec = F.col(vec_col)
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(cid).cast("long").alias("cid"),
+            lit_double_array(cemb).alias("cemb"),
+        )
+        for cid, cemb in cents
+    ])
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("cid")
+    )
+    best = F.aggregate(
+        cent_arr,
+        init,
+        lambda acc, c: F.least(
+            acc,
+            F.struct(
+                euclidean_distance(vec, c["cemb"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        ),
+    )
+    return emb.select(
+        F.col(id_col),
+        vec.alias(vec_col),
+        best["cid"].alias("ivf_cell"),
+        best["d"].alias("cdist"),
+    )
+
+
 def ivf_search(
     emb: DataFrame,
     query_vec: list[float],

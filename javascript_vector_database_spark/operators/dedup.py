@@ -1501,3 +1501,118 @@ def multipass_pair_union(
     return (
         intra.unionByName(lsh_pairs).unionByName(cross).distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style cluster representatives)
+# ---------------------------------------------------------------------------
+
+#: a doc whose cosine to its cluster representative reaches this is a
+#: semantic near-duplicate of the representative (set against the test
+#: corpus' cos-to-medoid profile: p50 ~0.22, max ~0.45-0.47 across SFs,
+#: so 0.25 flags the dense upper tail without degenerating to empty)
+SEMANTIC_TAU = 0.25
+
+
+def semantic_medoids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Cluster-representative selection (the keep-side of SemDeDup,
+    Abbas et al. 2023, arXiv:2303.09540): assign every embedding to its
+    nearest fixed centroid (ann_scale.ivf_assign_dist — one scan-local
+    argmin fold over K inlined literals), then per cluster keep the
+    MEDOID, the member closest to the centroid (ties to the lowest id).
+    Output: (ivf_cell, n_docs, medoid_id, medoid_dist).
+
+    Determinism: the per-row distance fold is bit-identical across
+    engines (oracle.py contract) and the medoid argmin is a min over
+    (distance, id) structs — order-insensitive, no float accumulation.
+
+    Scale shape: assignment is embarrassingly parallel; the reduction is
+    one groupBy over K keys with map-side partials (each task emits at
+    most K rows regardless of input size)."""
+    from javascript_vector_database_spark.operators.ann_scale import (
+        ivf_assign_dist,
+    )
+
+    a = ivf_assign_dist(df, id_col=id_col, vec_col=vec_col, cents=cents)
+    g = a.groupBy("ivf_cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(
+            F.struct(F.col("cdist").alias("d"), F.col(id_col).alias("i"))
+        ).alias("m"),
+    )
+    return g.select(
+        "ivf_cell",
+        "n_docs",
+        F.col("m.i").alias("medoid_id"),
+        F.round(F.col("m.d"), 6).alias("medoid_dist"),
+    )
+
+
+def semantic_prune(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = SEMANTIC_TAU,
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """The prune-side of SemDeDup: docs whose cosine to their cluster's
+    MEDOID reaches ``threshold`` are semantic near-duplicates of the
+    representative and are flagged for removal.  Output: (vec_id,
+    ivf_cell, cos_to_medoid) — the prune list (the medoid itself is
+    never flagged).
+
+    Unlike pairwise near-dup (cosine_near_dup_pairs), the comparison is
+    LINEAR: each doc is scored against exactly one representative, so
+    cost is one broadcast join (K medoid rows) + one dot fold per row —
+    the shape that makes semantic dedup tractable on a 100 TB corpus
+    where within-cluster pairwise would be quadratic."""
+    from javascript_vector_database_spark.operators.ann_scale import (
+        collect_centroids,
+        ivf_assign_dist,
+    )
+
+    if cents is None:
+        cents = collect_centroids(df, id_col, vec_col)
+    a = ivf_assign_dist(df, id_col=id_col, vec_col=vec_col, cents=cents)
+    med = (
+        a.groupBy("ivf_cell")
+        .agg(
+            F.min(
+                F.struct(F.col("cdist").alias("d"), F.col(id_col).alias("i"))
+            ).alias("m")
+        )
+        .select("ivf_cell", F.col("m.i").alias("medoid_id"))
+    )
+    med_emb = med.join(
+        df.select(
+            F.col(id_col).alias("medoid_id"),
+            F.col(vec_col).alias("__memb"),
+            l2_norm(F.col(vec_col)).alias("__mnrm"),
+        ),
+        "medoid_id",
+    )
+    return (
+        a.select(
+            F.col(id_col),
+            "ivf_cell",
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("__nrm"),
+        )
+        .join(F.broadcast(med_emb), "ivf_cell")
+        .where(F.col(id_col) != F.col("medoid_id"))
+        .select(
+            F.col(id_col),
+            "ivf_cell",
+            F.round(
+                dot(F.col(vec_col), F.col("__memb"))
+                / (F.col("__nrm") * F.col("__mnrm")),
+                6,
+            ).alias("cos_to_medoid"),
+        )
+        .where(F.col("cos_to_medoid") >= threshold)
+    )

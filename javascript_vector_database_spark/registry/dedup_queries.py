@@ -497,3 +497,85 @@ def dedup_multipass_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-for-pair (identical texts share every signature)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.multipass_pair_union(docs)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup cluster representatives + prune list)
+# ---------------------------------------------------------------------------
+
+
+def _sem_assign_ctes() -> str:
+    """cents + distance-carrying nearest-centroid assignment — the SQL
+    mirror of ann_scale.ivf_assign_dist (same fold, same (d, cid)
+    tie-break)."""
+    from javascript_vector_database_spark.registry.ann_scale_queries import (
+        _ivf_cents_cte,
+    )
+
+    d = osql.sql_euclid("e.embedding", "c.cemb")
+    return f"""{_ivf_cents_cte()},
+assign AS (
+  SELECT vec_id, embedding, cid AS ivf_cell, d AS cdist FROM (
+    SELECT e.vec_id, e.embedding, c.cid, {d} AS d,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {d} ASC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+
+
+def _sem_medoid_oracle() -> str:
+    return f"""
+WITH {_sem_assign_ctes()}
+SELECT ivf_cell, n_docs, vec_id AS medoid_id, round(cdist, 6) AS medoid_dist
+FROM (
+  SELECT ivf_cell, vec_id, cdist,
+         CAST(count(*) OVER (PARTITION BY ivf_cell) AS BIGINT) AS n_docs,
+         row_number() OVER (
+           PARTITION BY ivf_cell ORDER BY cdist ASC, vec_id ASC) AS rn
+  FROM assign
+) WHERE rn = 1
+"""
+
+
+@register("dedup_semantic_medoids", oracle=_sem_medoid_oracle())
+def dedup_semantic_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-side (Abbas et al. 2023): per embedding cluster
+    (nearest of K fixed centroids), the cluster size and its MEDOID —
+    the member nearest the centroid, the representative a semantic
+    dedup pass keeps.  Assignment is a scan-local argmin fold; the
+    reduction emits at most K rows per task (operators/dedup.py:
+    semantic_medoids)."""
+    return dedup.semantic_medoids(load_table(spark, sf_dir, "embeddings"))
+
+
+def _sem_prune_oracle() -> str:
+    cos = (
+        f"round({osql.sql_dot('a.embedding', 'm.memb')} / "
+        f"({osql.sql_l2_norm('a.embedding')} * {osql.sql_l2_norm('m.memb')}), 6)"
+    )
+    return f"""
+WITH {_sem_assign_ctes()},
+med AS (
+  SELECT ivf_cell, vec_id AS medoid_id, embedding AS memb FROM (
+    SELECT ivf_cell, vec_id, embedding,
+           row_number() OVER (
+             PARTITION BY ivf_cell ORDER BY cdist ASC, vec_id ASC) AS rn
+    FROM assign
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.ivf_cell, {cos} AS cos_to_medoid
+FROM assign a JOIN med m USING (ivf_cell)
+WHERE a.vec_id != m.medoid_id AND {cos} >= {dedup.SEMANTIC_TAU}
+"""
+
+
+@register("dedup_semantic_prune", oracle=_sem_prune_oracle())
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup prune-side: docs whose cosine to their cluster medoid
+    reaches tau are semantic near-duplicates of the kept representative.
+    LINEAR comparison count — each doc scores against exactly one
+    medoid via a K-row broadcast join (operators/dedup.py:
+    semantic_prune), the property that keeps semantic dedup tractable
+    where within-cluster pairwise is quadratic."""
+    return dedup.semantic_prune(load_table(spark, sf_dir, "embeddings"))
