@@ -2193,3 +2193,124 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing over the dense hourly spine
+# ---------------------------------------------------------------------------
+
+#: EWMA alpha = 1/2: every weight is a power of two, so the weighted sum
+#: of BIGINT counts is itself an exact BIGINT on any engine — the same
+#: "integer fixed-point beats float accumulation order" discipline as
+#: PageRank.  Window = 20 trailing hours (2^-20 tail is below the
+#: round-6 output precision anyway).
+_EWMA_LAGS = 20
+_EWMA_DEN = float(1 << _EWMA_LAGS)
+
+_EWMA_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+           FROM hourly GROUP BY 1),
+spine AS (
+  SELECT s.event_type, s.hour,
+         CAST((epoch(s.hour) - epoch(b.mn)) // 3600 AS BIGINT) AS idx,
+         coalesce(h.n, 0) AS n
+  FROM (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+               AS hour FROM bounds) s
+  JOIN bounds b ON b.event_type = s.event_type
+  LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
+),
+contrib AS (
+  SELECT event_type, idx + i AS t,
+         n * (CAST(1 AS BIGINT) << ({_EWMA_LAGS - 1} - i)) AS c
+  FROM spine, LATERAL unnest(range(0, {_EWMA_LAGS})) AS u(i)
+  WHERE n > 0
+),
+num AS (SELECT event_type, t, CAST(sum(c) AS BIGINT) AS num
+        FROM contrib GROUP BY 1, 2)
+SELECT s.event_type, s.hour, s.n AS n_events,
+       coalesce(m.num, 0) / {_EWMA_DEN} AS ewma
+FROM spine s LEFT JOIN num m ON m.event_type = s.event_type AND m.t = s.idx
+"""
+
+
+@register("events_ewma_hourly", oracle=_EWMA_ORACLE)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of hourly event counts
+    (alpha = 1/2, 20-lag truncation) over the dense per-type spine —
+    the smoothing baseline behind burst/anomaly detection.
+
+    Exactness: with alpha = 1/2 every weight is 2^k, so the weighted
+    numerator is a pure BIGINT sum (shuffle-order-proof on both
+    engines); the single final division by 2^20 is exact in doubles.
+    Missing hours contribute true zeros via the gap-filled spine (the
+    events_gapfill_hourly idiom), so the decay stream is the calendar
+    stream, not the observation stream.
+
+    Scale shape: raw events are touched once (map-side-combined hourly
+    rollup); the lag fan-out is a row-local explode of 20 weighted
+    contributions regrouped on the high-cardinality (type, hour) key —
+    no range join, no window over the data grain."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    spine = (
+        bounds.select(
+            "event_type",
+            "mn",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            ((F.unix_timestamp("hour") - F.unix_timestamp("mn")) / 3600)
+            .cast("long")
+            .alias("idx"),
+        )
+        .join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", "idx",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    contrib = (
+        spine.where(F.col("n") > 0)
+        .select(
+            "event_type",
+            "idx",
+            "n",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_EWMA_LAGS - 1))
+            ).alias("i"),
+        )
+        .select(
+            "event_type",
+            (F.col("idx") + F.col("i")).alias("t"),
+            F.expr(
+                f"n * shiftleft(CAST(1 AS BIGINT), {_EWMA_LAGS - 1} - i)"
+            ).alias("c"),
+        )
+    )
+    num = contrib.groupBy(
+        F.col("event_type").alias("m_type"), "t"
+    ).agg(F.sum("c").cast("long").alias("num"))
+    return spine.join(
+        num,
+        (F.col("event_type") == F.col("m_type")) & (F.col("idx") == F.col("t")),
+        "left",
+    ).select(
+        "event_type",
+        "hour",
+        F.col("n").alias("n_events"),
+        (F.coalesce("num", F.lit(0)) / F.lit(_EWMA_DEN)).alias("ewma"),
+    )
