@@ -123,6 +123,11 @@ _SCALE_HEADLINE = [
     "graph_clustering_coefficient_hubs",
     "dedup_containment_pairs",
     "graph_kcore_peel",
+    # r7 second wave: two-round LPA (join+groupBy+node-window per round)
+    # and the min-union BFS expansion — both O(m)-per-round shapes whose
+    # cliffs would only show at 10x
+    "graph_label_propagation",
+    "graph_bfs_reach",
 ]
 
 
@@ -673,6 +678,11 @@ def main() -> None:
         "dedup_containment_pairs",
         "orders_weekly_trend_ols",
         "graph_kcore_peel",
+        "graph_label_propagation",
+        "graph_bfs_reach",
+        "dedup_semantic_medoids",
+        "dedup_semantic_prune",
+        "events_ewma_hourly",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -110,10 +110,11 @@ _PRIORITY = [
     #      bins, PQ-384 M=96 + rerank=32 reconfig, null-safe stream
     #      split, shared shuffle-partitions guard);
     #    4 PQ-family rows whose ORACLES moved to the ordered-sum ADC;
-    #    6 r7-new rows (seeded clustering coefficient, batch PQ ADC,
+    #   11 r7-new rows (seeded clustering coefficient, batch PQ ADC,
     #      containment pairs, OLS trend, k-core peel, order-confluent
-    #      live sessionization);
-    #   14 oldest-stamp refreshers (r2/r3 stamps, unchanged).
+    #      live sessionization, LPA communities, bounded BFS reach,
+    #      semantic-dedup medoids + prune, exact hourly EWMA);
+    #    9 oldest-stamp refreshers (r2/r3 stamps, unchanged).
     # -- never-stamped late-r6 (15)
     "parts_price_size_skyline", "brand_price_size_skyline",
     "graph_personalized_pagerank", "graph_harmonic_hubs",
@@ -133,18 +134,23 @@ _PRIORITY = [
     # -- r7 oracle-changed PQ family (4)
     "ann_pq_search", "ann_pq_search_precomputed",
     "ann_ivfpq_search", "ann_ivfpq_search_partitioned",
-    # -- r7-new (6)
+    # -- r7-new (11)
     "graph_clustering_coefficient_hubs", "ann_pq_batch_search",
     "dedup_containment_pairs", "orders_weekly_trend_ols",
     "graph_kcore_peel", "stream_sessionize_live",
-    # -- oldest-stamp refreshers (14): r2/r3 driver stamps, unchanged
-    "scan_documents", "point_lookup", "mango_count",
-    "mango_sort_skip_limit", "union_dedup",
+    "graph_label_propagation", "graph_bfs_reach",
+    "dedup_semantic_medoids", "dedup_semantic_prune",
+    "events_ewma_hourly",
+    # -- oldest-stamp refreshers (9): r2/r3 driver stamps, unchanged
+    # (5 more trivial-scan/mango refreshers displaced by the r7 second
+    # wave — the local sweep still value-checks them every pytest run)
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
     "flagship_search", "knn_exact", "knn_ann_range",
     "dml_roundtrip", "pipeline_roundtrip",
     "reactive_count_ivm", "reactive_query_ivm",
     # ---- window boundary (50) ----
+    "scan_documents", "point_lookup", "mango_count",
+    "mango_sort_skip_limit", "union_dedup",
     # displaced refreshers (r3 stamps; the knn rows' 384 siblings carry
     # r5 stamps and the reactive family keeps two fresher slots above,
     # so these five were the lowest-value refresh slots)

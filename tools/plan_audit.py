@@ -230,6 +230,11 @@ AUDITED = [
     "dedup_containment_pairs",
     "orders_weekly_trend_ols",
     "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_bfs_reach",
+    "dedup_semantic_medoids",
+    "dedup_semantic_prune",
+    "events_ewma_hourly",
 ]
 
 
