@@ -190,3 +190,81 @@ def test_seeded_triangle_counts_match_full_sweep(spark):
     assert set(got) == set(seed_ids)
     for s in seed_ids:
         assert got[s] == full[s], (s, got[s], full[s])
+
+
+# ---------------------------------------------------------------------------
+# r7 second wave: LPA, bounded BFS, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Hand-computed 2-round synchronous LPA on two triangles joined by
+    one bridge edge — pins the majority/min-tie update exactly."""
+    from javascript_vector_database_spark.operators.graph import (
+        label_propagation,
+        symmetric_edges,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(symmetric_edges(pairs), rounds=2).collect()
+    }
+    # round 1: 1->2 (tie 2/3), 2->1, 3->1 (tie 1/2/4), 4->3 (tie 3/5/6),
+    # 5->4, 6->4; round 2 from {1:2,2:1,3:1,4:3,5:4,6:4}:
+    # 1: nbrs {2,3} labels {1,1} -> 1;   2: {1,3} -> {2,1} tie -> 1
+    # 3: {1,2,4} -> {2,1,3} tie -> 1;   4: {3,5,6} -> {1,4,4} -> 4
+    # 5: {4,6} -> {3,4} tie -> 3;       6: {4,5} -> {3,4} tie -> 3
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+
+
+def test_bfs_hops_path_graph_bound(spark):
+    """Min-hop distances on a path, including the round bound (nodes
+    past max_hops are absent) and isolated seeds (hops 0)."""
+    from javascript_vector_database_spark.operators.graph import (
+        bfs_hops,
+        symmetric_edges,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(symmetric_edges(pairs), seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 99: 0}
+
+
+def test_semantic_medoids_and_prune_crafted_clusters(spark):
+    """Two crafted clusters with explicit centroids: the medoid is the
+    member nearest its centroid; the prune list is exactly the non-medoid
+    members whose cosine to the medoid clears tau (linear scoring)."""
+    from javascript_vector_database_spark.operators.dedup import (
+        semantic_medoids,
+        semantic_prune,
+    )
+
+    cents = [(0, [10.0, 0.0]), (1, [0.0, 10.0])]
+    rows = [
+        (1, [9.0, 0.0]),     # cell 0, nearest -> medoid
+        (2, [8.0, 0.5]),     # cell 0, cos to medoid ~0.998 -> pruned
+        (3, [6.0, -6.0]),    # cell 0 (dist to c0 < c1), cos ~0.707
+        (4, [0.0, 11.0]),    # cell 1, nearest -> medoid
+        (5, [-0.5, 9.0]),    # cell 1, cos ~0.998 -> pruned
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    med = {
+        r["ivf_cell"]: (r["medoid_id"], r["n_docs"])
+        for r in semantic_medoids(df, cents=cents).collect()
+    }
+    assert med == {0: (1, 3), 1: (4, 2)}
+    pruned = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in semantic_prune(df, threshold=0.9, cents=cents).collect()
+    }
+    assert pruned == {2: 0, 5: 1}
