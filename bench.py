@@ -683,6 +683,9 @@ def main() -> None:
         "dedup_semantic_medoids",
         "dedup_semantic_prune",
         "events_ewma_hourly",
+        "events_attribution_time_decay",
+        "events_activity_streaks",
+        "profile_key_skew",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -134,21 +134,27 @@ _PRIORITY = [
     # -- r7 oracle-changed PQ family (4)
     "ann_pq_search", "ann_pq_search_precomputed",
     "ann_ivfpq_search", "ann_ivfpq_search_partitioned",
-    # -- r7-new (11)
+    # -- r7-new (14)
     "graph_clustering_coefficient_hubs", "ann_pq_batch_search",
     "dedup_containment_pairs", "orders_weekly_trend_ols",
     "graph_kcore_peel", "stream_sessionize_live",
     "graph_label_propagation", "graph_bfs_reach",
     "dedup_semantic_medoids", "dedup_semantic_prune",
     "events_ewma_hourly",
-    # -- oldest-stamp refreshers (9): r2/r3 driver stamps, unchanged
-    # (5 more trivial-scan/mango refreshers displaced by the r7 second
-    # wave — the local sweep still value-checks them every pytest run)
-    "join_anti_missing_vectors", "join_zip_documents_embeddings",
-    "flagship_search", "knn_exact", "knn_ann_range",
+    # third wave: time-decay attribution (completes the family),
+    # gaps-and-islands streaks, join-key skew diagnosis
+    "events_attribution_time_decay", "events_activity_streaks",
+    "profile_key_skew",
+    # -- oldest-stamp refreshers (6): r2/r3 driver stamps, unchanged
+    # (3 more — join_anti/join_zip/knn_ann_range — displaced by the r7
+    # third wave; their stamps stay green and the local sweep still
+    # value-checks them every pytest run)
+    "flagship_search", "knn_exact",
     "dml_roundtrip", "pipeline_roundtrip",
     "reactive_count_ivm", "reactive_query_ivm",
     # ---- window boundary (50) ----
+    "join_anti_missing_vectors", "join_zip_documents_embeddings",
+    "knn_ann_range",
     "scan_documents", "point_lookup", "mango_count",
     "mango_sort_skip_limit", "union_dedup",
     # displaced refreshers (r3 stamps; the knn rows' 384 siblings carry

@@ -842,6 +842,102 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# time-decay attribution: weight halves per day of age, so a touch the
+# day of the purchase earns 2^6 units and one 6+ days back earns 1 —
+# integer powers of two keep every weight, weight-sum, and credit BIGINT.
+# The CASE is one shared fragment so the weight table cannot drift
+# between engines (ages land in [0, 7]: the 7-day predicate bounds the
+# truncated-second diff at exactly 604800, hence the defensive >=6 arm).
+_DECAY_WEIGHT_CASE = (
+    "CASE "
+    + " ".join(f"WHEN age_days = {d} THEN {1 << (6 - d)}" for d in range(6))
+    + " ELSE 1 END"
+)
+
+_DECAY_ATTR_ORACLE = f"""
+WITH touches AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+),
+pur AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT p.event_id, t.event_type AS channel, p.v_cents,
+         date_diff('second', t.ts, p.ts) // 86400 AS age_days
+  FROM pur p JOIN touches t ON t.user_id = p.user_id
+    AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+),
+w AS (
+  SELECT event_id, channel, v_cents,
+         {_DECAY_WEIGHT_CASE} AS wt,
+         sum({_DECAY_WEIGHT_CASE}) OVER (PARTITION BY event_id) AS sw
+  FROM m
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum((v_cents * 10000 * wt) // sw) AS BIGINT) AS credit_micro
+FROM w GROUP BY 1 ORDER BY channel ASC
+"""
+
+
+@register("events_attribution_time_decay", oracle=_DECAY_ATTR_ORACLE)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution, completing the family beside
+    last-touch (single credit) and linear (equal split): each touch in
+    the 7-day lookback earns weight 2^(6 - age_days), so credit halves
+    per day of age.  Power-of-two integer weights keep the whole credit
+    computation BIGINT-exact — `(v_cents * 10000 * wt) DIV sum(wt)` is
+    the same deterministic floor on both engines, the linear row's
+    micro-cent discipline with a non-uniform numerator.  Plan: identical
+    to linear — one user-keyed equi-join with the lookback as a residual
+    range predicate, then a weight-sum window keyed by the purchase id
+    (high cardinality; never a global sort).  Age uses the truncated-
+    second difference (`unix_timestamp` here == DuckDB
+    `date_diff('second', ...)` — both count whole-second boundaries)."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v_cents"),
+    )
+    from pyspark.sql import Window as _W
+
+    m = (
+        pur.join(touches, F.col("t_user") == F.col("p_user"))
+        .where(
+            (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .withColumn(
+            "age_days",
+            F.expr("(unix_timestamp(p_ts) - unix_timestamp(t_ts)) DIV 86400"),
+        )
+        .withColumn("wt", F.expr(_DECAY_WEIGHT_CASE))
+        .withColumn("sw", F.sum("wt").over(_W.partitionBy("p_id")))
+    )
+    return (
+        m.select(
+            "channel",
+            F.expr("(v_cents * 10000 * wt) DIV sw").alias("credit"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            F.sum("credit").cast("long").alias("credit_micro"),
+        )
+        .orderBy(F.col("channel").asc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # edit-distance similarity join (entity resolution / fuzzy matching)
 # ---------------------------------------------------------------------------

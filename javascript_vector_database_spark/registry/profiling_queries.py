@@ -501,3 +501,65 @@ def profile_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew diagnosis (the profile that decides salted vs plain join)
+# ---------------------------------------------------------------------------
+
+SKEW_TOP = 10
+
+_KEY_SKEW_ORACLE = f"""
+WITH counts AS (
+  SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1
+),
+totals AS (
+  SELECT count(*) AS n_keys, sum(cnt) AS total_rows FROM counts
+)
+SELECT c.key, CAST(c.cnt AS BIGINT) AS cnt,
+       CAST((c.cnt * 1000000) // t.total_rows AS BIGINT) AS share_micro,
+       CAST((c.cnt * t.n_keys * 1000) // t.total_rows AS BIGINT)
+         AS skew_x1000,
+       CAST(t.n_keys AS BIGINT) AS n_keys,
+       CAST(t.total_rows AS BIGINT) AS total_rows
+FROM counts c, totals t
+ORDER BY cnt DESC, key ASC
+LIMIT {SKEW_TOP}
+"""
+
+
+@register("profile_key_skew", oracle=_KEY_SKEW_ORACLE)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the heaviest SKEW_TOP customer keys in
+    `orders` with their row share and skew multiplier vs a uniform
+    spread — the profile a planner (or an engineer) reads before picking
+    plain vs salted vs AQE-skew join (`join_salted_skew` is the
+    treatment; this is the diagnosis).  Plan: one map-side-combined
+    count per key, a 1-row global total broadcast back (the
+    decorrelated scalar-aggregate idiom), and TakeOrderedAndProject for
+    the top slice — no global sort, no second pass over the fact table.
+    All ratios are integer floors (micro-shares and x1000 multipliers),
+    so both engines agree bit-for-bit at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.expr("(cnt * 1000000) DIV total_rows").alias("share_micro"),
+            F.expr("(cnt * n_keys * 1000) DIV total_rows").alias(
+                "skew_x1000"
+            ),
+            "n_keys",
+            "total_rows",
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(SKEW_TOP)
+    )

@@ -2002,3 +2002,62 @@ def agg_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: per-user consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d ASC)
+                  AS INT) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS len
+  FROM isl GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, max(len) AS max_streak FROM streaks GROUP BY 1
+)
+SELECT CAST(max_streak AS BIGINT) AS streak_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM best GROUP BY 1 ORDER BY streak_days ASC
+"""
+
+
+@register("events_activity_streaks", oracle=_STREAKS_ORACLE)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: the longest run of CONSECUTIVE active days per
+    user, reported as a streak-length histogram (the engagement-streak
+    primitive behind DAU badges and churn features).  The classic
+    construction: distinct (user, day) -> per-user row_number ->
+    `day - row_number` is constant within a consecutive run (the island
+    key) -> count per island -> max per user.  Every window and group
+    key includes user_id (high cardinality), so the whole plan is one
+    user-keyed shuffle followed by map-side work — no global sort, and
+    the histogram output is bounded by the calendar span.  Both engines
+    evaluate date - int as calendar-day subtraction."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy(F.col("d").asc())
+    isl = days.withColumn(
+        "island",
+        F.date_sub(F.col("d"), F.row_number().over(w).cast("int")),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return (
+        best.groupBy(F.col("max_streak").cast("long").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("streak_days").asc())
+    )

@@ -487,3 +487,31 @@ def test_clustering_hubs_seed_restricted(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("LeftSemi") >= 2, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_time_decay_attribution_no_cartesian(spark):
+    """Time-decay attribution shares linear's plan shape: equi-join on
+    user with the lookback as a residual predicate, weight-sum window
+    keyed by the high-cardinality purchase id."""
+    plan = _plan(
+        registry.queries()["events_attribution_time_decay"](spark, SF)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "windowspecdefinition(p_id" in plan, plan
+
+
+def test_activity_streaks_windows_on_user(spark):
+    """Gaps-and-islands: the island row_number must partition on
+    user_id — a bare orderBy window would globally sort the day table."""
+    plan = _plan(registry.queries()["events_activity_streaks"](spark, SF))
+    assert "windowspecdefinition(user_id" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_key_skew_topk_and_broadcast(spark):
+    """Key-skew profile: the top slice compiles to TakeOrderedAndProject
+    (never a global sort) and the 1-row totals ride a broadcast."""
+    plan = _plan(registry.queries()["profile_key_skew"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan, plan

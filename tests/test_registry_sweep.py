@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "agg_q11_important_shares",
     "agg_q15_top_supplier",
     "agg_q22_dormant_customers",
+    "profile_key_skew",  # 1-row (n_keys, total_rows) aggregate broadcast
     # the PassJoin both-short pool: strings shorter than k+1 chars have
     # ED <= k to EACH OTHER unconditionally, so every joined row is a
     # true output pair — the tiny constant-key join is 1:1 with the

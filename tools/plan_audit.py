@@ -235,6 +235,9 @@ AUDITED = [
     "dedup_semantic_medoids",
     "dedup_semantic_prune",
     "events_ewma_hourly",
+    "events_attribution_time_decay",
+    "events_activity_streaks",
+    "profile_key_skew",
 ]
 
 
