@@ -686,6 +686,8 @@ def main() -> None:
         "events_attribution_time_decay",
         "events_activity_streaks",
         "profile_key_skew",
+        "events_revenue_milestones",
+        "lineitem_weighted_median",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

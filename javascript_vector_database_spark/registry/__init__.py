@@ -145,14 +145,16 @@ _PRIORITY = [
     # gaps-and-islands streaks, join-key skew diagnosis
     "events_attribution_time_decay", "events_activity_streaks",
     "profile_key_skew",
-    # -- oldest-stamp refreshers (6): r2/r3 driver stamps, unchanged
-    # (3 more — join_anti/join_zip/knn_ann_range — displaced by the r7
-    # third wave; their stamps stay green and the local sweep still
-    # value-checks them every pytest run)
+    # fourth wave: the distributed prefix-scan pair (operators/prefix.py)
+    "events_revenue_milestones", "lineitem_weighted_median",
+    # -- oldest-stamp refreshers (4): r2/r3 driver stamps, unchanged
+    # (5 more — join_anti/join_zip/knn_ann_range/reactive pair —
+    # displaced by the r7 third+fourth waves; their stamps stay green
+    # and the local sweep still value-checks them every pytest run)
     "flagship_search", "knn_exact",
     "dml_roundtrip", "pipeline_roundtrip",
-    "reactive_count_ivm", "reactive_query_ivm",
     # ---- window boundary (50) ----
+    "reactive_count_ivm", "reactive_query_ivm",
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
     "knn_ann_range",
     "scan_documents", "point_lookup", "mango_count",

@@ -2061,3 +2061,159 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy(F.col("streak_days").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed prefix scan: revenue milestones + exact grouped weighted median
+# ---------------------------------------------------------------------------
+
+#: milestone stride in cents ($1000): output rows scale as
+#: total_revenue / stride — ~10 at sf0.001, ~1k at sf1.
+MILESTONE_CENTS = 100_000
+
+_MILESTONES_ORACLE = f"""
+WITH pur AS (
+  SELECT event_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, v_cents,
+         sum(v_cents) OVER (ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pur
+)
+SELECT CAST(cum // {MILESTONE_CENTS} AS BIGINT) AS milestone,
+       event_id,
+       CAST(cum AS BIGINT) AS cum_cents,
+       CAST(cum // {MILESTONE_CENTS}
+            - (cum - v_cents) // {MILESTONE_CENTS} AS BIGINT) AS n_crossed
+FROM c
+WHERE cum // {MILESTONE_CENTS} > (cum - v_cents) // {MILESTONE_CENTS}
+ORDER BY milestone ASC
+"""
+
+
+@register("events_revenue_milestones", oracle=_MILESTONES_ORACLE)
+def events_revenue_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The purchase events at which cumulative revenue crosses each
+    $1000 milestone — an exact EVENT-GRAIN running total, the one shape
+    a naive ``sum() OVER (ORDER BY ts)`` turns into a single-partition
+    sort of the whole fact table.  Runs through
+    :func:`operators.prefix.global_prefix_sum` (Blelloch two-phase
+    scan): P parallel local cumulative sums over range-partitioned
+    slices plus broadcast per-partition offsets, so the only
+    ``__pid``-ordered window sees P bounded rows.  (ts, event_id) is a
+    total order; purchase cents are non-negative, so the integer-floor
+    crossing predicate ``cum DIV M > (cum - v) DIV M`` agrees with
+    DuckDB's ``//`` bit-for-bit.  Output is bounded by
+    total_revenue / MILESTONE_CENTS, not the row count."""
+    from javascript_vector_database_spark.operators.prefix import (
+        global_prefix_sum,
+    )
+
+    M = MILESTONE_CENTS
+    pur = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "ts",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("v_cents"),
+        )
+    )
+    c = global_prefix_sum(
+        pur,
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        "v_cents",
+        out="cum",
+    )
+    return (
+        c.where(F.expr(f"cum DIV {M} > (cum - v_cents) DIV {M}"))
+        .select(
+            F.expr(f"cum DIV {M}").alias("milestone"),
+            "event_id",
+            F.col("cum").alias("cum_cents"),
+            F.expr(
+                f"cum DIV {M} - (cum - v_cents) DIV {M}"
+            ).alias("n_crossed"),
+        )
+        .orderBy(F.col("milestone").asc())
+    )
+
+
+_WMEDIAN_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag AS ret_flag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS p_cents,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey AS ok, l_linenumber AS ln
+  FROM lineitem
+),
+tot AS (SELECT ret_flag, sum(w) AS tw FROM t GROUP BY 1),
+c AS (
+  SELECT ret_flag, p_cents, w,
+         sum(w) OVER (PARTITION BY ret_flag
+                      ORDER BY p_cents ASC, ok ASC, ln ASC
+                      ROWS UNBOUNDED PRECEDING) AS cw
+  FROM t
+)
+SELECT c.ret_flag,
+       CAST(min(p_cents) AS BIGINT) AS wmedian_cents,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM c JOIN tot USING (ret_flag)
+WHERE 2 * cw >= tw AND 2 * (cw - w) < tw
+GROUP BY 1 ORDER BY ret_flag ASC
+"""
+
+
+@register("lineitem_weighted_median", oracle=_WMEDIAN_ORACLE)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted median of extended price per return flag
+    — the lower weighted median: the first price (in (price, orderkey,
+    linenumber) order) whose running weight reaches half the group
+    total.  The sketch family answers this approximately
+    (`sketch_grouped_quantiles`); this is the exact complement, and the
+    3-group grain is precisely where a per-group window scan
+    single-threads a 100 TB table.  Runs through
+    :func:`operators.prefix.grouped_prefix_sum`: range partition on
+    (flag, price, tiebreak), P parallel local cumulative sums, P x 3
+    offset rows.  Weights are >= 1, so the running total is strictly
+    increasing and exactly ONE row per group satisfies the crossing
+    predicate ``2*cw >= tw AND 2*(cw - w) < tw`` (min() below is
+    identity, kept for schema discipline).  All arithmetic is BIGINT
+    cents — both engines agree bit-for-bit."""
+    from javascript_vector_database_spark.operators.prefix import (
+        grouped_prefix_sum,
+    )
+
+    t = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("ret_flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("p_cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    tot = t.groupBy("ret_flag").agg(F.sum("w").cast("long").alias("tw"))
+    c = grouped_prefix_sum(
+        t,
+        "ret_flag",
+        [F.col("p_cents").asc(), F.col("ok").asc(), F.col("ln").asc()],
+        "w",
+        out="cw",
+    )
+    return (
+        c.join(F.broadcast(tot), "ret_flag")
+        .where((2 * F.col("cw") >= F.col("tw")) & (2 * (F.col("cw") - F.col("w")) < F.col("tw")))
+        .groupBy("ret_flag")
+        .agg(
+            F.min("p_cents").cast("long").alias("wmedian_cents"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy(F.col("ret_flag").asc())
+    )

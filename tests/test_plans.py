@@ -515,3 +515,22 @@ def test_key_skew_topk_and_broadcast(spark):
     plan = _plan(registry.queries()["profile_key_skew"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_revenue_milestones_pid_scan(spark):
+    """The event-grain running total must run through the two-phase
+    parallel scan: cumulative windows keyed by __pid, never a bare
+    ORDER BY over the purchase grain, offsets on a broadcast."""
+    plan = _plan(registry.queries()["events_revenue_milestones"](spark, SF))
+    assert "windowspecdefinition(__pid" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_weighted_median_pid_scan(spark):
+    """Grouped weighted median: the per-group cumulative sum windows on
+    (__pid, ret_flag) and the 3-row totals ride a broadcast join."""
+    plan = _plan(registry.queries()["lineitem_weighted_median"](spark, SF))
+    assert "windowspecdefinition(__pid" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -642,3 +642,72 @@ def test_grouped_global_rank_matches_single_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    """The two-phase parallel scan must reproduce the exact running
+    total of a single global cumulative-sum window — cross-partition
+    offsets included."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from javascript_vector_database_spark.operators.prefix import (
+        global_prefix_sum,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 997).alias("v")
+    )
+    got = {
+        (r["id"], r["cum"])
+        for r in global_prefix_sum(
+            df, [F.col("id").asc()], "v", num_partitions=16
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["id"], r["cum"])
+        for r in df.select(
+            "id", F.sum("v").over(w).cast("long").alias("cum")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_prefix_sum_matches_single_window(spark):
+    """grouped_prefix_sum must reproduce the per-group running total of
+    a PARTITION BY window exactly, for low-cardinality groups whose
+    slices span many range partitions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from javascript_vector_database_spark.operators.prefix import (
+        grouped_prefix_sum,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 48271 % 103).alias("v"),
+    )
+    got = {
+        (r["id"], r["cum"])
+        for r in grouped_prefix_sum(
+            df, "g", [F.col("id").asc()], "v", num_partitions=16
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["id"], r["cum"])
+        for r in df.select(
+            "id", F.sum("v").over(w).cast("long").alias("cum")
+        ).collect()
+    }
+    assert got == want

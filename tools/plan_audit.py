@@ -238,6 +238,8 @@ AUDITED = [
     "events_attribution_time_decay",
     "events_activity_streaks",
     "profile_key_skew",
+    "events_revenue_milestones",
+    "lineitem_weighted_median",
 ]
 
 
