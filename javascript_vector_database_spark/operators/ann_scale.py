@@ -19,6 +19,8 @@ the scalable generalization"):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,13 +88,50 @@ def ivf_kmeans_centroids(
     ]
 
 
+#: above this (dim * centroid-count) product the nearest-centroid fold
+#: switches to the Arrow kernel: at 384x16 the per-row interpreted HOF
+#: fold (16 chained 384-term euclidean folds) costs seconds per 1000
+#: rows, while the vectorized kernel is milliseconds and the same
+#: scan-local no-shuffle shape.  64x16 (the corpus geometry) stays on
+#: the expression fold — compiled once it is JVM-fast and join-free.
+IVF_WIDE_CELLS = 2048
+
+
+def _ivf_cells_pandas(cents: list[tuple[int, list[float]]]):
+    """Arrow-vectorized nearest-centroid assignment — bit-exact with
+    :func:`ivf_cell_expr`'s fold: squared diffs accumulate LEFT-
+    ASSOCIATED in element order (one vectorized step per element
+    position), sqrt is correctly rounded in both engines, and
+    ``np.argmin``'s first-minimum tie rule equals ``least()`` on the
+    (d, cid) struct with cents sorted by cid."""
+    cids = np.array([int(cid) for cid, _ in cents], dtype=np.int64)
+    C = np.array([c for _, c in cents], dtype=np.float64)  # (k, dim)
+
+    @F.pandas_udf("long")
+    def cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.array(v.tolist(), dtype=np.float64)
+        acc = np.zeros((x.shape[0], C.shape[0]))
+        for i in range(C.shape[1]):
+            d = x[:, i, None] - C[None, :, i]
+            acc = acc + d * d
+        return pd.Series(cids[np.argmin(np.sqrt(acc), axis=1)])
+
+    return cell
+
+
 def ivf_cell_expr(vec: Column | str, cents: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid id as a pure Column expression: the centroids are
     inlined as literals and the argmin is ONE fold over them — no join, no
     shuffle, scan-only.  Ties go to the lowest cid (cents sorted).  This
     is the 100 TB plan: assignment is embarrassingly parallel; the
-    downstream table is then written partitioned by ivf_cell."""
+    downstream table is then written partitioned by ivf_cell.  Wide
+    geometries (dim x cells > IVF_WIDE_CELLS) route to the Arrow kernel
+    (:func:`_ivf_cells_pandas`) — same values, same scan-local shape."""
     vec = F.col(vec) if isinstance(vec, str) else vec
+    if len(cents) * len(cents[0][1]) > IVF_WIDE_CELLS:
+        return _ivf_cells_pandas(cents)(vec.cast("array<double>"))
     cent_arr = F.array(*[
         F.struct(
             F.lit(cid).cast("long").alias("cid"),

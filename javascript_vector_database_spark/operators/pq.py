@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -284,18 +286,90 @@ def py_pq_lut(qvec: list[float], codebook: list[list[list[float]]]) -> list[list
     return lut
 
 
+#: above this subspace count the ADC/encode expressions switch from the
+#: codegen-friendly literal chain to data-shaped forms: at M=96 (the
+#: 384-dim config) the M-term literal tree makes janino compile the
+#: generated class for SECONDS on every fresh plan (measured ~13s of
+#: the 16s ann_pq_384 wall at sf0.1 — the fixture data itself is
+#: milliseconds), and the generated-code cache rarely hits because each
+#: composed plan differs.  Small M keeps the chain: compiled once it is
+#: the fastest per-row form, and the compile is proportionate.
+PQ_WIDE_M = 16
+
+
 def pq_adc_expr(code_col: Column | str, lut: list[list[float]]) -> Column:
     """Approximate squared distance: left-associated sum over subspaces of
-    the LUT entry the row's code selects (M lookups + adds per row)."""
+    the LUT entry the row's code selects (M lookups + adds per row).
+
+    Two equivalent forms by M (see PQ_WIDE_M): the literal chain for
+    narrow codes, and ONE flat M*K literal array folded with the
+    ``aggregate`` higher-order function for wide ones.  The HOF fold is
+    left-associated in subspace order — term for term the SAME IEEE
+    double additions as the chain (the 0.0 seed is exact: x + 0.0 == x
+    for every finite x, and ADC scores only rank candidates, so a
+    -0.0 vs 0.0 sign difference cannot reorder anything)."""
     code_col = F.col(code_col) if isinstance(code_col, str) else code_col
-    # lit_double_array: one parsed expression per subspace row — the
-    # per-element F.lit form costs a py4j round trip per literal, which
-    # dominates plan build at M=96 x K (the 384-dim config)
-    terms = [
-        F.element_at(lit_double_array(lut[s]), code_col.getItem(s) + 1)
-        for s in range(len(lut))
-    ]
-    return reduce(lambda a, b: a + b, terms)
+    m, k = len(lut), len(lut[0])
+    if m <= PQ_WIDE_M:
+        # lit_double_array: one parsed expression per subspace row — the
+        # per-element F.lit form costs a py4j round trip per literal
+        terms = [
+            F.element_at(lit_double_array(lut[s]), code_col.getItem(s) + 1)
+            for s in range(m)
+        ]
+        return reduce(lambda a, b: a + b, terms)
+    # Two-step shape on purpose: zip_with's ARGUMENTS are evaluated once
+    # per row, then the fold runs over the materialized value array.  A
+    # single aggregate whose lambda indexes into code_col per step
+    # re-evaluates code_col's (possibly CollapseProject-inlined — e.g.
+    # the wide-M encode's transform) expression on EVERY fold step:
+    # measured 95s for the composed encode+ADC at M=96 vs 0.3s here.
+    flat = lit_double_array([v for row in lut for v in row])
+    vals = F.zip_with(
+        code_col,
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, s: F.element_at(flat, s * k + c + 1),
+    )
+    return F.aggregate(vals, F.lit(0.0), lambda a, b: a + b)
+
+
+def _pq_encode_pandas(codebook: list[list[list[float]]]):
+    """Arrow-vectorized PQ encoder for WIDE codebooks (see PQ_WIDE_M):
+    one scan-local pandas_udf, no explode/join/aggregate — at M=96 the
+    join-aggregate encode pushes 2000x96x16 = 3M candidate rows through
+    two SortAggregates (struct-min is not hash-aggregable) and measured
+    13.5s on the 2000-row fixture; this kernel is milliseconds and, at
+    100 TB, removes BOTH encode shuffles (encode becomes a projection).
+
+    Bit-exact with the join form: the subspace score is
+    ``||c||^2 - 2*<v_s, c>`` with every accumulation LEFT-ASSOCIATED in
+    element order — the numpy loops below add one element position per
+    step (``acc = acc + x_i*c_i``), which is the same IEEE-double
+    addition chain as :func:`_sub_score` / the DuckDB oracle, applied
+    row-vectorized.  ``np.argmin`` returns the FIRST minimum = ties to
+    the lowest j, matching ``least()`` on (d, j) structs."""
+    m = len(codebook)
+    sd = len(codebook[0][0])
+    C = np.array(codebook, dtype=np.float64)  # (m, k, sd)
+    # csq via the same left-associated per-element accumulation
+    csq = np.zeros(C.shape[:2])
+    for i in range(sd):
+        csq = csq + C[:, :, i] * C[:, :, i]
+
+    @F.pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64)
+        codes = np.empty((x.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            acc = np.zeros((x.shape[0], C.shape[1]))
+            for i in range(sd):
+                acc = acc + x[:, s * sd + i, None] * C[s, None, :, i]
+            codes[:, s] = np.argmin(csq[s][None, :] - 2.0 * acc, axis=1)
+        return pd.Series(list(codes))
+
+    return enc
 
 
 def pq_code_table(
@@ -315,8 +389,18 @@ def pq_code_table(
     aggregates whose map-side partials collapse everything back to one
     row per vector before the shuffle — and its generated code carries no
     literals, so one compiled class serves every codebook.  Same argmin
-    scores bit-for-bit (identical left-associated double terms)."""
+    scores bit-for-bit (identical left-associated double terms).
+
+    WIDE codebooks (m > PQ_WIDE_M) route to the Arrow kernel instead —
+    see :func:`_pq_encode_pandas` for the measurement and the bit-
+    exactness argument."""
     m = len(codebook)
+    if m > PQ_WIDE_M:
+        enc = _pq_encode_pandas(codebook)
+        return emb.select(
+            F.col(id_col),
+            enc(F.col(vec_col).cast("array<double>")).alias("pq_code"),
+        )
     sd = len(codebook[0][0])
     spark = emb.sparkSession
     cb_rows = [
