@@ -381,6 +381,21 @@ def main() -> None:
         results[f"ivf384_{tag}_recall_at_10"] = sum(
             len(a & e) / len(e) for a, e in zip(sets384, exact384)
         ) / len(q384)
+        # the nprobe=4 point (of 16 cells, vs the N_PROBE=2 default):
+        # documents the recall/probe-cost trade at reference geometry
+        # without touching the stamped rows' registered defaults
+        sets384p4 = [
+            {
+                r["vec_id"]
+                for r in ann_scale.ivf_search(
+                    assigned384, qv, cents=cents, precomputed=True, nprobe=4
+                ).collect()
+            }
+            for qv in q384
+        ]
+        results[f"ivf384_{tag}_nprobe4_recall_at_10"] = sum(
+            len(a & e) / len(e) for a, e in zip(sets384p4, exact384)
+        ) / len(q384)
 
     # quantizer recall at reference geometry (r6): SQ8's global affine
     # vs the concentrated unit-norm components, and PQ at 48-dim
@@ -723,10 +738,15 @@ def main() -> None:
     sf1_gen_sec = 0.0
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         sf1_gen_sec, sf1_dir = _timed(lambda: _scaled_dir(spark, sf_dir))
+        # best-of-2, same as the headline pass: single-pass 10x timings
+        # measured up to ~3x swing between clean runs of identical code
+        # (GC pauses + AQE re-plans land on whole multi-second queries),
+        # which reads as a false regression in round-over-round diffs
         for name in _SCALE_HEADLINE:
             fn = registry.queries()[name]
             t1, _ = _timed(lambda fn=fn: fn(spark, sf1_dir).collect())
-            sf1_queries[name] = round(t1, 4)
+            t2, _ = _timed(lambda fn=fn: fn(spark, sf1_dir).collect())
+            sf1_queries[name] = round(min(t1, t2), 4)
 
     total_sec = sum(queries.values())
     # Key order matters for the record's survival: the driver keeps only

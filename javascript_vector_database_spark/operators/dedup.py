@@ -434,7 +434,7 @@ def containment_pairs(
     # three consumers (sizes + both posting sides) — materialize once
     ex = exploded_shingle_hashes(
         reps, "__text", id_col, shingle_k, distinct=True
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     sizes = ex.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("__sz")
     )

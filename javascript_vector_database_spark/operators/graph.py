@@ -158,7 +158,7 @@ def closed_wedges(
         F.when(lt, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     w1 = o.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
     w2 = o.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
     # order the wedge's endpoints by the SAME (degree, id) key, so the
@@ -232,7 +232,7 @@ def seeded_triangle_counts(
     sd = seeds.select(F.col("node").alias("s")).distinct()
     # both wedge sides read the seed-restricted adjacency — once
     nb = adj.join(F.broadcast(sd), "s", "left_semi").localCheckpoint(
-        eager=False
+        eager=True
     )
     left = nb.select(F.col("s").alias("p"), F.col("t").alias("x"))
     right = nb.select(F.col("s").alias("p"), F.col("t").alias("y"))
@@ -284,7 +284,7 @@ def common_neighbor_pairs(
     piv = deg.where((F.col("d") >= 2) & (F.col("d") <= max_pivot_degree))
     # both wedge sides read the capped adjacency — materialize once
     capped = adj.join(piv.select("s"), "s", "left_semi").localCheckpoint(
-        eager=False
+        eager=True
     )
     left = capped.select(F.col("s").alias("p"), F.col("t").alias("x"))
     right = capped.select(F.col("s").alias("p"), F.col("t").alias("y"))
@@ -324,12 +324,12 @@ def kcore_peel(
         keep = (
             deg.where(F.col("d") >= k)
             .select("s")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         adj = (
             adj.join(keep, "s", "left_semi")
             .join(keep.select(F.col("s").alias("t")), "t", "left_semi")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return adj.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
@@ -377,12 +377,12 @@ def personalized_pagerank(
     floors to 0 are dropped each round — bounds the relation and is
     mirrored in the oracle."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
-    seed_nodes = seeds.select("node").distinct().localCheckpoint(eager=False)
+    seed_nodes = seeds.select("node").distinct().localCheckpoint(eager=True)
     ranks = seed_nodes.select(
         "node", F.lit(RANK_SCALE).cast("long").alias("rank")
     )
     # every round re-reads (edges ⋈ outdeg) — materialize it once
-    withdeg = edges.join(deg, "src").localCheckpoint(eager=False)
+    withdeg = edges.join(deg, "src").localCheckpoint(eager=True)
     is_seed = F.col("__s").isNotNull()
     for _ in range(rounds):
         contrib = withdeg.join(
@@ -566,7 +566,7 @@ def bfs_hops(
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("hops").cast("long").alias("hops"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return dist
 

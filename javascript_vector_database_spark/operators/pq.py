@@ -401,6 +401,19 @@ def pq_code_table(
             F.col(id_col),
             enc(F.col(vec_col).cast("array<double>")).alias("pq_code"),
         )
+    return _pq_code_table_join(emb, codebook, id_col, vec_col)
+
+
+def _pq_code_table_join(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The join-aggregate encode form (see :func:`pq_code_table`) —
+    exposed separately so tests can pin it bit-for-bit against the
+    Arrow kernel at any M."""
+    m = len(codebook)
     sd = len(codebook[0][0])
     spark = emb.sparkSession
     cb_rows = [

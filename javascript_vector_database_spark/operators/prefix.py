@@ -18,7 +18,9 @@ parallel-scan construction (the prefix-sum sibling of
 
 The input is ``localCheckpoint``-pinned before step 2 for the same
 reason as rank.py: the offsets job and the final join must observe the
-SAME partition assignment.
+SAME partition assignment.  Eager, for rank.py's deadlock reason (a
+lazy checkpoint first materialized on a broadcast-exchange thread can
+deadlock against the DAG scheduler — see rank.py's module docstring).
 
 ``order_cols`` must define a TOTAL order (include a unique tiebreak):
 with ties, each tied row's running total would depend on partition-
@@ -56,7 +58,7 @@ def global_prefix_sum(
     part = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sums = part.groupBy("__pid").agg(
         F.sum(value_col).cast("long").alias("__psum")
@@ -108,7 +110,7 @@ def grouped_prefix_sum(
     part = (
         df.repartitionByRange(n, *ordered)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sums = part.groupBy("__pid", group_col).agg(
         F.sum(value_col).cast("long").alias("__psum")

@@ -19,7 +19,14 @@ the classic distributed prefix-rank construction (the TeraSort trick):
 The input is ``localCheckpoint``-pinned before step 2: the offsets job
 and the final join must observe the SAME partition assignment, and the
 checkpoint both guarantees that and avoids recomputing the (usually
-aggregated) input twice.
+aggregated) input twice.  The checkpoint is EAGER on purpose: with
+``eager=False`` the first materialization can land on a
+broadcast-exchange thread (the offsets subtree is broadcast) racing the
+DAG scheduler's stage submission over the same RDD — observed as a
+Java-level deadlock (RDDCheckpointData$ lock vs the RDD monitor,
+confirmed by jstack) that froze a bench run mid-pass.  Eager
+materialization completes on the driver thread at build time, closing
+the window; the job itself runs exactly once either way.
 
 No reference analog — the reference ranks in-process (single node); this
 is the scale-out form its semantics need on a cluster.
@@ -58,7 +65,7 @@ def global_row_number(
     part = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # running sum over <= P partition-count rows: bounded input, the
@@ -101,7 +108,7 @@ def grouped_global_rank(
     part = (
         df.repartitionByRange(n, F.col(group_col).asc(), order_col.asc())
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     counts = part.groupBy("__pid", group_col).agg(
         F.count(F.lit(1)).alias("__cnt")

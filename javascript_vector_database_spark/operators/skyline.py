@@ -61,7 +61,7 @@ def skyline_2d(
     part = (
         cand.repartitionByRange(num_partitions, F.col(x).asc())
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # step 3a: broadcast prefix min over the P per-partition minima
     pmins = part.groupBy("__pid").agg(F.min("__y").alias("__pmin"))

@@ -98,7 +98,7 @@ def agg_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # consumed twice (per-part min + the equality filter) —
         # materialize so the lineitem aggregate runs once
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     best = eligible.groupBy("l_partkey").agg(
         F.min("unit_price").alias("best_price")
@@ -400,7 +400,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the pair list feeds many consumers (degrees, adjacency both
         # directions, wedge sides, the anti join) — materialize ONCE or
         # every consumer replays the lineitem self-join
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     _EDGE_CACHE[sf_dir] = (spark, edges)
     return edges
@@ -603,7 +603,7 @@ def text_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             (F.col("tf") * F.expr(f"{IDF_SCALE} DIV df")).alias("wt"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("wt") * F.col("wt")).alias("norm2")
@@ -1050,7 +1050,7 @@ def text_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select(
         "doc_id",
         F.substring(F.lower(F.col("text")), 1, _ED_LEN).alias("sk"),
-    ).withColumn("la", F.length("sk")).localCheckpoint(eager=False)
+    ).withColumn("la", F.length("sk")).localCheckpoint(eager=True)
     return edit_distance_pairs(s)
 
 
@@ -1568,12 +1568,12 @@ def graph_harmonic_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.orderBy(F.col("d").desc(), F.col("p").asc())
         .limit(_HUB_SEEDS)
         .select("p")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     h1 = (
         adj.join(F.broadcast(seeds), "p", "left_semi")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     mid = h1.select(F.col("p").alias("sp"), F.col("n").alias("m"))
     h2 = (
@@ -1697,7 +1697,7 @@ def graph_clustering_coefficient_hubs(
         deg.orderBy(F.col("d").desc(), F.col("n").asc())
         .limit(_HUB_SEEDS)
         .select(F.col("n").alias("node"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     return seeded_triangle_counts(edges, seeds).orderBy(
         F.col("clustering_coef").desc(), F.col("node").asc()

@@ -1779,7 +1779,7 @@ def supplier_sole_late_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = (
         j.groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.col("late")).alias("supp_late"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supps"),

@@ -239,3 +239,59 @@ def test_pq_trained_codebook_beats_sampled(spark, sf_oracle):
         assert r_trained >= 0.7
     finally:
         emb.unpersist()
+
+
+def test_pq_pandas_encode_matches_join_encode(spark):
+    """The wide-M Arrow encode must reproduce the join-aggregate encode
+    CODE FOR CODE: the kernel's per-element left-associated
+    accumulation is the same IEEE addition chain as the SQL fold, and
+    np.argmin's first-minimum equals least()'s lowest-j tie rule.
+    m=32 on the 64-dim corpus routes pq_code_table through the kernel
+    (m > PQ_WIDE_M) while _pq_code_table_join runs the reference
+    join form on the identical codebook."""
+    from javascript_vector_database_spark.operators import pq as pqm
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pqm.pq_codebook(
+        ann_scale.collect_centroids(emb, k=pqm.PQ_K), m=32
+    )
+    assert 32 > pqm.PQ_WIDE_M
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pqm.pq_code_table(emb, cb).collect()
+    }
+    want = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pqm._pq_code_table_join(emb, cb).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivf_pandas_cells_match_expression_fold(spark):
+    """The wide-geometry Arrow assignment must reproduce the expression
+    fold's cell ids exactly (same sqrt-compared distances, same
+    lowest-cid ties).  64x16 sits under IVF_WIDE_CELLS, so
+    ivf_cell_expr takes the fold path and the kernel is invoked
+    directly on the same centroids."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ann_scale.collect_centroids(emb, k=16)
+    assert len(cents) * len(cents[0][1]) <= ann_scale.IVF_WIDE_CELLS
+    fold = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id",
+            ann_scale.ivf_cell_expr(F.col("embedding"), cents).alias("cell"),
+        ).collect()
+    }
+    kern = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id",
+            ann_scale._ivf_cells_pandas(cents)(
+                F.col("embedding").cast("array<double>")
+            ).alias("cell"),
+        ).collect()
+    }
+    assert fold == kern and len(fold) > 0

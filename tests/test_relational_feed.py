@@ -711,3 +711,50 @@ def test_grouped_prefix_sum_matches_single_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_prefix_sum_property_random_inputs(spark):
+    """Property: on arbitrary (key, value) inputs — including negative
+    values, duplicates-free total order, and partition counts that
+    don't divide the data evenly — both scan helpers equal a driver-
+    side Python prefix sum.  Deterministic seeds; pure-Python model
+    written against the DEFINITION, not the Spark code."""
+    import random
+
+    for seed, n, parts in ((1, 257, 7), (2, 1024, 16), (3, 33, 64)):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randint(-1000, 1000), str(rng.randint(0, 2)))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, v long, g string")
+
+        from javascript_vector_database_spark.operators.prefix import (
+            global_prefix_sum,
+            grouped_prefix_sum,
+        )
+
+        got = {
+            r["id"]: r["cum"]
+            for r in global_prefix_sum(
+                df, [F.col("id").asc()], "v", num_partitions=parts
+            ).collect()
+        }
+        acc, want = 0, {}
+        for i, v, _ in rows:
+            acc += v
+            want[i] = acc
+        assert got == want
+
+        gotg = {
+            r["id"]: r["cum"]
+            for r in grouped_prefix_sum(
+                df, "g", [F.col("id").asc()], "v", num_partitions=parts
+            ).collect()
+        }
+        accs: dict[str, int] = {}
+        wantg = {}
+        for i, v, g in rows:
+            accs[g] = accs.get(g, 0) + v
+            wantg[i] = accs[g]
+        assert gotg == wantg
