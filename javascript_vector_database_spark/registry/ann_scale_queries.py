@@ -110,7 +110,9 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_search_oracle(
-    table: str = "embeddings", qcte: str = osql.QVEC_CTE
+    table: str = "embeddings",
+    qcte: str = osql.QVEC_CTE,
+    nprobe: int = ann_scale.N_PROBE,
 ) -> str:
     return f"""
 WITH {qcte},
@@ -118,7 +120,7 @@ WITH {qcte},
 probe AS (
   SELECT cid FROM cents, q
   ORDER BY {osql.sql_euclid('cemb', 'qv')} ASC, cid ASC
-  LIMIT {ann_scale.N_PROBE}
+  LIMIT {nprobe}
 )
 SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'qv')}, 6) AS distance
 FROM {table} e, q
