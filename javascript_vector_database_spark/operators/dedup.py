@@ -165,7 +165,7 @@ def exploded_shingles(
     pos = F.explode(F.sequence(F.lit(0), F.size("__t") - shingle_k))
     ex = base.select(id_col, "__t", pos.alias("__i"))
     gram = F.concat_ws(
-        " ", *[F.col("__t").getItem(F.col("__i") + j) for j in range(shingle_k)]
+        " ", *[F.col("__t")[F.col("__i") + j] for j in range(shingle_k)]
     )
     return ex.select(id_col, gram.alias(out_col))
 
@@ -203,7 +203,7 @@ def exploded_shingle_hashes(
     gram = F.when(
         F.size("__t") >= shingle_k,
         F.concat_ws(
-            " ", *[F.col("__t").getItem(F.col("__i") + j) for j in range(shingle_k)]
+            " ", *[F.col("__t")[F.col("__i") + j] for j in range(shingle_k)]
         ),
     ).otherwise(F.array_join("__t", " "))
     h = F.md5(gram)
@@ -974,7 +974,7 @@ def winnow_fingerprints(
     gram = F.when(
         F.size("__t") >= shingle_k,
         F.concat_ws(
-            " ", *[F.col("__t").getItem(F.col("__i") + j) for j in range(shingle_k)]
+            " ", *[F.col("__t")[F.col("__i") + j] for j in range(shingle_k)]
         ),
     ).otherwise(F.array_join("__t", " "))
     h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")

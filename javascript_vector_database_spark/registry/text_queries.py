@@ -467,8 +467,8 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__t",
         F.explode(F.sequence(F.lit(0), F.size("__t") - 2)).alias("__i"),
     )
-    hit = (F.col("__t").getItem(F.col("__i")) == PHRASE[0]) & (
-        F.col("__t").getItem(F.col("__i") + 1) == PHRASE[1]
+    hit = (F.col("__t")[F.col("__i")] == PHRASE[0]) & (
+        F.col("__t")[F.col("__i") + 1] == PHRASE[1]
     )
     return (
         ex.where(hit)
@@ -585,8 +585,8 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__t", F.explode(F.sequence(F.lit(0), F.size("__t") - 2)).alias("__i")
     )
     bi_all = ex.select(
-        F.col("__t").getItem(F.col("__i")).alias("a"),
-        F.col("__t").getItem(F.col("__i") + 1).alias("b"),
+        F.col("__t")[F.col("__i")].alias("a"),
+        F.col("__t")[F.col("__i") + 1].alias("b"),
     ).groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("nab"))
     bi = bi_all.where(F.col("nab") >= _COLLOC_MIN)
     # the two corpus totals are single bounded scalars — collected once
