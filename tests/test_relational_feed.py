@@ -758,3 +758,66 @@ def test_prefix_sum_property_random_inputs(spark):
             accs[g] = accs.get(g, 0) + v
             wantg[i] = accs[g]
         assert gotg == wantg
+
+
+def test_milestone_crossing_counts_multi_step(spark):
+    """A single purchase can cross SEVERAL milestones at once; the
+    integer-floor predicate must emit that one row with the right
+    n_crossed, and zero-value rows must never appear.  Hand-crafted
+    values against a pure-Python model of the same floors."""
+    from javascript_vector_database_spark.operators.prefix import (
+        global_prefix_sum,
+    )
+
+    M = 100
+    vals = [40, 0, 70, 250, 30, 10, 100]  # cum: 40,40,110,360,390,400,500
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    c = global_prefix_sum(df, [F.col("id").asc()], "v", num_partitions=4)
+    got = {
+        r["id"]: (r["cum"] // M, (r["cum"] - vals[r["id"]]) // M)
+        for r in c.collect()
+    }
+    crossed = {
+        i: hi - lo for i, (hi, lo) in got.items() if hi > lo
+    }
+    # python model
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        lo = acc // M
+        acc += v
+        if acc // M > lo:
+            want[i] = acc // M - lo
+    assert crossed == want
+    assert want == {2: 1, 3: 2, 5: 1, 6: 1}  # id=3 crosses 2 and 3 at once
+    assert 1 not in crossed and 4 not in crossed  # zero/no-cross rows
+
+
+def test_weighted_median_crossing_row_unique_with_ties(spark):
+    """The crossing predicate (2*cw >= tw AND 2*(cw-w) < tw) selects
+    EXACTLY one row per group even when the median price is tied
+    across rows and when the total weight is even (lower median)."""
+    from javascript_vector_database_spark.operators.prefix import (
+        grouped_prefix_sum,
+    )
+
+    rows = [
+        # group a: weights 1+3+2 = 6 (even), crossing in the tied pair
+        ("a", 10, 1, 0), ("a", 20, 3, 1), ("a", 20, 2, 2),
+        # group b: single heavy row dominates
+        ("b", 5, 10, 3), ("b", 99, 1, 4),
+    ]
+    df = spark.createDataFrame(rows, "g string, p long, w long, tb long")
+    tot = {g: s for g, s in [("a", 6), ("b", 11)]}
+    c = grouped_prefix_sum(
+        df, "g", [F.col("p").asc(), F.col("tb").asc()], "w",
+        num_partitions=4, out="cw",
+    )
+    hits = [
+        (r["g"], r["p"])
+        for r in c.collect()
+        if 2 * r["cw"] >= tot[r["g"]] and 2 * (r["cw"] - r["w"]) < tot[r["g"]]
+    ]
+    assert sorted(hits) == [("a", 20), ("b", 5)]
+    assert len(hits) == len(set(g for g, _ in hits))  # one per group
