@@ -183,7 +183,15 @@ def ivf_assign_dist(
     """Like :func:`ivf_assign` but keeps the distance to the winning
     centroid — the input to medoid selection / semantic dedup.  Same
     single scan-local fold (the (d, cid) argmin struct is simply
-    returned whole instead of projected to cid)."""
+    returned whole instead of projected to cid).
+
+    NARROW-GEOMETRY ONLY: this fold always inlines the centroid
+    literals (no IVF_WIDE_CELLS Arrow routing — the kernel returns only
+    the cell id, not cdist).  Fine at the 64x16 call sites; for wide
+    geometries (dim x cells > IVF_WIDE_CELLS, e.g. 384-dim) the
+    interpreted HOF fold costs seconds per 1000 rows — extend
+    _ivf_cells_pandas to also return the winning distance before
+    pointing 384-dim semantic dedup here."""
     if cents is None:
         cents = collect_centroids(emb, id_col, vec_col, k_cents)
     vec = F.col(vec_col)
@@ -236,7 +244,15 @@ def ivf_search(
     partitions before any scan — only the probed cells are ever read.
     ``cents`` lets the caller reuse a collected/trained centroid set
     (required when precomputed, so probe cells match the stored
-    assignment)."""
+    assignment).
+
+    Centroid guidance: pass TRAINED centroids (ivf_kmeans_centroids at
+    build time, or a persisted centroid table — see
+    registry/ref_geometry.py's fixtures/centroids_384.parquet idiom)
+    whenever recall matters: on the clustered 384-dim fixture the
+    trained set serves recall@10 0.88 at nprobe=4 vs 0.46 for the
+    hash-order sample.  The ``cents=None`` sample default exists for
+    zero-setup calls and pure-SQL oracle portability, not quality."""
     if cents is None:
         if precomputed:
             raise ValueError(

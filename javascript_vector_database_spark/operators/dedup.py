@@ -1578,7 +1578,15 @@ def semantic_prune(
 
     if cents is None:
         cents = collect_centroids(df, id_col, vec_col)
-    a = ivf_assign_dist(df, id_col=id_col, vec_col=vec_col, cents=cents)
+    # materialize the assignment ONCE: both the medoid aggregation and the
+    # scored side below consume it, and without the checkpoint the full
+    # embedding scan + K-centroid argmin fold would execute twice (the
+    # same multi-consumer discipline as containment_pairs / harmonic
+    # hubs).  Eager — lazy localCheckpoint deadlocks under broadcast
+    # subtrees (see streaming/pipeline.py checkpoint notes).
+    a = ivf_assign_dist(
+        df, id_col=id_col, vec_col=vec_col, cents=cents
+    ).localCheckpoint()
     med = (
         a.groupBy("ivf_cell")
         .agg(

@@ -113,10 +113,14 @@ def _ivf_search_oracle(
     table: str = "embeddings",
     qcte: str = osql.QVEC_CTE,
     nprobe: int = ann_scale.N_PROBE,
+    cents_cte: str | None = None,
 ) -> str:
+    # cents_cte lets the caller swap the hash-order sample for a persisted
+    # centroid set (e.g. the trained 384-dim fixture, read_parquet by both
+    # engines) — the assignment/probe SQL is identical either way
     return f"""
 WITH {qcte},
-{_ivf_cents_cte(table)},{_ivf_assign_cte(table)},
+{cents_cte or _ivf_cents_cte(table)},{_ivf_assign_cte(table)},
 probe AS (
   SELECT cid FROM cents, q
   ORDER BY {osql.sql_euclid('cemb', 'qv')} ASC, cid ASC

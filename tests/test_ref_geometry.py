@@ -49,6 +49,40 @@ def test_compat_keys_in_reference_regime(spark):
     assert bad == 0
 
 
+def test_trained_centroids_fixture_contract(spark):
+    """The committed trained-centroid fixture: 16 centroids x 384 dims,
+    cids 0..15 (tools/make_centroids_384.py provenance)."""
+    cents = ref_geometry.trained_cents(spark)
+    assert [cid for cid, _ in cents] == list(range(16))
+    assert all(len(c) == 384 for _, c in cents)
+
+
+def test_ivf_384_trained_recall(spark):
+    """The r7 verdict's last weak stamp: the REGISTERED 384 IVF row must
+    serve >=0.8 recall@10.  Trained centroids + nprobe=4 measure 0.88 on
+    the fixture (deterministic: committed fixture + committed centroids);
+    the r7 hash-order sample served 0.46 at the same probe width."""
+    from javascript_vector_database_spark.operators import ann_scale, knn
+
+    emb = ref_geometry._fixture(spark)
+    cents = ref_geometry.trained_cents(spark)
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    ]
+    rec = 0.0
+    for qv in qvs:
+        exact = {r["vec_id"] for r in knn.exact_knn(emb, qv).collect()}
+        got = {
+            r["vec_id"]
+            for r in ann_scale.ivf_search(
+                emb, qv, nprobe=ref_geometry.IVF_NPROBE_384, cents=cents
+            ).collect()
+        }
+        rec += len(exact & got) / len(exact)
+    assert rec / len(qvs) >= 0.8
+
+
 def test_range_compat_384_returns_candidates(spark):
     """The ±0.3% band must select a non-trivial candidate set at 384 dims
     (fixture SIGMA was chosen for spread) — guards against a degenerate
