@@ -42,6 +42,17 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
+def _timed_best2(fn):
+    """min-of-2 timing (outputs are deterministic, so the first run's
+    result is kept): a 32-thread local JVM takes multi-second GC pauses
+    that land on arbitrary queries — the r6->r7 record showed every extras
+    metric drifting ~1.4-1.6x in lockstep from exactly this, so the
+    extras loops get the same treatment as the headline/10x passes."""
+    t1, out = _timed(fn)
+    t2, _ = _timed(fn)
+    return min(t1, t2), out
+
+
 #: integer-key columns shifted per scale-up copy.  ONE shared offset per
 #: copy (1e9 * copy) keeps cross-table joins intact (l_orderkey matches
 #: o_orderkey, o_custkey matches c_custkey) and copy 0 unshifted, so
@@ -189,7 +200,7 @@ def main() -> None:
     results: dict[str, float] = {}
 
     # exact kNN
-    t, exact_sets = _timed(
+    t, exact_sets = _timed_best2(
         lambda: [
             {r["vec_id"] for r in knn.exact_knn(emb, qv).collect()} for qv in qvecs
         ]
@@ -197,7 +208,7 @@ def main() -> None:
     results["knn_exact_sec_per_query"] = t / len(qvecs)
 
     # ANN range (precomputed index) + recall
-    t, ann_sets = _timed(
+    t, ann_sets = _timed_best2(
         lambda: [
             {
                 r["vec_id"]
@@ -212,7 +223,7 @@ def main() -> None:
     ) / len(qvecs)
 
     # ANN similarity
-    t, sim_sets = _timed(
+    t, sim_sets = _timed_best2(
         lambda: [
             {
                 r["vec_id"]
@@ -241,7 +252,7 @@ def main() -> None:
         "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
     ).cache()
     assigned.count()
-    t, ivf_sets = _timed(
+    t, ivf_sets = _timed_best2(
         lambda: [
             {
                 r["vec_id"]
@@ -262,7 +273,7 @@ def main() -> None:
         "bucket", ann_scale.lsh_bucket(F.col("embedding"), planes)
     ).cache()
     bucketed.count()
-    t, lsh_sets = _timed(
+    t, lsh_sets = _timed_best2(
         lambda: [
             {
                 r["vec_id"]
@@ -277,6 +288,17 @@ def main() -> None:
     results["lsh_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(lsh_sets, exact_sets)
     ) / len(qvecs)
+    # scan cost of the directed probe set (r7 verdict: report the
+    # docs-read ratio beside the recall number)
+    lsh_reads = sum(
+        bucketed.where(
+            F.col("bucket").isin(
+                ann_scale.lsh_probe_buckets_directed(qv, planes)
+            )
+        ).count()
+        for qv in qvecs
+    )
+    results["lsh_docs_read_ratio"] = lsh_reads / len(qvecs) / n_vec
     assigned.unpersist()
     bucketed.unpersist()
 
@@ -285,7 +307,7 @@ def main() -> None:
     from javascript_vector_database_spark.operators import quant
 
     sq8_lo, sq8_hi = quant.sq8_params(emb)
-    t, sq8_sets = _timed(
+    t, sq8_sets = _timed_best2(
         lambda: [
             {
                 r["vec_id"]
@@ -308,7 +330,7 @@ def main() -> None:
     pq_cb = pqm.pq_codebook(_as.collect_centroids(emb, k=pqm.PQ_K))
     pq_codes = pqm.pq_code_table(emb, pq_cb).cache()
     pq_codes.count()
-    _, pq_sets = _timed(
+    _, pq_sets = _timed_best2(
         lambda: [
             {
                 r["vec_id"]
@@ -331,7 +353,7 @@ def main() -> None:
     results["pq_train_sec"] = t_train
     pq_codes_t = pqm.pq_code_table(emb, pq_cbt).cache()
     pq_codes_t.count()
-    t, pq_sets_t = _timed(
+    t, pq_sets_t = _timed_best2(
         lambda: [
             {
                 r["vec_id"]
@@ -420,7 +442,7 @@ def main() -> None:
     )
     codes384 = pqm.pq_code_table(emb384, cb384).cache()
     codes384.count()
-    t, pq_384_sets = _timed(
+    t, pq_384_sets = _timed_best2(
         lambda: [
             {
                 r["vec_id"]
@@ -477,7 +499,7 @@ def main() -> None:
     q_df = emb.orderBy("vec_id").limit(N_SEARCH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    t, batch_rows = _timed(lambda: knn.knn_batch(emb, q_df).collect())
+    t, batch_rows = _timed_best2(lambda: knn.knn_batch(emb, q_df).collect())
     results["batch_knn_sec_per_query"] = t / N_SEARCH_QUERIES
     # sanity: batch result per query == sequential exact sets
     batch_sets = {}
@@ -486,7 +508,10 @@ def main() -> None:
     first_qid = min(batch_sets)
     assert batch_sets[first_qid] == exact_sets[0], "batch kNN != exact kNN"
 
-    # pipeline throughput: embed + pivot-index + merge, batch flavor
+    # pipeline throughput: embed + pivot-index + merge, batch flavor.
+    # A pipeline run is stateful (second pass over the same dest would
+    # process 0 new docs), so best-of-2 means two runs against FRESH
+    # dest/checkpoint dirs, keeping the better throughput.
     tmp = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
         docs = load_table(spark, sf_dir, "documents").select(
@@ -497,24 +522,34 @@ def main() -> None:
         src_path = os.path.join(tmp, "items")
         docs.write.parquet(src_path)
         n_docs = docs.count()
-        dest = ParquetTable(spark, os.path.join(tmp, "vectors"), "id")
 
-        def handler(batch):
-            new = anti_join_new(batch, dest, "id", "id")
-            e = new.withColumn("embedding", embed_udf(dim)(F.col("body")))
-            return knn.build_pivot_index(e, pivots).select(
-                "id", "embedding", *[f"idx{i}" for i in range(len(pivots))]
+        def run_pipeline(run: int) -> float:
+            dest = ParquetTable(
+                spark, os.path.join(tmp, f"vectors{run}"), "id"
             )
 
-        pipe = Pipeline(
-            spark, "bench", src_path, dest, handler,
-            os.path.join(tmp, "cp"), source_pk="id", batch_size=max(1000, n_docs // 4),
-        )
-        t, total = _timed(pipe.await_idle)
-        results["pipeline_docs_per_sec"] = total / t
+            def handler(batch):
+                new = anti_join_new(batch, dest, "id", "id")
+                e = new.withColumn("embedding", embed_udf(dim)(F.col("body")))
+                return knn.build_pivot_index(e, pivots).select(
+                    "id", "embedding", *[f"idx{i}" for i in range(len(pivots))]
+                )
 
-        # bulk-load throughput: two-table load (importData(true) path)
-        t, _ = _timed(
+            pipe = Pipeline(
+                spark, "bench", src_path, dest, handler,
+                os.path.join(tmp, f"cp{run}"), source_pk="id",
+                batch_size=max(1000, n_docs // 4),
+            )
+            t, total = _timed(pipe.await_idle)
+            return total / t
+
+        results["pipeline_docs_per_sec"] = max(
+            run_pipeline(0), run_pipeline(1)
+        )
+
+        # bulk-load throughput: two-table load (importData(true) path);
+        # overwrite-idempotent, so min-of-2 applies directly
+        t, _ = _timed_best2(
             lambda: (
                 load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
                     os.path.join(tmp, "load_docs")

@@ -365,16 +365,22 @@ def lsh_bucket_table(
     return emb.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
 
 
-def _py_bucket(vec: list[float], planes: list[list[float]]) -> str:
-    """Driver-side bucket of the query vector — same sequential dot fold
-    as the Column expression."""
+def _py_dots(vec: list[float], planes: list[list[float]]) -> list[float]:
+    """Driver-side per-plane dot products — same sequential left-
+    associated fold as the Column expression / oracle sql_dot."""
     out = []
     for h in planes:
         s = 0.0
         for a, b in zip(vec, h):
             s += float(a) * float(b)
-        out.append("1" if s > 0 else "0")
-    return "".join(out)
+        out.append(s)
+    return out
+
+
+def _py_bucket(vec: list[float], planes: list[list[float]]) -> str:
+    """Driver-side bucket of the query vector — same sequential dot fold
+    as the Column expression."""
+    return "".join("1" if s > 0 else "0" for s in _py_dots(vec, planes))
 
 
 def lsh_probe_buckets(
@@ -382,15 +388,59 @@ def lsh_probe_buckets(
     planes: list[list[float]],
     hamming: int = 1,
 ) -> list[str]:
-    """Multi-probe bucket set: the query's bucket plus every bucket within
-    the given hamming distance (single-bit flips for hamming=1).  Probing
-    neighbors recovers most of the recall a single sign-bucket loses."""
+    """Hamming-ball probe set: the query's bucket plus every bucket within
+    the given hamming distance (single-bit flips for hamming=1).  Kept as
+    the simple baseline; :func:`lsh_probe_buckets_directed` dominates it
+    at equal scan width."""
     qb = _py_bucket(query_vec, planes)
     probes = [qb]
     if hamming >= 1:
         for j in range(len(qb)):
             probes.append(qb[:j] + ("0" if qb[j] == "1" else "1") + qb[j + 1:])
     return probes
+
+
+#: query-directed probe width: 32 of the 2^LSH_BITS=256 buckets.  On the
+#: sf0.1 corpus this serves recall@10 0.51 at a 0.14 docs-read ratio —
+#: the hamming-ball alternatives lose at EQUAL scan: full hamming<=2 (37
+#: probes) recalls 0.41 at 0.157 read, hamming<=1 (the r3-r7 default, 9
+#: probes) recalls 0.22 at 0.042.  Probe count is a query-time knob:
+#: B=48 measures 0.61 at 0.20 read on the same corpus.
+LSH_N_PROBE = 32
+
+
+def lsh_probe_buckets_directed(
+    query_vec: list[float],
+    planes: list[list[float]],
+    n_probe: int = LSH_N_PROBE,
+) -> list[str]:
+    """Query-directed multi-probe (Lv et al., VLDB 2007): rank ALL 2^bits
+    buckets by the success-likelihood score — the sum of |margin| over the
+    bits where the bucket disagrees with the query's bucket (a bucket
+    flipping only low-|dot| planes is likely to hold near neighbors) —
+    and probe the ``n_probe`` best.  Strictly better bucket ordering than
+    hamming distance, which treats a confident bit and a borderline bit
+    as equally flippable.
+
+    Enumeration is 2^bits driver-side rows — fine at LSH_BITS=8 (256);
+    for wide codes (>16 bits) switch to Lv's incremental heap expansion
+    instead of materializing the ranking.  Tie-breaks are (score, bucket)
+    lexicographic and the score sum is left-associated in plane order, so
+    a SQL oracle reproduces the exact probe set."""
+    qd = _py_dots(query_vec, planes)
+    nb = len(planes)
+    if nb > 16:
+        raise ValueError("2^bits enumeration is bounded to bits <= 16")
+    qb = "".join("1" if s > 0 else "0" for s in qd)
+    scored = []
+    for v in range(2 ** nb):
+        b = format(v, f"0{nb}b")
+        s = 0.0
+        for j in range(nb):
+            s += abs(qd[j]) if b[j] != qb[j] else 0.0
+        scored.append((s, b))
+    scored.sort()
+    return [b for _, b in scored[:n_probe]]
 
 
 def lsh_search(
@@ -401,18 +451,26 @@ def lsh_search(
     bits: int = LSH_BITS,
     seed: int = LSH_SEED,
     k: int = TOP_K,
+    n_probe: int | None = LSH_N_PROBE,
     hamming: int = 1,
     precomputed: bool = False,
 ) -> DataFrame:
-    """Multi-probe hyperplane-LSH ANN: candidates = rows whose bucket is
-    within hamming distance of the query bucket, exact euclidean re-rank,
-    top-k.  Scan + IN-list filter + TakeOrderedAndProject — no shuffle.
+    """Multi-probe hyperplane-LSH ANN: candidates = rows in the probed
+    bucket set, exact euclidean re-rank, top-k.  Scan + IN-list filter +
+    TakeOrderedAndProject — no shuffle.  The probe set is QUERY-DIRECTED
+    by default (``n_probe`` best buckets by disagreeing-margin score —
+    see lsh_probe_buckets_directed; recall@10 0.51 at 0.14 docs read on
+    the sf0.1 corpus vs 0.22 at 0.04 for the old hamming<=1 ball); pass
+    ``n_probe=None`` to fall back to the hamming-ball probe set.
     ``precomputed=True`` is the scale path: ``emb`` already carries the
     ``bucket`` column (written via lsh_bucket_table, same bits/seed), so
     the IN-list prunes via min/max stats or partitioning instead of
     re-hashing the whole corpus per query."""
     planes = hyperplanes(len(query_vec), bits, seed)
-    probes = lsh_probe_buckets(query_vec, planes, hamming)
+    if n_probe is not None:
+        probes = lsh_probe_buckets_directed(query_vec, planes, n_probe)
+    else:
+        probes = lsh_probe_buckets(query_vec, planes, hamming)
     src = emb if precomputed else emb.withColumn(
         "bucket", lsh_bucket(F.col(vec_col), planes)
     )

@@ -260,24 +260,42 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_probes_ctes(dim: int) -> str:
+    """CTEs reproducing lsh_probe_buckets_directed exactly: per-plane
+    query dots (same sequential fold), all 2^bits buckets, the
+    disagreeing-|margin| score summed left-associated in plane order
+    (agreeing bits contribute a literal 0.0, as in the Python loop), and
+    the (score, bucket)-ordered LIMIT."""
+    planes = ann_scale.hyperplanes(dim)
+    nb = ann_scale.LSH_BITS
+    qbucket = _lsh_sql_bucket("qv", dim)
+    dlist = ", ".join(
+        osql.sql_dot("qv", pivot_sql_literal(h)) for h in planes
+    )
+    score = " + ".join(
+        f"(CASE WHEN substr(ab.b, {j}, 1) <> substr(qd.qb, {j}, 1) "
+        f"THEN abs(qd.ds[{j}]) ELSE 0.0 END)"
+        for j in range(1, nb + 1)
+    )
+    return f"""
+qd AS (SELECT [{dlist}] AS ds, ({qbucket}) AS qb FROM q),
+ab AS (SELECT lpad(bin(CAST(v AS BIGINT)), {nb}, '0') AS b
+       FROM range({2 ** nb}) t(v)),
+probes AS (
+  SELECT ab.b FROM ab, qd
+  ORDER BY ({score}) ASC, ab.b ASC
+  LIMIT {ann_scale.LSH_N_PROBE}
+)"""
+
+
 def _lsh_search_oracle(dim: int) -> str:
     bucket = _lsh_sql_bucket("embedding", dim)
-    qbucket = _lsh_sql_bucket("qv", dim)
-    flips = ["qb.b"]
-    for j in range(1, ann_scale.LSH_BITS + 1):
-        flip = (
-            f"substr(qb.b, 1, {j - 1}) || "
-            f"(CASE WHEN substr(qb.b, {j}, 1) = '1' THEN '0' ELSE '1' END) || "
-            f"substr(qb.b, {j + 1})"
-        )
-        flips.append(flip)
-    probes = ", ".join(flips)
     return f"""
 WITH {osql.QVEC_CTE},
-qb AS (SELECT {qbucket} AS b FROM q)
+{_lsh_probes_ctes(dim)}
 SELECT vec_id, round({osql.sql_euclid('embedding', 'qv')}, 6) AS distance
-FROM embeddings, q, qb
-WHERE ({bucket}) IN ({probes})
+FROM embeddings, q
+WHERE ({bucket}) IN (SELECT b FROM probes)
 ORDER BY distance ASC, vec_id ASC
 LIMIT {TOP_K}
 """
@@ -285,10 +303,52 @@ LIMIT {TOP_K}
 
 @register("ann_lsh_search", oracle=_lsh_search_oracle(ORACLE_DIM))
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH ANN: candidates within hamming distance 1 of the
-    query bucket, exact re-rank, top-10 — scan + IN-list, no shuffle."""
+    """Query-directed multi-probe LSH ANN (Lv et al., VLDB 2007): the 32
+    buckets with the smallest disagreeing-margin score, exact re-rank,
+    top-10 — scan + IN-list, no shuffle.  Raises recall@10 from the
+    hamming-ball 0.22 to 0.51 at a 0.14 docs-read ratio (sf0.1 corpus;
+    probe-width sweep in ann_scale.LSH_N_PROBE notes)."""
     qv = get_query_vec(spark, sf_dir)
     return ann_scale.lsh_search(load_table(spark, sf_dir, "embeddings"), qv)
+
+
+_LSH_PROBE_STATS_ORACLE = f"""
+WITH {osql.QVEC_CTE},
+{_lsh_probes_ctes(ORACLE_DIM)}
+SELECT count(*) AS n_candidates,
+       (SELECT count(*) FROM embeddings) AS n_total,
+       round(count(*) * 1.0 / (SELECT count(*) FROM embeddings), 6)
+         AS docs_read_ratio
+FROM embeddings
+WHERE ({_lsh_sql_bucket('embedding', ORACLE_DIM)}) IN (SELECT b FROM probes)
+"""
+
+
+@register("ann_lsh_probe_stats", oracle=_LSH_PROBE_STATS_ORACLE)
+def ann_lsh_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The directed probe's scan-cost evidence row: how many corpus rows
+    the 32-bucket probe set actually touches (the r7 verdict asked for
+    the docs-read ratio to ride beside the recall number).  One
+    scan-local bucket expression + IN-list count — the same pruned read
+    the search row performs, minus the re-rank."""
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = ann_scale.hyperplanes(len(qv))
+    probes = ann_scale.lsh_probe_buckets_directed(qv, planes)
+    n_total = emb.count()
+    return (
+        emb.where(
+            ann_scale.lsh_bucket(F.col("embedding"), planes).isin(probes)
+        )
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .select(
+            "n_candidates",
+            F.lit(n_total).cast("long").alias("n_total"),
+            F.round(F.col("n_candidates") / F.lit(n_total), 6).alias(
+                "docs_read_ratio"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

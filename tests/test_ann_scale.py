@@ -59,6 +59,50 @@ def test_lsh_probe_buckets_hamming():
         assert sum(a != b for a, b in zip(qb, p)) == 1
 
 
+def test_lsh_probe_buckets_directed_properties():
+    """The directed probe set: starts at the query's own bucket (score 0
+    is uniquely minimal), is duplicate-free, respects n_probe, and is
+    margin-monotone — any single-bit probe flipping a LOWER |margin|
+    plane must rank no worse than one flipping a higher |margin| plane."""
+    planes = ann_scale.hyperplanes(8, bits=4)
+    qv = [0.3, -0.7, 0.1, 0.9, -0.2, 0.5, -0.4, 0.6]
+    probes = ann_scale.lsh_probe_buckets_directed(qv, planes, n_probe=6)
+    assert len(probes) == 6 and len(set(probes)) == 6
+    qb = ann_scale._py_bucket(qv, planes)
+    assert probes[0] == qb
+    dots = ann_scale._py_dots(qv, planes)
+    order = sorted(range(4), key=lambda j: (abs(dots[j]), j))
+    # probes[1] must flip exactly the single lowest-|margin| bit
+    j = order[0]
+    assert probes[1] == qb[:j] + ("0" if qb[j] == "1" else "1") + qb[j + 1:]
+
+
+def test_lsh_directed_recall_beats_hamming(spark, sf_oracle):
+    """The r7 verdict's LSH ask: the registered (directed, n_probe=32)
+    probe must recall strictly more than the old hamming<=1 ball on the
+    same corpus, and >= 0.4 at sf0.01 geometry (measured 0.51 at sf0.1,
+    pinned looser here because the 500-row corpus is noisier)."""
+    from javascript_vector_database_spark.operators import knn
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    ]
+    rec_dir = rec_ham = 0.0
+    for qv in qvs:
+        exact = {r["vec_id"] for r in knn.exact_knn(emb, qv).collect()}
+        got_d = {r["vec_id"] for r in ann_scale.lsh_search(emb, qv).collect()}
+        got_h = {
+            r["vec_id"]
+            for r in ann_scale.lsh_search(emb, qv, n_probe=None).collect()
+        }
+        rec_dir += len(exact & got_d) / len(exact)
+        rec_ham += len(exact & got_h) / len(exact)
+    assert rec_dir > rec_ham
+    assert rec_dir / len(qvs) >= 0.4
+
+
 def test_sq8_recall_vs_exact(spark, sf_oracle):
     """SQ8 with a 4x re-rank pool recovers (nearly) the exact top-10: the
     8-bit code distance is a tight surrogate, so recall should be high —
