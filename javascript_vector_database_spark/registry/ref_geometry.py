@@ -297,6 +297,71 @@ def ann_ivfpq_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_reactive_topk_384",
+    oracle=_knn_exact_oracle(table=_T, qcte=_QCTE),
+)
+def stream_reactive_topk_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's live-search UX shape, driver-certified at
+    reference geometry: a change feed of scored documents drives a
+    REACTIVE sorted-limit query (RxQuery.$ semantics — event-reduce
+    maintenance with the bounded runFullQueryAgain fallback,
+    streaming/reactive.py ReactiveQuery) whose maintained emission is
+    the live top-10 by distance.  The fixture streams in two
+    micro-batches (vec_id-parity halves, real cross-batch state
+    folding); after awaitIdle the maintained bounded view must equal
+    the one-shot batch `knn_exact_384` — certified against the SAME
+    DuckDB oracle.  Distance is computed at feed time (the reference
+    scores at write via its stored index, src/database.ts:195-198), so
+    the maintained query itself never rescans the corpus: each bulk
+    folds in O(|bulk| + limit)."""
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.knn import with_distance
+    from javascript_vector_database_spark.pivots import TOP_K
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.reactive import (
+        ReactiveQuery,
+    )
+
+    qv = _fixture_qvec(spark)
+    docs = with_distance(_fixture(spark), qv).select(
+        "vec_id",
+        "distance",
+        F.lit(False).alias("_deleted"),
+        F.col("vec_id").cast("double").alias("_lwt"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_rtopk_")
+    src = os.path.join(tmp, "src")
+    feed_rest = _stream_feed(spark, docs, src, "vec_id")
+    rq = ReactiveQuery(
+        spark,
+        {},
+        os.path.join(tmp, "rq"),
+        id_col="vec_id",
+        sort=[("distance", "asc")],
+        limit=TOP_K,
+    )
+    q = rq.start_stream(
+        src,
+        "vec_id long, distance double, _deleted boolean, _lwt double",
+        os.path.join(tmp, "cp"),
+    )
+    try:
+        q.processAllAvailable()
+        feed_rest()
+        q.processAllAvailable()
+        live = rq.results().select("vec_id", "distance")
+        out = spark.createDataFrame(live.collect(), live.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @register("compat_index_string_384", oracle=_compat_oracle(REFERENCE_DIM, table=_T))
 def compat_index_string_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ECMA-262-faithful fixed-width key for every fixture row."""
