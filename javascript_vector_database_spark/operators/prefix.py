@@ -87,6 +87,64 @@ def global_prefix_sum(
     )
 
 
+def grouped_prefix_min(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    value_col: str,
+    *,
+    out: str = "cummin",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``min(value_col) OVER (PARTITION BY group_col ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING)`` via the same two-phase construction as
+    :func:`grouped_prefix_sum` — min is associative, so the offset is the
+    min of the group's per-partition minima in EARLIER partitions and
+    ``global = least(local running min, offset)`` (``least`` skips the
+    NULL offset the group's first partition sees).
+
+    This is the primitive the CUSUM recursion needs at scale: the
+    prefix-min identity s_t = P_t - min_{j<=t} P_j turns the nonlinear
+    fold into one prefix sum + one prefix min, and the grouped two-phase
+    forms keep BOTH scans P-parallel when one group dominates the corpus
+    (pinned on a single-group corpus in tests/test_relational_feed.py)."""
+    n = _num_partitions(df, num_partitions)
+    ordered = [F.col(group_col).asc()] + [c for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *ordered)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    mins = part.groupBy("__pid", group_col).agg(
+        F.min(value_col).cast("long").alias("__pmin")
+    )
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = mins.select(
+        "__pid",
+        group_col,
+        F.min("__pmin").over(woff).cast("long").alias("__moff"),
+    )
+    wloc = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        part.join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn(
+            out,
+            F.least(
+                F.min(value_col).over(wloc).cast("long"), F.col("__moff")
+            ),
+        )
+        .drop("__pid", "__moff")
+    )
+
+
 def grouped_prefix_sum(
     df: DataFrame,
     group_col: str,

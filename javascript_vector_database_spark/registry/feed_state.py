@@ -1242,7 +1242,17 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted pass, no iterative fold.  Alarms fire when the statistic
     exceeds {_CUSUM_K} cumulative extra events (in nh units).  The
     sequential-detection complement of events_anomaly_hours'
-    sliding z-score (CUSUM catches small SUSTAINED shifts)."""
+    sliding z-score (CUSUM catches small SUSTAINED shifts).
+
+    Skew routing (rank.py's note, applied here): the window input is the
+    per-type HOURLY rollup, so a partition holds at most the calendar's
+    hour count — bounded for any corpus size.  If the scan grain were
+    unbounded per group (event-grain CUSUM, or one group dominating),
+    route both stacked windows through the two-phase grouped scans
+    instead: operators/prefix.grouped_prefix_sum for P_t and
+    grouped_prefix_min for min_{{j<=t}} P_j — identical values, P
+    parallel local scans per group (pinned equal on a single-group
+    corpus in tests/test_relational_feed.py)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")

@@ -713,6 +713,95 @@ def test_grouped_prefix_sum_matches_single_window(spark):
     assert got == want
 
 
+def test_grouped_prefix_min_matches_single_window(spark):
+    """grouped_prefix_min must reproduce the per-group running MIN of a
+    PARTITION BY window exactly — including the NULL-offset first
+    partition of each group and negative values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from javascript_vector_database_spark.operators.prefix import (
+        grouped_prefix_min,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 48271 % 103) - 51).alias("v"),
+    )
+    got = {
+        (r["id"], r["cummin"])
+        for r in grouped_prefix_min(
+            df, "g", [F.col("id").asc()], "v", num_partitions=16
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["id"], r["cummin"])
+        for r in df.select(
+            "id", F.min("v").over(w).cast("long").alias("cummin")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cusum_grouped_scan_single_group_corpus(spark):
+    """The skew routing events_cusum_alarms' docstring promises: on a
+    corpus where ONE group holds every row (the one-giant-user shape),
+    the CUSUM statistic computed through the two-phase grouped scans
+    (grouped_prefix_sum for P_t, grouped_prefix_min for the running
+    min) equals the stacked-window form exactly — and stays P-parallel
+    instead of serializing into a single window partition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from javascript_vector_database_spark.operators.prefix import (
+        grouped_prefix_min,
+        grouped_prefix_sum,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        F.lit("the_one_user").alias("g"),
+        ((F.col("id") * 2654435761 % 41) - 20).alias("d"),
+    )
+    pf = grouped_prefix_sum(
+        df, "g", [F.col("id").asc()], "d", out="pf", num_partitions=16
+    )
+    scan = grouped_prefix_min(
+        pf, "g", [F.col("id").asc()], "pf", out="mn", num_partitions=16
+    ).select("id", (F.col("pf") - F.col("mn")).alias("s"))
+    got = {(r["id"], r["s"]) for r in scan.collect()}
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = df.select(
+        "id", (F.sum("d").over(w)).cast("long").alias("pf")
+    ).select("id", "pf", F.min("pf").over(
+        Window.orderBy(F.col("id").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    ).alias("mn"))
+    want = {(r["id"], r["pf"] - r["mn"]) for r in ref.collect()}
+    assert got == want
+    # CUSUM recursion sanity: s is the max(0, s+d) fold
+    rows = sorted(
+        (r["id"], r["d"]) for r in df.select("id", "d").collect()
+    )
+    s, model = 0, {}
+    for i, d in rows:
+        s = max(0, s + d)
+        model[i] = s
+    assert {i: v for i, v in got} == model
+
+
 def test_prefix_sum_property_random_inputs(spark):
     """Property: on arbitrary (key, value) inputs — including negative
     values, duplicates-free total order, and partition counts that
