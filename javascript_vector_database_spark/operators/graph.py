@@ -301,6 +301,57 @@ def common_neighbor_pairs(
     return cand.join(existing, ["x", "y"], "left_anti")
 
 
+#: fixed-point scale for the resource-allocation score: each shared
+#: neighbor w contributes floor(RA_SCALE / deg(w)) "micro" units.  With
+#: pivot degree capped at 64 the fractional part of the double quotient
+#: is >= 1/64 whenever it is nonzero — far above double ulp at 1e6 — so
+#: floor is bit-identical across engines (no transcendental, unlike
+#: Adamic-Adar's 1/ln(deg)).
+RA_SCALE = 1_000_000
+
+
+def resource_allocation_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_pivot_degree: int = 64,
+    scale: int = RA_SCALE,
+) -> DataFrame:
+    """Weighted link prediction by the Resource Allocation index (Zhou,
+    Lü & Zhang 2009, public): for node pairs NOT already connected,
+    score = sum over shared neighbors w of 1/deg(w) — a low-degree
+    shared neighbor is much stronger evidence than a hub.  The per-pivot
+    contribution is the integer ``floor(scale / deg(w))`` so the summed
+    score is BIGINT-exact cross-engine (the repo's cents discipline;
+    common_neighbor_pairs' docstring explains why 1/ln(deg) is not
+    oracle-safe).  Same wedge generation and heavy-pivot cut as
+    common_neighbor_pairs — work bounded at m * cap; output
+    ``(x, y, n_common, ra_micro)`` with x < y."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    adj = e.unionAll(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    piv = deg.where((F.col("d") >= 2) & (F.col("d") <= max_pivot_degree))
+    capped = adj.join(piv, "s").withColumn(
+        "w", F.floor(F.lit(float(scale)) / F.col("d")).cast("long")
+    ).localCheckpoint(eager=True)
+    left = capped.select(F.col("s").alias("p"), F.col("t").alias("x"), "w")
+    right = capped.select(F.col("s").alias("p"), F.col("t").alias("y"))
+    cand = (
+        left.join(right, "p")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w").cast("long").alias("ra_micro"),
+        )
+    )
+    existing = e.select(
+        F.least(F.col("s"), F.col("t")).alias("x"),
+        F.greatest(F.col("s"), F.col("t")).alias("y"),
+    )
+    return cand.join(existing, ["x", "y"], "left_anti")
+
+
 def kcore_peel(
     edges: DataFrame, k: int, rounds: int, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -519,6 +519,54 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RA_ORACLE = f"""
+WITH {_COPURCHASE_PAIRS},
+adj AS (
+  SELECT src AS p, dst AS t FROM pairs
+  UNION ALL SELECT dst AS p, src AS t FROM pairs
+),
+deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+capped AS (
+  SELECT a.p, a.t, CAST(floor(1000000.0 / deg.d) AS BIGINT) AS w
+  FROM adj a JOIN deg ON deg.p = a.p
+  WHERE deg.d BETWEEN 2 AND {_CN_CAP}
+),
+cand AS (
+  SELECT l.t AS x, r.t AS y, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(l.w) AS BIGINT) AS ra_micro
+  FROM capped l JOIN capped r ON l.p = r.p AND l.t < r.t
+  GROUP BY 1, 2
+)
+SELECT x, y, n_common, ra_micro FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM pairs e WHERE e.src = c.x AND e.dst = c.y)
+ORDER BY ra_micro DESC, x ASC, y ASC
+LIMIT 20
+"""
+
+
+@register("graph_resource_allocation", oracle=_RA_ORACLE)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted link prediction over the co-purchase graph: the top-20
+    not-yet-connected part pairs by Resource Allocation index (Zhou, Lü
+    & Zhang 2009 — sum of 1/deg over shared neighbors, the strongest of
+    the classic local link-prediction heuristics).  Scoring is the
+    integer floor(1e6/deg) per pivot so the summed score hash-matches
+    the oracle exactly; same heavy-pivot cut (degree 2..{_CN_CAP}) and
+    m*cap work bound as graph_common_neighbors, which this refines —
+    RA downweights the mega-hub wedges that make raw counts noisy."""
+    from javascript_vector_database_spark.operators.graph import (
+        resource_allocation_pairs,
+    )
+
+    return (
+        resource_allocation_pairs(
+            _copurchase_edges(spark, sf_dir), max_pivot_degree=_CN_CAP
+        )
+        .orderBy(F.col("ra_micro").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # sparse-vector similarity: fixed-point TF-IDF pair search
 # ---------------------------------------------------------------------------

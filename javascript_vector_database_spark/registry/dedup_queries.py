@@ -177,6 +177,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_calibration_oracle() -> str:
+    sh = _sql_shingles("text")
+    mh = ", ".join(_sql_minhash("vs", i) for i in range(dedup.DEFAULT_HASHES))
+    h = dedup.DEFAULT_HASHES
+    return f"""
+WITH side AS (
+  SELECT doc_id, source, sh, [{mh}] AS mh
+  FROM (SELECT doc_id, source, sh, {_sql_hash_pairs('sh')} AS vs
+        FROM (SELECT doc_id, source, {sh} AS sh FROM documents))
+),
+scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
+                    / len(list_distinct(a.sh || b.sh))) AS BIGINT)
+           AS exact_micro,
+         CAST(floor(len(list_filter(range(1, {h + 1}),
+                                    i -> a.mh[i] = b.mh[i]))
+                    * 1000000.0 / {h}) AS BIGINT) AS est_micro
+  FROM side a JOIN side b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, exact_micro, est_micro,
+       CAST(est_micro - exact_micro AS BIGINT) AS err_micro
+FROM scored WHERE exact_micro >= 100000
+"""
+
+
+@register("dedup_minhash_calibration", oracle=_minhash_calibration_oracle())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: exact shingle Jaccard beside the
+    H={h}-slot signature estimate per blocked pair, both as exact BIGINT
+    micros — the sketch-quality evidence row for the dedup stack (what
+    banding threshold hits a target dup-rate).  See
+    operators/dedup.py:minhash_jaccard_calibration for the cost shape.
+    """.replace("{h}", str(dedup.DEFAULT_HASHES))
+    return dedup.minhash_jaccard_calibration(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 _CONTAINMENT_THRESHOLD = 0.8
 
 
