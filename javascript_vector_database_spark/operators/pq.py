@@ -674,3 +674,139 @@ def ivfpq_search(
         stored, emb, qvec, cents, codebook,
         nprobe=nprobe, k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# residual IVF-PQ (the full FAISS IndexIVFPQ semantics: PQ encodes the
+# residual v - centroid(cell(v)), not the raw vector — Jégou §IV.B)
+# ---------------------------------------------------------------------------
+
+
+def py_residual(vec: list[float], cents: list[tuple[int, list[float]]]) -> list[float]:
+    """Driver-side residual: v - nearest centroid (ties to the lowest
+    cid, the ivf_cell_expr rule).  Element-wise subtraction — exact, no
+    accumulation, so it matches the Column/SQL forms bit-for-bit."""
+    from javascript_vector_database_spark.operators.knn import _py_euclid
+
+    _, bcid = min((_py_euclid(c, vec), cid) for cid, c in cents)
+    cent = dict(cents)[bcid]
+    return [float(a) - float(b) for a, b in zip(vec, cent)]
+
+
+def residual_table(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, ivf_cell, resid): every vector's coarse cell plus its
+    residual against that cell's centroid.  One scan-local projection —
+    the cell argmin (Arrow-routed at wide geometry) plus a zip_with
+    subtraction against a 16-entry centroid map literal; at scale this
+    IS the write path (store ivf_cell + the PQ codes of resid,
+    partitioned by cell)."""
+    from javascript_vector_database_spark.operators.ann_scale import ivf_cell_expr
+
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cents]),
+        F.array(*[lit_double_array([float(x) for x in c]) for _, c in cents]),
+    )
+    return (
+        emb.withColumn("ivf_cell", ivf_cell_expr(F.col(vec_col), cents))
+        .select(
+            F.col(id_col),
+            F.col("ivf_cell"),
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.element_at(cmap, F.col("ivf_cell")),
+                lambda a, b: a - b,
+            ).alias("resid"),
+        )
+    )
+
+
+def residual_codebook(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = PQ_K,
+) -> list[list[list[float]]]:
+    """Sampled PQ codebook over RESIDUALS: the residuals of the same K
+    hash-order sample rows the raw codebook uses, sliced per subspace.
+    Residuals concentrate near 0 with corpus structure removed, so the
+    same K codewords quantize them much more tightly than raw vectors
+    (the reason FAISS encodes residuals)."""
+    from javascript_vector_database_spark.operators.ann_scale import (
+        collect_centroids,
+    )
+
+    sample = collect_centroids(emb, id_col, vec_col, k)
+    return pq_codebook(
+        [(cid, py_residual(v, cents)) for cid, v in sample], m=m
+    )
+
+
+def ivfpq_residual_search(
+    emb: DataFrame,
+    qvec: list[float],
+    cents: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    nprobe: int | None = None,
+    k: int = TOP_K,
+    rerank: int = PQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual IVF-PQ (FAISS IndexIVFPQ): ADC runs per probed cell
+    against the QUERY'S residual in that cell (q - centroid_c), matching
+    how the stored codes encode each vector's residual in its own cell.
+    The probe set is an nprobe-way union of cell-filtered ADC branches —
+    each branch is the same pruned code scan as ivfpq_search, just with
+    a cell-specific LUT literal — then one exact re-rank of the
+    k*rerank survivors.  ``codebook`` must come from
+    :func:`residual_codebook` (or residual training)."""
+    if nprobe is None:
+        from javascript_vector_database_spark.operators.ann_scale import N_PROBE
+
+        nprobe = N_PROBE
+    rt = residual_table(emb, cents, id_col, vec_col).localCheckpoint()
+    m = len(codebook)
+    if m > PQ_WIDE_M:
+        enc = _pq_encode_pandas(codebook)
+        stored = rt.select(
+            F.col(id_col), "ivf_cell", enc(F.col("resid")).alias("pq_code")
+        )
+    else:
+        stored = rt.select(id_col, "ivf_cell").join(
+            _pq_code_table_join(rt, codebook, id_col, "resid"), id_col
+        )
+    probe = ivfpq_probe_cells(qvec, cents, nprobe)
+    centd = {int(cid): c for cid, c in cents}
+    branches = []
+    for cid in probe:
+        qr = [float(a) - float(b) for a, b in zip(qvec, centd[int(cid)])]
+        lut = py_pq_lut(qr, codebook)
+        branches.append(
+            stored.where(F.col("ivf_cell") == int(cid)).select(
+                F.col(id_col),
+                pq_adc_expr(F.col("pq_code"), lut).alias("__ad"),
+            )
+        )
+    cand_ids = (
+        reduce(lambda a, b: a.unionAll(b), branches)
+        .orderBy(F.col("__ad").asc(), F.col(id_col).asc())
+        .limit(k * rerank)
+        .select(id_col)
+    )
+    qv_lit = lit_double_array([float(x) for x in qvec])
+    return (
+        emb.join(F.broadcast(cand_ids), id_col)
+        .select(
+            id_col,
+            F.round(euclidean_distance(F.col(vec_col), qv_lit), 6).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

