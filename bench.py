@@ -139,6 +139,11 @@ _SCALE_HEADLINE = [
     # cliffs would only show at 10x
     "graph_label_propagation",
     "graph_bfs_reach",
+    # r8: the weighted wedge join (same m*cap bound as common-neighbors,
+    # plus the per-pivot credit) and the blocked sketch-calibration
+    # self-join on the 10x mass-duplicated corpus
+    "graph_resource_allocation",
+    "dedup_minhash_calibration",
 ]
 
 
@@ -738,6 +743,13 @@ def main() -> None:
         "profile_key_skew",
         "events_revenue_milestones",
         "lineitem_weighted_median",
+        # round-8 additions: directed-probe LSH evidence, trained-centroid
+        # IVF + residual IVF-PQ at reference geometry, RA link prediction,
+        # MinHash calibration
+        "ann_lsh_probe_stats",
+        "ann_ivfpq_residual_384",
+        "graph_resource_allocation",
+        "dedup_minhash_calibration",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -103,19 +103,51 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # DRIVER WINDOW (first 50), round 7.  Composition:
-    #   15 never-stamped late-r6 rows (the r6 verdict's top item — they
-    #      outgrew the r6 window; all sweep-green locally since r6);
-    #   11 r7-changed rows (RFM/ntile de-windowing, integer histogram
-    #      bins, PQ-384 M=96 + rerank=32 reconfig, null-safe stream
-    #      split, shared shuffle-partitions guard);
-    #    4 PQ-family rows whose ORACLES moved to the ordered-sum ADC;
-    #   11 r7-new rows (seeded clustering coefficient, batch PQ ADC,
-    #      containment pairs, OLS trend, k-core peel, order-confluent
-    #      live sessionization, LPA communities, bounded BFS reach,
-    #      semantic-dedup medoids + prune, exact hourly EWMA);
-    #    9 oldest-stamp refreshers (r2/r3 stamps, unchanged).
-    # -- never-stamped late-r6 (15)
+    # DRIVER WINDOW (first 50), round 8.  Composition (exact):
+    #    5 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
+    #      stream_reactive_topk_384, graph_resource_allocation,
+    #      dedup_minhash_calibration);
+    #    3 r8-CHANGED-result rows (ann_ivf_384 -> trained-centroid
+    #      parquet fixture; ann_lsh_search + ann_lsh_search_precomputed
+    #      -> query-directed 32-bucket multi-probe);
+    #   42 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 35 of
+    #      the 36 remaining r3 stamps (ann_ivf_search_partitioned is
+    #      the one r3 stamp deferred to the next rotation — its twin
+    #      ann_ivf_search shares the oracle and IS in the window).
+    # Rotation-exempt by policy (outputs unchanged, locally
+    # sweep-verified every pytest run): eager-checkpoint-only and
+    # docstring-only r8 edits (dedup_semantic_prune materialize-once,
+    # events_cusum_alarms skew-routing note, ivf_search centroid
+    # guidance) — the same deliberate exemption r7 applied to
+    # decorrelated.py's checkpoint flips.
+    # -- r8 new/changed (8)
+    "ann_ivf_384",
+    "ann_lsh_search", "ann_lsh_search_precomputed",
+    "ann_lsh_probe_stats", "ann_ivfpq_residual_384",
+    "stream_reactive_topk_384", "graph_resource_allocation",
+    "dedup_minhash_calibration",
+    # -- oldest-stamp refreshers (42): 7 x r2, then 35 x r3
+    "join_anti_missing_vectors", "join_zip_documents_embeddings",
+    "mango_count", "mango_sort_skip_limit", "point_lookup",
+    "scan_documents", "union_dedup",
+    "ann_doc_reads", "ann_ivf_batch_search", "ann_ivf_cells",
+    "ann_ivf_search", "ann_lsh_buckets",
+    "ann_sq8_codes", "ann_sq8_search", "ann_sq8_search_precomputed",
+    "compat_index_string", "curation_chunk_documents",
+    "curation_split_assign", "dedup_batch_vs_corpus",
+    "dedup_cosine_pairs", "join_salted_skew",
+    "knn_ann_range", "knn_ann_range_compat", "knn_ann_similarity",
+    "knn_batch_exact", "knn_cosine", "knn_exact",
+    "multimodal_byte_stats", "multimodal_decode_fake",
+    "multimodal_resize_fake", "profile_length_quantiles",
+    "reactive_count_ivm", "reactive_query_ivm", "reactive_topk_ivm",
+    "set_ops_intersect_except", "text_bm25_search",
+    "text_bpe_token_count", "text_fingerprint", "text_lang_id",
+    "text_quality_score", "text_title_content_parse",
+    "text_token_count",
+    # ---- window boundary (50) ----
+    # everything below carries a green r4-r7 stamp and is unchanged;
+    # the local sf0.001 sweep re-verifies all of it on every pytest run
     "parts_price_size_skyline", "brand_price_size_skyline",
     "graph_personalized_pagerank", "graph_harmonic_hubs",
     "dedup_cosine_pairs_384", "events_attribution_linear",
@@ -124,53 +156,26 @@ _PRIORITY = [
     "agg_q14_promo_effect", "agg_q19_disjunctive_revenue",
     "agg_grouping_sets_revenue", "stream_interval_join_live",
     "stream_dedup_live",
-    # -- r7-changed (11)
     "customer_rfm_segments", "profile_ntile_deciles",
     "sketch_histogram_quantiles", "sketch_grouped_quantiles",
     "ann_pq_384", "ann_ivfpq_384",
     "stream_hll_live_users", "stream_live_count_by_type",
     "stream_cms_live_tokens",
     "dedup_jaccard_prefix", "dedup_multipass_pairs",
-    # -- r7 oracle-changed PQ family (4)
     "ann_pq_search", "ann_pq_search_precomputed",
     "ann_ivfpq_search", "ann_ivfpq_search_partitioned",
-    # -- r7-new (14)
     "graph_clustering_coefficient_hubs", "ann_pq_batch_search",
     "dedup_containment_pairs", "orders_weekly_trend_ols",
     "graph_kcore_peel", "stream_sessionize_live",
     "graph_label_propagation", "graph_bfs_reach",
     "dedup_semantic_medoids", "dedup_semantic_prune",
     "events_ewma_hourly",
-    # third wave: time-decay attribution (completes the family),
-    # gaps-and-islands streaks, join-key skew diagnosis
     "events_attribution_time_decay", "events_activity_streaks",
     "profile_key_skew",
-    # fourth wave: the distributed prefix-scan pair (operators/prefix.py)
     "events_revenue_milestones", "lineitem_weighted_median",
-    # ann_ivf_384 re-enters: nprobe 2 -> 4 changes its RESULT (recall
-    # 0.58 -> 0.88 at reference geometry), so it needs a fresh stamp
-    "ann_ivf_384",
-    # -- oldest-stamp refreshers (3): r2/r3 driver stamps, unchanged
-    # (6 more — join_anti/join_zip/knn_ann_range/knn_exact/reactive
-    # pair — displaced by the r7 third+fourth waves; their stamps stay
-    # green and the local sweep still value-checks them every pytest
-    # run)
     "flagship_search",
     "dml_roundtrip", "pipeline_roundtrip",
-    # ---- window boundary (50) ----
-    "knn_exact", "reactive_count_ivm", "reactive_query_ivm",
-    "join_anti_missing_vectors", "join_zip_documents_embeddings",
-    "knn_ann_range",
-    "scan_documents", "point_lookup", "mango_count",
-    "mango_sort_skip_limit", "union_dedup",
-    # displaced refreshers (r3 stamps; the knn rows' 384 siblings carry
-    # r5 stamps and the reactive family keeps two fresher slots above,
-    # so these five were the lowest-value refresh slots)
-    "reactive_topk_ivm",
-    "knn_ann_similarity", "knn_ann_range_compat", "compat_index_string",
-    "knn_cosine",
-    # everything below carries a green r4-r6 stamp and is unchanged;
-    # the local sf0.001 sweep re-verifies all of it on every pytest run
+    "ann_ivf_search_partitioned",
     "events_session_funnel", "graph_degree_histogram",
     "profile_split_drift", "customer_pareto_share",
     "text_lang_confusion", "curation_universe_sample",
