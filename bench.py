@@ -375,7 +375,11 @@ def main() -> None:
 
     # reference-geometry (384-dim clustered fixture) IVF recall: the
     # sampled-vs-kmeans centroid gap at the dimensionality and cluster
-    # structure the reference's model actually emits
+    # structure the reference's model actually emits.  Since r8 the
+    # REGISTERED ann_ivf_384 row ships the trained-centroid parquet
+    # fixture (kmeans ~= the "kmeans" sweep point below, frozen at
+    # export time), so the sampled points document what the default
+    # hash-order draw would cost in recall.
     from javascript_vector_database_spark.registry.ref_geometry import (
         FIXTURE_PATH,
     )
@@ -389,9 +393,16 @@ def main() -> None:
     exact384 = [
         {r["vec_id"] for r in knn.exact_knn(emb384, qv).collect()} for qv in q384
     ]
+    from javascript_vector_database_spark.registry.ref_geometry import (
+        trained_cents,
+    )
+
     for tag, cents in (
         ("sampled", ann_scale.collect_centroids(emb384)),
         ("kmeans", ann_scale.ivf_kmeans_centroids(emb384)),
+        # the committed centroid fixture = exactly what the REGISTERED
+        # ann_ivf_384 row serves (nprobe4 point is the registered recall)
+        ("registered_trained", trained_cents(spark)),
     ):
         assigned384 = emb384.withColumn(
             "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
@@ -410,7 +421,6 @@ def main() -> None:
         ) / len(q384)
         # the nprobe=4 point (of 16 cells, vs the N_PROBE=2 default):
         # documents the recall/probe-cost trade at reference geometry
-        # without touching the stamped rows' registered defaults
         sets384p4 = [
             {
                 r["vec_id"]

@@ -240,6 +240,11 @@ AUDITED = [
     "profile_key_skew",
     "events_revenue_milestones",
     "lineitem_weighted_median",
+    # r8 additions
+    "ann_lsh_probe_stats",
+    "ann_ivfpq_residual_384",
+    "graph_resource_allocation",
+    "dedup_minhash_calibration",
 ]
 
 
