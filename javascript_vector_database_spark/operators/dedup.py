@@ -504,53 +504,69 @@ def minhash_jaccard_calibration(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str = "source",
     num_hashes: int = DEFAULT_HASHES,
     shingle_k: int = DEFAULT_SHINGLE,
-    threshold: float = 0.1,
 ) -> DataFrame:
-    """Sketch-vs-truth calibration for the MinHash estimator: for each
-    blocked candidate pair, the exact shingle Jaccard NEXT TO the
-    signature estimate (agreeing slots / H) — the measurement that tells
-    a pipeline owner what LSH threshold a target dup-rate needs.  Both
-    scores ride as exact BIGINT micros: ``floor(|I| * 1e6 / |U|)`` (the
-    quotient's fractional part is >= 1/|U|, far above double ulp) and
+    """Sketch-vs-truth calibration for the MinHash estimator, measured
+    where it matters: on the CANDIDATE PAIRS LSH banding actually emits
+    (:func:`lsh_band_pairs` — exact-dup star collapse, per-bucket cap,
+    the scale-proven shape).  For each candidate pair, the exact
+    shingle Jaccard NEXT TO the signature estimate (agreeing slots /
+    H) — including the low-similarity false positives banding lets
+    through, which is precisely the calibration signal a pipeline owner
+    needs to pick a banding threshold.  Both scores ride as exact
+    BIGINT micros: ``floor(|I| * 1e6 / |U|)`` (the quotient's
+    fractional part is >= 1/|U|, far above double ulp) and
     ``floor(agree * 1e6 / H)``.  Output: (id_a, id_b, exact_micro,
-    est_micro, err_micro), pairs at exact Jaccard >= ``threshold``.
+    est_micro, err_micro).
 
-    Cost shape: one shingle scan + one signature scan (row-local), the
-    same per-block self-join as ngram_jaccard_pairs, plus an H-slot
-    comparison per candidate — the sketch estimate adds O(H) per pair,
-    never another shuffle."""
-    sh = spread(df).select(
-        F.col(id_col),
-        F.col(block_col),
-        shingles(_as_col(text_col), shingle_k).alias("sh"),
+    Cost shape: one shingle+signature scan over the corpus (row-local,
+    checkpointed once for the two pair sides), the banding join from
+    lsh_band_pairs, then O(shingles + H) per CANDIDATE — linear in the
+    candidate count, never a block-quadratic self-join.  (The first
+    version self-joined per source block and sat in a single
+    array_intersect task for 19+ minutes on the 10x mass-duplicated
+    corpus — candidate-bounded is the only shape that survives.)"""
+    pairs = lsh_band_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    side = sh.join(sigs, id_col)
-    a, b = side.alias("a"), side.alias("b")
+    per = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            shingles(_as_col(text_col), shingle_k).alias("sh"),
+        )
+        .join(minhash_signatures(df, text_col, id_col, num_hashes, shingle_k), id_col)
+        .localCheckpoint()
+    )
+    a = per.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("__sha"),
+        F.col("mh").alias("__mha"),
+    )
+    b = per.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("__shb"),
+        F.col("mh").alias("__mhb"),
+    )
     agree = F.aggregate(
         F.zip_with(
-            F.col("a.mh"),
-            F.col("b.mh"),
+            F.col("__mha"),
+            F.col("__mhb"),
             lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     return (
-        a.join(
-            b,
-            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")),
-        )
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            "id_a",
+            "id_b",
             F.floor(
-                F.size(F.array_intersect("a.sh", "b.sh")) * F.lit(1000000.0)
-                / F.size(F.array_union("a.sh", "b.sh"))
+                F.size(F.array_intersect("__sha", "__shb")) * F.lit(1000000.0)
+                / F.size(F.array_union("__sha", "__shb"))
             )
             .cast("long")
             .alias("exact_micro"),
@@ -558,7 +574,6 @@ def minhash_jaccard_calibration(
             .cast("long")
             .alias("est_micro"),
         )
-        .where(F.col("exact_micro") >= int(threshold * 1_000_000))
         .withColumn(
             "err_micro", (F.col("est_micro") - F.col("exact_micro")).cast("long")
         )

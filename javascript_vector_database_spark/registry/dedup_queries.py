@@ -95,11 +95,12 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_oracle() -> str:
+def _lsh_pairs_ctes() -> str:
     # mirrors lsh_band_pairs' hot-bucket guards exactly: exact-dup groups
     # collapse to min-id representatives (star edges), banding runs over
     # representatives only, and each (band, bh) bucket contributes only
-    # its DEFAULT_BUCKET_CAP smallest ids to the self-join
+    # its DEFAULT_BUCKET_CAP smallest ids to the self-join.  Exposed as a
+    # CTE list ending in `pairs` so the calibration oracle can extend it.
     sh = _sql_shingles("text")
     rows = dedup.DEFAULT_HASHES // dedup.DEFAULT_BANDS
     mh = ", ".join(_sql_minhash("vs", i) for i in range(dedup.DEFAULT_HASHES))
@@ -112,8 +113,7 @@ def _lsh_pairs_oracle() -> str:
             f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sigs"
         )
     bands = "\nUNION ALL\n".join(band_rows)
-    return f"""
-WITH grp AS (
+    return f"""grp AS (
   SELECT doc_id, text,
          min(doc_id) OVER (PARTITION BY md5(text)) AS rep
   FROM documents
@@ -131,15 +131,20 @@ capped AS (
     SELECT *, row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
     FROM bands)
   WHERE rn <= {dedup.DEFAULT_BUCKET_CAP}
-)
-SELECT DISTINCT id_a, id_b FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM capped a JOIN capped b
-    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-  UNION ALL
-  SELECT id_a, id_b FROM star
-)
-"""
+),
+pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT id_a, id_b FROM star
+  )
+)"""
+
+
+def _lsh_pairs_oracle() -> str:
+    return f"WITH {_lsh_pairs_ctes()}\nSELECT id_a, id_b FROM pairs"
 
 
 @register("dedup_lsh_pairs", oracle=_lsh_pairs_oracle())
@@ -182,35 +187,39 @@ def _minhash_calibration_oracle() -> str:
     mh = ", ".join(_sql_minhash("vs", i) for i in range(dedup.DEFAULT_HASHES))
     h = dedup.DEFAULT_HASHES
     return f"""
-WITH side AS (
-  SELECT doc_id, source, sh, [{mh}] AS mh
-  FROM (SELECT doc_id, source, sh, {_sql_hash_pairs('sh')} AS vs
-        FROM (SELECT doc_id, source, {sh} AS sh FROM documents))
+WITH {_lsh_pairs_ctes()},
+per AS (
+  SELECT doc_id, sh, [{mh}] AS mh
+  FROM (SELECT doc_id, sh, {_sql_hash_pairs('sh')} AS vs
+        FROM (SELECT doc_id, {sh} AS sh FROM documents))
 ),
 scored AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  SELECT p.id_a, p.id_b,
          CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000000.0
                     / len(list_distinct(a.sh || b.sh))) AS BIGINT)
            AS exact_micro,
          CAST(floor(len(list_filter(range(1, {h + 1}),
                                     i -> a.mh[i] = b.mh[i]))
                     * 1000000.0 / {h}) AS BIGINT) AS est_micro
-  FROM side a JOIN side b
-    ON a.source = b.source AND a.doc_id < b.doc_id
+  FROM pairs p JOIN per a ON a.doc_id = p.id_a
+  JOIN per b ON b.doc_id = p.id_b
 )
 SELECT id_a, id_b, exact_micro, est_micro,
        CAST(est_micro - exact_micro AS BIGINT) AS err_micro
-FROM scored WHERE exact_micro >= 100000
+FROM scored
 """
 
 
 @register("dedup_minhash_calibration", oracle=_minhash_calibration_oracle())
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash estimator calibration: exact shingle Jaccard beside the
-    H={h}-slot signature estimate per blocked pair, both as exact BIGINT
-    micros — the sketch-quality evidence row for the dedup stack (what
-    banding threshold hits a target dup-rate).  See
-    operators/dedup.py:minhash_jaccard_calibration for the cost shape.
+    """MinHash estimator calibration over the LSH CANDIDATE set: exact
+    shingle Jaccard beside the H={h}-slot signature estimate for every
+    pair banding emits (false positives included — that's the signal),
+    both as exact BIGINT micros.  The sketch-quality evidence row for
+    the dedup stack: what banding threshold hits a target dup-rate.
+    Work is linear in candidates (see
+    operators/dedup.py:minhash_jaccard_calibration for the
+    block-quadratic cliff the first design hit at 10x).
     """.replace("{h}", str(dedup.DEFAULT_HASHES))
     return dedup.minhash_jaccard_calibration(
         load_table(spark, sf_dir, "documents")
