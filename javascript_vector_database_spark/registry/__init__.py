@@ -104,16 +104,17 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 8.  Composition (exact):
-    #    5 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
-    #      stream_reactive_topk_384, graph_resource_allocation,
-    #      dedup_minhash_calibration);
+    #    6 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
+    #      stream_reactive_topk_384, stream_cusum_live,
+    #      graph_resource_allocation, dedup_minhash_calibration);
     #    3 r8-CHANGED-result rows (ann_ivf_384 -> trained-centroid
     #      parquet fixture; ann_lsh_search + ann_lsh_search_precomputed
     #      -> query-directed 32-bucket multi-probe);
-    #   42 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 35 of
-    #      the 36 remaining r3 stamps (ann_ivf_search_partitioned is
-    #      the one r3 stamp deferred to the next rotation — its twin
-    #      ann_ivf_search shares the oracle and IS in the window).
+    #   41 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 34 of
+    #      the 36 remaining r3 stamps (deferred to the next rotation:
+    #      ann_ivf_search_partitioned — its oracle twin ann_ivf_search
+    #      IS in the window — and text_token_count, displaced by the
+    #      late stream_cusum_live addition).
     # Rotation-exempt by policy (outputs unchanged, locally
     # sweep-verified every pytest run): eager-checkpoint-only and
     # docstring-only r8 edits (dedup_semantic_prune materialize-once,
@@ -124,8 +125,8 @@ _PRIORITY = [
     "ann_ivf_384",
     "ann_lsh_search", "ann_lsh_search_precomputed",
     "ann_lsh_probe_stats", "ann_ivfpq_residual_384",
-    "stream_reactive_topk_384", "graph_resource_allocation",
-    "dedup_minhash_calibration",
+    "stream_reactive_topk_384", "stream_cusum_live",
+    "graph_resource_allocation", "dedup_minhash_calibration",
     # -- oldest-stamp refreshers (42): 7 x r2, then 35 x r3
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
     "mango_count", "mango_sort_skip_limit", "point_lookup",
@@ -144,8 +145,8 @@ _PRIORITY = [
     "set_ops_intersect_except", "text_bm25_search",
     "text_bpe_token_count", "text_fingerprint", "text_lang_id",
     "text_quality_score", "text_title_content_parse",
-    "text_token_count",
     # ---- window boundary (50) ----
+    "text_token_count",
     # everything below carries a green r4-r7 stamp and is unchanged;
     # the local sf0.001 sweep re-verifies all of it on every pytest run
     "parts_price_size_skyline", "brand_price_size_skyline",

@@ -2066,6 +2066,71 @@ def stream_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("stream_cusum_live", oracle=_CUSUM_ORACLE)
+def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE CUSUM changepoint alarms (8th streaming==batch row): the
+    §2.12 custom-state operator (applyInPandasWithState) keeps each
+    event_type's HOURLY COUNT VECTOR as state — a mergeable object, so
+    the fold is order-confluent: events arrive in two parity halves
+    (each hour's count split across micro-batches, the case that breaks
+    sequential CUSUM trackers) and the re-derived alarm set still
+    equals the one-shot batch `events_cusum_alarms` under the same
+    DuckDB oracle.  State is bounded at the calendar-hour grain per
+    type — the streaming face of the skew-routing note on the batch
+    row (the statistic itself folds over the rollup, never the event
+    grain)."""
+    import os
+    import shutil
+    import uuid
+
+    from javascript_vector_database_spark.streaming.stateful import (
+        CUSUM_K,
+        streaming_cusum,
+    )
+
+    assert CUSUM_K == _CUSUM_K, "streaming threshold must match batch"
+    tmp = tempfile.mkdtemp(prefix="stream_cusum_")
+    src = os.path.join(tmp, "src")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    feed_rest = _stream_feed(spark, ev, src, "event_id")
+    name = f"cusum_live_{uuid.uuid4().hex[:8]}"
+    q = streaming_cusum(
+        spark, src, "event_id long, event_type string, ts timestamp",
+        query_name=name,
+    )
+    try:
+        q.processAllAvailable()
+        feed_rest()
+        q.processAllAvailable()
+        live = spark.table(name)
+        wv = Window.partitionBy("event_type").orderBy(F.col("version").desc())
+        latest = (
+            live.withColumn("__rn", F.row_number().over(wv))
+            .where(F.col("__rn") == 1)
+            .select(
+                "event_type",
+                F.explode(
+                    F.arrays_zip(
+                        F.col("alarm_hours").alias("h"),
+                        F.col("alarm_cusum").alias("s"),
+                    )
+                ).alias("al"),
+            )
+        )
+        out = latest.select(
+            "event_type",
+            F.timestamp_micros(F.col("al.h")).alias("hour"),
+            F.col("al.s").cast("bigint").alias("cusum"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _SSJOIN_ORACLE = """
 WITH v AS (
   SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'

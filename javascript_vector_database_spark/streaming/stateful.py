@@ -142,6 +142,84 @@ def stateful_session_tracker(
     )
 
 
+#: CUSUM alarm threshold in nh units — MUST equal the batch row's
+#: registry/feed_state._CUSUM_K so streaming == batch == oracle
+CUSUM_K = 25
+
+
+def _update_cusum(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Order-confluent live CUSUM: state per event_type is the HOURLY
+    COUNT VECTOR (hour -> n), which merges identically however
+    micro-batches split or reorder events; the one-sided CUSUM statistic
+    s_t = P_t - min_{j<=t} P_j over the integer drift d_t = nh*y_t - T
+    is re-folded from that vector per batch with exact Python ints.
+    Emits the type's full current alarm set with a monotone version
+    (= events absorbed) — latest version per type is authoritative."""
+    if state.exists:
+        hours, counts = (list(x) for x in state.get)
+        acc = dict(zip(hours, counts))
+    else:
+        acc = {}
+    for pdf in pdfs:
+        hr = pdf["ts"].dt.floor("h").astype("int64") // 1000  # epoch us
+        for h, n in hr.value_counts().items():
+            acc[int(h)] = acc.get(int(h), 0) + int(n)
+    hours = sorted(acc)
+    counts = [acc[h] for h in hours]
+    state.update((hours, counts))
+    nh, total = len(hours), sum(counts)
+    pf, mn, alarms_h, alarms_s = 0, 0, [], []
+    for h, y in zip(hours, counts):
+        pf += nh * y - total
+        mn = min(mn, pf)
+        s = pf - mn
+        if s >= CUSUM_K * nh:
+            alarms_h.append(h)
+            alarms_s.append(s)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "version": [int(total)],
+            "alarm_hours": [alarms_h],
+            "alarm_cusum": [alarms_s],
+        }
+    )
+
+
+def streaming_cusum(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    query_name: str = "cusum_stream",
+):
+    """Live changepoint detection over the event stream: per-type hourly
+    volume folds into bounded state (one count per calendar hour — the
+    hourly-rollup grain, never the event grain) and the CUSUM alarm set
+    re-derives per batch.  The streaming composition of the batch
+    `events_cusum_alarms` row: because the state is a mergeable count
+    vector, the live result after ANY micro-batch interleaving equals
+    the one-shot batch fold — certified against the same DuckDB oracle."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=(
+            "event_type string, version long, "
+            "alarm_hours array<bigint>, alarm_cusum array<bigint>"
+        ),
+        stateStructType="hours array<bigint>, counts array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def _merge_session_intervals(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
