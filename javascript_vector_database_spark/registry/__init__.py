@@ -107,22 +107,24 @@ _PRIORITY = [
     #    6 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
     #      stream_reactive_topk_384, stream_cusum_live,
     #      graph_resource_allocation, dedup_minhash_calibration);
-    #    3 r8-CHANGED-result rows (ann_ivf_384 -> trained-centroid
-    #      parquet fixture; ann_lsh_search + ann_lsh_search_precomputed
-    #      -> query-directed 32-bucket multi-probe);
-    #   41 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 34 of
+    #    4 r8-CHANGED-result rows (ann_ivf_384 -> trained-centroid
+    #      parquet fixture; ann_ivfpq_384 -> trained coarse cells +
+    #      nprobe=6, recall 0.26 -> 0.88; ann_lsh_search +
+    #      ann_lsh_search_precomputed -> query-directed multi-probe);
+    #   40 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 33 of
     #      the 36 remaining r3 stamps (deferred to the next rotation:
     #      ann_ivf_search_partitioned — its oracle twin ann_ivf_search
-    #      IS in the window — and text_token_count, displaced by the
-    #      late stream_cusum_live addition).
+    #      IS in the window — plus text_token_count and
+    #      text_title_content_parse, displaced by the late
+    #      stream_cusum_live / ann_ivfpq_384 additions).
     # Rotation-exempt by policy (outputs unchanged, locally
     # sweep-verified every pytest run): eager-checkpoint-only and
     # docstring-only r8 edits (dedup_semantic_prune materialize-once,
     # events_cusum_alarms skew-routing note, ivf_search centroid
     # guidance) — the same deliberate exemption r7 applied to
     # decorrelated.py's checkpoint flips.
-    # -- r8 new/changed (8)
-    "ann_ivf_384",
+    # -- r8 new/changed (10)
+    "ann_ivf_384", "ann_ivfpq_384",
     "ann_lsh_search", "ann_lsh_search_precomputed",
     "ann_lsh_probe_stats", "ann_ivfpq_residual_384",
     "stream_reactive_topk_384", "stream_cusum_live",
@@ -144,9 +146,9 @@ _PRIORITY = [
     "reactive_count_ivm", "reactive_query_ivm", "reactive_topk_ivm",
     "set_ops_intersect_except", "text_bm25_search",
     "text_bpe_token_count", "text_fingerprint", "text_lang_id",
-    "text_quality_score", "text_title_content_parse",
+    "text_quality_score",
     # ---- window boundary (50) ----
-    "text_token_count",
+    "text_title_content_parse", "text_token_count",
     # everything below carries a green r4-r7 stamp and is unchanged;
     # the local sf0.001 sweep re-verifies all of it on every pytest run
     "parts_price_size_skyline", "brand_price_size_skyline",
@@ -159,7 +161,7 @@ _PRIORITY = [
     "stream_dedup_live",
     "customer_rfm_segments", "profile_ntile_deciles",
     "sketch_histogram_quantiles", "sketch_grouped_quantiles",
-    "ann_pq_384", "ann_ivfpq_384",
+    "ann_pq_384",
     "stream_hll_live_users", "stream_live_count_by_type",
     "stream_cms_live_tokens",
     "dedup_jaccard_prefix", "dedup_multipass_pairs",

@@ -677,6 +677,74 @@ LIMIT {TOP_K}
 """
 
 
+def _pq_cb_codes_ctes(table: str, sd: int, m: int) -> str:
+    """Codebook + code CTEs with the codebook source NAMED SEPARATELY
+    from the coarse `cents` (``cbsrc`` = the hash-order sample rows), so
+    a trained-centroid cents CTE can coexist: coarse assignment reads
+    `cents`, PQ encoding reads `cb`.  Same math as _pq_codes_ctes."""
+    return f"""cbsrc AS (SELECT vec_id, embedding FROM {table}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {pqm.PQ_K}),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS j,
+              embedding AS cemb FROM cbsrc),
+sub AS (SELECT unnest(range(0, {m})) AS s),
+cand0 AS (
+  SELECT e.vec_id, sub.s, cb.j,
+         {_pq_sub_score_sql('e.embedding', 'cb.cemb', 'sub.s', sd)} AS d
+  FROM {table} e CROSS JOIN sub CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+    FROM cand0
+  ) WHERE rn = 1
+)"""
+
+
+def _ivfpq_trained_oracle(
+    table: str,
+    qcte: str,
+    sd: int,
+    m: int,
+    rerank: int,
+    nprobe: int,
+    cents_cte: str,
+) -> str:
+    """IVF-PQ oracle with a PERSISTED coarse quantizer (cents_cte, e.g.
+    the trained 384 centroid fixture) and the hash-order-sample PQ
+    codebook — the two centroid sets are independent, unlike
+    _ivfpq_search_oracle where one sample serves both roles."""
+    return f"""
+WITH {qcte},
+{cents_cte},
+{_pq_cb_codes_ctes(table, sd, m)},{_ivf_assign_cte(table)},
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY {osql.sql_euclid('cemb', 'qv')} ASC, cid ASC
+  LIMIT {nprobe}
+),
+lut AS (
+  SELECT sub.s, cb.j, {_pq_sub_score_sql('q.qv', 'cb.cemb', 'sub.s', sd)} AS v
+  FROM sub CROSS JOIN cb, q
+),
+approx AS (
+  SELECT c.vec_id, sum(l.v ORDER BY c.s) AS ad
+  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+  JOIN assign a ON a.vec_id = c.vec_id
+  WHERE a.ivf_cell IN (SELECT cid FROM probe)
+  GROUP BY c.vec_id
+),
+cand AS (
+  SELECT vec_id FROM approx ORDER BY ad ASC, vec_id ASC
+  LIMIT {TOP_K * rerank}
+)
+SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
+FROM {table} e JOIN cand USING (vec_id), q
+ORDER BY distance ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def _ivfpq_residual_oracle(
     table: str = "embeddings",
     qcte: str = osql.QVEC_CTE,

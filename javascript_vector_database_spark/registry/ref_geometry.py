@@ -262,18 +262,32 @@ def ann_pq_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: coarse probe width for the composed IVF-PQ at 384: 6 of 16 cells.
+#: Measured recall@10 sweep (trained coarse cells, sampled M=96 raw
+#: codebook, rerank=32 unless noted): sampled-cents nprobe=2 (the
+#: pre-r8 registered config) 0.26; sampled nprobe=4 0.44; trained
+#: nprobe=4 0.78 (rerank=48: 0.80); trained nprobe=6 **0.88**
+#: (rerank=48: 0.92); trained nprobe=8 0.88.  At K=16 coarse cells a
+#: 6-cell probe reads 3/8 of the corpus' CODES (48 bytes/row, not the
+#: floats); production K is thousands, where the same recall point
+#: costs a tiny cell fraction.
+IVFPQ_NPROBE_384 = 6
+
+
 def _ivfpq_384_oracle() -> str:
     from javascript_vector_database_spark.operators import pq as pqm
     from javascript_vector_database_spark.registry.ann_scale_queries import (
-        _ivfpq_search_oracle,
+        _ivfpq_trained_oracle,
     )
 
-    return _ivfpq_search_oracle(
+    return _ivfpq_trained_oracle(
         table=_T,
         qcte=_QCTE,
         sd=REFERENCE_DIM // pqm.PQ_M_384,
         m=pqm.PQ_M_384,
         rerank=pqm.PQ_RERANK_384,
+        nprobe=IVFPQ_NPROBE_384,
+        cents_cte=_TRAINED_CENTS_CTE,
     )
 
 
@@ -281,19 +295,25 @@ def _ivfpq_384_oracle() -> str:
 def ann_ivfpq_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ at reference geometry — the full FAISS-style composition
     (coarse probe x 4-dim-subspace ADC x 32x exact re-rank) on the
-    clustered 384-dim fixture, sharing the r7 M=96 probe shape with
-    `ann_pq_384` (see its docstring for the recall sweep).  Completes
-    the quantizer family at reference dimensionality: exact/range-
-    compat/similarity/IVF/SQ8/PQ all have a 384 sibling; this row adds
-    the composed cell-pruned code scan."""
+    clustered 384-dim fixture, sharing the M=96 probe shape with
+    `ann_pq_384`.  Since r8 the COARSE quantizer is the trained
+    centroid fixture (the same ann_ivf_384 artifact; the PQ codebook
+    stays the hash-order sample both engines derive in-query):
+    registered recall@10 **0.88** at nprobe=6 vs 0.26 for the pre-r8
+    sampled-cents nprobe=2 config (sweep in IVFPQ_NPROBE_384's note,
+    pinned in tests/test_ref_geometry.py)."""
     from javascript_vector_database_spark.operators import ann_scale
     from javascript_vector_database_spark.operators import pq as pqm
 
     fx = _fixture(spark)
-    cents = _fixture_cents(spark, ann_scale.IVF_K)
-    cb = pqm.pq_codebook(cents, m=pqm.PQ_M_384)
+    cb = pqm.pq_codebook(_fixture_cents(spark, ann_scale.IVF_K), m=pqm.PQ_M_384)
     return pqm.ivfpq_search(
-        fx, _fixture_qvec(spark), cents, cb, rerank=pqm.PQ_RERANK_384
+        fx,
+        _fixture_qvec(spark),
+        trained_cents(spark),
+        cb,
+        nprobe=IVFPQ_NPROBE_384,
+        rerank=pqm.PQ_RERANK_384,
     )
 
 

@@ -83,6 +83,38 @@ def test_ivf_384_trained_recall(spark):
     assert rec / len(qvs) >= 0.8
 
 
+def test_ivfpq_384_trained_recall(spark):
+    """The composed quantizer's registered config (trained coarse cells,
+    nprobe=6, sampled M=96 codebook, rerank=32) must serve >=0.8
+    recall@10 — the pre-r8 sampled-cents nprobe=2 config served 0.26
+    (sweep in ref_geometry.IVFPQ_NPROBE_384's note)."""
+    from javascript_vector_database_spark.operators import ann_scale, knn
+    from javascript_vector_database_spark.operators import pq as pqm
+
+    emb = ref_geometry._fixture(spark)
+    cents = ref_geometry.trained_cents(spark)
+    cb = pqm.pq_codebook(
+        ref_geometry._fixture_cents(spark, ann_scale.IVF_K), m=pqm.PQ_M_384
+    )
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    ]
+    rec = 0.0
+    for qv in qvs:
+        exact = {r["vec_id"] for r in knn.exact_knn(emb, qv).collect()}
+        got = {
+            r["vec_id"]
+            for r in pqm.ivfpq_search(
+                emb, qv, cents, cb,
+                nprobe=ref_geometry.IVFPQ_NPROBE_384,
+                rerank=pqm.PQ_RERANK_384,
+            ).collect()
+        }
+        rec += len(exact & got) / len(exact)
+    assert rec / len(qvs) >= 0.8
+
+
 def test_range_compat_384_returns_candidates(spark):
     """The ±0.3% band must select a non-trivial candidate set at 384 dims
     (fixture SIGMA was chosen for spread) — guards against a degenerate
