@@ -473,6 +473,23 @@ def main() -> None:
         len(a & e) / len(e) for a, e in zip(pq_384_sets, exact384)
     ) / len(q384)
     codes384.unpersist()
+    # the REGISTERED composed quantizer: trained coarse cells, nprobe=6,
+    # sampled M=96 codebook, rerank=32 (r8 upgrade: 0.26 -> 0.88)
+    cents384t = trained_cents(spark)
+    ivfpq_reg_sets = [
+        {
+            r["vec_id"]
+            for r in pqm.ivfpq_search(
+                emb384, qv, cents384t, cb384, nprobe=6,
+                rerank=pqm.PQ_RERANK_384,
+            ).collect()
+        }
+        for qv in q384
+    ]
+    results["ivfpq_384_registered_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(ivfpq_reg_sets, exact384)
+    ) / len(q384)
+
     # trained codebook: driver-side Lloyd's on the deterministic sample
     # (pq_train_codebook_local) — 96 MLlib fits replaced by one collect +
     # in-process numpy; trained recall reported at the shallow rerank=8
