@@ -387,6 +387,105 @@ def kcore_peel(
     ).select(F.col("s").alias("node"), "core_degree")
 
 
+def edge_support(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-edge triangle support over a unique-pair (src < dst) edge
+    list: each compact-forward closed wedge is one triangle and credits
+    its three id-normalized edges — ``(src, dst, support)`` for every
+    edge in at least one triangle.  Same O(m^1.5) wedge bound as
+    :func:`triangle_count` (the enumeration IS the same; only the
+    credit target differs: edges, not corner nodes)."""
+    closed, _ = closed_wedges(edges, src, dst)
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "x").alias("u"), F.greatest("a", "x").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "y").alias("u"), F.greatest("a", "y").alias("v")
+                ),
+                F.struct(
+                    F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+                ),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    return tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    ).select(F.col("u").alias(src), F.col("v").alias(dst), "support")
+
+
+def ktruss_peel(
+    edges: DataFrame, k: int, rounds: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """``rounds`` synchronous peels toward the k-truss — the EDGE
+    sibling of :func:`kcore_peel`: each round computes per-edge triangle
+    support (compact-forward enumeration) and drops edges supporting
+    fewer than ``k - 2`` triangles; the k-truss proper is the fixpoint,
+    and the FIXED round count keeps the result exact and
+    engine-identical (the kcore/PageRank bounded-unroll contract).
+    Output: ``(src, dst, support)`` of the survivors, support recomputed
+    on the final edge set.  Trusses are the standard
+    stronger-than-core cohesion signal (every tie inside a k-truss is
+    reinforced by >= k-2 mutual neighbors — Cohen 2008, public); cost is
+    ``rounds + 1`` triangle enumerations over a shrinking edge set, each
+    O(m^1.5) with the same degree-ordered wedge bound."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    for _ in range(rounds):
+        sup = edge_support(e, "u", "v")
+        e = (
+            e.join(sup, ["u", "v"])
+            .where(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    fin = edge_support(e, "u", "v")
+    return e.join(fin, ["u", "v"], "left").select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+    )
+
+
+def sql_ktruss_peel(edges_cte: str, k: int, rounds: int) -> str:
+    """DuckDB oracle for :func:`ktruss_peel`: the identical
+    support-peel rounds unrolled as CTE levels, triangles enumerated by
+    the id-ordered 3-way self-join (each triangle once, edges credited
+    identically)."""
+
+    def tri_sup(i: int) -> str:
+        return f"""tri{i} AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{i} e1 JOIN e{i} e2 ON e2.u = e1.v
+  JOIN e{i} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+sup{i} AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT a AS u, b AS v FROM tri{i}
+    UNION ALL SELECT b, c FROM tri{i}
+    UNION ALL SELECT a, c FROM tri{i}
+  ) GROUP BY 1, 2
+)"""
+
+    sql = [
+        f"WITH pairs AS ({edges_cte}),",
+        "e0 AS (SELECT src AS u, dst AS v FROM pairs),",
+    ]
+    for i in range(rounds):
+        sql.append(tri_sup(i) + ",")
+        sql.append(
+            f"e{i + 1} AS (SELECT e.u, e.v FROM e{i} e "
+            f"JOIN sup{i} s ON s.u = e.u AND s.v = e.v WHERE s.c >= {k - 2}),"
+        )
+    sql.append(tri_sup(rounds))
+    body = "\n".join(sql)
+    return (
+        f"{body}\n"
+        f"SELECT e.u AS src, e.v AS dst, coalesce(s.c, 0) AS support\n"
+        f"FROM e{rounds} e LEFT JOIN sup{rounds} s ON s.u = e.u AND s.v = e.v"
+    )
+
+
 def sql_kcore_peel(edges_cte: str, k: int, rounds: int) -> str:
     """DuckDB oracle for :func:`kcore_peel`: the identical peeling
     rounds unrolled as CTE levels.  ``edges_cte`` selects the unique

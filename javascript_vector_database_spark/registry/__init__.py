@@ -104,19 +104,21 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 8.  Composition (exact):
-    #    6 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
+    #    7 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
     #      stream_reactive_topk_384, stream_cusum_live,
-    #      graph_resource_allocation, dedup_minhash_calibration);
+    #      graph_resource_allocation, graph_ktruss_strong_ties,
+    #      dedup_minhash_calibration);
     #    4 r8-CHANGED-result rows (ann_ivf_384 -> trained-centroid
     #      parquet fixture; ann_ivfpq_384 -> trained coarse cells +
     #      nprobe=6, recall 0.26 -> 0.88; ann_lsh_search +
     #      ann_lsh_search_precomputed -> query-directed multi-probe);
-    #   40 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 33 of
+    #   39 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 32 of
     #      the 36 remaining r3 stamps (deferred to the next rotation:
     #      ann_ivf_search_partitioned — its oracle twin ann_ivf_search
-    #      IS in the window — plus text_token_count and
-    #      text_title_content_parse, displaced by the late
-    #      stream_cusum_live / ann_ivfpq_384 additions).
+    #      IS in the window — plus text_token_count,
+    #      text_title_content_parse, and text_quality_score, displaced
+    #      by the late stream_cusum_live / ann_ivfpq_384 / k-truss
+    #      additions).
     # Rotation-exempt by policy (outputs unchanged, locally
     # sweep-verified every pytest run): eager-checkpoint-only and
     # docstring-only r8 edits (dedup_semantic_prune materialize-once,
@@ -128,7 +130,8 @@ _PRIORITY = [
     "ann_lsh_search", "ann_lsh_search_precomputed",
     "ann_lsh_probe_stats", "ann_ivfpq_residual_384",
     "stream_reactive_topk_384", "stream_cusum_live",
-    "graph_resource_allocation", "dedup_minhash_calibration",
+    "graph_resource_allocation", "graph_ktruss_strong_ties",
+    "dedup_minhash_calibration",
     # -- oldest-stamp refreshers (42): 7 x r2, then 35 x r3
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
     "mango_count", "mango_sort_skip_limit", "point_lookup",
@@ -146,8 +149,8 @@ _PRIORITY = [
     "reactive_count_ivm", "reactive_query_ivm", "reactive_topk_ivm",
     "set_ops_intersect_except", "text_bm25_search",
     "text_bpe_token_count", "text_fingerprint", "text_lang_id",
-    "text_quality_score",
     # ---- window boundary (50) ----
+    "text_quality_score",
     "text_title_content_parse", "text_token_count",
     # everything below carries a green r4-r7 stamp and is unchanged;
     # the local sf0.001 sweep re-verifies all of it on every pytest run
