@@ -743,3 +743,107 @@ def sql_bfs_hops(
         )
     body = "\n".join(sql).rstrip(",")
     return f"{body}\nSELECT node, hops FROM d{max_hops}"
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities) over a directed bipartite graph
+# ---------------------------------------------------------------------------
+
+#: HITS fixed-point scale: a normalized score of 1.0 == 10^6.  Smaller
+#: than RANK_SCALE because each half-round SUMS neighbor scores before
+#: renormalizing: with max degree ~10^4 the pre-normalization mass stays
+#: <= 10^4 * 10^6 = 10^10 « int64, and the max-division renormalization
+#: returns everything to <= HITS_SCALE.
+HITS_SCALE = 1_000_000
+HITS_ROUNDS = 2
+
+
+def hits(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
+    """(node, authority, n_in) after ``rounds`` integer-exact HITS
+    iterations (Kleinberg 1999, public) over a DIRECTED edge list
+    (src = hub side, dst = authority side — e.g. buyer -> product).
+
+    Textbook HITS renormalizes with an L2 norm (a sqrt — engine-
+    dependent in the last ulp, unverifiable); this implementation
+    renormalizes by the MAXIMUM instead: ``score' = score * HITS_SCALE
+    DIV max(score)``.  Max-normalized HITS converges to the same
+    principal eigenvector direction (normalization choice only rescales
+    the iterate), every intermediate stays an exact BIGINT, and the max
+    is a shuffle-order-proof aggregate.  Per round: authority(dst) =
+    renorm(sum of hub over in-edges), then hub(src) = renorm(sum of
+    authority over out-edges) — two equi-join + groupBy Pregel halves,
+    map-side partials, no window.  The scalar max rides a 1-row
+    broadcast crossJoin (never a driver collect).
+
+    Returns the FINAL authority side (the interesting ranking on a
+    bipartite purchase graph); n_in (in-degree) rides along for
+    interpretability."""
+    e = edges.select("src", "dst")
+    hubs = e.select("src").distinct().select(
+        "src", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+
+    def renorm(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).cast("long").alias("__mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"({col} * {HITS_SCALE}) DIV __mx").alias(col),
+        )
+
+    auth = None
+    for _ in range(rounds):
+        auth = renorm(
+            e.join(hubs, "src").groupBy("dst").agg(
+                F.sum("h").cast("long").alias("a")
+            ),
+            "a",
+        )
+        hubs = renorm(
+            e.join(auth, "dst").groupBy("src").agg(
+                F.sum("a").cast("long").alias("h")
+            ),
+            "h",
+        )
+    n_in = e.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    return auth.join(n_in, "dst").select(
+        F.col("dst").alias("node"),
+        F.col("a").alias("authority"),
+        "n_in",
+    )
+
+
+def sql_hits(edges_cte: str, rounds: int = HITS_ROUNDS) -> str:
+    """DuckDB oracle for :func:`hits`: the identical max-normalized
+    integer iteration unrolled as CTE levels (scalar max via a
+    cross-joined 1-row aggregate, same floor DIV)."""
+    sql = [f"WITH edges AS ({edges_cte}),"]
+    sql.append(
+        f"h0 AS (SELECT DISTINCT src, CAST({HITS_SCALE} AS BIGINT) AS h"
+        " FROM edges),"
+    )
+    prev_h = "h0"
+    for i in range(rounds):
+        sql.append(
+            f"""ra{i + 1} AS (
+  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a
+  FROM edges e JOIN {prev_h} h USING (src) GROUP BY e.dst
+),
+a{i + 1} AS (
+  SELECT dst, CAST((a * {HITS_SCALE}) // mx AS BIGINT) AS a
+  FROM ra{i + 1}, (SELECT max(a) AS mx FROM ra{i + 1})
+),
+rh{i + 1} AS (
+  SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h
+  FROM edges e JOIN a{i + 1} a USING (dst) GROUP BY e.src
+),
+h{i + 1} AS (
+  SELECT src, CAST((h * {HITS_SCALE}) // mx AS BIGINT) AS h
+  FROM rh{i + 1}, (SELECT max(h) AS mx FROM rh{i + 1})
+),"""
+        )
+        prev_h = f"h{i + 1}"
+    body = "\n".join(sql).rstrip(",")
+    return f"""{body},
+nin AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_in FROM edges GROUP BY 1)
+SELECT a.dst AS node, a.a AS authority, nin.n_in
+FROM a{rounds} a JOIN nin USING (dst)"""

@@ -619,6 +619,56 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_oracle() -> str:
+    from javascript_vector_database_spark.operators.graph import sql_hits
+
+    inner = sql_hits(
+        """SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
+    )
+    return (
+        f"SELECT * FROM ({inner})\n"
+        "ORDER BY authority DESC, node ASC LIMIT 20"
+    )
+
+
+@register("graph_hits_authorities", oracle=_hits_oracle())
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the DIRECTED buyer -> part purchase graph: the top-20
+    authority parts (Kleinberg 1999 — a part is authoritative when many
+    good hubs buy it; a buyer is a good hub when it buys authoritative
+    parts).  The eigenvector complement of the local link-prediction
+    rows: RA/common-neighbors score single wedges, HITS propagates
+    mutual reinforcement across the whole bipartite graph.  Integer
+    discipline: renormalization is by MAX (a shuffle-order-proof
+    aggregate + floor DIV), not the textbook L2 norm (a sqrt whose last
+    ulp is engine-dependent) — see operators/graph.py:hits; the oracle
+    unrolls the identical iteration.  Each half-round is one equi-join +
+    map-side-combined groupBy; the scalar max rides a 1-row broadcast,
+    so the plan is Pregel-shaped at any scale."""
+    from javascript_vector_database_spark.operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("src")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        orders.join(li, "k")
+        .select("src", "dst")
+        .distinct()
+        # feeds 2 x rounds + 1 consumers (each half-round joins it);
+        # materialize once, same discipline as _copurchase_edges
+        .localCheckpoint(eager=True)
+    )
+    return (
+        hits(edges)
+        .orderBy(F.col("authority").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # sparse-vector similarity: fixed-point TF-IDF pair search
 # ---------------------------------------------------------------------------
