@@ -1704,3 +1704,54 @@ def semantic_prune(
         )
         .where(F.col("cos_to_medoid") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-passage profile (ExactSubstr at k-gram granularity)
+# ---------------------------------------------------------------------------
+
+SUBSTR_GRAM_K = 8
+
+
+def duplicated_gram_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SUBSTR_GRAM_K,
+) -> DataFrame:
+    """(id, n_grams, n_dup, dup_micro): per-doc duplicated-passage
+    profile — of the doc's DISTINCT token ``k``-grams, how many also
+    occur in at least one other document.  This is the doc-level
+    aggregate of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public) at k-gram
+    rather than suffix-array granularity: a high ``dup_micro`` doc is
+    mostly stitched from passages that exist elsewhere in the corpus,
+    even when no single WHOLE-doc near-dup pair fires (the measurement
+    MinHash/SimHash structurally cannot make).
+
+    Shape: the shared codegen gram front-half
+    (:func:`exploded_shingle_hashes`, distinct per doc — 64-bit gram
+    keys so nothing wider than (id, v1, v2) ever shuffles), one
+    map-side-combined groupBy over the gram key for corpus doc-counts,
+    one shuffle join back (a universal boilerplate gram skews the GRAM
+    side only — AQE skew-join splits it; a window over the gram key
+    would instead pin the hot gram to one task, which is why this is a
+    join), one groupBy back to doc grain.  ``dup_micro = (n_dup * 1e6)
+    DIV n_grams`` — non-negative floor DIV, engine-identical."""
+    g = exploded_shingle_hashes(
+        df, text_col=text_col, id_col=id_col, shingle_k=k, distinct=True
+    )
+    nd = g.groupBy("v1", "v2").agg(
+        F.count(F.lit(1)).cast("long").alias("__nd")
+    )
+    return (
+        g.join(nd, ["v1", "v2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__nd") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .withColumn("dup_micro", F.expr("(n_dup * 1000000) DIV n_grams"))
+    )

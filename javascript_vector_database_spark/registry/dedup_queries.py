@@ -628,3 +628,60 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_prune), the property that keeps semantic dedup tractable
     where within-cluster pairwise is quadratic."""
     return dedup.semantic_prune(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# duplicated-passage profile (ExactSubstr at k-gram granularity)
+# ---------------------------------------------------------------------------
+
+
+def _substring_profile_oracle() -> str:
+    k = dedup.SUBSTR_GRAM_K
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {k}
+         THEN list_transform(range(1, len(t) - {k - 2}), i -> {gram})
+         ELSE [array_to_string(t, ' ')] END) AS s
+  FROM toks
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS v1,
+         ('0x' || substr(md5(s), 9, 8))::BIGINT AS v2
+  FROM grams
+),
+nd AS (SELECT v1, v2, CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY 1, 2),
+d AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM g JOIN nd USING (v1, v2) GROUP BY 1
+)
+SELECT doc_id, n_grams, n_dup,
+       CAST((n_dup * 1000000) // n_grams AS BIGINT) AS dup_micro
+FROM d ORDER BY dup_micro DESC, doc_id ASC LIMIT 100
+"""
+
+
+@register("dedup_substring_profile", oracle=_substring_profile_oracle())
+def dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-PASSAGE profile: the 100 documents most stitched from
+    token-{k}-grams that also occur elsewhere in the corpus — the
+    doc-level aggregate of ExactSubstr dedup (Lee et al. 2022) at
+    k-gram granularity.  Complements the whole-doc pair rows: a doc can
+    be 90% recycled passages without any single near-dup partner, and
+    this is the row a training-data pipeline thresholds to drop such
+    composites.  See operators/dedup.py:duplicated_gram_profile for the
+    skew-routing argument (join over the gram key, not a window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.duplicated_gram_profile(docs, k=dedup.SUBSTR_GRAM_K)
+        .select("doc_id", "n_grams", "n_dup", "dup_micro")
+        .orderBy(F.col("dup_micro").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
