@@ -2389,3 +2389,110 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         (F.coalesce("num", F.lit(0)) / F.lit(_EWMA_DEN)).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-user spend burst: Kadane's maximum subarray via the prefix-min identity
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(y) AS BIGINT) AS t
+        FROM daily GROUP BY 1),
+p AS (
+  SELECT daily.user_id, d, nd,
+         sum(nd * y - t) OVER (PARTITION BY daily.user_id
+                               ORDER BY d ASC
+                               ROWS UNBOUNDED PRECEDING) AS pf
+  FROM daily JOIN tot USING (user_id)
+),
+s AS (
+  SELECT user_id, d, nd,
+         pf - min(pf) OVER (PARTITION BY user_id ORDER BY d ASC
+                            ROWS UNBOUNDED PRECEDING) AS s
+  FROM p
+),
+best AS (
+  SELECT user_id, d, nd, s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY s DESC, d ASC) AS rn
+  FROM s
+)
+SELECT user_id, CAST(nd AS BIGINT) AS n_days,
+       CAST(s // nd AS BIGINT) AS burst_cents, d AS end_day
+FROM best WHERE rn = 1
+ORDER BY burst_cents DESC, user_id ASC LIMIT 20
+"""
+
+
+@register("events_spend_burst", oracle=_BURST_ORACLE)
+def events_spend_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 users with the strongest spending BURST: the maximum-sum
+    contiguous run of (daily spend - the user's own daily mean) over
+    each user's purchase history — Kadane's maximum-subarray, solved
+    per user without any iterative fold via the same prefix-min
+    identity as events_cusum_alarms: best run ending at t is
+    P_t - min_{j<=t} P_j, so two stacked per-user windows over the
+    DAILY rollup do it in one sorted pass.  Fully integer: the
+    mean-centered drift is nd*y - total (no division), the burst is
+    floor-normalized back to cents only at output (s DIV nd,
+    non-negative).  CUSUM answers "did the process shift, globally";
+    this answers "which ENTITY had the hottest sustained stretch" — the
+    per-account anomaly triage view.  Windows are user-partitioned over
+    per-user day counts (calendar-bounded); the argmax day is extracted
+    with a deterministic (s DESC, day ASC) row_number, and the global
+    top-20 is one TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    tot = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("y").cast("long").alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = daily.join(tot, "user_id").select(
+        "user_id",
+        "d",
+        "nd",
+        F.sum(F.col("nd") * F.col("y") - F.col("t")).over(w).alias("pf"),
+    )
+    s = p.select(
+        "user_id",
+        "d",
+        "nd",
+        (F.col("pf") - F.min("pf").over(w)).alias("s"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("s").desc(), F.col("d").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("nd").alias("n_days"),
+            F.expr("s DIV nd").cast("long").alias("burst_cents"),
+            F.col("d").alias("end_day"),
+        )
+        .orderBy(F.col("burst_cents").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
