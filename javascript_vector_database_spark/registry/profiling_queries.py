@@ -563,3 +563,75 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("key").asc())
         .limit(SKEW_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence: is `lang` independent of `source`?
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+SELECT cells.lang, cells.source, o AS observed,
+       CAST((r.r * c.c * 1000000) // n.n AS BIGINT) AS expected_micro,
+       CAST(floor(CAST(n.n * o - r.r * c.c AS DOUBLE)
+                  * CAST(n.n * o - r.r * c.c AS DOUBLE)
+                  * 1000000.0 / CAST(n.n * r.r * c.c AS DOUBLE)) AS BIGINT)
+         AS chi2_micro
+FROM cells JOIN r USING (lang) JOIN c USING (source), n
+ORDER BY chi2_micro DESC, lang ASC, source ASC
+"""
+
+
+@register("profile_chi_square", oracle=_CHI2_ORACLE)
+def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between `lang` and `source`: the
+    full contingency table with each cell's observed count, expected
+    count (micro-scaled), and chi-square contribution — the drift check
+    a corpus pipeline runs to catch a source whose language mix shifted
+    (sum the column for the statistic; big per-cell contributions POINT
+    at the shifted cells, which the scalar alone cannot).
+
+    Determinism: all marginals are exact BIGINTs; the one non-integer
+    step, (N*O - R*C)^2 / (N*R*C), runs in IEEE doubles with the
+    operands built exactly in int64 first (N*O <= ~2^32 here; N*R*C <=
+    N^3 must stay < 2^63 — past ~2M docs, build the operands in
+    DECIMAL(38) instead) and a floor at micro precision — correctly-
+    rounded IEEE ops on identical inputs are engine-identical, and
+    floor has no rounding-mode to disagree on.  Plan: one cell groupBy
+    with map-side partials (the fact table is touched once), marginals
+    re-aggregated from the TINY cell table, broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    r = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    c = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    d = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+    return (
+        cells.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("o").alias("observed"),
+            F.expr("(r * c * 1000000) DIV n").cast("long")
+            .alias("expected_micro"),
+            F.floor(
+                d * d * F.lit(1000000.0)
+                / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+            )
+            .cast("long")
+            .alias("chi2_micro"),
+        )
+        .orderBy(
+            F.col("chi2_micro").desc(), F.col("lang").asc(), F.col("source").asc()
+        )
+    )
