@@ -2217,3 +2217,117 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("ret_flag").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: median of pairwise weekly-revenue slopes
+# ---------------------------------------------------------------------------
+
+_THEIL_SEN_ORACLE = """
+WITH weekly AS (
+  SELECT o_orderpriority AS priority,
+         datediff('day', DATE '1970-01-05',
+                  CAST(date_trunc('week', o_orderdate) AS DATE)) // 7 AS x,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y_cents
+  FROM orders GROUP BY 1, 2
+),
+nw AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_weeks
+       FROM weekly GROUP BY 1),
+pairs AS (
+  SELECT a.priority, a.x AS ax, b.x AS bx,
+         (b.y_cents - a.y_cents) * 1000000 AS num,
+         b.x - a.x AS dx
+  FROM weekly a JOIN weekly b
+    ON b.priority = a.priority AND a.x < b.x
+),
+slopes AS (
+  SELECT priority, ax, bx,
+         (num - ((num % dx + dx) % dx)) // dx AS slope_micro
+  FROM pairs
+),
+ranked AS (
+  SELECT priority, slope_micro,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY slope_micro ASC, ax ASC, bx ASC) AS rn,
+         count(*) OVER (PARTITION BY priority) AS n_pairs
+  FROM slopes
+)
+SELECT r.priority, nw.n_weeks, CAST(r.n_pairs AS BIGINT) AS n_pairs,
+       CAST(r.slope_micro AS BIGINT) AS ts_slope_micro
+FROM ranked r JOIN nw USING (priority)
+WHERE r.rn = (r.n_pairs + 1) // 2
+ORDER BY priority ASC
+"""
+
+
+@register("orders_theil_sen_trend", oracle=_THEIL_SEN_ORACLE)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of weekly revenue per priority: the LOW
+    MEDIAN of all pairwise slopes (y_j - y_i)/(x_j - x_i) — the
+    breakdown-resistant complement of orders_weekly_trend_ols (one
+    blowout week drags OLS; Theil-Sen shrugs off up to ~29% outliers,
+    Sen 1968, public).  Slopes are micro-scaled BIGINTs via the
+    sign-safe floor division (num - pmod(num, dx)) DIV dx (dy can be
+    negative; `%` follows the dividend's sign identically in both
+    engines, so the non-negative-remainder form makes the division
+    exact and mode-free).  The pair fan-out is weeks^2 PER PRIORITY —
+    O(groups x W^2) on a W ~ hundreds weekly rollup, built by one
+    broadcast self-equi-join on priority (never on the fact table: the
+    raw scan collapses to (priority, week) grain first, which is the
+    entire scale story).  Median extraction is a deterministic
+    (slope, x_i, x_j) row_number at rank (n+1) DIV 2."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "datediff(CAST(date_trunc('week', o_orderdate) AS DATE), "
+            "DATE '1970-01-05') DIV 7"
+        ).alias("x"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y_cents")
+    )
+    nw = weekly.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks")
+    )
+    a = weekly.select("priority", F.col("x").alias("ax"), F.col("y_cents").alias("ay"))
+    b = weekly.select("priority", F.col("x").alias("bx"), F.col("y_cents").alias("by"))
+    pairs = (
+        a.join(F.broadcast(b), "priority")
+        .where(F.col("ax") < F.col("bx"))
+        .select(
+            "priority",
+            "ax",
+            "bx",
+            ((F.col("by") - F.col("ay")) * 1000000).alias("num"),
+            (F.col("bx") - F.col("ax")).alias("dx"),
+        )
+    )
+    slopes = pairs.select(
+        "priority",
+        "ax",
+        "bx",
+        F.expr("(num - ((num % dx + dx) % dx)) DIV dx").alias("slope_micro"),
+    )
+    wp = W.partitionBy("priority")
+    ranked = slopes.select(
+        "priority",
+        "slope_micro",
+        F.row_number()
+        .over(wp.orderBy(F.col("slope_micro").asc(), F.col("ax").asc(), F.col("bx").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_pairs"),
+    )
+    return (
+        ranked.where(F.expr("rn = (n_pairs + 1) DIV 2"))
+        .join(F.broadcast(nw), "priority")
+        .select(
+            "priority",
+            "n_weeks",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_micro").cast("long").alias("ts_slope_micro"),
+        )
+        .orderBy(F.col("priority").asc())
+    )
