@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -186,6 +188,140 @@ def sq8_search_precomputed(
     return (
         emb.join(F.broadcast(cand_ids), id_col)
         .select(
+            id_col,
+            F.round(euclidean_distance(F.col(vec_col), qv_lit), 6).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# binary quantization (1 bit/dim) + hamming probe
+# ---------------------------------------------------------------------------
+
+#: bits packed per BIGINT word — 48 keeps every word positive (bit 63
+#: would flip the sign; both engines store two's-complement BIGINTs, but
+#: positive words need no sign reasoning in either)
+BQ_WORD_BITS = 48
+#: hamming is the coarsest quantizer here (1 bit/dim), so the exact
+#: re-rank pool is wider than SQ8's: k * BQ_RERANK candidates
+BQ_RERANK = 8
+
+
+def bq_word_exprs(vec: Column | str, dim: int) -> list[Column]:
+    """Sign-bit packing: dim/48 BIGINT words, word w bit b set iff
+    ``vec[w*48+b] > 0``.  A chain of when/otherwise bit terms — stays
+    inside whole-stage codegen (no interpreted HOF), scan-local.  At
+    write time a deployment stores these words next to the vector
+    (32x smaller than the floats) exactly like the SQ8/PQ code tables."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    words = []
+    for w in range(0, dim, BQ_WORD_BITS):
+        bits = min(BQ_WORD_BITS, dim - w)
+        term = None
+        for b in range(bits):
+            t = F.when(vec[w + b] > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = t if term is None else term + t
+        words.append(term.cast("long"))
+    return words
+
+
+#: widest geometry served by the when/otherwise literal packing: past
+#: ~2 words the 384 getItem+when terms blow Janino's 64 KB generated-
+#: method limit (observed at dim=384: "Code grows beyond 64 KB"), so
+#: wide vectors route through the Arrow kernel — the same wide-geometry
+#: routing as operators/pq.py (PQ_WIDE_M) and the IVF cell kernel.
+BQ_WIDE_DIM = 2 * BQ_WORD_BITS
+
+
+def _bq_pack_pandas(dim: int):
+    """Arrow-vectorized sign packing for WIDE vectors: one scan-local
+    pandas_udf returning the dim/48 BIGINT words.  Bit-exact with
+    :func:`bq_word_exprs` by construction — the only float op is the
+    ``> 0`` predicate (no accumulation order to match); everything
+    after is integer."""
+    n_words = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+
+    @F.pandas_udf("array<long>")
+    def pack(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64)
+        bits = x > 0.0
+        out = np.zeros((x.shape[0], n_words), dtype=np.int64)
+        for w in range(n_words):
+            sl = bits[:, w * BQ_WORD_BITS : (w + 1) * BQ_WORD_BITS]
+            pows = np.int64(1) << np.arange(sl.shape[1], dtype=np.int64)
+            out[:, w] = (sl * pows).sum(axis=1, dtype=np.int64)
+        return pd.Series(list(out))
+
+    return pack
+
+
+def py_bq_words(vec: list[float]) -> list[int]:
+    """Driver-side packer for the QUERY vector (same `> 0` predicate)."""
+    words = []
+    for w in range(0, len(vec), BQ_WORD_BITS):
+        acc = 0
+        for b, x in enumerate(vec[w : w + BQ_WORD_BITS]):
+            if float(x) > 0:
+                acc |= 1 << b
+        words.append(acc)
+    return words
+
+
+def bq_search(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = TOP_K,
+    rerank: int = BQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized top-k (the 1-bit scale path popularized by
+    recent vector stores; for unit-norm embeddings sign agreement
+    tracks cosine): rank k*rerank candidates by hamming distance over
+    dim/48 packed words — an XOR + popcount per word, the cheapest
+    possible probe scan — then exact euclidean re-rank of the bounded
+    pool.  Output: (id, distance), the sq8_search contract."""
+    dim = len(qvec)
+    qwords = py_bq_words(qvec)
+    if dim > BQ_WIDE_DIM:
+        pack = _bq_pack_pandas(dim)
+        packed = emb.select(id_col, vec_col, pack(F.col(vec_col)).alias("__bqws"))
+        staged = packed.select(
+            id_col,
+            vec_col,
+            *[
+                F.element_at(F.col("__bqws"), i + 1).alias(f"__bqw{i}")
+                for i in range(len(qwords))
+            ],
+        )
+    else:
+        words = bq_word_exprs(F.col(vec_col), dim)
+        staged = emb.select(
+            id_col,
+            vec_col,
+            *[wexpr.alias(f"__bqw{i}") for i, wexpr in enumerate(words)],
+        )
+    terms = [
+        F.expr(f"bit_count(__bqw{i} ^ CAST({qw} AS BIGINT))")
+        for i, qw in enumerate(qwords)
+    ]
+    hsum = terms[0]
+    for t in terms[1:]:
+        hsum = hsum + t
+    cand = (
+        staged.withColumn("__hd", hsum.cast("long"))
+        .orderBy(F.col("__hd").asc(), F.col(id_col).asc())
+        .limit(k * rerank)
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        cand.select(
             id_col,
             F.round(euclidean_distance(F.col(vec_col), qv_lit), 6).alias("distance"),
         )

@@ -932,3 +932,61 @@ def ann_ivfpq_search_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stored = spark.read.parquet(layout)
     return pqm.ivfpq_search_precomputed(stored, emb, qv, cents, cb)
+
+
+# ---------------------------------------------------------------------------
+# binary quantization (1 bit/dim): hamming probe + exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def _bq_word_sql(vec: str, dim: int) -> list[str]:
+    words = []
+    for w in range(0, dim, quant.BQ_WORD_BITS):
+        bits = min(quant.BQ_WORD_BITS, dim - w)
+        words.append(
+            f"CAST(list_sum(list_transform(range(0, {bits}), "
+            f"b -> CASE WHEN {vec}[{w} + b + 1] > 0 "
+            f"THEN 1::BIGINT << b ELSE 0::BIGINT END)) AS BIGINT)"
+        )
+    return words
+
+
+def _bq_search_oracle(
+    dim: int, table: str = "embeddings", qcte: str = osql.QVEC_CTE
+) -> str:
+    qwords = ", ".join(
+        f"{w} AS w{i}" for i, w in enumerate(_bq_word_sql("qv", dim))
+    )
+    # bit_count returns TINYINT in DuckDB — widen every term before the sum
+    hd = " + ".join(
+        f"CAST(bit_count(xor({w}, qw.w{i})) AS BIGINT)"
+        for i, w in enumerate(_bq_word_sql("e.embedding", dim))
+    )
+    return f"""
+WITH {qcte},
+qw AS (SELECT {qwords} FROM q),
+cand AS (
+  SELECT e.vec_id, e.embedding, {hd} AS hd
+  FROM {table} e, qw
+  ORDER BY hd ASC, e.vec_id ASC
+  LIMIT {TOP_K * quant.BQ_RERANK}
+)
+SELECT cand.vec_id, round({osql.sql_euclid('cand.embedding', 'qv')}, 6) AS distance
+FROM cand, q
+ORDER BY distance ASC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+@register("ann_bq_search", oracle=_bq_search_oracle(ORACLE_DIM))
+def ann_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized top-k: 1 bit per dimension packed into dim/48
+    BIGINT words (sign bit; for unit-norm embeddings sign agreement
+    tracks cosine), candidates ranked by XOR+popcount hamming distance
+    — the cheapest probe scan any quantizer admits, 32x smaller than
+    the floats — then the k*BQ_RERANK survivor pool re-ranked exactly.
+    The 1-bit extreme of the SQ8 (8-bit) and PQ (sub-byte) family; at
+    write time the packed words are a stored column like the other code
+    tables."""
+    qv = get_query_vec(spark, sf_dir)
+    return quant.bq_search(load_table(spark, sf_dir, "embeddings"), qv)
