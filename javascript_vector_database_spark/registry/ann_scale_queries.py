@@ -990,3 +990,122 @@ def ann_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables."""
     qv = get_query_vec(spark, sf_dir)
     return quant.bq_search(load_table(spark, sf_dir, "embeddings"), qv)
+
+
+# ---------------------------------------------------------------------------
+# filtered vector search: metadata predicate + ANN probe
+# ---------------------------------------------------------------------------
+
+FILTER_LANG = "de"
+
+_FILTERED_EXACT_ORACLE = f"""
+WITH {osql.QVEC_CTE}
+SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'qv')}, 6) AS distance
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id, q
+WHERE d.lang = '{FILTER_LANG}'
+ORDER BY distance ASC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+@register("ann_filtered_exact", oracle=_FILTERED_EXACT_ORACLE)
+def ann_filtered_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search, exact form: top-k among only the vectors
+    whose document satisfies a metadata predicate (lang = '{lang}') —
+    the "WHERE + ORDER BY embedding <-> q" query every production
+    vector store serves.  The predicate side is filtered AT THE SCAN
+    (pushed-down lang filter, column-pruned to doc_id) and equi-joined
+    to the vector table before any distance math, so the expensive
+    float fold runs only on survivors; the result is one TakeOrdered.
+    At 100 TB the predicate columns live IN the vector table (or a
+    bucketed twin), turning the join into a scan-local filter — this
+    row keeps the two-table form the test corpus ships."""
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    from javascript_vector_database_spark.functions.vector import (
+        euclidean_distance,
+    )
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        emb.join(docs, "vec_id")
+        .select(
+            "vec_id",
+            F.round(euclidean_distance(F.col("embedding"), qlit), 6).alias(
+                "distance"
+            ),
+        )
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+_FILTERED_IVF_ORACLE = f"""
+WITH {osql.QVEC_CTE},
+{_IVF_CENTS_CTE},{_IVF_ASSIGN_CTE},
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY {osql.sql_euclid('cemb', 'qv')} ASC, cid ASC
+  LIMIT {ann_scale.N_PROBE}
+)
+SELECT e.vec_id, round({osql.sql_euclid('e.embedding', 'qv')}, 6) AS distance
+FROM embeddings e, q
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN documents d ON d.doc_id = e.vec_id
+WHERE a.ivf_cell IN (SELECT cid FROM probe) AND d.lang = '{FILTER_LANG}'
+ORDER BY distance ASC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+@register("ann_ivf_filtered", oracle=_FILTERED_IVF_ORACLE)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search, IVF form: the FULL-corpus index is probed
+    (nprobe nearest cells of the shared hash-order centroid sample) and
+    the metadata predicate intersects the candidate set BEFORE the
+    distance fold — probe-then-filter, the standard filtered-ANN plan
+    when the filter is not ultra-selective (an ultra-selective filter
+    flips the plan to ann_filtered_exact's filter-first shape; real
+    engines pick by estimated selectivity).  Candidates may therefore
+    be fewer than k*cells would suggest — the oracle mirrors the same
+    probe + intersect computation exactly.  The cell IN-list prunes
+    partitions under a partitionBy(ivf_cell) layout; the predicate join
+    is an equi-join AQE is free to broadcast."""
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    probed = sorted(
+        (_py_euclid(cemb, qv), cid) for cid, cemb in cents
+    )[: ann_scale.N_PROBE]
+    probe_ids = [cid for _, cid in probed]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == FILTER_LANG)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    from javascript_vector_database_spark.functions.vector import (
+        euclidean_distance,
+    )
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        emb.withColumn(
+            "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+        )
+        .where(F.col("ivf_cell").isin(probe_ids))
+        .join(docs, "vec_id")
+        .select(
+            "vec_id",
+            F.round(euclidean_distance(F.col("embedding"), qlit), 6).alias(
+                "distance"
+            ),
+        )
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
