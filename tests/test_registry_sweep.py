@@ -36,6 +36,12 @@ BNLJ_ALLOWED = {
     "agg_q15_top_supplier",
     "agg_q22_dormant_customers",
     "profile_key_skew",  # 1-row (n_keys, total_rows) aggregate broadcast
+    # HITS renormalization: the per-round scalar max is a ONE-row
+    # aggregate broadcast-crossJoined back (operators/graph.py:hits)
+    "graph_hits_authorities",
+    # the grand-total N is a ONE-row aggregate broadcast against the
+    # tiny lang x source cell table
+    "profile_chi_square",
     # the PassJoin both-short pool: strings shorter than k+1 chars have
     # ED <= k to EACH OTHER unconditionally, so every joined row is a
     # true output pair — the tiny constant-key join is 1:1 with the
