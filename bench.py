@@ -144,6 +144,14 @@ _SCALE_HEADLINE = [
     # self-join on the 10x mass-duplicated corpus
     "graph_resource_allocation",
     "dedup_minhash_calibration",
+    # r8 late wave: the k-gram dup profile explodes EVERY token 8-gram on
+    # the 10x mass-duplicated corpus (the gram-key shuffle is the whole
+    # cost), HITS runs 2x2 join+groupBy rounds over the 10x bipartite
+    # edge list, and the burst row is the grouped-scan consumer at 10x
+    # user grain
+    "dedup_substring_profile",
+    "graph_hits_authorities",
+    "events_spend_burst",
 ]
 
 
@@ -447,6 +455,20 @@ def main() -> None:
     ]
     results["sq8_384_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(sq8_384_sets, exact384)
+    ) / len(q384)
+    # binary quantization (1 bit/dim, r8): hamming probe + k*8 exact
+    # re-rank.  The recall plateau is code resolution, not pool width
+    # (flat 0.80 through rerank=32 on the fixture query) — reported
+    # beside SQ8/PQ so the 1/8/sub-byte family reads as one curve.
+    t, bq_384_sets = _timed_best2(
+        lambda: [
+            {r["vec_id"] for r in quant.bq_search(emb384, qv).collect()}
+            for qv in q384
+        ]
+    )
+    results["bq_384_sec_per_query"] = t / len(q384)
+    results["bq_384_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(bq_384_sets, exact384)
     ) / len(q384)
     # r7 probe shape: M=96 4-dim subspaces + rerank=32 (PQ_M_384 notes in
     # operators/pq.py carry the full measured sweep — the r6 M=8 config
@@ -777,6 +799,17 @@ def main() -> None:
         "ann_ivfpq_residual_384",
         "graph_resource_allocation",
         "dedup_minhash_calibration",
+        # round-8 late additions: HITS, passage-dup profile, spend burst,
+        # chi-square drift, Theil-Sen, binary quantization, filtered ANN
+        "graph_hits_authorities",
+        "dedup_substring_profile",
+        "events_spend_burst",
+        "profile_chi_square",
+        "orders_theil_sen_trend",
+        "ann_bq_search",
+        "ann_bq_384",
+        "ann_filtered_exact",
+        "ann_ivf_filtered",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -2496,3 +2496,72 @@ def events_spend_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burst_cents").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+@register("stream_spend_burst_live", oracle=_BURST_ORACLE)
+def stream_spend_burst_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE per-user spend burst (9th streaming==batch row): the
+    purchase feed arrives in two parity micro-batches; each user's
+    state is the DAILY CENTS VECTOR (mergeable — any interleaving folds
+    to the same vector, calendar-bounded, never the event grain) and
+    the Kadane burst re-derives per batch from it
+    (streaming/stateful.py:streaming_burst).  Cents are converted by
+    the SAME Spark decimal cast as the batch row BEFORE the feed is
+    written, so the money arithmetic is engine-identical end to end;
+    the live top-20 equals one-shot `events_spend_burst` under the same
+    DuckDB oracle."""
+    import os
+    import shutil
+    import uuid
+
+    from javascript_vector_database_spark.streaming.stateful import (
+        streaming_burst,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_burst_")
+    src = os.path.join(tmp, "src")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("v_cents"),
+        )
+    )
+    feed_rest = _stream_feed(spark, ev, src, "event_id")
+    name = f"burst_live_{uuid.uuid4().hex[:8]}"
+    q = streaming_burst(
+        spark,
+        src,
+        "event_id long, user_id long, ts timestamp, v_cents long",
+        query_name=name,
+    )
+    try:
+        q.processAllAvailable()
+        feed_rest()
+        q.processAllAvailable()
+        live = spark.table(name)
+        wv = Window.partitionBy("user_id").orderBy(F.col("version").desc())
+        out = (
+            live.withColumn("__rn", F.row_number().over(wv))
+            .where(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                "n_days",
+                "burst_cents",
+                F.timestamp_micros(F.col("end_day_us"))
+                .cast("date")
+                .alias("end_day"),
+            )
+            .orderBy(F.col("burst_cents").desc(), F.col("user_id").asc())
+            .limit(20)
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

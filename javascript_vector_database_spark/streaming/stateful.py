@@ -297,3 +297,94 @@ def streaming_session_intervals(
         .queryName(query_name)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# live per-user spend burst (Kadane over the daily vector)
+# ---------------------------------------------------------------------------
+
+
+def _update_burst(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Order-confluent live spend burst: state per user is the DAILY
+    CENTS VECTOR (day -> cents), a mergeable object — any micro-batch
+    interleaving folds to the same vector.  The maximum-subarray burst
+    re-derives per batch with the same prefix-min identity as the batch
+    row (exact Python ints; cents arrive PRE-CONVERTED by the Spark
+    decimal cast so the money arithmetic is engine-identical).  Emits
+    (user, version, n_days, burst_cents, end day) with a monotone
+    version (= cents absorbed... strictly: events absorbed) — latest
+    version per user is authoritative."""
+    if state.exists:
+        days, cents, n_events = state.get
+        days, cents = list(days), list(cents)
+        acc = dict(zip(days, cents))
+        n_events = int(n_events)
+    else:
+        acc = {}
+        n_events = 0
+    for pdf in pdfs:
+        d_us = pdf["ts"].dt.floor("D").astype("int64") // 1000  # epoch us
+        for d, v in zip(d_us, pdf["v_cents"]):
+            acc[int(d)] = acc.get(int(d), 0) + int(v)
+            n_events += 1
+    days = sorted(acc)
+    cents = [acc[d] for d in days]
+    state.update((days, cents, n_events))
+    nd, total = len(days), sum(cents)
+    pf, mn = 0, None
+    best_s, best_d = 0, days[0] if days else 0
+    first = True
+    for d, y in zip(days, cents):
+        pf += nd * y - total
+        # batch form: s_t = P_t - min_{j<=t} P_j (min INCLUDES current)
+        mn = pf if first or pf < mn else mn
+        first = False
+        s = pf - mn
+        if s > best_s:
+            best_s, best_d = s, d
+    version = n_events  # STRICTLY monotone (a zero-value purchase
+    # would leave a cents-based version flat and make latest-per-user
+    # ambiguous)
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "version": [int(version)],
+            "n_days": [int(nd)],
+            "burst_cents": [int(best_s // nd) if nd else 0],
+            "end_day_us": [int(best_d)],
+        }
+    )
+
+
+def streaming_burst(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    query_name: str = "burst_stream",
+):
+    """Live per-user spend-burst tracking: the streaming composition of
+    the batch `events_spend_burst` row.  State is the user's daily cents
+    vector (calendar-bounded, never the event grain); the Kadane burst
+    re-derives per batch from that mergeable state, so the live answer
+    after ANY micro-batch split equals the one-shot batch fold."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update_burst,
+        outputStructType=(
+            "user_id long, version long, n_days long, "
+            "burst_cents long, end_day_us long"
+        ),
+        stateStructType=(
+            "days array<bigint>, cents array<bigint>, n_events bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
