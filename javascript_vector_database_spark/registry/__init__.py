@@ -104,35 +104,48 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 8.  Composition (exact):
-    #    7 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
+    #   17 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
     #      stream_reactive_topk_384, stream_cusum_live,
     #      graph_resource_allocation, graph_ktruss_strong_ties,
-    #      dedup_minhash_calibration);
+    #      dedup_minhash_calibration, and the late-r8 wave:
+    #      graph_hits_authorities, dedup_substring_profile,
+    #      events_spend_burst, profile_chi_square,
+    #      orders_theil_sen_trend, ann_bq_search, ann_bq_384,
+    #      ann_filtered_exact, ann_ivf_filtered,
+    #      stream_spend_burst_live);
     #    4 r8-CHANGED-result rows (ann_ivf_384 -> trained-centroid
     #      parquet fixture; ann_ivfpq_384 -> trained coarse cells +
     #      nprobe=6, recall 0.26 -> 0.88; ann_lsh_search +
     #      ann_lsh_search_precomputed -> query-directed multi-probe);
-    #   39 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 32 of
-    #      the 36 remaining r3 stamps (deferred to the next rotation:
+    #   29 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 22 of
+    #      the 36 remaining r3 stamps (deferred to the next rotation,
+    #      displaced by the late-r8 wave — all keep green r3 stamps:
     #      ann_ivf_search_partitioned — its oracle twin ann_ivf_search
-    #      IS in the window — plus text_token_count,
-    #      text_title_content_parse, and text_quality_score, displaced
-    #      by the late stream_cusum_live / ann_ivfpq_384 / k-truss
-    #      additions).
+    #      IS in the window — text_token_count,
+    #      text_title_content_parse, text_quality_score,
+    #      multimodal_resize_fake, profile_length_quantiles,
+    #      reactive_count_ivm, reactive_query_ivm, reactive_topk_ivm,
+    #      set_ops_intersect_except, text_bm25_search,
+    #      text_bpe_token_count, text_fingerprint, text_lang_id).
     # Rotation-exempt by policy (outputs unchanged, locally
     # sweep-verified every pytest run): eager-checkpoint-only and
     # docstring-only r8 edits (dedup_semantic_prune materialize-once,
     # events_cusum_alarms skew-routing note, ivf_search centroid
     # guidance) — the same deliberate exemption r7 applied to
     # decorrelated.py's checkpoint flips.
-    # -- r8 new/changed (10)
+    # -- r8 new/changed (21)
     "ann_ivf_384", "ann_ivfpq_384",
     "ann_lsh_search", "ann_lsh_search_precomputed",
     "ann_lsh_probe_stats", "ann_ivfpq_residual_384",
     "stream_reactive_topk_384", "stream_cusum_live",
     "graph_resource_allocation", "graph_ktruss_strong_ties",
     "dedup_minhash_calibration",
-    # -- oldest-stamp refreshers (42): 7 x r2, then 35 x r3
+    "graph_hits_authorities", "dedup_substring_profile",
+    "events_spend_burst", "profile_chi_square",
+    "orders_theil_sen_trend", "ann_bq_search", "ann_bq_384",
+    "ann_filtered_exact", "ann_ivf_filtered",
+    "stream_spend_burst_live",
+    # -- oldest-stamp refreshers (29): 7 x r2, then 22 x r3
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
     "mango_count", "mango_sort_skip_limit", "point_lookup",
     "scan_documents", "union_dedup",
@@ -145,11 +158,11 @@ _PRIORITY = [
     "knn_ann_range", "knn_ann_range_compat", "knn_ann_similarity",
     "knn_batch_exact", "knn_cosine", "knn_exact",
     "multimodal_byte_stats", "multimodal_decode_fake",
+    # ---- window boundary (50) ----
     "multimodal_resize_fake", "profile_length_quantiles",
     "reactive_count_ivm", "reactive_query_ivm", "reactive_topk_ivm",
     "set_ops_intersect_except", "text_bm25_search",
     "text_bpe_token_count", "text_fingerprint", "text_lang_id",
-    # ---- window boundary (50) ----
     "text_quality_score",
     "text_title_content_parse", "text_token_count",
     # everything below carries a green r4-r7 stamp and is unchanged;
