@@ -810,6 +810,7 @@ def main() -> None:
         "ann_bq_384",
         "ann_filtered_exact",
         "ann_ivf_filtered",
+        "orders_mann_kendall",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

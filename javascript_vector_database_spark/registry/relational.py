@@ -2331,3 +2331,93 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("priority").asc())
     )
+
+
+_MANN_KENDALL_ORACLE = """
+WITH weekly AS (
+  SELECT o_orderpriority AS priority,
+         datediff('day', DATE '1970-01-05',
+                  CAST(date_trunc('week', o_orderdate) AS DATE)) // 7 AS x,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y_cents
+  FROM orders GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.priority,
+         CASE WHEN b.y_cents > a.y_cents THEN 1
+              WHEN b.y_cents < a.y_cents THEN -1 ELSE 0 END AS sgn
+  FROM weekly a JOIN weekly b
+    ON b.priority = a.priority AND a.x < b.x
+)
+SELECT priority,
+       (SELECT CAST(count(*) AS BIGINT) FROM weekly w
+        WHERE w.priority = p.priority) AS n_weeks,
+       CAST(sum(sgn) AS BIGINT) AS s_stat,
+       CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CASE WHEN sum(sgn) > 0 THEN 'increasing'
+            WHEN sum(sgn) < 0 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM pairs p GROUP BY priority
+ORDER BY priority ASC
+"""
+
+
+@register("orders_mann_kendall", oracle=_MANN_KENDALL_ORACLE)
+def orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST over weekly revenue per priority: the
+    S statistic (sum of sign(y_j - y_i) over all week pairs, Mann 1945
+    / Kendall 1975 — the standard nonparametric is-there-a-trend test,
+    the hypothesis-test companion of orders_theil_sen_trend's slope
+    ESTIMATE; the pair shares one weekly rollup and the same
+    O(groups x weeks^2) rollup-only fan-out).  Everything is a signed
+    integer count — no variance/z normalization here because that needs
+    a sqrt (engine-divergent last ulp); S plus the pair counts carry
+    the full evidence and the caller can normalize display-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "datediff(CAST(date_trunc('week', o_orderdate) AS DATE), "
+            "DATE '1970-01-05') DIV 7"
+        ).alias("x"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y_cents")
+    )
+    nw = weekly.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks")
+    )
+    a = weekly.select("priority", F.col("x").alias("ax"), F.col("y_cents").alias("ay"))
+    b = weekly.select("priority", F.col("x").alias("bx"), F.col("y_cents").alias("by"))
+    sgn = (
+        F.when(F.col("by") > F.col("ay"), 1)
+        .when(F.col("by") < F.col("ay"), -1)
+        .otherwise(0)
+    )
+    pairs = (
+        a.join(F.broadcast(b), "priority")
+        .where(F.col("ax") < F.col("bx"))
+        .select("priority", sgn.alias("sgn"))
+    )
+    agg = pairs.groupBy("priority").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.sum((F.col("sgn") == 1).cast("long")).cast("long").alias("n_pos"),
+        F.sum((F.col("sgn") == -1).cast("long")).cast("long").alias("n_neg"),
+    )
+    return (
+        agg.join(F.broadcast(nw), "priority")
+        .select(
+            "priority",
+            "n_weeks",
+            "s_stat",
+            "n_pos",
+            "n_neg",
+            F.when(F.col("s_stat") > 0, "increasing")
+            .when(F.col("s_stat") < 0, "decreasing")
+            .otherwise("none")
+            .alias("trend"),
+        )
+        .orderBy(F.col("priority").asc())
+    )

@@ -245,6 +245,17 @@ AUDITED = [
     "ann_ivfpq_residual_384",
     "graph_resource_allocation",
     "dedup_minhash_calibration",
+    # r8 late wave (stream_spend_burst_live is excluded like the other
+    # stream_* live rows — semantics, not a single static plan)
+    "graph_hits_authorities",
+    "dedup_substring_profile",
+    "events_spend_burst",
+    "profile_chi_square",
+    "orders_theil_sen_trend",
+    "ann_bq_search",
+    "ann_bq_384",
+    "ann_filtered_exact",
+    "ann_ivf_filtered",
 ]
 
 
