@@ -1,0 +1,276 @@
+"""Crafted-data pins for the late-r8 wave: HITS, binary quantization,
+substring-dup profile, spend burst (batch Kadane), Theil-Sen vs OLS
+robustness, Mann-Kendall, chi-square.  The registry sweep value-checks
+every row against DuckDB; these tests pin the ALGORITHMIC claims on
+corpora small enough to verify by hand or against a brute-force model.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.operators import dedup, graph, quant
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def test_hits_star_authority(spark):
+    # bipartite: hubs 1..4 all buy part 100; part 200 bought by one hub.
+    # After any number of max-normalized rounds the consensus part must
+    # hold the maximal score HITS_SCALE and the fringe part less.
+    edges = spark.createDataFrame(
+        [(h, 100) for h in (1, 2, 3, 4)] + [(1, 200)],
+        schema="src long, dst long",
+    )
+    rows = {r["node"]: r for r in graph.hits(edges).collect()}
+    assert rows[100]["authority"] == graph.HITS_SCALE
+    assert rows[200]["authority"] < rows[100]["authority"]
+    assert rows[100]["n_in"] == 4 and rows[200]["n_in"] == 1
+
+
+def test_hits_symmetry_ties(spark):
+    # two disjoint identical stars -> identical authority scores
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (11, 20), (12, 20)], schema="src long, dst long"
+    )
+    rows = {r["node"]: r["authority"] for r in graph.hits(edges).collect()}
+    assert rows[10] == rows[20] == graph.HITS_SCALE
+
+
+# ---------------------------------------------------------------------------
+# binary quantization
+# ---------------------------------------------------------------------------
+
+
+def test_bq_words_expression_matches_python(spark):
+    vecs = [
+        [0.5, -0.1, 0.0, 0.2] * 16,          # 64-dim, expression path
+        [-1.0] * 64,
+        [1e-9] * 64,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<double>",
+    )
+    words = quant.bq_word_exprs(F.col("embedding"), 64)
+    got = {
+        r["vec_id"]: [r[f"w{i}"] for i in range(len(words))]
+        for r in df.select(
+            "vec_id", *[w.alias(f"w{i}") for i, w in enumerate(words)]
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == quant.py_bq_words(v), f"vec {i}"
+
+
+def test_bq_arrow_kernel_matches_python(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(384)] for _ in range(5)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<double>",
+    )
+    pack = quant._bq_pack_pandas(384)
+    got = {
+        r["vec_id"]: list(r["w"])
+        for r in df.select("vec_id", pack("embedding").alias("w")).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == quant.py_bq_words(v), f"vec {i}"
+
+
+def test_bq_search_exact_on_separable_corpus(spark):
+    # two well-separated orthants: all 10 true neighbors share the
+    # query's sign pattern, so the hamming probe is lossless here
+    base = [1.0] * 64
+    rows = [(i, [x * (1 + i * 0.01) for x in base]) for i in range(10)]
+    rows += [(100 + i, [-x * (1 + i * 0.01) for x in base]) for i in range(10)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    got = [r["vec_id"] for r in quant.bq_search(df, base).collect()]
+    assert set(got) == set(range(10))
+
+
+def test_bq_384_recall_floor(spark):
+    from javascript_vector_database_spark.registry.ref_geometry import (
+        _fixture,
+        _fixture_qvec,
+    )
+    from javascript_vector_database_spark.operators.knn import exact_knn
+
+    fx, qv = _fixture(spark), _fixture_qvec(spark)
+    exact = {r["vec_id"] for r in exact_knn(fx, qv).collect()}
+    got = {r["vec_id"] for r in quant.bq_search(fx, qv).collect()}
+    assert len(exact & got) / len(exact) >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# duplicated-gram profile
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_gram_profile_crafted(spark):
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"          # 3 distinct 8-grams
+    b = "w0 w1 w2 w3 w4 w5 w6 w7 x8 x9"          # shares exactly gram 0
+    c = "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"          # no overlap
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], schema="doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_gram_profile(df, k=8).collect()
+    }
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_dup"] == 1
+    assert rows[2]["n_grams"] == 3 and rows[2]["n_dup"] == 1
+    assert rows[3]["n_grams"] == 3 and rows[3]["n_dup"] == 0
+    assert rows[1]["dup_micro"] == 1_000_000 // 3
+
+
+def test_duplicated_gram_profile_short_doc_fallback(spark):
+    # < k tokens -> the whole normalized text is the single "gram"
+    df = spark.createDataFrame(
+        [(1, "short text"), (2, "  Short   TEXT  "), (3, "other")],
+        schema="doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_gram_profile(df, k=8).collect()
+    }
+    assert rows[1]["n_dup"] == 1 and rows[2]["n_dup"] == 1  # normalized equal
+    assert rows[3]["n_dup"] == 0
+
+
+# ---------------------------------------------------------------------------
+# spend burst (batch Kadane) — crafted single-user series
+# ---------------------------------------------------------------------------
+
+
+def _kadane_reference(values):
+    """Textbook max subarray over mean-centered (D*y - T) drifts."""
+    d = len(values)
+    t = sum(values)
+    drifts = [d * y - t for y in values]
+    best = cur = 0
+    for x in drifts:
+        cur = max(0, cur + x)
+        best = max(best, cur)
+    return best // d
+
+
+@pytest.mark.parametrize(
+    "series",
+    [
+        [100, 100, 5000, 5200, 100, 100],
+        [500],
+        [100, 100, 100],
+        [1, 10000, 1, 10000, 1],
+    ],
+)
+def test_spend_burst_matches_kadane(spark, series, tmp_path):
+    import datetime
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1 + i, 12, 0, 0),
+            7,
+            "purchase",
+            float(v) / 100.0,
+            None,
+        )
+        for i, v in enumerate(series)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    ev.write.mode("overwrite").parquet(p)
+    # point the registry row at a dir that carries this events table
+    import os
+    import shutil
+
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd, exist_ok=True)
+    shutil.move(p, os.path.join(sfd, "events.parquet"))
+    from javascript_vector_database_spark.registry import queries
+
+    out = queries()["events_spend_burst"](spark, sfd).collect()
+    assert len(out) == 1
+    assert out[0]["burst_cents"] == _kadane_reference(series)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen vs OLS robustness + Mann-Kendall sign
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_resists_outlier_week(spark, sf_smoke):
+    # crafted check of the operator MATH (not the registry row): a
+    # monotone series with one blowout keeps slope ~ the clean trend
+    import itertools
+
+    xs = list(range(10))
+    ys = [1000 + 100 * x for x in xs]
+    ys[5] = 10**7  # blowout week
+    slopes = []
+    for (xi, yi), (xj, yj) in itertools.combinations(zip(xs, ys), 2):
+        num = (yj - yi) * 1000000
+        dx = xj - xi
+        slopes.append((num - ((num % dx + dx) % dx)) // dx)
+    slopes.sort()
+    low_median = slopes[(len(slopes) + 1) // 2 - 1]
+    assert low_median == 100 * 1000000  # the clean trend survives
+
+
+def test_mann_kendall_direction(spark):
+    from javascript_vector_database_spark.registry import queries, oracle_sql
+
+    # the registry row itself is sweep-verified; here pin that the
+    # trend labels are consistent with the sign of s_stat at smoke SF
+    out = queries()["orders_mann_kendall"](spark, "/root/testdata/sf0.001").collect()
+    for r in out:
+        if r["s_stat"] > 0:
+            assert r["trend"] == "increasing"
+        elif r["s_stat"] < 0:
+            assert r["trend"] == "decreasing"
+        else:
+            assert r["trend"] == "none"
+        assert r["n_pos"] + r["n_neg"] <= r["n_weeks"] * (r["n_weeks"] - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# chi-square
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_zero_on_independent_table(spark, tmp_path):
+    # perfectly proportional table -> every N*O - R*C == 0
+    import os
+
+    rows = []
+    i = 0
+    for lang, nl in (("en", 2), ("fr", 1)):
+        for src, ns in (("a", 3), ("b", 1)):
+            for _ in range(nl * ns):
+                rows.append((i, "t", lang, src, 1))
+                i += 1
+    docs = spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(sfd, "documents.parquet"))
+    from javascript_vector_database_spark.registry import queries
+
+    out = queries()["profile_chi_square"](spark, sfd).collect()
+    assert len(out) == 4
+    assert all(r["chi2_micro"] == 0 for r in out)
+    # expected == observed (micro-scaled)
+    assert all(r["expected_micro"] == r["observed"] * 1_000_000 for r in out)
