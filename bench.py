@@ -456,19 +456,32 @@ def main() -> None:
     results["sq8_384_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(sq8_384_sets, exact384)
     ) / len(q384)
-    # binary quantization (1 bit/dim, r8): hamming probe + k*8 exact
-    # re-rank.  The recall plateau is code resolution, not pool width
-    # (flat 0.80 through rerank=32 on the fixture query) — reported
-    # beside SQ8/PQ so the 1/8/sub-byte family reads as one curve.
+    # binary quantization (1 bit/dim, r8): hamming probe + exact re-rank
+    # at the REGISTERED 384 pool (rerank=32 — 1-bit codes need the
+    # published 10-30x oversampling; sweep in quant.BQ_RERANK_384
+    # notes: 0.52@8 / 0.68@16 / 0.88@32 / 0.94@48).  The cheap-pool
+    # point rides beside it so the curve is visible.
     t, bq_384_sets = _timed_best2(
         lambda: [
-            {r["vec_id"] for r in quant.bq_search(emb384, qv).collect()}
+            {
+                r["vec_id"]
+                for r in quant.bq_search(
+                    emb384, qv, rerank=quant.BQ_RERANK_384
+                ).collect()
+            }
             for qv in q384
         ]
     )
     results["bq_384_sec_per_query"] = t / len(q384)
     results["bq_384_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(bq_384_sets, exact384)
+    ) / len(q384)
+    bq_384_r8 = [
+        {r["vec_id"] for r in quant.bq_search(emb384, qv).collect()}
+        for qv in q384
+    ]
+    results["bq_384_rerank8_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(bq_384_r8, exact384)
     ) / len(q384)
     # r7 probe shape: M=96 4-dim subspaces + rerank=32 (PQ_M_384 notes in
     # operators/pq.py carry the full measured sweep — the r6 M=8 config

@@ -207,6 +207,12 @@ BQ_WORD_BITS = 48
 #: hamming is the coarsest quantizer here (1 bit/dim), so the exact
 #: re-rank pool is wider than SQ8's: k * BQ_RERANK candidates
 BQ_RERANK = 8
+#: the 384-dim registered pool: measured recall@10 on the reference
+#: fixture, avg over the bench's 5-query set — rerank=8: 0.52, 16: 0.68,
+#: **32: 0.88**, 48: 0.94, 64: 0.96.  1-bit codes need the published
+#: 10-30x oversampling regime; 32x re-ranks 16% of THIS 2000-row corpus
+#: but a fixed 320-candidate pool at production scale.
+BQ_RERANK_384 = 32
 
 
 def bq_word_exprs(vec: Column | str, dim: int) -> list[Column]:

@@ -952,7 +952,10 @@ def _bq_word_sql(vec: str, dim: int) -> list[str]:
 
 
 def _bq_search_oracle(
-    dim: int, table: str = "embeddings", qcte: str = osql.QVEC_CTE
+    dim: int,
+    table: str = "embeddings",
+    qcte: str = osql.QVEC_CTE,
+    rerank: int = quant.BQ_RERANK,
 ) -> str:
     qwords = ", ".join(
         f"{w} AS w{i}" for i, w in enumerate(_bq_word_sql("qv", dim))
@@ -969,7 +972,7 @@ cand AS (
   SELECT e.vec_id, e.embedding, {hd} AS hd
   FROM {table} e, qw
   ORDER BY hd ASC, e.vec_id ASC
-  LIMIT {TOP_K * quant.BQ_RERANK}
+  LIMIT {TOP_K * rerank}
 )
 SELECT cand.vec_id, round({osql.sql_euclid('cand.embedding', 'qv')}, 6) AS distance
 FROM cand, q

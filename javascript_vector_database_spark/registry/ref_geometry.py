@@ -476,25 +476,30 @@ def dedup_cosine_pairs_384(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bq_384_oracle() -> str:
+    from javascript_vector_database_spark.operators import quant
     from javascript_vector_database_spark.registry.ann_scale_queries import (
         _bq_search_oracle,
     )
 
-    return _bq_search_oracle(REFERENCE_DIM, table=_T, qcte=_QCTE)
+    return _bq_search_oracle(
+        REFERENCE_DIM, table=_T, qcte=_QCTE, rerank=quant.BQ_RERANK_384
+    )
 
 
 @register("ann_bq_384", oracle=_bq_384_oracle())
 def ann_bq_384(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary quantization at reference geometry: 384 sign bits in 8
-    packed words (48 bytes -> 48 BITS per vector), hamming probe +
-    k*8 exact re-rank.  MiniLM-like unit-norm embeddings are the
-    published sweet spot for 1-bit codes (sign agreement approximates
-    angle).  Measured recall@10 on this fixture: **0.80 at rerank=8**,
-    and the sweep is FLAT through rerank=32 (0.80 at 8/16/24/32) — the
-    two missed neighbors are genuinely mis-ranked by the 1-bit code,
-    i.e. the plateau is code resolution, not pool width, which is why
-    the row ships the cheapest pool.  Reported in bench extras beside
+    packed words (1536 float bytes -> 48 BITS per vector), hamming
+    probe + k*32 exact re-rank.  1-bit codes need the published
+    10-30x oversampling regime — measured recall@10 avg over the
+    bench's 5-query set: 0.52 at rerank=8, 0.68 at 16, **0.88 at the
+    registered rerank=32**, 0.94 at 48 (operators/quant.py
+    BQ_RERANK_384 notes; a single-query measurement reads 0.80 at
+    rerank=8, which is why the default was re-measured on the full
+    query set before registration).  Reported in bench extras beside
     SQ8/PQ so the quantizer family reads as one accuracy/cost curve."""
     from javascript_vector_database_spark.operators import quant
 
-    return quant.bq_search(_fixture(spark), _fixture_qvec(spark))
+    return quant.bq_search(
+        _fixture(spark), _fixture_qvec(spark), rerank=quant.BQ_RERANK_384
+    )
