@@ -1740,7 +1740,11 @@ def duplicated_gram_profile(
     DIV n_grams`` — non-negative floor DIV, engine-identical."""
     g = exploded_shingle_hashes(
         df, text_col=text_col, id_col=id_col, shingle_k=k, distinct=True
-    )
+        # 2 consumers (corpus doc-counts + the join back): pin so the
+        # gram explosion + per-doc dedup runs once — at scale that IS
+        # the query's cost (the checkpointed-shingle-table discipline of
+        # jaccard_prefix_pairs)
+    ).localCheckpoint(eager=True)
     nd = g.groupBy("v1", "v2").agg(
         F.count(F.lit(1)).cast("long").alias("__nd")
     )

@@ -777,13 +777,21 @@ def hits(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
 
     Returns the FINAL authority side (the interesting ranking on a
     bipartite purchase graph); n_in (in-degree) rides along for
-    interpretability."""
+    interpretability.
+
+    Materialize-once: every half-round's raw sum feeds TWO consumers
+    (the scalar max and the renormalized projection), and each
+    renormalized side feeds the NEXT half-round — without pinning, the
+    final plan contains ~2^(2*rounds) copies of the base subtree
+    (measured: 89 Exchanges at rounds=2 before the checkpoints, ~10
+    after).  Eager, for rank.py's broadcast-thread deadlock reason."""
     e = edges.select("src", "dst")
     hubs = e.select("src").distinct().select(
         "src", F.lit(HITS_SCALE).cast("long").alias("h")
     )
 
     def renorm(df: DataFrame, col: str) -> DataFrame:
+        df = df.localCheckpoint(eager=True)  # consumed by max AND project
         mx = df.agg(F.max(col).cast("long").alias("__mx"))
         return df.crossJoin(F.broadcast(mx)).select(
             *[c for c in df.columns if c != col],

@@ -2459,6 +2459,9 @@ def events_spend_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("y")
         )
+        # 2 consumers (per-user totals + the prefix join): pin the daily
+        # rollup so the events scan runs once
+        .localCheckpoint(eager=True)
     )
     tot = daily.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("nd"),

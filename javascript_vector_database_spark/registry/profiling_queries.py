@@ -609,7 +609,9 @@ def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("o")
-    )
+        # 4 consumers (r, c, n, final select): pin the tiny cell table so
+        # the documents scan runs once, not four times
+    ).localCheckpoint(eager=True)
     r = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
     c = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
     n = cells.agg(F.sum("o").cast("long").alias("n"))

@@ -2288,7 +2288,9 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
         .alias("y_cents")
-    )
+        # 3 consumers below (n_weeks agg + both self-join sides): pin the
+        # tiny rollup so the ORDERS scan runs once, not three times
+    ).localCheckpoint(eager=True)
     nw = weekly.groupBy("priority").agg(
         F.count(F.lit(1)).cast("long").alias("n_weeks")
     )
@@ -2385,7 +2387,8 @@ def orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
         .alias("y_cents")
-    )
+        # same 3-consumer pin as orders_theil_sen_trend
+    ).localCheckpoint(eager=True)
     nw = weekly.groupBy("priority").agg(
         F.count(F.lit(1)).cast("long").alias("n_weeks")
     )

@@ -256,6 +256,7 @@ AUDITED = [
     "ann_bq_384",
     "ann_filtered_exact",
     "ann_ivf_filtered",
+    "orders_mann_kendall",
 ]
 
 
