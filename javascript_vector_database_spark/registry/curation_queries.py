@@ -609,3 +609,65 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.floor(F.col("quality") * 10000).cast("long")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+#: minimum group size for a quasi-identifier combination to be safe
+K_ANON = 5
+#: length-bucket width for the n_chars quasi-identifier
+K_ANON_LEN_BUCKET = 100
+
+_K_ANON_ORACLE = f"""
+WITH g AS (
+  SELECT lang, source,
+         CAST(n_chars // {K_ANON_LEN_BUCKET} AS BIGINT) AS len_bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source, len_bucket, n_docs,
+       CASE WHEN n_docs < {K_ANON} THEN 1 ELSE 0 END AS risky
+FROM g
+ORDER BY n_docs ASC, lang ASC, source ASC, len_bucket ASC
+LIMIT 100
+"""
+
+
+@register("curation_k_anonymity", oracle=_K_ANON_ORACLE)
+def curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002, public): group the corpus by its
+    quasi-identifier combination (lang, source, length bucket) and flag
+    combinations held by fewer than k documents — the groups whose
+    members a release could re-identify by joining on those attributes
+    alone.  The privacy-side complement of curation_pii_scrub (scrub
+    removes DIRECT identifiers; k-anonymity measures the INDIRECT
+    ones), run before publishing any corpus slice.  One
+    map-side-combined groupBy over the fact table, then a TakeOrdered
+    over the tiny group table — the audit costs one scan at any
+    corpus size (k = K_ANON = 5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars DIV {K_ANON_LEN_BUCKET}").cast("long").alias(
+            "len_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        g.select(
+            "lang",
+            "source",
+            "len_bucket",
+            "n_docs",
+            F.when(F.col("n_docs") < K_ANON, 1).otherwise(0).alias("risky"),
+        )
+        .orderBy(
+            F.col("n_docs").asc(),
+            F.col("lang").asc(),
+            F.col("source").asc(),
+            F.col("len_bucket").asc(),
+        )
+        .limit(100)
+    )

@@ -257,6 +257,7 @@ AUDITED = [
     "ann_filtered_exact",
     "ann_ivf_filtered",
     "orders_mann_kendall",
+    "curation_k_anonymity",
 ]
 
 
