@@ -2568,3 +2568,123 @@ def stream_spend_burst_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# conversion propensity: bounded-horizon value iteration over the
+# event-type transition chain
+# ---------------------------------------------------------------------------
+
+PROPENSITY_SCALE = 1_000_000
+PROPENSITY_ROUNDS = 3
+_CONVERT_STATE = "purchase"
+
+
+def _propensity_oracle() -> str:
+    sql = [
+        """WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS s,
+         event_type AS t
+  FROM events
+),
+c AS (
+  SELECT s, t, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE s IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT s, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+states AS (SELECT DISTINCT event_type AS s FROM events),"""
+    ]
+    sql.append(
+        f"p0 AS (SELECT s, CAST(CASE WHEN s = '{_CONVERT_STATE}' "
+        f"THEN {PROPENSITY_SCALE} ELSE 0 END AS BIGINT) AS p FROM states),"
+    )
+    for i in range(PROPENSITY_ROUNDS):
+        sql.append(
+            f"""p{i + 1} AS (
+  SELECT st.s,
+         CAST(CASE WHEN st.s = '{_CONVERT_STATE}' THEN {PROPENSITY_SCALE}
+              ELSE COALESCE(
+                (SELECT sum(c.n * p.p) // max(tot.tot)
+                 FROM c JOIN p{i} p ON p.s = c.t
+                 JOIN tot ON tot.s = c.s
+                 WHERE c.s = st.s), 0)
+              END AS BIGINT) AS p
+  FROM states st
+),"""
+        )
+    body = "\n".join(sql).rstrip(",")
+    return (
+        f"{body}\n"
+        f"SELECT p.s AS state, p.p AS propensity_micro,\n"
+        f"       COALESCE(tot.tot, 0) AS n_transitions\n"
+        f"FROM p{PROPENSITY_ROUNDS} p LEFT JOIN tot ON tot.s = p.s\n"
+        f"ORDER BY propensity_micro DESC, state ASC"
+    )
+
+
+@register("events_conversion_propensity", oracle=_propensity_oracle())
+def events_conversion_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon conversion propensity by event type: the
+    probability (micro-scaled) of reaching 'purchase' within
+    PROPENSITY_ROUNDS=3 transitions of the first-order event-type
+    chain — value iteration p_k(s) = sum_t P(s->t) * p_(k-1)(t) with
+    the absorbing convert state pinned at 1, unrolled 3 rounds with
+    integer-floor division (sum(n*p) DIV tot — shuffle-order-proof,
+    same fixed-point discipline as PageRank).  This is the
+    attribution-adjacent DP the Markov removal-effect literature
+    builds on, truncated to a bounded horizon so both engines can
+    unroll it exactly.  The transition matrix lives on a types^2-row
+    table: one lag + one groupBy touch the fact table, every
+    iteration is broadcast-tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("s"),
+        F.col("event_type").alias("t"),
+    ).where(F.col("s").isNotNull())
+    c = (
+        seq.groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # types^2-row table feeding every iteration round + tot
+        .localCheckpoint(eager=True)
+    )
+    tot = c.groupBy("s").agg(F.sum("n").cast("long").alias("tot"))
+    states = ev.select(F.col("event_type").alias("s")).distinct()
+    p = states.select(
+        "s",
+        F.when(F.col("s") == _CONVERT_STATE, PROPENSITY_SCALE)
+        .otherwise(0)
+        .cast("long")
+        .alias("p"),
+    )
+    for _ in range(PROPENSITY_ROUNDS):
+        contrib = (
+            c.join(
+                p.select(F.col("s").alias("t"), F.col("p").alias("pt")), "t"
+            )
+            .groupBy("s")
+            .agg(F.sum(F.col("n") * F.col("pt")).cast("long").alias("np"))
+            .join(tot, "s")
+            .select("s", F.expr("np DIV tot").cast("long").alias("pnext"))
+        )
+        p = states.join(contrib, "s", "left").select(
+            "s",
+            F.when(F.col("s") == _CONVERT_STATE, PROPENSITY_SCALE)
+            .otherwise(F.coalesce(F.col("pnext"), F.lit(0)))
+            .cast("long")
+            .alias("p"),
+        )
+    return (
+        p.join(tot, "s", "left")
+        .select(
+            F.col("s").alias("state"),
+            F.col("p").alias("propensity_micro"),
+            F.coalesce(F.col("tot"), F.lit(0)).cast("long").alias(
+                "n_transitions"
+            ),
+        )
+        .orderBy(F.col("propensity_micro").desc(), F.col("state").asc())
+    )

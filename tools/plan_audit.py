@@ -258,6 +258,7 @@ AUDITED = [
     "ann_ivf_filtered",
     "orders_mann_kendall",
     "curation_k_anonymity",
+    "events_conversion_propensity",
 ]
 
 
