@@ -826,6 +826,7 @@ def main() -> None:
         "orders_mann_kendall",
         "curation_k_anonymity",
         "events_conversion_propensity",
+        "customer_gini_revenue",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

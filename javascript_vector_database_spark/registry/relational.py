@@ -2424,3 +2424,87 @@ def orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("priority").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue (distributed exact rank consumer)
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev_cents,
+         row_number() OVER (ORDER BY rev_cents ASC, o_custkey ASC) AS rn
+  FROM per_cust
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rev_cents) AS BIGINT) AS total,
+         CAST(sum(rn * rev_cents) AS BIGINT) AS weighted
+  FROM ranked
+)
+SELECT n AS n_customers, total AS total_cents,
+       CAST(floor((2.0 * CAST(weighted AS DOUBLE)
+                   - CAST((n + 1) * total AS DOUBLE))
+                  * 1000000.0
+                  / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)))
+            AS BIGINT) AS gini_micro
+FROM s
+"""
+
+
+@register("customer_gini_revenue", oracle=_GINI_ORACLE)
+def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    scalar inequality metric behind customer_pareto_share's curve:
+    G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) over ASCENDING
+    rank i.  The global rank runs through operators/rank.py's
+    distributed prefix rank (P parallel sorts + broadcast offsets —
+    never a single-partition window over customers), the moment sums
+    are exact BIGINTs (bound: rank*cents*n ~ n^2*cents must stay
+    < 2^63 — fine to ~10^7 customers at 10^9 max cents; past that,
+    lift `weighted` to DECIMAL(38) as orders_weekly_trend_ols does),
+    and the one double division floors at micro precision with both
+    engines fed identical int64 operands."""
+    from javascript_vector_database_spark.operators.rank import (
+        global_row_number,
+    )
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    ranked = global_row_number(
+        per_cust,
+        [F.col("rev_cents").asc(), F.col("o_custkey").asc()],
+        out="rn",
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev_cents").cast("long").alias("total"),
+        F.sum(F.col("rn") * F.col("rev_cents")).cast("long").alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.floor(
+            (
+                F.lit(2.0) * F.col("weighted").cast("double")
+                - ((F.col("n") + 1) * F.col("total")).cast("double")
+            )
+            * F.lit(1000000.0)
+            / (F.col("n").cast("double") * F.col("total").cast("double"))
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )

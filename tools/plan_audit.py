@@ -259,6 +259,7 @@ AUDITED = [
     "orders_mann_kendall",
     "curation_k_anonymity",
     "events_conversion_propensity",
+    "customer_gini_revenue",
 ]
 
 
