@@ -2651,8 +2651,18 @@ def events_conversion_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # types^2-row table feeding every iteration round + tot
         .localCheckpoint(eager=True)
     )
-    tot = c.groupBy("s").agg(F.sum("n").cast("long").alias("tot"))
-    states = ev.select(F.col("event_type").alias("s")).distinct()
+    # tot feeds every round + the final join; states feeds p0 and every
+    # round's left join — pin both (tiny) so the events scan runs once
+    tot = (
+        c.groupBy("s")
+        .agg(F.sum("n").cast("long").alias("tot"))
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        ev.select(F.col("event_type").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     p = states.select(
         "s",
         F.when(F.col("s") == _CONVERT_STATE, PROPENSITY_SCALE)
