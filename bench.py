@@ -152,6 +152,9 @@ _SCALE_HEADLINE = [
     "dedup_substring_profile",
     "graph_hits_authorities",
     "events_spend_burst",
+    # gini: the distributed-rank consumer — the range-partition sort is
+    # the scale-interesting part
+    "customer_gini_revenue",
 ]
 
 
