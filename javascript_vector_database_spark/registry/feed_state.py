@@ -2698,3 +2698,81 @@ def events_conversion_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("propensity_micro").desc(), F.col("state").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# watermarked late-data drop, driver-certified
+# ---------------------------------------------------------------------------
+
+_LATE_DROP_ORACLE = """
+WITH v AS (
+  SELECT ts, CASE WHEN coalesce(event_id, 0) % 2 = 0 THEN 0 ELSE 1 END AS half
+  FROM events WHERE event_type = 'view'
+),
+wm1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM v WHERE half = 0),
+wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM v),
+kept AS (
+  SELECT date_trunc('hour', ts) AS win_start FROM v, wm1
+  WHERE half = 0 OR date_trunc('hour', ts) + INTERVAL 1 HOUR > wm1.w
+)
+SELECT win_start, CAST(count(*) AS BIGINT) AS n
+FROM kept, wmf
+GROUP BY win_start, wmf.w
+HAVING win_start + INTERVAL 1 HOUR <= wmf.w
+"""
+
+
+@register("stream_late_drop_live", oracle=_LATE_DROP_ORACLE)
+def stream_late_drop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, driver-certified (10th
+    streaming==batch row — unlike the other nine, here streaming must
+    equal a batch oracle that MODELS THE DROP, not the full fold): the
+    view stream arrives in two parity micro-batches through a 1-hour
+    watermark feeding an hourly tumbling count in APPEND mode.  The
+    oracle reproduces Spark's two watermark rules exactly — a batch-2
+    row is DROPPED unless its window end exceeds the batch-1 watermark
+    (max batch-1 event time - 1h), and a window is EMITTED only once
+    the final watermark passes its end.  Both boundary predicates are
+    Spark's documented strict/inclusive pair (keep iff end > wm; emit
+    iff end <= wm); the parity split makes both watermarks
+    deterministic functions of the corpus, which is what lets a DuckDB
+    oracle certify a semantics that exists only in the engine's state
+    manager.  The suite's crafted-timing pin for the same contract is
+    tests/test_reactive.py:test_streaming_watermark_drops_late_events."""
+    import os
+    import shutil
+    import uuid
+
+    from javascript_vector_database_spark.streaming.reactive import (
+        streaming_windowed_count,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_late_")
+    src = os.path.join(tmp, "src")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select("event_id", "ts")
+    )
+    feed_rest = _stream_feed(spark, ev, src, "event_id")
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    q = streaming_windowed_count(
+        spark,
+        src,
+        "event_id long, ts timestamp",
+        window_duration="1 hour",
+        watermark="1 hour",
+        query_name=name,
+    )
+    try:
+        q.processAllAvailable()
+        feed_rest()
+        q.processAllAvailable()
+        live = spark.table(name).select(
+            "win_start", F.col("n").cast("long").alias("n")
+        )
+        out = spark.createDataFrame(live.collect(), live.schema)
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
