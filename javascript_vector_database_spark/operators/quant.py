@@ -334,3 +334,66 @@ def bq_search(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bq_table(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The write-time packed-word table (id, bq_words): dim/48 BIGINTs
+    per vector — 32x smaller than the floats; what a deployment stores
+    beside the vector column so hamming probes never read the floats
+    (the SQ8/PQ code-table discipline at 1 bit)."""
+    if dim > BQ_WIDE_DIM:
+        pack = _bq_pack_pandas(dim)
+        return emb.select(F.col(id_col), pack(F.col(vec_col)).alias("bq_words"))
+    return emb.select(
+        F.col(id_col),
+        F.array(*bq_word_exprs(F.col(vec_col), dim)).alias("bq_words"),
+    )
+
+
+def bq_search_precomputed(
+    words: DataFrame,
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = TOP_K,
+    rerank: int = BQ_RERANK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    words_col: str = "bq_words",
+) -> DataFrame:
+    """The compressed-scan layout made explicit: phase 1 ranks by
+    hamming distance reading ONLY (id, words) from the stored table —
+    the float vector column is never scanned — then the k*rerank
+    survivor ids broadcast-join back to the vector table for the exact
+    re-rank (the sq8_search_precomputed contract)."""
+    qwords = py_bq_words(qvec)
+    terms = [
+        F.expr(
+            f"bit_count(element_at({words_col}, {i + 1})"
+            f" ^ CAST({qw} AS BIGINT))"
+        )
+        for i, qw in enumerate(qwords)
+    ]
+    hsum = terms[0]
+    for t in terms[1:]:
+        hsum = hsum + t
+    cand_ids = (
+        words.select(F.col(id_col), hsum.cast("long").alias("__hd"))
+        .orderBy(F.col("__hd").asc(), F.col(id_col).asc())
+        .limit(k * rerank)
+        .select(id_col)
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        emb.join(F.broadcast(cand_ids), id_col)
+        .select(
+            id_col,
+            F.round(euclidean_distance(F.col(vec_col), qv_lit), 6).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1115,3 +1115,23 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+@register("ann_bq_search_precomputed", oracle=_bq_search_oracle(ORACLE_DIM))
+def ann_bq_search_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BQ 100 TB layout made explicit: sign words packed at WRITE
+    time into a stored (id, words) table; the probe's candidate scan
+    reads ONLY that table (32x smaller than the floats, which are never
+    scanned in phase 1), then the k*rerank survivor ids broadcast-join
+    back for the exact re-rank.  Same result and oracle as
+    ``ann_bq_search`` — the family-completing twin of
+    ann_sq8/pq/lsh_search_precomputed."""
+    import os
+    import tempfile
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    layout = os.path.join(tempfile.mkdtemp(prefix="bq_layout_"), "words")
+    quant.bq_table(emb, len(qv)).write.mode("overwrite").parquet(layout)
+    stored = spark.read.parquet(layout)
+    return quant.bq_search_precomputed(stored, emb, qv)

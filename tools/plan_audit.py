@@ -260,6 +260,7 @@ AUDITED = [
     "curation_k_anonymity",
     "events_conversion_propensity",
     "customer_gini_revenue",
+    "ann_bq_search_precomputed",
 ]
 
 
