@@ -831,6 +831,7 @@ def main() -> None:
         "events_conversion_propensity",
         "customer_gini_revenue",
         "ann_bq_search_precomputed",
+        "profile_equidepth_bins",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -637,3 +637,71 @@ def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chi2_micro").desc(), F.col("lang").asc(), F.col("source").asc()
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact equi-depth bins via the distributed prefix rank
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_BINS = 10
+
+_EQUIDEPTH_ORACLE = f"""
+WITH ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rn
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+bins AS (SELECT unnest(range(1, {EQUIDEPTH_BINS} + 1)) AS bin)
+SELECT b.bin, CAST((b.bin * n.n) // {EQUIDEPTH_BINS} AS BIGINT) AS target_rank,
+       CAST(r.n_chars AS BIGINT) AS boundary_chars
+FROM bins b, n
+JOIN ranked r ON r.rn = (b.bin * n.n) // {EQUIDEPTH_BINS}
+ORDER BY b.bin ASC
+"""
+
+
+@register("profile_equidepth_bins", oracle=_EQUIDEPTH_ORACLE)
+def profile_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth bin boundaries of document length: the n_chars
+    value at every rank floor(i*n/10) — the 10-bin histogram with EQUAL
+    COUNTS per bin, the layout planner's split points (file sizing,
+    range-partition boundaries, stratified length sampling).  The
+    sketch family answers this approximately (profile_length_quantiles
+    runs a fixed-bin histogram sketch); this is the exact complement,
+    and the global rank runs through operators/rank.py's distributed
+    prefix rank — P parallel sorts + broadcast offsets, never a
+    single-partition window — then a 10-row broadcast joins back on the
+    target ranks.  (n_chars, doc_id) is a total order, so every
+    boundary is deterministic."""
+    from javascript_vector_database_spark.operators.rank import (
+        global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_row_number(
+        docs, [F.col("n_chars").asc(), F.col("doc_id").asc()], out="rn"
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bins = (
+        spark.range(1, EQUIDEPTH_BINS + 1)
+        .select(F.col("id").cast("long").alias("bin"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bin",
+            F.expr(f"(bin * n) DIV {EQUIDEPTH_BINS}").cast("long").alias(
+                "target_rank"
+            ),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(bins), F.col("rn") == F.col("target_rank")
+        )
+        .select(
+            "bin",
+            "target_rank",
+            F.col("n_chars").cast("long").alias("boundary_chars"),
+        )
+        .orderBy(F.col("bin").asc())
+    )

@@ -42,6 +42,9 @@ BNLJ_ALLOWED = {
     # the grand-total N is a ONE-row aggregate broadcast against the
     # tiny lang x source cell table
     "profile_chi_square",
+    # the corpus-count N is a ONE-row aggregate broadcast against the
+    # 10-row bin table (target ranks = i*n/10)
+    "profile_equidepth_bins",
     # the PassJoin both-short pool: strings shorter than k+1 chars have
     # ED <= k to EACH OTHER unconditionally, so every joined row is a
     # true output pair — the tiny constant-key join is 1:1 with the

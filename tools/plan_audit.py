@@ -261,6 +261,7 @@ AUDITED = [
     "events_conversion_propensity",
     "customer_gini_revenue",
     "ann_bq_search_precomputed",
+    "profile_equidepth_bins",
 ]
 
 
