@@ -832,6 +832,7 @@ def main() -> None:
         "customer_gini_revenue",
         "ann_bq_search_precomputed",
         "profile_equidepth_bins",
+        "multimodal_audio_windows",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

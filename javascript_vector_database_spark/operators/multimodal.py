@@ -258,3 +258,51 @@ def resize_image(
     return media.select("media_id", "payload", "meta").mapInPandas(
         resize, schema="media_id long, out_n_bytes long, out_checksum long"
     )
+
+
+AUDIO_WINDOW_BYTES = 256
+AUDIO_WINDOW_SCHEMA = (
+    "media_id long, win_idx long, win_bytes long, energy long, peak long"
+)
+
+
+def audio_windows(
+    media: DataFrame, window_bytes: int = AUDIO_WINDOW_BYTES
+) -> DataFrame:
+    """Fixed-size audio windowing with per-window features: the payload
+    (a PCM-like sample stream) splits into ``window_bytes`` windows
+    (last ragged) and each window reduces to (sample count, energy =
+    sum of squared samples, peak) — the VAD/segmentation front-end
+    shape: binary in, one fixed-width feature row PER WINDOW out,
+    row-local Arrow batches, no shuffle (downstream groupBys see
+    windows already exploded).  Completes the modality triple beside
+    decode/resize (image) and frame_sample (video).  Energy bound:
+    window_bytes * 255^2 < 2^31 — BIGINT-safe with huge headroom."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n_win = -(-b.size // window_bytes) if b.size else 0
+                for w in range(n_win):
+                    seg = b[w * window_bytes : (w + 1) * window_bytes]
+                    rows.append(
+                        (
+                            int(mid),
+                            w,
+                            int(seg.size),
+                            int((seg * seg).sum()),
+                            int(seg.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "win_idx", "win_bytes", "energy", "peak"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=AUDIO_WINDOW_SCHEMA
+    )

@@ -104,7 +104,7 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 8.  Composition (exact):
-    #   24 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
+    #   25 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
     #      stream_reactive_topk_384, stream_cusum_live,
     #      graph_resource_allocation, graph_ktruss_strong_ties,
     #      dedup_minhash_calibration, and the late-r8 wave:
@@ -115,16 +115,18 @@ _PRIORITY = [
     #      stream_spend_burst_live, orders_mann_kendall,
     #      curation_k_anonymity, events_conversion_propensity,
     #      customer_gini_revenue, stream_late_drop_live,
-    #      ann_bq_search_precomputed, profile_equidepth_bins);
+    #      ann_bq_search_precomputed, profile_equidepth_bins,
+    #      multimodal_audio_windows);
     #    4 r8-CHANGED-result rows (ann_ivf_384 -> trained-centroid
     #      parquet fixture; ann_ivfpq_384 -> trained coarse cells +
     #      nprobe=6, recall 0.26 -> 0.88; ann_lsh_search +
     #      ann_lsh_search_precomputed -> query-directed multi-probe);
-    #   22 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 15 of
+    #   21 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 14 of
     #      the 36 remaining r3 stamps (deferred to the next rotation,
     #      displaced by the late-r8 wave — all keep green r3 stamps:
     #      ann_ivf_search_partitioned — its oracle twin ann_ivf_search
-    #      IS in the window — knn_ann_range_compat, knn_ann_similarity,
+    #      IS in the window — knn_ann_range, knn_ann_range_compat,
+    #      knn_ann_similarity,
     #      knn_batch_exact,
     #      knn_cosine, knn_exact,
     #      multimodal_byte_stats,
@@ -140,7 +142,7 @@ _PRIORITY = [
     # events_cusum_alarms skew-routing note, ivf_search centroid
     # guidance) — the same deliberate exemption r7 applied to
     # decorrelated.py's checkpoint flips.
-    # -- r8 new/changed (28)
+    # -- r8 new/changed (29)
     "ann_ivf_384", "ann_ivfpq_384",
     "ann_lsh_search", "ann_lsh_search_precomputed",
     "ann_lsh_probe_stats", "ann_ivfpq_residual_384",
@@ -155,7 +157,8 @@ _PRIORITY = [
     "curation_k_anonymity", "events_conversion_propensity",
     "customer_gini_revenue", "stream_late_drop_live",
     "ann_bq_search_precomputed", "profile_equidepth_bins",
-    # -- oldest-stamp refreshers (22): 7 x r2, then 15 x r3
+    "multimodal_audio_windows",
+    # -- oldest-stamp refreshers (21): 7 x r2, then 14 x r3
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
     "mango_count", "mango_sort_skip_limit", "point_lookup",
     "scan_documents", "union_dedup",
@@ -165,9 +168,8 @@ _PRIORITY = [
     "compat_index_string", "curation_chunk_documents",
     "curation_split_assign", "dedup_batch_vs_corpus",
     "dedup_cosine_pairs", "join_salted_skew",
-    "knn_ann_range",
     # ---- window boundary (50) ----
-    "knn_ann_range_compat",
+    "knn_ann_range", "knn_ann_range_compat",
     "knn_ann_similarity", "knn_batch_exact",
     "knn_cosine", "knn_exact",
     "multimodal_byte_stats",

@@ -148,3 +148,40 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/std computed from exact integer sums (bit-identical in DuckDB)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return multimodal.decode_image(multimodal.with_media(docs), fake=True)
+
+
+_AUDIO_WINDOWS_ORACLE = f"""
+WITH codes AS (SELECT doc_id AS media_id, {_CODES} AS cs FROM documents),
+wins AS (
+  SELECT media_id, cs,
+         unnest(range(0, (len(cs) + {multimodal.AUDIO_WINDOW_BYTES} - 1)
+                          // {multimodal.AUDIO_WINDOW_BYTES})) AS win_idx
+  FROM codes
+),
+seg AS (
+  SELECT media_id, win_idx,
+         list_slice(cs, win_idx * {multimodal.AUDIO_WINDOW_BYTES} + 1,
+                    least((win_idx + 1) * {multimodal.AUDIO_WINDOW_BYTES},
+                          len(cs))) AS s
+  FROM wins
+)
+SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(len(s) AS BIGINT) AS win_bytes,
+       CAST(list_sum(list_transform(s, c -> c * c)) AS BIGINT) AS energy,
+       CAST(list_max(s) AS BIGINT) AS peak
+FROM seg
+"""
+
+
+@register("multimodal_audio_windows", oracle=_AUDIO_WINDOWS_ORACLE)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed feature extraction: the payload stream split
+    into 256-sample windows, each reduced to (count, energy, peak) —
+    the VAD/segmentation front end, one feature row per window out of
+    an Arrow-batched row-local kernel.  Completes the modality triple
+    (image decode/resize, video frame sampling, audio windowing); the
+    oracle reproduces every window from the ASCII code points."""
+    media = multimodal.with_media(
+        load_table(spark, sf_dir, "documents"), kind="audio"
+    )
+    return multimodal.audio_windows(media)

@@ -262,6 +262,7 @@ AUDITED = [
     "customer_gini_revenue",
     "ann_bq_search_precomputed",
     "profile_equidepth_bins",
+    "multimodal_audio_windows",
 ]
 
 
