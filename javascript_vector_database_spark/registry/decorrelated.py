@@ -645,7 +645,14 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp is engine-dependent) — see operators/graph.py:hits; the oracle
     unrolls the identical iteration.  Each half-round is one equi-join +
     map-side-combined groupBy; the scalar max rides a 1-row broadcast,
-    so the plan is Pregel-shaped at any scale."""
+    so the plan is Pregel-shaped at any scale.
+
+    Cost note (10x column): 2.8s at sf0.1 -> ~17s at 10x — linear in
+    the edge list (2 rounds x 2 half-rounds over m edges plus the
+    eager materialization of each half-round's sum), no superlinear
+    term; at production scale drop rounds to 1 (bipartite purchase
+    rankings stabilize fast) or pre-aggregate edges to a
+    (buyer, part, weight) grain before iterating."""
     from javascript_vector_database_spark.operators.graph import hits
 
     orders = load_table(spark, sf_dir, "orders").select(
