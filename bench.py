@@ -833,6 +833,8 @@ def main() -> None:
         "ann_bq_search_precomputed",
         "profile_equidepth_bins",
         "multimodal_audio_windows",
+        "graph_jaccard_neighbors",
+        "dedup_top_passages",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -104,7 +104,7 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 8.  Composition (exact):
-    #   25 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
+    #   27 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
     #      stream_reactive_topk_384, stream_cusum_live,
     #      graph_resource_allocation, graph_ktruss_strong_ties,
     #      dedup_minhash_calibration, and the late-r8 wave:
@@ -116,16 +116,18 @@ _PRIORITY = [
     #      curation_k_anonymity, events_conversion_propensity,
     #      customer_gini_revenue, stream_late_drop_live,
     #      ann_bq_search_precomputed, profile_equidepth_bins,
-    #      multimodal_audio_windows);
+    #      multimodal_audio_windows, graph_jaccard_neighbors,
+    #      dedup_top_passages);
     #    4 r8-CHANGED-result rows (ann_ivf_384 -> trained-centroid
     #      parquet fixture; ann_ivfpq_384 -> trained coarse cells +
     #      nprobe=6, recall 0.26 -> 0.88; ann_lsh_search +
     #      ann_lsh_search_precomputed -> query-directed multi-probe);
-    #   21 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 14 of
+    #   19 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 12 of
     #      the 36 remaining r3 stamps (deferred to the next rotation,
     #      displaced by the late-r8 wave — all keep green r3 stamps:
     #      ann_ivf_search_partitioned — its oracle twin ann_ivf_search
-    #      IS in the window — knn_ann_range, knn_ann_range_compat,
+    #      IS in the window — dedup_cosine_pairs, join_salted_skew,
+    #      knn_ann_range, knn_ann_range_compat,
     #      knn_ann_similarity,
     #      knn_batch_exact,
     #      knn_cosine, knn_exact,
@@ -142,7 +144,7 @@ _PRIORITY = [
     # events_cusum_alarms skew-routing note, ivf_search centroid
     # guidance) — the same deliberate exemption r7 applied to
     # decorrelated.py's checkpoint flips.
-    # -- r8 new/changed (29)
+    # -- r8 new/changed (31)
     "ann_ivf_384", "ann_ivfpq_384",
     "ann_lsh_search", "ann_lsh_search_precomputed",
     "ann_lsh_probe_stats", "ann_ivfpq_residual_384",
@@ -158,7 +160,8 @@ _PRIORITY = [
     "customer_gini_revenue", "stream_late_drop_live",
     "ann_bq_search_precomputed", "profile_equidepth_bins",
     "multimodal_audio_windows",
-    # -- oldest-stamp refreshers (21): 7 x r2, then 14 x r3
+    "graph_jaccard_neighbors", "dedup_top_passages",
+    # -- oldest-stamp refreshers (19): 7 x r2, then 12 x r3
     "join_anti_missing_vectors", "join_zip_documents_embeddings",
     "mango_count", "mango_sort_skip_limit", "point_lookup",
     "scan_documents", "union_dedup",
@@ -167,8 +170,9 @@ _PRIORITY = [
     "ann_sq8_codes", "ann_sq8_search", "ann_sq8_search_precomputed",
     "compat_index_string", "curation_chunk_documents",
     "curation_split_assign", "dedup_batch_vs_corpus",
-    "dedup_cosine_pairs", "join_salted_skew",
     # ---- window boundary (50) ----
+    "dedup_cosine_pairs",
+    "join_salted_skew",
     "knn_ann_range", "knn_ann_range_compat",
     "knn_ann_similarity", "knn_batch_exact",
     "knn_cosine", "knn_exact",

@@ -1966,3 +1966,58 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy(F.col("hops").asc())
     )
+
+
+_JACCARD_LP_ORACLE = f"""
+WITH {_COPURCHASE_PAIRS},
+adj AS (
+  SELECT src AS p, dst AS t FROM pairs
+  UNION ALL SELECT dst AS p, src AS t FROM pairs
+),
+deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+capped AS (
+  SELECT a.p, a.t FROM adj a JOIN deg ON deg.p = a.p
+  WHERE deg.d BETWEEN 2 AND {_CN_CAP}
+),
+cand AS (
+  SELECT l.t AS x, r.t AS y, CAST(count(*) AS BIGINT) AS n_common
+  FROM capped l JOIN capped r ON l.p = r.p AND l.t < r.t
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.x, c.y, c.n_common,
+         CAST((c.n_common * 1000000)
+              // (dx.d + dy.d - c.n_common) AS BIGINT) AS jaccard_micro
+  FROM cand c JOIN deg dx ON dx.p = c.x JOIN deg dy ON dy.p = c.y
+  WHERE NOT EXISTS (SELECT 1 FROM pairs e WHERE e.src = c.x AND e.dst = c.y)
+)
+SELECT x, y, n_common, jaccard_micro FROM scored
+ORDER BY jaccard_micro DESC, x ASC, y ASC
+LIMIT 20
+"""
+
+
+@register("graph_jaccard_neighbors", oracle=_JACCARD_LP_ORACLE)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-normalized link prediction: the top-20 not-yet-connected
+    part pairs by neighborhood Jaccard — completes the local
+    link-prediction trio (raw counts: graph_common_neighbors;
+    hub-downweighted: graph_resource_allocation; size-normalized:
+    this).  Same heavy-pivot wedge generation and m*cap work bound;
+    degrees in the denominator are the FULL degrees while common
+    counts are the blocked counts, both mirrored in the oracle;
+    (common * 1e6) DIV (dx + dy - common) is a non-negative floor —
+    engine-identical."""
+    from javascript_vector_database_spark.operators.graph import (
+        jaccard_neighbor_pairs,
+    )
+
+    return (
+        jaccard_neighbor_pairs(
+            _copurchase_edges(spark, sf_dir), max_pivot_degree=_CN_CAP
+        )
+        .orderBy(
+            F.col("jaccard_micro").desc(), F.col("x").asc(), F.col("y").asc()
+        )
+        .limit(20)
+    )

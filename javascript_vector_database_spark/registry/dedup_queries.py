@@ -685,3 +685,44 @@ def dedup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dup_micro").desc(), F.col("doc_id").asc())
         .limit(100)
     )
+
+
+def _top_passages_oracle() -> str:
+    k = dedup.SUBSTR_GRAM_K
+    sh = _sql_shingles("text", k=k)
+    return f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, s AS passage FROM (
+    SELECT doc_id, unnest({sh}) AS s FROM documents
+  ) WHERE s IS NOT NULL
+)
+SELECT passage, CAST(count(*) AS BIGINT) AS n_docs
+FROM g GROUP BY passage
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, passage ASC
+LIMIT 50
+"""
+
+
+@register("dedup_top_passages", oracle=_top_passages_oracle())
+def dedup_top_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate DISCOVERY: the 50 token-{k}-gram passages recurring
+    in the most documents — the other face of dedup_substring_profile
+    (that row scores DOCS by recycled content; this surfaces the
+    PASSAGES themselves, which is how a pipeline builds its
+    boilerplate/header blocklist before filtering).  Distinct per doc
+    (a passage repeated inside one doc counts once), one
+    map-side-combined groupBy on the gram string, TakeOrdered for the
+    top-50; docs shorter than k tokens contribute nothing (mirrored by
+    the oracle's NULL-gram filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = dedup.exploded_shingles(
+        docs, shingle_k=dedup.SUBSTR_GRAM_K, out_col="passage"
+    ).dropDuplicates(["doc_id", "passage"])
+    return (
+        g.groupBy("passage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("passage").asc())
+        .limit(50)
+    )

@@ -263,6 +263,8 @@ AUDITED = [
     "ann_bq_search_precomputed",
     "profile_equidepth_bins",
     "multimodal_audio_windows",
+    "graph_jaccard_neighbors",
+    "dedup_top_passages",
 ]
 
 
