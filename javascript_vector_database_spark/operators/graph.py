@@ -785,7 +785,21 @@ def hits(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
     final plan contains ~2^(2*rounds) copies of the base subtree
     (measured: 89 Exchanges at rounds=2 before the checkpoints, ~10
     after).  Eager, for rank.py's broadcast-thread deadlock reason."""
+    if rounds < 1:
+        raise ValueError(f"hits() needs rounds >= 1, got {rounds}")
     e = edges.select("src", "dst")
+    if e.isEmpty():
+        # renorm would divide by a NULL max on an empty edge list
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("node", e.schema["dst"].dataType),
+                T.StructField("authority", T.LongType()),
+                T.StructField("n_in", T.LongType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame([], schema=schema)
     hubs = e.select("src").distinct().select(
         "src", F.lit(HITS_SCALE).cast("long").alias("h")
     )

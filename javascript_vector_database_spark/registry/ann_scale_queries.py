@@ -1135,3 +1135,73 @@ def ann_bq_search_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant.bq_table(emb, len(qv)).write.mode("overwrite").parquet(layout)
     stored = spark.read.parquet(layout)
     return quant.bq_search_precomputed(stored, emb, qv)
+
+
+@register("stream_ann_index_live", oracle=_bq_search_oracle(ORACLE_DIM))
+def stream_ann_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE-MAINTAINED ANN index (11th streaming==batch row): the
+    reference's whole pipeline exists to keep a derived vector
+    collection current under a change feed (src/database.ts:176-206);
+    this row closes that loop for the PRECOMPUTED layouts.  The
+    embeddings feed arrives in two halves; a checkpointed Structured
+    Streaming pipeline (streaming/pipeline.py:streaming_pipeline —
+    offset log == the reference's checkpoint doc) packs each arriving
+    vector's BQ sign words (a pure scan-local projection, quant.py:
+    bq_table) and MERGEs them into a managed (vec_id, bq_words) table
+    keyed on vec_id.  Between halves the query STOPS and RESTARTS from
+    the same checkpoint (crash/resume), and a slice of the first half
+    is RE-DELIVERED (at-least-once file delivery) — the MERGE makes
+    both invisible: the final live index equals the batch-built table
+    row for row.  Certification: the hamming probe + exact re-rank runs
+    against the LIVE-maintained words table and must hash-match the
+    same DuckDB oracle as the batch ``ann_bq_search_precomputed`` row.
+    At 100 TB this is the standing index-maintenance service: code
+    packing is per-row (no shuffle), the MERGE touches only the
+    key-hashed buckets of each micro-batch, and probes read the
+    maintained table without ever rescanning the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    dim = len(qv)
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="stream_annidx_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    dest = ParquetTable(spark, os.path.join(tmp, "index"), "vec_id")
+    feed = emb.select("vec_id", "embedding")
+    feed_rest = _stream_feed(spark, feed, src, "vec_id")
+    schema = "vec_id long, embedding array<float>"
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        # pure projection at write time; MERGE keyed on vec_id makes
+        # re-delivered rows idempotent (same key, same packed words)
+        dest.bulk_upsert(quant.bq_table(batch, dim), lwt=float(batch_id))
+
+    try:
+        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q.awaitTermination()  # availableNow: drains half 1, stops
+        feed_rest()
+        # at-least-once: re-deliver a slice of the ALREADY-PROCESSED
+        # first half as fresh files; the MERGE must absorb them silently
+        feed.where(
+            (F.coalesce(F.col("vec_id"), F.lit(0)) % 2 == 0)
+            & (F.col("vec_id") % 10 == 0)
+        ).write.mode("append").parquet(src)
+        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2.awaitTermination()  # checkpoint resume: only the new files
+        stored = dest.docs().select("vec_id", "bq_words")
+        out = quant.bq_search_precomputed(stored, emb, qv)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -1222,9 +1222,12 @@ p AS (
   FROM hourly h JOIN tot t USING (event_type)
 ),
 c AS (
+  -- least(0, ...) admits the EMPTY prefix P_0 = 0 (the CUSUM
+  -- recursion starts at s_0 = 0), else early sustained shifts whose
+  -- whole prefix drifts positive are understated
   SELECT event_type, h, nh,
-         pf - min(pf) OVER (PARTITION BY event_type ORDER BY h ASC
-                            ROWS UNBOUNDED PRECEDING) AS s
+         pf - least(0, min(pf) OVER (PARTITION BY event_type ORDER BY h ASC
+                                     ROWS UNBOUNDED PRECEDING)) AS s
   FROM p
 )
 SELECT event_type, h AS hour, CAST(s AS BIGINT) AS cusum
@@ -1238,8 +1241,10 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer: the drift term is nh*y - total (mean-zero without any
     division), and the nonlinear CUSUM recursion
     s_t = max(0, s_{t-1} + d_t) is rewritten via the prefix-min
-    identity s_t = P_t - min_{j<=t} P_j — two stacked windows on ONE
-    sorted pass, no iterative fold.  Alarms fire when the statistic
+    identity s_t = P_t - min_{0<=j<=t} P_j with P_0 = 0 (the empty
+    prefix belongs in the min because the recursion starts at
+    s_0 = 0) — two stacked windows on ONE sorted pass, no iterative
+    fold.  Alarms fire when the statistic
     exceeds {_CUSUM_K} cumulative extra events (in nh units).  The
     sequential-detection complement of events_anomaly_hours'
     sliding z-score (CUSUM catches small SUSTAINED shifts).
@@ -1276,7 +1281,10 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "h",
         "nh",
-        (F.col("pf") - F.min("pf").over(w)).alias("s"),
+        (
+            F.col("pf")
+            - F.least(F.lit(0).cast("long"), F.min("pf").over(w))
+        ).alias("s"),
     )
     return c.where(F.col("s") >= _CUSUM_K * F.col("nh")).select(
         "event_type", F.col("h").alias("hour"), F.col("s").cast("bigint").alias("cusum")
@@ -2412,9 +2420,11 @@ p AS (
   FROM daily JOIN tot USING (user_id)
 ),
 s AS (
+  -- least(0, ...) admits the EMPTY prefix P_0 = 0 so a maximum run
+  -- starting on the user's first active day is not missed
   SELECT user_id, d, nd,
-         pf - min(pf) OVER (PARTITION BY user_id ORDER BY d ASC
-                            ROWS UNBOUNDED PRECEDING) AS s
+         pf - least(0, min(pf) OVER (PARTITION BY user_id ORDER BY d ASC
+                                     ROWS UNBOUNDED PRECEDING)) AS s
   FROM p
 ),
 best AS (
@@ -2437,7 +2447,9 @@ def events_spend_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     each user's purchase history — Kadane's maximum-subarray, solved
     per user without any iterative fold via the same prefix-min
     identity as events_cusum_alarms: best run ending at t is
-    P_t - min_{j<=t} P_j, so two stacked per-user windows over the
+    P_t - min_{0<=j<=t} P_j with P_0 = 0 (the empty prefix MUST be in
+    the min, else a run starting on the user's first active day is
+    missed), so two stacked per-user windows over the
     DAILY rollup do it in one sorted pass.  Fully integer: the
     mean-centered drift is nd*y - total (no division), the burst is
     floor-normalized back to cents only at output (s DIV nd,
@@ -2482,7 +2494,10 @@ def events_spend_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "d",
         "nd",
-        (F.col("pf") - F.min("pf").over(w)).alias("s"),
+        (
+            F.col("pf")
+            - F.least(F.lit(0).cast("long"), F.min("pf").over(w))
+        ).alias("s"),
     )
     wr = Window.partitionBy("user_id").orderBy(
         F.col("s").desc(), F.col("d").asc()

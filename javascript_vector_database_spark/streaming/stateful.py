@@ -333,14 +333,14 @@ def _update_burst(
     cents = [acc[d] for d in days]
     state.update((days, cents, n_events))
     nd, total = len(days), sum(cents)
-    pf, mn = 0, None
+    # mn starts at 0: the EMPTY prefix P_0 = 0 is in the min, so a
+    # maximum run starting on the user's first active day is counted
+    # (batch form: s_t = P_t - least(0, min_{j<=t} P_j))
+    pf, mn = 0, 0
     best_s, best_d = 0, days[0] if days else 0
-    first = True
     for d, y in zip(days, cents):
         pf += nd * y - total
-        # batch form: s_t = P_t - min_{j<=t} P_j (min INCLUDES current)
-        mn = pf if first or pf < mn else mn
-        first = False
+        mn = pf if pf < mn else mn
         s = pf - mn
         if s > best_s:
             best_s, best_d = s, d

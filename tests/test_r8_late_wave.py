@@ -32,6 +32,18 @@ def test_hits_star_authority(spark):
     assert rows[100]["n_in"] == 4 and rows[200]["n_in"] == 1
 
 
+def test_hits_degenerate_inputs(spark):
+    # rounds < 1 would leave auth=None and crash the final join;
+    # an empty edge list would renorm-divide by a NULL max
+    edges = spark.createDataFrame([(1, 10)], schema="src long, dst long")
+    with pytest.raises(ValueError, match="rounds"):
+        graph.hits(edges, rounds=0)
+    empty = spark.createDataFrame([], schema="src long, dst long")
+    out = graph.hits(empty)
+    assert out.columns == ["node", "authority", "n_in"]
+    assert out.count() == 0
+
+
 def test_hits_symmetry_ties(spark):
     # two disjoint identical stars -> identical authority scores
     edges = spark.createDataFrame(
@@ -183,6 +195,10 @@ def _kadane_reference(values):
         [500],
         [100, 100, 100],
         [1, 10000, 1, 10000, 1],
+        # maximum run starts on day 1: the prefix-min must include the
+        # EMPTY prefix P_0 = 0 or these understate (ADVICE r8)
+        [5000, 100, 100],
+        [9000, 8000, 100, 100, 100],
     ],
 )
 def test_spend_burst_matches_kadane(spark, series, tmp_path):
