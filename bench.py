@@ -155,6 +155,9 @@ _SCALE_HEADLINE = [
     # gini: the distributed-rank consumer — the range-partition sort is
     # the scale-interesting part
     "customer_gini_revenue",
+    # r9: the capped k-truss's whole point is that only its one weight
+    # aggregation grows with the corpus — the peel stays 20k edges
+    "graph_ktruss_capped",
 ]
 
 
@@ -283,6 +286,31 @@ def main() -> None:
     results["ivf_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(ivf_sets, exact_sets)
     ) / len(qvecs)
+
+    # Lloyd-trained centroids (the oracle-checked trainer behind the
+    # registered ann_ivf_lloyd_search row) at its registered nprobe
+    lcents = ann_scale.ivf_lloyd_centroids(emb)
+    lassigned = emb.withColumn(
+        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), lcents)
+    ).cache()
+    lassigned.count()
+    t, lloyd_sets = _timed_best2(
+        lambda: [
+            {
+                r["vec_id"]
+                for r in ann_scale.ivf_search(
+                    lassigned, qv, cents=lcents, precomputed=True,
+                    nprobe=ann_scale.LLOYD_NPROBE,
+                ).collect()
+            }
+            for qv in qvecs
+        ]
+    )
+    results["ivf_lloyd_sec_per_query"] = t / len(qvecs)
+    results["ivf_lloyd_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(lloyd_sets, exact_sets)
+    ) / len(qvecs)
+    lassigned.unpersist()
 
     planes = ann_scale.hyperplanes(dim)
     bucketed = emb.withColumn(
@@ -835,6 +863,10 @@ def main() -> None:
         "multimodal_audio_windows",
         "graph_jaccard_neighbors",
         "dedup_top_passages",
+        # round-9 additions: oracle-checked Lloyd IVF training, the
+        # scale-safe capped k-truss routing
+        "ann_ivf_lloyd_search",
+        "graph_ktruss_capped",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -484,3 +484,72 @@ def lsh_search(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+#: deterministic Lloyd training: fixed rounds, integer-exact centroid
+#: updates (coords scaled by LLOYD_SCALE, summed as BIGINT, floor-div
+#: by the member count) — every quantity either exact-integer or an
+#: identical IEEE expression shape, so BOTH engines reproduce the
+#: trained centroids bit for bit and the training itself becomes
+#: oracle-checkable (the 384 fixture decouples training to a parquet
+#: artifact instead; that needs ONE corpus, while the per-sf 64-dim
+#: tables are independent draws — so here training must travel with
+#: the query).
+LLOYD_ROUNDS = 3
+LLOYD_SCALE = 1_000_000
+#: probe width the Lloyd-trained registered row serves: this synthetic
+#: corpus is overlap-heavy (even TRUE generator-cluster centroids cap
+#: at recall@10 0.70 by nprobe=4 — neighbor lists are noise-dominated,
+#: not cluster-pure), so >=0.8 recall needs 6 of 16 cells
+LLOYD_NPROBE = 6
+
+
+def ivf_lloyd_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = IVF_K,
+    rounds: int = LLOYD_ROUNDS,
+) -> list[tuple[int, list[float]]]:
+    """``rounds`` deterministic Lloyd iterations from the hash-order
+    sample init: assign every vector to its nearest current centroid
+    (the same scan-local literal argmin fold as ivf_assign), then move
+    each centroid to the INTEGER-EXACT mean of its members —
+    ``(sum of floor(x*SCALE + 0.5) as BIGINT) floor-div n / SCALE`` —
+    so the update has no float-summation order to disagree on.  Each
+    round collects exactly k rows (bounded by construction); an empty
+    cell keeps its previous center.  Unlike MLlib k-means‖ (whose fit
+    depends on partitioning), this trainer is engine-reproducible:
+    registry/ann_scale_queries._lloyd_cents_cte unrolls the identical
+    rounds in DuckDB SQL and the driver hash-matches the probe results.
+    Recall on the 64-dim corpus (5-query avg, nprobe=6): 0.80-0.82 vs
+    0.58-0.66 for the round-0 sample — measured at sf0.1/sf0.01."""
+    cents = collect_centroids(emb, id_col, vec_col, k)
+    dim = len(cents[0][1])
+    vec = F.col(vec_col)
+    for _ in range(rounds):
+        assigned = emb.select(
+            vec.alias("__v"), ivf_cell_expr(vec, cents).alias("__c")
+        )
+        sums = assigned.groupBy("__c").agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                F.sum(
+                    F.floor(
+                        F.col("__v")[d].cast("double") * LLOYD_SCALE + 0.5
+                    ).cast("long")
+                ).alias(f"__s{d}")
+                for d in range(dim)
+            ],
+        )
+        moved = {
+            int(r["__c"]): [
+                (int(r[f"__s{d}"]) // int(r["__n"])) / LLOYD_SCALE
+                for d in range(dim)
+            ]
+            for r in sums.collect()  # bounded: <= k rows
+        }
+        cents = sorted(
+            (cid, moved.get(cid, old)) for cid, old in cents
+        )
+    return cents

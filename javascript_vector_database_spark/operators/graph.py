@@ -453,13 +453,19 @@ def sql_ktruss_peel(edges_cte: str, k: int, rounds: int) -> str:
     the id-ordered 3-way self-join (each triangle once, edges credited
     identically)."""
 
+    # every CTE is multiply-referenced (each tri level reads its edge
+    # set 3 times, each sup reads its tri 3 times) — without
+    # MATERIALIZED DuckDB may inline them, re-evaluating the whole
+    # upstream chain exponentially per level (measured 46s -> 0.1s at
+    # sf0.01 on the capped row); the Spark side pins the same reuse
+    # points with eager localCheckpoints
     def tri_sup(i: int) -> str:
-        return f"""tri{i} AS (
+        return f"""tri{i} AS MATERIALIZED (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM e{i} e1 JOIN e{i} e2 ON e2.u = e1.v
   JOIN e{i} e3 ON e3.u = e1.u AND e3.v = e2.v
 ),
-sup{i} AS (
+sup{i} AS MATERIALIZED (
   SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM (
     SELECT a AS u, b AS v FROM tri{i}
     UNION ALL SELECT b, c FROM tri{i}
@@ -468,13 +474,13 @@ sup{i} AS (
 )"""
 
     sql = [
-        f"WITH pairs AS ({edges_cte}),",
-        "e0 AS (SELECT src AS u, dst AS v FROM pairs),",
+        f"WITH pairs AS MATERIALIZED ({edges_cte}),",
+        "e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM pairs),",
     ]
     for i in range(rounds):
         sql.append(tri_sup(i) + ",")
         sql.append(
-            f"e{i + 1} AS (SELECT e.u, e.v FROM e{i} e "
+            f"e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
             f"JOIN sup{i} s ON s.u = e.u AND s.v = e.v WHERE s.c >= {k - 2}),"
         )
     sql.append(tri_sup(rounds))

@@ -103,142 +103,140 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # DRIVER WINDOW (first 50), round 8.  Composition (exact):
-    #   27 r8-NEW rows (ann_lsh_probe_stats, ann_ivfpq_residual_384,
-    #      stream_reactive_topk_384, stream_cusum_live,
-    #      graph_resource_allocation, graph_ktruss_strong_ties,
-    #      dedup_minhash_calibration, and the late-r8 wave:
-    #      graph_hits_authorities, dedup_substring_profile,
-    #      events_spend_burst, profile_chi_square,
-    #      orders_theil_sen_trend, ann_bq_search, ann_bq_384,
-    #      ann_filtered_exact, ann_ivf_filtered,
-    #      stream_spend_burst_live, orders_mann_kendall,
-    #      curation_k_anonymity, events_conversion_propensity,
-    #      customer_gini_revenue, stream_late_drop_live,
-    #      ann_bq_search_precomputed, profile_equidepth_bins,
-    #      multimodal_audio_windows, graph_jaccard_neighbors,
-    #      dedup_top_passages);
-    #    4 r8-CHANGED-result rows (ann_ivf_384 -> trained-centroid
-    #      parquet fixture; ann_ivfpq_384 -> trained coarse cells +
-    #      nprobe=6, recall 0.26 -> 0.88; ann_lsh_search +
-    #      ann_lsh_search_precomputed -> query-directed multi-probe);
-    #   19 oldest-stamp refreshers: ALL 7 remaining r2 stamps + 12 of
-    #      the 36 remaining r3 stamps (deferred to the next rotation,
-    #      displaced by the late-r8 wave — all keep green r3 stamps:
-    #      ann_ivf_search_partitioned — its oracle twin ann_ivf_search
-    #      IS in the window — dedup_cosine_pairs, join_salted_skew,
-    #      knn_ann_range, knn_ann_range_compat,
-    #      knn_ann_similarity,
-    #      knn_batch_exact,
-    #      knn_cosine, knn_exact,
-    #      multimodal_byte_stats,
-    #      multimodal_decode_fake, text_token_count,
-    #      text_title_content_parse, text_quality_score,
-    #      multimodal_resize_fake, profile_length_quantiles,
-    #      reactive_count_ivm, reactive_query_ivm, reactive_topk_ivm,
-    #      set_ops_intersect_except, text_bm25_search,
-    #      text_bpe_token_count, text_fingerprint, text_lang_id).
+    # DRIVER WINDOW (first 50), round 9.  Composition (exact):
+    #    3 r9-NEW rows: stream_ann_index_live (checkpointed pipeline
+    #      MERGE-maintains the precomputed BQ word index under a change
+    #      feed with stop/restart + re-delivered files; probe of the
+    #      live table hash-matches the batch oracle — the 11th
+    #      streaming==batch row), ann_ivf_lloyd_search (deterministic
+    #      integer-mean Lloyd training reproduced round-for-round in
+    #      the DuckDB oracle; recall@10 0.80-0.82 at nprobe=6),
+    #      graph_ktruss_capped (bounded top-20k-weight edge cut before
+    #      the peel — the scale-safe routing strong_ties' cost note
+    #      promised);
+    #    4 r9-CHANGED-result rows (ADVICE r8 empty-prefix fix: the
+    #      Kadane/CUSUM prefix-min now includes P_0 = 0 in row, oracle,
+    #      and streaming fold): events_spend_burst,
+    #      stream_spend_burst_live, events_cusum_alarms,
+    #      stream_cusum_live;
+    #    1 r9-CHANGED-oracle-text row: graph_ktruss_strong_ties
+    #      (MATERIALIZED CTE hints only — values identical, re-stamped
+    #      out of caution);
+    #   42 oldest-stamp refreshers: ALL 24 remaining r3 stamps (the
+    #      list r8 deferred) + the 18 alphabetically-first r4 stamps.
     # Rotation-exempt by policy (outputs unchanged, locally
-    # sweep-verified every pytest run): eager-checkpoint-only and
-    # docstring-only r8 edits (dedup_semantic_prune materialize-once,
-    # events_cusum_alarms skew-routing note, ivf_search centroid
-    # guidance) — the same deliberate exemption r7 applied to
-    # decorrelated.py's checkpoint flips.
-    # -- r8 new/changed (31)
-    "ann_ivf_384", "ann_ivfpq_384",
-    "ann_lsh_search", "ann_lsh_search_precomputed",
-    "ann_lsh_probe_stats", "ann_ivfpq_residual_384",
-    "stream_reactive_topk_384", "stream_cusum_live",
-    "graph_resource_allocation", "graph_ktruss_strong_ties",
-    "dedup_minhash_calibration",
-    "graph_hits_authorities", "dedup_substring_profile",
-    "events_spend_burst", "profile_chi_square",
-    "orders_theil_sen_trend", "ann_bq_search", "ann_bq_384",
-    "ann_filtered_exact", "ann_ivf_filtered",
-    "stream_spend_burst_live", "orders_mann_kendall",
-    "curation_k_anonymity", "events_conversion_propensity",
-    "customer_gini_revenue", "stream_late_drop_live",
-    "ann_bq_search_precomputed", "profile_equidepth_bins",
-    "multimodal_audio_windows",
-    "graph_jaccard_neighbors", "dedup_top_passages",
-    # -- oldest-stamp refreshers (19): 7 x r2, then 12 x r3
-    "join_anti_missing_vectors", "join_zip_documents_embeddings",
-    "mango_count", "mango_sort_skip_limit", "point_lookup",
-    "scan_documents", "union_dedup",
-    "ann_doc_reads", "ann_ivf_batch_search", "ann_ivf_cells",
-    "ann_ivf_search", "ann_lsh_buckets",
-    "ann_sq8_codes", "ann_sq8_search", "ann_sq8_search_precomputed",
-    "compat_index_string", "curation_chunk_documents",
-    "curation_split_assign", "dedup_batch_vs_corpus",
-    # ---- window boundary (50) ----
-    "dedup_cosine_pairs",
-    "join_salted_skew",
-    "knn_ann_range", "knn_ann_range_compat",
-    "knn_ann_similarity", "knn_batch_exact",
-    "knn_cosine", "knn_exact",
-    "multimodal_byte_stats",
-    "multimodal_decode_fake",
-    "multimodal_resize_fake", "profile_length_quantiles",
-    "reactive_count_ivm", "reactive_query_ivm", "reactive_topk_ivm",
-    "set_ops_intersect_except", "text_bm25_search",
+    # sweep-verified every pytest run): docstring-only and
+    # checkpoint-only edits; hits() degenerate-input guards (raise/
+    # empty-DF paths never reached by the registered row).
+    # -- r9 new/changed (8)
+    "stream_ann_index_live", "ann_ivf_lloyd_search", "graph_ktruss_capped",
+    "events_spend_burst", "stream_spend_burst_live", "events_cusum_alarms",
+    "stream_cusum_live", "graph_ktruss_strong_ties",
+    # -- oldest-stamp refreshers (42): 24 x r3, then 18 x r4
+    "ann_ivf_search_partitioned", "dedup_cosine_pairs", "join_salted_skew",
+    "knn_ann_range", "knn_ann_range_compat", "knn_ann_similarity",
+    "knn_batch_exact", "knn_cosine", "knn_exact", "multimodal_byte_stats",
+    "multimodal_decode_fake", "multimodal_resize_fake",
+    "profile_length_quantiles", "reactive_count_ivm", "reactive_query_ivm",
+    "reactive_topk_ivm", "set_ops_intersect_except", "text_bm25_search",
     "text_bpe_token_count", "text_fingerprint", "text_lang_id",
-    "text_quality_score",
-    "text_title_content_parse", "text_token_count",
-    # everything below carries a green r4-r7 stamp and is unchanged;
-    # the local sf0.001 sweep re-verifies all of it on every pytest run
-    "parts_price_size_skyline", "brand_price_size_skyline",
-    "graph_personalized_pagerank", "graph_harmonic_hubs",
-    "dedup_cosine_pairs_384", "events_attribution_linear",
-    "text_editdistance_pairs", "agg_q3_shipping_priority",
-    "agg_q5_local_supplier_volume", "agg_q8_market_share",
-    "agg_q14_promo_effect", "agg_q19_disjunctive_revenue",
-    "agg_grouping_sets_revenue", "stream_interval_join_live",
-    "stream_dedup_live",
-    "customer_rfm_segments", "profile_ntile_deciles",
-    "sketch_histogram_quantiles", "sketch_grouped_quantiles",
-    "ann_pq_384",
-    "stream_hll_live_users", "stream_live_count_by_type",
-    "stream_cms_live_tokens",
-    "dedup_jaccard_prefix", "dedup_multipass_pairs",
-    "ann_pq_search", "ann_pq_search_precomputed",
-    "ann_ivfpq_search", "ann_ivfpq_search_partitioned",
-    "graph_clustering_coefficient_hubs", "ann_pq_batch_search",
-    "dedup_containment_pairs", "orders_weekly_trend_ols",
-    "graph_kcore_peel", "stream_sessionize_live",
-    "graph_label_propagation", "graph_bfs_reach",
-    "dedup_semantic_medoids", "dedup_semantic_prune",
-    "events_ewma_hourly",
-    "events_attribution_time_decay", "events_activity_streaks",
-    "profile_key_skew",
-    "events_revenue_milestones", "lineitem_weighted_median",
-    "flagship_search",
-    "dml_roundtrip", "pipeline_roundtrip",
-    "ann_ivf_search_partitioned",
-    "events_session_funnel", "graph_degree_histogram",
-    "profile_split_drift", "customer_pareto_share",
-    "text_lang_confusion", "curation_universe_sample",
-    "sketch_comparison_report", "quality_checks_report",
-    "orders_wow_growth", "agg_q10_returned_items", "agg_q4_late_orders",
-    "lineitem_ship_latency", "events_props_json_stats",
-    "events_cohort_ltv", "embedding_norm_profile",
-    "events_top_journeys", "text_collocations_lift",
-    "orders_trailing_week_revenue", "orders_percent_rank_top",
-    "mango_all",
-    "supplier_fill_rate", "text_zipf_profile",
-    "sketch_kmv_set_ops",
-    "sketch_hll_rolling_distinct",
-    "dedup_jaccard_clusters",
-    "events_retention_rate", "orders_basket_size_hist",
-    "events_stickiness",
-    "curation_weighted_sample",
-    "ann_sq8_384",
-    "supplier_sole_late_q21", "graph_triangle_count",
-    "events_attribution_last_touch", "agg_q6_forecast_revenue",
-    "agg_q7_nation_volume",
-    "agg_q2_min_cost_supplier", "agg_q11_important_shares",
+    "text_quality_score", "text_title_content_parse", "text_token_count",
+    "agg_pricing_summary", "agg_top_revenue_orders", "ann_pq_codes",
+    "changefeed_page", "curation_chunk_dedup", "curation_contamination",
+    "curation_mixture_sample", "curation_normalize_dedup",
+    "curation_pack_sequences", "curation_pii_scrub", "curation_pipeline",
+    "curation_repetition_stats", "curation_split_stratified",
+    "dedup_duplicate_clusters", "dedup_duplicate_clusters_star",
+    "dedup_exact_groups", "dedup_lsh_pairs", "dedup_minhash_signatures",
+    # ---- window boundary (50) ----
+    # everything below carries a green r4-r8 stamp and is
+    # unchanged; the local sf0.001 sweep re-verifies all of it
+    # on every pytest run (ordered oldest stamp first)
+    "dedup_ngram_jaccard", "dedup_simhash", "events_asof_join",
+    "events_range_join", "events_rollup_multires",
+    "events_session_window_agg", "events_sessionize", "events_windowed_agg",
+    "json_dump_roundtrip", "mango_bool_combinators", "mango_elemmatch_size",
+    "mango_eq_ne", "mango_exists", "mango_in_nin", "mango_mod", "mango_range",
+    "mango_regex", "multimodal_frame_sample", "profile_cube_source_lang",
+    "profile_length_histogram", "profile_pivot_lang_counts",
+    "profile_sample_per_source", "profile_top_tokens",
+    "rollup_orders_by_status_priority", "sketch_kmv_distinct_users",
+    "state_fold_last_per_user", "text_bm25_batch_search",
+    "window_top_customers_per_nation", "agg_q17_small_quantity_revenue",
+    "agg_q18_large_orders", "agg_regional_revenue",
+    "basket_association_rules", "compat_index_string_384",
+    "curation_contamination_bloom", "curation_domain_cap",
+    "curation_lm_quality", "curation_luhn_cc_detect",
+    "curation_remove_boilerplate", "dedup_simhash_hamming",
+    "division_suppliers_full_brand", "events_anomaly_hours",
+    "events_asof_join_forward", "events_corr_pairs", "events_dwell_stats",
+    "events_funnel_counts", "events_funnel_latency", "events_gapfill_hourly",
+    "events_hopping_window_agg", "events_hourly_trend",
+    "events_markov_transitions", "events_retention_cohorts",
+    "events_scd2_state_intervals", "graph_pagerank_copurchase",
+    "join_bucketed_colocated", "knn_ann_range_compat_384",
+    "knn_ann_similarity_384", "knn_exact_384", "knn_mmr_rerank",
+    "orders_mad_outliers", "orders_price_outliers", "orders_winsorized_mean",
+    "profile_benford_digits", "profile_unpivot_lang_stats",
+    "sketch_cms_token_freq", "sketch_hll_distinct_users",
+    "sketch_hll_users_by_type", "text_bpe_pair_counts", "text_keywords",
+    "text_phrase_postings_join", "text_phrase_search",
+    "text_winnow_fingerprints", "text_winnow_overlap_pairs",
+    "agg_q10_returned_items", "agg_q11_important_shares",
     "agg_q13_customer_distribution", "agg_q15_top_supplier",
-    "agg_q22_dormant_customers", "graph_clustering_coefficient",
-    "graph_common_neighbors", "text_tfidf_similar_pairs",
+    "agg_q22_dormant_customers", "agg_q2_min_cost_supplier",
+    "agg_q4_late_orders", "agg_q6_forecast_revenue", "agg_q7_nation_volume",
+    "ann_sq8_384", "curation_universe_sample", "curation_weighted_sample",
+    "customer_pareto_share", "dedup_jaccard_clusters",
+    "embedding_norm_profile", "events_attribution_last_touch",
+    "events_cohort_ltv", "events_props_json_stats", "events_retention_rate",
+    "events_session_funnel", "events_stickiness", "events_top_journeys",
+    "graph_clustering_coefficient", "graph_common_neighbors",
+    "graph_degree_histogram", "graph_triangle_count", "lineitem_ship_latency",
+    "mango_all", "orders_basket_size_hist", "orders_percent_rank_top",
+    "orders_trailing_week_revenue", "orders_wow_growth",
+    "profile_split_drift", "quality_checks_report",
+    "sketch_comparison_report", "sketch_hll_rolling_distinct",
+    "sketch_kmv_set_ops", "supplier_fill_rate", "supplier_sole_late_q21",
+    "text_collocations_lift", "text_lang_confusion",
+    "text_tfidf_similar_pairs", "text_zipf_profile",
+    "agg_grouping_sets_revenue", "agg_q14_promo_effect",
+    "agg_q19_disjunctive_revenue", "agg_q3_shipping_priority",
+    "agg_q5_local_supplier_volume", "agg_q8_market_share", "ann_ivfpq_search",
+    "ann_ivfpq_search_partitioned", "ann_pq_384", "ann_pq_batch_search",
+    "ann_pq_search", "ann_pq_search_precomputed", "brand_price_size_skyline",
+    "customer_rfm_segments", "dedup_containment_pairs",
+    "dedup_cosine_pairs_384", "dedup_jaccard_prefix", "dedup_multipass_pairs",
+    "dedup_semantic_medoids", "dedup_semantic_prune", "dml_roundtrip",
+    "events_activity_streaks", "events_attribution_linear",
+    "events_attribution_time_decay", "events_ewma_hourly",
+    "events_revenue_milestones", "flagship_search", "graph_bfs_reach",
+    "graph_clustering_coefficient_hubs", "graph_harmonic_hubs",
+    "graph_kcore_peel", "graph_label_propagation",
+    "graph_personalized_pagerank", "lineitem_weighted_median",
+    "orders_weekly_trend_ols", "parts_price_size_skyline",
+    "pipeline_roundtrip", "profile_key_skew", "profile_ntile_deciles",
+    "sketch_grouped_quantiles", "sketch_histogram_quantiles",
+    "stream_cms_live_tokens", "stream_dedup_live", "stream_hll_live_users",
+    "stream_interval_join_live", "stream_live_count_by_type",
+    "stream_sessionize_live", "text_editdistance_pairs", "ann_bq_384",
+    "ann_bq_search", "ann_bq_search_precomputed", "ann_doc_reads",
+    "ann_filtered_exact", "ann_ivf_384", "ann_ivf_batch_search",
+    "ann_ivf_cells", "ann_ivf_filtered", "ann_ivf_search", "ann_ivfpq_384",
+    "ann_ivfpq_residual_384", "ann_lsh_buckets", "ann_lsh_probe_stats",
+    "ann_lsh_search", "ann_lsh_search_precomputed", "ann_sq8_codes",
+    "ann_sq8_search", "ann_sq8_search_precomputed", "compat_index_string",
+    "curation_chunk_documents", "curation_k_anonymity",
+    "curation_split_assign", "customer_gini_revenue", "dedup_batch_vs_corpus",
+    "dedup_minhash_calibration", "dedup_substring_profile",
+    "dedup_top_passages", "events_conversion_propensity",
+    "graph_hits_authorities", "graph_jaccard_neighbors",
+    "graph_resource_allocation", "join_anti_missing_vectors",
+    "join_zip_documents_embeddings", "mango_count", "mango_sort_skip_limit",
+    "multimodal_audio_windows", "orders_mann_kendall",
+    "orders_theil_sen_trend", "point_lookup", "profile_chi_square",
+    "profile_equidepth_bins", "scan_documents", "stream_late_drop_live",
+    "stream_reactive_topk_384", "union_dedup",
 ]
 
 

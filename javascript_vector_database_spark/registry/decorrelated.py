@@ -571,6 +571,85 @@ def graph_ktruss_strong_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KTRUSS_CAP_M = 20_000
+_KTRUSS_CAP_K = 6
+
+_KTRUSS_CAPPED_EDGES = f"""SELECT u AS src, v AS dst FROM (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+ORDER BY w DESC, u ASC, v ASC LIMIT {_KTRUSS_CAP_M}"""
+
+
+def _ktruss_capped_oracle() -> str:
+    from javascript_vector_database_spark.operators.graph import (
+        sql_ktruss_peel,
+    )
+
+    inner = sql_ktruss_peel(
+        _KTRUSS_CAPPED_EDGES, k=_KTRUSS_CAP_K, rounds=_KTRUSS_ROUNDS
+    )
+    return (
+        f"SELECT * FROM ({inner})\n"
+        "ORDER BY support DESC, src ASC, dst ASC LIMIT 20"
+    )
+
+
+@register("graph_ktruss_capped", oracle=_ktruss_capped_oracle())
+def graph_ktruss_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE k-truss routing graph_ktruss_strong_ties' cost
+    note promises: peel only the {m} strongest co-purchase ties —
+    edges ranked by co-occurrence weight (shared-order count) with a
+    deterministic (w DESC, src, dst) cut — so every peel round runs
+    over a FIXED-size edge set no matter how large the corpus grows.
+    The full-graph row pays O(m^1.5) wedge volume per round on a
+    near-clique graph (its documented ~20s-at-sf0.1 footnote); here the
+    only corpus-proportional work is the one weight aggregation (the
+    same single shuffle every co-purchase row pays), the cut is one
+    TakeOrderedAndProject, and the 3 triangle enumerations touch at
+    most {m} edges — constant peel cost at 100x.  k={k} matches the
+    capped backbone's density (weight >= 2 ties are rare and
+    triangle-rich); the oracle unrolls the identical cut + rounds."""
+    from javascript_vector_database_spark.operators.graph import ktruss_peel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
+    )
+    weighted = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    capped = (
+        weighted.orderBy(F.col("w").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(_KTRUSS_CAP_M)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        # the bounded edge set feeds rounds+1 triangle enumerations
+        # (each reading it 3 times for the wedge sides) — pin it once
+        .localCheckpoint(eager=True)
+    )
+    return (
+        ktruss_peel(capped, k=_KTRUSS_CAP_K, rounds=_KTRUSS_ROUNDS)
+        .orderBy(
+            F.col("support").desc(), F.col("src").asc(), F.col("dst").asc()
+        )
+        .limit(20)
+    )
+
+
+graph_ktruss_capped.__doc__ = graph_ktruss_capped.__doc__.format(
+    m=_KTRUSS_CAP_M, k=_KTRUSS_CAP_K
+)
+
+
 _RA_ORACLE = f"""
 WITH {_COPURCHASE_PAIRS},
 adj AS (

@@ -1,0 +1,119 @@
+"""Crafted-data pins for the r9 wave: deterministic Lloyd IVF training
+(integer-exact centroid updates), the capped k-truss routing, and the
+k-truss peel itself.  The registry sweep value-checks the registered
+rows against DuckDB; these pin the algorithmic claims against
+hand-computable reference models.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from javascript_vector_database_spark.operators import ann_scale, graph
+
+
+def _floor(x: float) -> int:
+    import math
+
+    return math.floor(x)
+
+
+def test_lloyd_centroids_match_python_reference(spark):
+    # two tight clusters + an outlier pair; k=3 so an empty cell (and its
+    # carry-forward) is plausible depending on the hash-order init —
+    # the reference model implements the identical rule either way
+    import math
+
+    vecs = {
+        1: [0.0, 0.1],
+        2: [0.2, -0.1],
+        3: [0.1, 0.0],
+        10: [5.0, 5.1],
+        11: [5.2, 4.9],
+        12: [4.9, 5.0],
+        20: [-3.0, 2.0],
+    }
+
+    def ref_floor(vid, d, scale):
+        return math.floor(vecs[vid][d] * scale + 0.5)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        schema="vec_id long, embedding array<double>",
+    )
+    got = ann_scale.ivf_lloyd_centroids(df, k=3, rounds=3)
+    # reference model (floor applied the same way)
+    order = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = sorted((i, list(vecs[i])) for i in order[:3])
+    for _ in range(3):
+        members: dict[int, list[int]] = {}
+        for vid, v in vecs.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)) ** 0.5, cid)
+                for cid, c in cents
+            )
+            members.setdefault(best[1], []).append(vid)
+        new = []
+        for cid, old in cents:
+            m = members.get(cid)
+            if not m:
+                new.append((cid, old))
+                continue
+            moved = [
+                (
+                    sum(ref_floor(vid, d, ann_scale.LLOYD_SCALE) for vid in m)
+                    // len(m)
+                )
+                / ann_scale.LLOYD_SCALE
+                for d in range(len(old))
+            ]
+            new.append((cid, moved))
+        cents = sorted(new)
+    assert [c for c, _ in got] == [c for c, _ in cents]
+    for (_, a), (_, b) in zip(got, cents):
+        assert a == b  # bit-exact, not approx — that's the whole point
+
+
+def test_lloyd_centroids_converge_to_cluster_means(spark):
+    # k=2 with one init point in each far-apart cluster: after one round
+    # each centroid must be exactly the integer mean of its cluster
+    vecs = {
+        1: [0.0, 0.0],
+        2: [0.2, 0.2],
+        7: [9.0, 9.0],
+        9: [9.4, 9.4],
+    }
+    order = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    init = sorted(order[:2])
+    low = [i for i in init if vecs[i][0] < 5]
+    high = [i for i in init if vecs[i][0] >= 5]
+    if not (low and high):  # hash order put both inits in one cluster:
+        return  # the reference-equality test above still pins the rule
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        schema="vec_id long, embedding array<double>",
+    )
+    got = dict(ann_scale.ivf_lloyd_centroids(df, k=2, rounds=2))
+    s = ann_scale.LLOYD_SCALE
+    lo_mean = [
+        (sum(_floor(vecs[i][d] * s + 0.5) for i in (1, 2)) // 2) / s
+        for d in range(2)
+    ]
+    hi_mean = [
+        (sum(_floor(vecs[i][d] * s + 0.5) for i in (7, 9)) // 2) / s
+        for d in range(2)
+    ]
+    assert got[low[0]] == lo_mean
+    assert got[high[0]] == hi_mean
+
+
+def test_ktruss_peel_keeps_clique_drops_pendants(spark):
+    # 4-clique (every edge in 2 triangles) + pendant edges (0 triangles):
+    # k=4 keeps exactly the clique with support 2 everywhere
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pendants = [(1, 10), (2, 11), (10, 11)]
+    df = spark.createDataFrame(clique + pendants, schema="src long, dst long")
+    rows = graph.ktruss_peel(df, k=4, rounds=2).collect()
+    got = {(r["src"], r["dst"]): r["support"] for r in rows}
+    assert set(got) == set(clique)
+    assert all(s == 2 for s in got.values())
