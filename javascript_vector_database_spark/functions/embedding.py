@@ -15,10 +15,10 @@ DETERMINISTIC fake: md5(text)-seeded Gaussian unit vector.  The
 Spark-side plumbing (Arrow batching, schema, normalization, determinism)
 is identical on both branches and fully tested.
 
-Install attempts (the round checklist item): r1-r8 all failed — the
+Install attempts (the round checklist item): r1-r9 all failed — the
 container has no package-index network route (pip: "Name or service not
-known", re-verified round 8).  Same gate class as PIL for
-operators/multimodal.py's real decode branch.
+known", re-verified round 9 for both sentence-transformers and pillow).
+Same gate class as PIL for operators/multimodal.py's real decode branch.
 """
 
 from __future__ import annotations
