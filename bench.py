@@ -156,8 +156,10 @@ _SCALE_HEADLINE = [
     # the scale-interesting part
     "customer_gini_revenue",
     # r9: the capped k-truss's whole point is that only its one weight
-    # aggregation grows with the corpus — the peel stays 20k edges
+    # aggregation grows with the corpus — the peel stays 20k edges;
+    # modularity adds two label equi-joins over the full 10x edge list
     "graph_ktruss_capped",
+    "graph_lpa_modularity",
 ]
 
 
@@ -869,9 +871,13 @@ def main() -> None:
         "graph_jaccard_neighbors",
         "dedup_top_passages",
         # round-9 additions: oracle-checked Lloyd IVF training, the
-        # scale-safe capped k-truss routing
+        # scale-safe capped k-truss routing, hybrid RRF search, LPA
+        # modularity, hourly autocorrelation
         "ann_ivf_lloyd_search",
         "graph_ktruss_capped",
+        "hybrid_rrf_search",
+        "graph_lpa_modularity",
+        "events_hourly_acf",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -104,16 +104,20 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 9.  Composition (exact):
-    #    3 r9-NEW rows: stream_ann_index_live (checkpointed pipeline
+    #    6 r9-NEW rows: stream_ann_index_live (checkpointed pipeline
     #      MERGE-maintains the precomputed BQ word index under a change
-    #      feed with stop/restart + re-delivered files; probe of the
-    #      live table hash-matches the batch oracle — the 11th
+    #      feed with stop/restart + re-delivered files — the 11th
     #      streaming==batch row), ann_ivf_lloyd_search (deterministic
     #      integer-mean Lloyd training reproduced round-for-round in
     #      the DuckDB oracle; recall@10 0.80-0.82 at nprobe=6),
     #      graph_ktruss_capped (bounded top-20k-weight edge cut before
     #      the peel — the scale-safe routing strong_ties' cost note
-    #      promised);
+    #      promised), hybrid_rrf_search (reciprocal-rank fusion of the
+    #      registered BM25 + exact-kNN lists, integer rank math),
+    #      graph_lpa_modularity (integer-exact Newman Q over the
+    #      registered LPA labeling), events_hourly_acf (lag-1..24
+    #      autocorrelation of the gap-filled hourly series, integer
+    #      drifts + the proven round6 division);
     #    4 r9-CHANGED-result rows (ADVICE r8 empty-prefix fix: the
     #      Kadane/CUSUM prefix-min now includes P_0 = 0 in row, oracle,
     #      and streaming fold): events_spend_burst,
@@ -122,17 +126,18 @@ _PRIORITY = [
     #    1 r9-CHANGED-oracle-text row: graph_ktruss_strong_ties
     #      (MATERIALIZED CTE hints only — values identical, re-stamped
     #      out of caution);
-    #   42 oldest-stamp refreshers: ALL 24 remaining r3 stamps (the
-    #      list r8 deferred) + the 18 alphabetically-first r4 stamps.
+    #   39 oldest-stamp refreshers: ALL 24 remaining r3 stamps (the
+    #      list r8 deferred) + the 15 alphabetically-first r4 stamps.
     # Rotation-exempt by policy (outputs unchanged, locally
     # sweep-verified every pytest run): docstring-only and
     # checkpoint-only edits; hits() degenerate-input guards (raise/
     # empty-DF paths never reached by the registered row).
-    # -- r9 new/changed (8)
+    # -- r9 new/changed (11)
     "stream_ann_index_live", "ann_ivf_lloyd_search", "graph_ktruss_capped",
+    "hybrid_rrf_search", "graph_lpa_modularity", "events_hourly_acf",
     "events_spend_burst", "stream_spend_burst_live", "events_cusum_alarms",
     "stream_cusum_live", "graph_ktruss_strong_ties",
-    # -- oldest-stamp refreshers (42): 24 x r3, then 18 x r4
+    # -- oldest-stamp refreshers (39): 24 x r3, then 15 x r4
     "ann_ivf_search_partitioned", "dedup_cosine_pairs", "join_salted_skew",
     "knn_ann_range", "knn_ann_range_compat", "knn_ann_similarity",
     "knn_batch_exact", "knn_cosine", "knn_exact", "multimodal_byte_stats",
@@ -147,11 +152,11 @@ _PRIORITY = [
     "curation_pack_sequences", "curation_pii_scrub", "curation_pipeline",
     "curation_repetition_stats", "curation_split_stratified",
     "dedup_duplicate_clusters", "dedup_duplicate_clusters_star",
-    "dedup_exact_groups", "dedup_lsh_pairs", "dedup_minhash_signatures",
     # ---- window boundary (50) ----
     # everything below carries a green r4-r8 stamp and is
     # unchanged; the local sf0.001 sweep re-verifies all of it
     # on every pytest run (ordered oldest stamp first)
+    "dedup_exact_groups", "dedup_lsh_pairs", "dedup_minhash_signatures",
     "dedup_ngram_jaccard", "dedup_simhash", "events_asof_join",
     "events_range_join", "events_rollup_multires",
     "events_session_window_agg", "events_sessionize", "events_windowed_agg",

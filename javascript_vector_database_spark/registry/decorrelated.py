@@ -2100,3 +2100,121 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# modularity of the LPA communities (integer-exact Newman Q)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_modularity_oracle() -> str:
+    from javascript_vector_database_spark.operators.graph import (
+        LPA_ROUNDS,
+        sql_label_propagation,
+    )
+
+    adj = (
+        "WITH pairs AS ("
+        "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+        "SELECT src, dst FROM pairs "
+        "UNION ALL SELECT dst AS src, src AS dst FROM pairs"
+    )
+    inner = sql_label_propagation(adj, LPA_ROUNDS)
+    return f"""
+WITH lab AS MATERIALIZED (
+{inner}
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT src AS node FROM pairs UNION ALL SELECT dst AS node FROM pairs
+  ) GROUP BY 1
+),
+comm AS (
+  SELECT l.label AS community, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(deg.d) AS BIGINT) AS deg_sum
+  FROM lab l JOIN deg ON deg.node = l.node GROUP BY 1
+),
+intra AS (
+  SELECT ls.label AS community, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM pairs p
+  JOIN lab ls ON ls.node = p.src
+  JOIN lab ld ON ld.node = p.dst
+  WHERE ls.label = ld.label GROUP BY 1
+)
+SELECT c.community, c.n_members,
+       coalesce(i.intra_edges, 0) AS intra_edges, c.deg_sum,
+       CAST(4 * mm.m * coalesce(i.intra_edges, 0)
+            - c.deg_sum * c.deg_sum AS BIGINT) AS q_num
+FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN mm
+ORDER BY q_num DESC, community ASC
+LIMIT 20
+"""
+
+
+@register("graph_lpa_modularity", oracle=_lpa_modularity_oracle())
+def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How GOOD are the LPA communities?  Newman modularity per
+    community, fully integer: the contribution of community c is
+    m_c/m - (D_c/2m)^2, and scaling by 4m^2 gives
+    q_num = 4*m*m_c - D_c^2 — exact BIGINTs end to end (global
+    Q = sum(q_num) / 4m^2; int64-safe through ~1.5e9 edges, far past
+    the 10x bench column's 12M).  Top-20 communities by contribution
+    with membership, intra-edge count and degree mass alongside — the
+    quality gate a production community-detection pipeline runs before
+    trusting its labels (public: Newman & Girvan 2004).  Reuses the
+    registered deterministic LPA labeling verbatim; the label table is
+    materialized ONCE (three consumers: degree join + both endpoint
+    joins — the HITS materialize-once lesson), m comes from one bounded
+    count (a literal in the plan, so no 1-row broadcast join), and
+    every shuffle is keyed on node/community ids."""
+    from javascript_vector_database_spark.operators.graph import (
+        label_propagation,
+    )
+
+    pairs = _copurchase_edges(spark, sf_dir)
+    m = pairs.count()
+    sym = symmetric_copurchase_edges(spark, sf_dir)
+    labels = label_propagation(sym).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("d").cast("long").alias("deg_sum"),
+        )
+    )
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    intra = (
+        pairs.join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    return (
+        comm.join(intra, "community", "left")
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            "deg_sum",
+            (
+                F.lit(4 * m).cast("long") * F.coalesce("intra_edges", F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).cast("long").alias("q_num"),
+        )
+        .orderBy(F.col("q_num").desc(), F.col("community").asc())
+        .limit(20)
+    )

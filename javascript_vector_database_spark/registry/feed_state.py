@@ -2791,3 +2791,99 @@ def stream_late_drop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation of the hourly volume series (seasonality detector)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 24
+
+_ACF_ORACLE = f"""
+WITH cnt AS MATERIALIZED (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(t) AS mn, max(t) AS mx FROM cnt),
+s AS MATERIALIZED (
+  SELECT g.t, coalesce(cnt.y, 0) AS y
+  FROM (SELECT unnest(generate_series(mn, mx)) AS t FROM b) g
+  LEFT JOIN cnt USING (t)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS ty
+        FROM s),
+d AS MATERIALIZED (SELECT t, n * y - ty AS dd FROM s CROSS JOIN tot),
+den AS (SELECT CAST(sum(dd * dd) AS BIGINT) AS dn FROM d)
+SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(a.dd * f.dd) AS DOUBLE) / CAST(den.dn AS DOUBLE), 6)
+         AS acf
+FROM (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag) l
+JOIN d a ON true
+JOIN d f ON f.t = a.t + l.lag
+CROSS JOIN den
+GROUP BY l.lag, den.dn
+ORDER BY l.lag ASC
+"""
+
+
+@register("events_hourly_acf", oracle=_ACF_ORACLE)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{L} autocorrelation of the GAP-FILLED hourly event-volume
+    series — the seasonality detector behind "does traffic have a daily
+    cycle" (peak at lag 24) and the residual-whiteness check after any
+    trend fit.  Exact-integer core: drifts d_t = n*y_t - T (mean-zero
+    without division, the CUSUM/burst discipline), numerator/denominator
+    folded as BIGINTs, and only the FINAL ratio leaves integer space via
+    the repo's proven round(x, 6) double division (the n^2 scale factors
+    cancel, so r_k = N_k/D exactly).  Missing hours are true zeros on a
+    dense epoch-hour spine (built from the AGGREGATE's min/max — raw
+    events are scanned exactly once).  Lags materialize as a 24-way
+    shifted EQUI-join on the hour index (t+k = t2) over the bounded
+    calendar-grain series, never a window and never the event grain; the
+    scalars (n, T, D) are bounded 1-row collects inlined as literals, so
+    the Spark plan carries no 1-row broadcast join."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3600000000))
+        .cast("long")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    b = cnt.agg(F.min("t").alias("mn"), F.max("t").alias("mx")).first()
+    mn, mx = int(b["mn"]), int(b["mx"])
+    spine = spark.range(mn, mx + 1).select(F.col("id").alias("t"))
+    s = spine.join(cnt, "t", "left").select(
+        "t", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    n = mx - mn + 1
+    tot = s.agg(F.sum("y").cast("long").alias("ty")).first()
+    ty = int(tot["ty"])
+    d = s.select(
+        "t", (F.lit(n).cast("long") * F.col("y") - F.lit(ty)).alias("dd")
+    ).localCheckpoint(eager=True)  # 3 consumers: denominator + both join sides
+    dn = int(d.agg(F.sum(F.col("dd") * F.col("dd")).cast("long")).first()[0])
+    lags = d.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))
+        ).alias("lag"),
+        F.col("t"),
+        F.col("dd"),
+    ).withColumn("t2", F.col("t") + F.col("lag"))
+    f2 = d.select(F.col("t").alias("t2"), F.col("dd").alias("dd2"))
+    return (
+        lags.join(f2, "t2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("dd") * F.col("dd2")).cast("long").cast("double")
+                / F.lit(float(dn)),
+                6,
+            ).alias("acf"),
+        )
+        .select("lag", "n_pairs", "acf")
+        .orderBy(F.col("lag").asc())
+    )
+
+
+events_hourly_acf.__doc__ = events_hourly_acf.__doc__.format(L=ACF_MAX_LAG)

@@ -3,7 +3,7 @@ index encoding, docReads efficiency metric."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from javascript_vector_database_spark import oracle as osql
@@ -415,3 +415,90 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(n), 6).alias("min_norm"),
         F.round(F.max(n), 6).alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid search: reciprocal-rank fusion of the lexical and vector lists
+# ---------------------------------------------------------------------------
+
+#: the standard RRF dampening constant (Cormack, Clarke & Buettcher,
+#: SIGIR 2009 — public); fused contribution = SCALE div (K + rank)
+RRF_K = 60
+RRF_SCALE = 1_000_000
+RRF_TOP = 10
+
+
+def _rrf_oracle() -> str:
+    from javascript_vector_database_spark.registry.text_queries import (
+        _bm25_oracle,
+    )
+
+    lex = _bm25_oracle().strip()
+    vec = _knn_exact_oracle().strip()
+    return f"""
+WITH lex AS MATERIALIZED (SELECT * FROM ({lex})),
+vec AS MATERIALIZED (SELECT * FROM ({vec})),
+rl AS (SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+       FROM lex),
+rv AS (SELECT vec_id AS doc_id,
+              row_number() OVER (ORDER BY distance ASC, vec_id ASC) AS r
+       FROM vec),
+u AS (
+  SELECT doc_id, CAST({RRF_SCALE} // ({RRF_K} + r) AS BIGINT) AS s FROM rl
+  UNION ALL
+  SELECT doc_id, CAST({RRF_SCALE} // ({RRF_K} + r) AS BIGINT) AS s FROM rv
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS rrf_micro,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT {RRF_TOP}
+"""
+
+
+@register("hybrid_rrf_search", oracle=_rrf_oracle())
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID search — the query every production vector store serves
+    beside pure ANN: fuse the lexical BM25 top-{bt} and the vector
+    exact top-10 (documents and embeddings share the id space) by
+    reciprocal-rank fusion, score = sum over lists of
+    SCALE div ({k} + rank).  RRF uses RANKS only, so the fused score is
+    exact-integer (engine-identical floor division) even though the
+    underlying scores are floats; ranks are deterministic via the same
+    (score, id) tiebreaks both list rows already hash-match under.
+    n_lists rides along (2 = consensus hit, 1 = single-list).  The two
+    candidate lists are the ALREADY-REGISTERED rows reused verbatim —
+    at 100 TB each is its own bounded top-k job and the fusion is
+    driver-trivial (k+k rows); the row_number windows here run over
+    those bounded lists, never the corpus."""
+    from javascript_vector_database_spark.registry.text_queries import (
+        text_bm25_search,
+    )
+
+    lex = text_bm25_search(spark, sf_dir)
+    vec = knn_exact(spark, sf_dir)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    wv = Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    rl = lex.select("doc_id", F.row_number().over(wl).alias("r"))
+    rv = vec.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wv).alias("r")
+    )
+    u = rl.unionByName(rv).select(
+        "doc_id",
+        F.expr(f"{RRF_SCALE} DIV ({RRF_K} + r)").cast("long").alias("s"),
+    )
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            F.sum("s").cast("long").alias("rrf_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP)
+    )
+
+
+hybrid_rrf_search.__doc__ = hybrid_rrf_search.__doc__.format(
+    bt=15, k=RRF_K
+)

@@ -81,6 +81,9 @@ UNPART_WINDOW_ALLOWED = {
     "profile_split_drift": "histogram buckets",
     # OVER () scalar across the bounded event-type pair grid
     "events_corr_pairs": "type-pair grid",
+    # row_number over the two fused candidate lists — each is an
+    # already-limited top-k (15 lexical + 10 vector rows)
+    "hybrid_rrf_search": "top-15/top-10 limit inputs",
 }
 
 
