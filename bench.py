@@ -160,6 +160,12 @@ _SCALE_HEADLINE = [
     # modularity adds two label equi-joins over the full 10x edge list
     "graph_ktruss_capped",
     "graph_lpa_modularity",
+    # the sweep-line's boundary list doubles with the session count;
+    # the range-partitioned prefix scan is what must stay flat
+    "events_peak_concurrency",
+    # band join over DISTINCT hashes on the 10x mass-duplicated corpus:
+    # the star collapse is what keeps the hot buckets bounded
+    "multimodal_phash_neardup",
 ]
 
 
@@ -878,6 +884,8 @@ def main() -> None:
         "hybrid_rrf_search",
         "graph_lpa_modularity",
         "events_hourly_acf",
+        "events_peak_concurrency",
+        "multimodal_phash_neardup",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -306,3 +306,61 @@ def audio_windows(
     return media.select("media_id", "payload").mapInPandas(
         extract, schema=AUDIO_WINDOW_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (aHash over the byte stream) — binary near-dup
+# ---------------------------------------------------------------------------
+
+PHASH_CELLS = 64
+#: pigeonhole blocking: 4 x 16-bit bands guarantee any pair with
+#: hamming <= 3 shares at least one full band
+PHASH_BANDS = 4
+PHASH_HAM_K = 3
+
+PHASH_SCHEMA = "media_id long, w0 long, w1 long"
+
+
+def phash_words(media: DataFrame) -> DataFrame:
+    """Average-hash fingerprint of an opaque binary payload: byte p
+    feeds cell ``p mod 64``, bit c is set iff ``cell_sum * 64 >
+    total_sum`` (above-mean test as a pure integer comparison — no
+    division, no float), packed 32 bits per BIGINT word (positive-word
+    discipline).  This is aHash's shape with strided byte cells
+    standing in for the 8x8 grayscale grid — on real images the decode
+    + downsample feeds the same 64-cell threshold, so the downstream
+    banding/hamming plumbing is production-identical.  Arrow-batched
+    mapInPandas, vectorized per batch (np.add.at segment scatter), zero
+    shuffle — a write-time fingerprint column."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = [bytes(p) for p in pdf["payload"]]
+            n = len(bufs)
+            w0 = np.zeros(n, dtype=np.int64)
+            w1 = np.zeros(n, dtype=np.int64)
+            lens = np.fromiter((len(b) for b in bufs), np.int64, count=n)
+            cat = np.frombuffer(b"".join(bufs), np.uint8).astype(np.int64)
+            if cat.size:
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                row_of = np.repeat(np.arange(n), lens)
+                cell = (np.arange(cat.size) - starts[row_of]) % PHASH_CELLS
+                acc = np.zeros((n, PHASH_CELLS), dtype=np.int64)
+                np.add.at(acc, (row_of, cell), cat)
+                tot = acc.sum(axis=1)
+                bits = (acc * PHASH_CELLS) > tot[:, None]
+                pows = np.int64(1) << np.arange(32, dtype=np.int64)
+                w0 = (bits[:, :32] * pows).sum(axis=1)
+                w1 = (bits[:, 32:] * pows).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "w0": w0,
+                    "w1": w1,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=PHASH_SCHEMA
+    )

@@ -104,20 +104,32 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 9.  Composition (exact):
-    #    6 r9-NEW rows: stream_ann_index_live (checkpointed pipeline
-    #      MERGE-maintains the precomputed BQ word index under a change
-    #      feed with stop/restart + re-delivered files — the 11th
-    #      streaming==batch row), ann_ivf_lloyd_search (deterministic
-    #      integer-mean Lloyd training reproduced round-for-round in
-    #      the DuckDB oracle; recall@10 0.80-0.82 at nprobe=6),
-    #      graph_ktruss_capped (bounded top-20k-weight edge cut before
-    #      the peel — the scale-safe routing strong_ties' cost note
-    #      promised), hybrid_rrf_search (reciprocal-rank fusion of the
-    #      registered BM25 + exact-kNN lists, integer rank math),
-    #      graph_lpa_modularity (integer-exact Newman Q over the
-    #      registered LPA labeling), events_hourly_acf (lag-1..24
-    #      autocorrelation of the gap-filled hourly series, integer
-    #      drifts + the proven round6 division);
+    #   10 r9-NEW rows:
+    #      stream_ann_index_live — checkpointed pipeline MERGE-maintains
+    #        the precomputed BQ word index under a change feed with
+    #        stop/restart + re-delivered files (11th streaming==batch);
+    #      stream_ann_index_delete_live — DELETE propagation through
+    #        the same maintained index: tombstoned keys soft-delete via
+    #        bulk_remove, probe reads the _deleted=false view, oracle
+    #        excludes the deleted vectors (13th streaming==batch);
+    #      stream_bm25_index_live — the lexical twin: tokenize-on-
+    #        ingest tf/dl table, BM25 served off the maintained table,
+    #        batch oracle unchanged (12th streaming==batch);
+    #      ann_ivf_lloyd_search — deterministic integer-mean Lloyd
+    #        training reproduced round-for-round in the oracle
+    #        (recall@10 0.80-0.82 at nprobe=6);
+    #      graph_ktruss_capped — bounded top-20k-weight edge cut before
+    #        the peel (the scale-safe routing strong_ties promised);
+    #      hybrid_rrf_search — reciprocal-rank fusion of the registered
+    #        BM25 + exact-kNN lists, integer rank math;
+    #      graph_lpa_modularity — integer-exact Newman Q over the
+    #        registered LPA labeling;
+    #      events_hourly_acf — lag-1..24 autocorrelation, integer
+    #        drifts + proven round6 division;
+    #      events_peak_concurrency — session sweep-line as the
+    #        distributed global prefix sum;
+    #      multimodal_phash_neardup — binary aHash fingerprints, star
+    #        collapse + 4x16 pigeonhole bands + XOR/popcount verify;
     #    4 r9-CHANGED-result rows (ADVICE r8 empty-prefix fix: the
     #      Kadane/CUSUM prefix-min now includes P_0 = 0 in row, oracle,
     #      and streaming fold): events_spend_burst,
@@ -126,18 +138,20 @@ _PRIORITY = [
     #    1 r9-CHANGED-oracle-text row: graph_ktruss_strong_ties
     #      (MATERIALIZED CTE hints only — values identical, re-stamped
     #      out of caution);
-    #   39 oldest-stamp refreshers: ALL 24 remaining r3 stamps (the
-    #      list r8 deferred) + the 15 alphabetically-first r4 stamps.
+    #   35 oldest-stamp refreshers: ALL 24 remaining r3 stamps (the
+    #      list r8 deferred) + the 11 alphabetically-first r4 stamps.
     # Rotation-exempt by policy (outputs unchanged, locally
     # sweep-verified every pytest run): docstring-only and
     # checkpoint-only edits; hits() degenerate-input guards (raise/
     # empty-DF paths never reached by the registered row).
-    # -- r9 new/changed (11)
-    "stream_ann_index_live", "ann_ivf_lloyd_search", "graph_ktruss_capped",
-    "hybrid_rrf_search", "graph_lpa_modularity", "events_hourly_acf",
+    # -- r9 new/changed (15)
+    "stream_ann_index_live", "stream_ann_index_delete_live",
+    "ann_ivf_lloyd_search", "graph_ktruss_capped", "hybrid_rrf_search",
+    "graph_lpa_modularity", "events_hourly_acf", "stream_bm25_index_live",
+    "events_peak_concurrency", "multimodal_phash_neardup",
     "events_spend_burst", "stream_spend_burst_live", "events_cusum_alarms",
     "stream_cusum_live", "graph_ktruss_strong_ties",
-    # -- oldest-stamp refreshers (39): 24 x r3, then 15 x r4
+    # -- oldest-stamp refreshers (35): 24 x r3, then 11 x r4
     "ann_ivf_search_partitioned", "dedup_cosine_pairs", "join_salted_skew",
     "knn_ann_range", "knn_ann_range_compat", "knn_ann_similarity",
     "knn_batch_exact", "knn_cosine", "knn_exact", "multimodal_byte_stats",
@@ -150,12 +164,12 @@ _PRIORITY = [
     "changefeed_page", "curation_chunk_dedup", "curation_contamination",
     "curation_mixture_sample", "curation_normalize_dedup",
     "curation_pack_sequences", "curation_pii_scrub", "curation_pipeline",
-    "curation_repetition_stats", "curation_split_stratified",
-    "dedup_duplicate_clusters", "dedup_duplicate_clusters_star",
     # ---- window boundary (50) ----
     # everything below carries a green r4-r8 stamp and is
     # unchanged; the local sf0.001 sweep re-verifies all of it
     # on every pytest run (ordered oldest stamp first)
+    "curation_repetition_stats", "curation_split_stratified",
+    "dedup_duplicate_clusters", "dedup_duplicate_clusters_star",
     "dedup_exact_groups", "dedup_lsh_pairs", "dedup_minhash_signatures",
     "dedup_ngram_jaccard", "dedup_simhash", "events_asof_join",
     "events_range_join", "events_rollup_multires",

@@ -1300,3 +1300,112 @@ def ann_ivf_lloyd_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_ivf_lloyd_search.__doc__ = ann_ivf_lloyd_search.__doc__.format(
     np=ann_scale.LLOYD_NPROBE
 )
+
+
+_DELETE_MOD = 17
+_DELETE_RES = 3
+
+#: tombstones target FIRST-HALF ids only (parity 0): those are
+#: guaranteed already indexed across run 1's checkpoint boundary, so
+#: the final state is independent of how the file source batches run
+#: 2's insert and delete files — a tombstone for a not-yet-delivered
+#: row would otherwise be order-sensitive (real engines resolve that
+#: with per-key change sequence numbers; this row pins the
+#: deterministic half of the contract)
+_BQ_DELETED_ORACLE = _bq_search_oracle(
+    ORACLE_DIM,
+    table=(
+        f"(SELECT * FROM embeddings WHERE NOT (vec_id % 2 = 0"
+        f" AND vec_id % {_DELETE_MOD} = {_DELETE_RES})) "
+    ),
+)
+
+
+@register("stream_ann_index_delete_live", oracle=_BQ_DELETED_ORACLE)
+def stream_ann_index_delete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE propagation through the live-maintained ANN index — the
+    hard half of index maintenance (the reference's change feed carries
+    deletions, rx-collection.js:243-289, and a derived index that only
+    absorbs upserts serves ghosts).  Same checkpointed pipeline as
+    stream_ann_index_live, but the feed's second wave carries a DELETE
+    batch (first-half ids with vec_id % {m} == {r} — already indexed
+    across the checkpoint boundary, so the outcome is independent of
+    run 2's file batching; see the oracle's note): the handler routes
+    tombstoned
+    keys to the managed table's soft-delete MERGE (bulk_remove — the
+    row STAYS for the change feed, flagged _deleted) and live rows to
+    the upsert MERGE.  The probe then reads dest.docs() — the implicit
+    `_deleted = false` view every reference query applies — and must
+    hash-match the batch oracle over the corpus WITH the deleted
+    vectors excluded.  At 100 TB tombstones touch only their key-hashed
+    buckets and compact on the next partition rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    dim = len(qv)
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="stream_annidx_del_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    dest = ParquetTable(spark, os.path.join(tmp, "index"), "vec_id")
+    feed = emb.select(
+        "vec_id", "embedding", F.lit(False).alias("_tombstone")
+    )
+    feed_rest = _stream_feed(spark, feed, src, "vec_id")
+    schema = "vec_id long, embedding array<float>, _tombstone boolean"
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.cache()  # two filtered consumers, one tiny batch
+        try:
+            live = batch.where(~F.col("_tombstone"))
+            dead = batch.where(F.col("_tombstone")).select("vec_id")
+            if not live.isEmpty():
+                dest.bulk_upsert(quant.bq_table(live, dim), lwt=float(batch_id))
+            if not dead.isEmpty():
+                dest.bulk_remove(dead, lwt=float(batch_id) + 0.5)
+        finally:
+            batch.unpersist()
+
+    try:
+        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q.awaitTermination()
+        feed_rest()
+        # the delete wave: tombstones for already-indexed (first-half)
+        # ids with vec_id % MOD == RES — see _BQ_DELETED_ORACLE's note
+        emb.where(
+            (F.col("vec_id") % 2 == 0)
+            & (F.col("vec_id") % _DELETE_MOD == _DELETE_RES)
+        ).select(
+            "vec_id",
+            "embedding",
+            F.lit(True).alias("_tombstone"),
+        ).write.mode("append").parquet(src)
+        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2.awaitTermination()
+        stored = dest.docs().select("vec_id", "bq_words")
+        alive = emb.where(
+            ~(
+                (F.col("vec_id") % 2 == 0)
+                & (F.col("vec_id") % _DELETE_MOD == _DELETE_RES)
+            )
+        )
+        out = quant.bq_search_precomputed(stored, alive, qv)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+stream_ann_index_delete_live.__doc__ = (
+    stream_ann_index_delete_live.__doc__.format(m=_DELETE_MOD, r=_DELETE_RES)
+)

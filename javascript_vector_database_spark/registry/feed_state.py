@@ -2887,3 +2887,111 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 events_hourly_acf.__doc__ = events_hourly_acf.__doc__.format(L=ACF_MAX_LAG)
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency: the interval sweep-line as a distributed prefix sum
+# ---------------------------------------------------------------------------
+
+_PEAK_CONCURRENCY_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {_SESSION_GAP} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM marked
+),
+s AS MATERIALIZED (
+  SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+  FROM sess GROUP BY 1, 2
+),
+b AS (
+  SELECT st AS ts, CAST(1 AS BIGINT) AS delta, CAST(-1 AS BIGINT) AS md,
+         user_id, session_id
+  FROM s
+  UNION ALL
+  SELECT en AS ts, CAST(-1 AS BIGINT) AS delta, CAST(1 AS BIGINT) AS md,
+         user_id, session_id
+  FROM s
+),
+c AS (
+  SELECT ts,
+         CAST(sum(delta) OVER (ORDER BY ts ASC, md ASC, user_id ASC,
+                               session_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM b
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM s)
+SELECT c.cum AS peak_concurrent, c.ts AS at_ts, n.n_sessions
+FROM c CROSS JOIN n
+ORDER BY c.cum DESC, c.ts ASC
+LIMIT 1
+"""
+
+
+@register("events_peak_concurrency", oracle=_PEAK_CONCURRENCY_ORACLE)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic interval sweep-line, distributed: how many user
+    sessions were EVER active at once (capacity planning's first
+    question).  Sessions come from the registered 30-min-gap
+    sessionization; each contributes a +1 boundary at its start and a
+    -1 at its end, and the sweep is a GLOBAL ordered prefix sum over
+    all boundaries — exactly what operators/prefix.global_prefix_sum
+    distributes as P range-partitioned local scans plus broadcast
+    offsets (no data-grain unpartitioned window; the offset window runs
+    over <= P partition totals).  Boundary order is total and
+    engine-identical: (ts, -delta, user, session) — starts sort before
+    ends at the same instant, so a single-event session still counts as
+    momentarily active.  The argmax row (first instant the maximum is
+    reached) is one TakeOrdered; n_sessions is a bounded 1-row count
+    inlined as a literal.  Integer end to end."""
+    from javascript_vector_database_spark.operators.asof import sessionize
+    from javascript_vector_database_spark.operators.prefix import (
+        global_prefix_sum,
+    )
+
+    s = sessionize(load_table(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )  # 3 consumers: both boundary sides + the bounded count
+    n_sessions = s.count()
+    b = s.select(
+        F.col("session_start").alias("ts"),
+        F.lit(1).cast("long").alias("delta"),
+        F.lit(-1).cast("long").alias("md"),
+        "user_id",
+        "session_id",
+    ).unionByName(
+        s.select(
+            F.col("session_end").alias("ts"),
+            F.lit(-1).cast("long").alias("delta"),
+            F.lit(1).cast("long").alias("md"),
+            "user_id",
+            "session_id",
+        )
+    )
+    c = global_prefix_sum(
+        b,
+        [F.col("ts").asc(), F.col("md").asc(), F.col("user_id").asc(),
+         F.col("session_id").asc()],
+        "delta",
+        out="cum",
+    )
+    return (
+        c.select(
+            F.col("cum").alias("peak_concurrent"),
+            F.col("ts").alias("at_ts"),
+            F.lit(n_sessions).cast("long").alias("n_sessions"),
+        )
+        .orderBy(F.col("peak_concurrent").desc(), F.col("at_ts").asc())
+        .limit(1)
+    )

@@ -185,3 +185,155 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), kind="audio"
     )
     return multimodal.audio_windows(media)
+
+
+# ---------------------------------------------------------------------------
+# binary near-dup: perceptual-hash banding + hamming verify
+# ---------------------------------------------------------------------------
+
+_PHASH_CELL = (
+    "list_transform(range(0, 64), c -> "
+    "list_sum(list_filter(cs, (x, i) -> (i - 1) % 64 = c)))"
+)
+
+_PHASH_ORACLE = f"""
+WITH codes AS (SELECT doc_id AS media_id, {_CODES} AS cs FROM documents),
+cells AS (
+  SELECT media_id, {_PHASH_CELL} AS cl,
+         coalesce(list_sum(cs), 0) AS tot
+  FROM codes
+),
+words AS MATERIALIZED (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, 32), c ->
+           CASE WHEN coalesce(cl[c + 1], 0) * 64 > tot
+                THEN 1::BIGINT << c ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+         CAST(list_sum(list_transform(range(0, 32), c ->
+           CASE WHEN coalesce(cl[c + 33], 0) * 64 > tot
+                THEN 1::BIGINT << c ELSE 0::BIGINT END)) AS BIGINT) AS w1
+  FROM cells
+),
+grp AS MATERIALIZED (
+  SELECT w0, w1, CAST(min(media_id) AS BIGINT) AS rep,
+         CAST(count(*) AS BIGINT) AS grp_size
+  FROM words GROUP BY 1, 2
+),
+bands AS MATERIALIZED (
+  SELECT rep, w0, w1, grp_size, j,
+         CASE j WHEN 0 THEN w0 & 65535 WHEN 1 THEN (w0 >> 16) & 65535
+                WHEN 2 THEN w1 & 65535 ELSE (w1 >> 16) & 65535 END AS bv
+  FROM grp CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+),
+cand AS (
+  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+         a.w0 AS aw0, a.w1 AS aw1, b.w0 AS bw0, b.w1 AS bw1,
+         a.grp_size AS size_a, b.grp_size AS size_b
+  FROM bands a JOIN bands b
+    ON a.j = b.j AND a.bv = b.bv AND a.rep < b.rep
+)
+SELECT rep_a AS media_a, rep_b AS media_b,
+       CAST(bit_count(xor(aw0, bw0)) AS BIGINT)
+         + CAST(bit_count(xor(aw1, bw1)) AS BIGINT) AS hamming,
+       size_a, size_b
+FROM cand
+WHERE CAST(bit_count(xor(aw0, bw0)) AS BIGINT)
+      + CAST(bit_count(xor(aw1, bw1)) AS BIGINT)
+      BETWEEN 1 AND {multimodal.PHASH_HAM_K}
+ORDER BY hamming ASC, media_a ASC, media_b ASC
+LIMIT 20
+"""
+
+
+@register("multimodal_phash_neardup", oracle=_PHASH_ORACLE)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary NEAR-dup over opaque media payloads — the multimodal face
+    of the dedup stack: a 64-bit average-hash fingerprint per payload
+    (operators/multimodal.phash_words, the aHash shape with strided
+    byte cells standing in for the 8x8 grayscale grid), identical
+    fingerprints collapsed to one representative FIRST (the star-
+    collapse discipline — exact dup groups are the hot buckets, and
+    their pair volume belongs to exact dedup, not here), then 4x16-bit
+    pigeonhole banding guarantees every representative pair within
+    hamming <= {k} shares a band; survivors verify with two XOR+popcount
+    words.  Top-20 true near-misses (hamming 1..{k}) with both sides'
+    dup-group sizes.  At 100 TB: the fingerprint is a write-time
+    column, the collapse is one hash-keyed shuffle, band buckets are
+    over DISTINCT hashes (bounded), and the verify is
+    output-proportional."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = multimodal.phash_words(multimodal.with_media(docs))
+    grp = (
+        words.groupBy("w0", "w1")
+        .agg(
+            F.min("media_id").cast("long").alias("rep"),
+            F.count(F.lit(1)).cast("long").alias("grp_size"),
+        )
+        .localCheckpoint(eager=True)  # 4 band views + both join sides
+    )
+    bands = grp.select(
+        "rep", "w0", "w1", "grp_size",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(e).cast("long").alias("bv"),
+                    )
+                    for j, e in enumerate(
+                        [
+                            "w0 & 65535",
+                            "(w0 >> 16) & 65535",
+                            "w1 & 65535",
+                            "(w1 >> 16) & 65535",
+                        ]
+                    )
+                ]
+            )
+        ).alias("band"),
+    ).select("rep", "w0", "w1", "grp_size", "band.j", "band.bv")
+    a = bands.select(
+        F.col("j"), F.col("bv"), F.col("rep").alias("rep_a"),
+        F.col("w0").alias("aw0"), F.col("w1").alias("aw1"),
+        F.col("grp_size").alias("size_a"),
+    )
+    b = bands.select(
+        F.col("j"), F.col("bv"), F.col("rep").alias("rep_b"),
+        F.col("w0").alias("bw0"), F.col("w1").alias("bw1"),
+        F.col("grp_size").alias("size_b"),
+    )
+    cand = (
+        a.join(b, ["j", "bv"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select(
+            "rep_a", "rep_b", "aw0", "aw1", "bw0", "bw1", "size_a", "size_b"
+        )
+        .distinct()
+    )
+    ham = (
+        F.expr("bit_count(aw0 ^ bw0)").cast("long")
+        + F.expr("bit_count(aw1 ^ bw1)").cast("long")
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .where(
+            (F.col("hamming") >= 1)
+            & (F.col("hamming") <= multimodal.PHASH_HAM_K)
+        )
+        .select(
+            F.col("rep_a").alias("media_a"),
+            F.col("rep_b").alias("media_b"),
+            "hamming",
+            "size_a",
+            "size_b",
+        )
+        .orderBy(
+            F.col("hamming").asc(), F.col("media_a").asc(),
+            F.col("media_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+multimodal_phash_neardup.__doc__ = multimodal_phash_neardup.__doc__.format(
+    k=multimodal.PHASH_HAM_K
+)

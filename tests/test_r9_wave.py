@@ -117,3 +117,52 @@ def test_ktruss_peel_keeps_clique_drops_pendants(spark):
     got = {(r["src"], r["dst"]): r["support"] for r in rows}
     assert set(got) == set(clique)
     assert all(s == 2 for s in got.values())
+
+
+def test_phash_words_match_python_reference(spark):
+    from javascript_vector_database_spark.operators import multimodal
+
+    payloads = {
+        1: b"hello world, this is a payload long enough to cross cells " * 3,
+        2: b"",                      # empty: all bits 0
+        3: b"abc",                   # shorter than one cell stride
+        4: b"\x00" * 200,            # all-zero bytes: 0*64 > 0 false
+    }
+
+    def ref(buf: bytes) -> tuple[int, int]:
+        cells = [0] * 64
+        for p, byte in enumerate(buf):
+            cells[p % 64] += byte
+        tot = sum(cells)
+        w0 = sum(1 << c for c in range(32) if cells[c] * 64 > tot)
+        w1 = sum(1 << c for c in range(32) if cells[c + 32] * 64 > tot)
+        return w0, w1
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in payloads.items()],
+        schema="media_id long, payload binary",
+    )
+    got = {r["media_id"]: (r["w0"], r["w1"])
+           for r in multimodal.phash_words(df).collect()}
+    for i, b in payloads.items():
+        assert got[i] == ref(b), i
+    assert got[2] == (0, 0) and got[4] == (0, 0)
+
+
+def test_phash_near_dup_sensitivity(spark):
+    # one flipped byte must move only a few cells -> small hamming
+    from javascript_vector_database_spark.operators import multimodal
+
+    base = bytes(range(32, 127)) * 4
+    tweaked = bytearray(base)
+    tweaked[10] = 126  # single-byte edit
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, tweaked)],
+        schema="media_id long, payload binary",
+    )
+    got = {r["media_id"]: (r["w0"], r["w1"])
+           for r in multimodal.phash_words(df).collect()}
+    ham = bin(got[1][0] ^ got[2][0]).count("1") + bin(
+        got[1][1] ^ got[2][1]
+    ).count("1")
+    assert ham <= multimodal.PHASH_HAM_K
