@@ -879,7 +879,9 @@ def main() -> None:
         # round-9 additions: oracle-checked Lloyd IVF training, the
         # scale-safe capped k-truss routing, hybrid RRF search, LPA
         # modularity, hourly autocorrelation
-        "ann_ivf_lloyd_search",
+        # ann_ivf_lloyd_search deliberately NOT here: the registered row
+        # carries its own ~5s training so the oracle can check the
+        # trainer; its serving path is the ivf_lloyd_* extras
         "graph_ktruss_capped",
         "hybrid_rrf_search",
         "graph_lpa_modularity",

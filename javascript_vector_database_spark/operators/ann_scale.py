@@ -500,8 +500,14 @@ LLOYD_SCALE = 1_000_000
 #: probe width the Lloyd-trained registered row serves: this synthetic
 #: corpus is overlap-heavy (even TRUE generator-cluster centroids cap
 #: at recall@10 0.70 by nprobe=4 — neighbor lists are noise-dominated,
-#: not cluster-pure), so >=0.8 recall needs 6 of 16 cells
-LLOYD_NPROBE = 6
+#: not cluster-pure), so >=0.8 recall on the bench's 10-query set
+#: costs 8 of 16 cells (docs-read ~0.50; measured 0.82/0.82 at
+#: sf0.01/sf0.1 — vs 0.73 at nprobe=6).  The honest reading: coarse
+#: quantization pays half-corpus reads for 0.8 recall HERE because the
+#: corpus is near-unclusterable; the recall-per-read win shows on the
+#: clustered 384 fixture family.  This row's value is the
+#: oracle-checked trainer, not the recall curve.
+LLOYD_NPROBE = 8
 
 
 def ivf_lloyd_centroids(
@@ -522,8 +528,9 @@ def ivf_lloyd_centroids(
     depends on partitioning), this trainer is engine-reproducible:
     registry/ann_scale_queries._lloyd_cents_cte unrolls the identical
     rounds in DuckDB SQL and the driver hash-matches the probe results.
-    Recall on the 64-dim corpus (5-query avg, nprobe=6): 0.80-0.82 vs
-    0.58-0.66 for the round-0 sample — measured at sf0.1/sf0.01."""
+    Recall on the 64-dim corpus (the bench's 10-query set, nprobe=8):
+    0.82 at both sf0.01 and sf0.1 vs 0.50 for the untrained sample row
+    at its standard config — see LLOYD_NPROBE's honest docs-read note."""
     cents = collect_centroids(emb, id_col, vec_col, k)
     dim = len(cents[0][1])
     vec = F.col(vec_col)

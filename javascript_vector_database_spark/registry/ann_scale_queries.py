@@ -1281,14 +1281,20 @@ def ann_ivf_lloyd_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-sf 64-dim tables are independent draws (measured cross-sf
     label-mean cosine ~0), so a train-once fixture cannot generalize —
     instead the trainer is made engine-reproducible.  Measured
-    recall@10 (5-query avg): 0.82 at sf0.01 / 0.80 at sf0.1 vs
-    0.58/0.66 for the untrained sample at the same probe width; this
-    overlap-heavy synthetic corpus caps even TRUE generator-cluster
-    centroids at 0.70 by nprobe=4, so the registered probe width is 6
-    (docs-read 0.37 — documented cost of >=0.8 recall here).  At 100 TB
-    the per-round work is one scan-local argmin + one 16-group
-    aggregate (map-side partials), and training moves to write time
-    exactly like the batch k-means path."""
+    recall@10 (the bench's 10-query set): 0.82 at BOTH sf0.01 and
+    sf0.1 at the registered nprobe=8; this overlap-heavy synthetic
+    corpus caps even TRUE generator-cluster centroids at 0.70 by
+    nprobe=4, so >=0.8 recall genuinely costs half the corpus here
+    (docs-read ~0.50 — the honest geometry note lives on
+    LLOYD_NPROBE; the clustered 384 fixture family is where IVF's
+    recall-per-read wins).  Cost honesty: the REGISTERED row carries
+    its own training (~5s at sf0.1 — deliberately, so the oracle can
+    check the trainer), which is why it sits in the bench EXTRAS
+    (ivf_lloyd_sec_per_query = the serving path, ~0.14 s/q over the
+    precomputed assignment) rather than the headline.  At 100 TB the
+    per-round work is one scan-local argmin + one 16-group aggregate
+    (map-side partials), and training moves to write time exactly
+    like the batch k-means path."""
     qv = get_query_vec(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ann_scale.ivf_lloyd_centroids(emb)
