@@ -888,6 +888,7 @@ def main() -> None:
         "events_hourly_acf",
         "events_peak_concurrency",
         "multimodal_phash_neardup",
+        "multimodal_phash_clusters",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -196,8 +196,11 @@ _PHASH_CELL = (
     "list_sum(list_filter(cs, (x, i) -> (i - 1) % 64 = c)))"
 )
 
-_PHASH_ORACLE = f"""
-WITH codes AS (SELECT doc_id AS media_id, {_CODES} AS cs FROM documents),
+#: shared CTE chain: fingerprints -> identical-hash star collapse ->
+#: 4x16-bit pigeonhole bands -> verified near-miss pairs (hamming 1..k).
+#: Ends in ``ppairs`` so both the top-20 row and the clusters row build
+#: on the identical pair set.
+_PHASH_PAIRS_CTES = f"""codes AS (SELECT doc_id AS media_id, {_CODES} AS cs FROM documents),
 cells AS (
   SELECT media_id, {_PHASH_CELL} AS cl,
          coalesce(list_sum(cs), 0) AS tot
@@ -230,36 +233,32 @@ cand AS (
          a.grp_size AS size_a, b.grp_size AS size_b
   FROM bands a JOIN bands b
     ON a.j = b.j AND a.bv = b.bv AND a.rep < b.rep
-)
-SELECT rep_a AS media_a, rep_b AS media_b,
-       CAST(bit_count(xor(aw0, bw0)) AS BIGINT)
-         + CAST(bit_count(xor(aw1, bw1)) AS BIGINT) AS hamming,
-       size_a, size_b
-FROM cand
-WHERE CAST(bit_count(xor(aw0, bw0)) AS BIGINT)
-      + CAST(bit_count(xor(aw1, bw1)) AS BIGINT)
-      BETWEEN 1 AND {multimodal.PHASH_HAM_K}
+),
+ppairs AS MATERIALIZED (
+  SELECT rep_a AS media_a, rep_b AS media_b,
+         CAST(bit_count(xor(aw0, bw0)) AS BIGINT)
+           + CAST(bit_count(xor(aw1, bw1)) AS BIGINT) AS hamming,
+         size_a, size_b
+  FROM cand
+  WHERE CAST(bit_count(xor(aw0, bw0)) AS BIGINT)
+        + CAST(bit_count(xor(aw1, bw1)) AS BIGINT)
+        BETWEEN 1 AND {multimodal.PHASH_HAM_K}
+)"""
+
+_PHASH_ORACLE = f"""
+WITH {_PHASH_PAIRS_CTES}
+SELECT media_a, media_b, hamming, size_a, size_b
+FROM ppairs
 ORDER BY hamming ASC, media_a ASC, media_b ASC
 LIMIT 20
 """
 
 
-@register("multimodal_phash_neardup", oracle=_PHASH_ORACLE)
-def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary NEAR-dup over opaque media payloads — the multimodal face
-    of the dedup stack: a 64-bit average-hash fingerprint per payload
-    (operators/multimodal.phash_words, the aHash shape with strided
-    byte cells standing in for the 8x8 grayscale grid), identical
-    fingerprints collapsed to one representative FIRST (the star-
-    collapse discipline — exact dup groups are the hot buckets, and
-    their pair volume belongs to exact dedup, not here), then 4x16-bit
-    pigeonhole banding guarantees every representative pair within
-    hamming <= {k} shares a band; survivors verify with two XOR+popcount
-    words.  Top-20 true near-misses (hamming 1..{k}) with both sides'
-    dup-group sizes.  At 100 TB: the fingerprint is a write-time
-    column, the collapse is one hash-keyed shuffle, band buckets are
-    over DISTINCT hashes (bounded), and the verify is
-    output-proportional."""
+
+def _phash_rep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair pipeline: fingerprints -> star collapse -> bands ->
+    verified (media_a, media_b, hamming, size_a, size_b) near-miss
+    pairs, hamming 1..PHASH_HAM_K.  Mirrors _PHASH_PAIRS_CTES."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = multimodal.phash_words(multimodal.with_media(docs))
     grp = (
@@ -326,6 +325,27 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_a",
             "size_b",
         )
+    )
+
+
+@register("multimodal_phash_neardup", oracle=_PHASH_ORACLE)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary NEAR-dup over opaque media payloads — the multimodal face
+    of the dedup stack: a 64-bit average-hash fingerprint per payload
+    (operators/multimodal.phash_words, the aHash shape with strided
+    byte cells standing in for the 8x8 grayscale grid), identical
+    fingerprints collapsed to one representative FIRST (the star-
+    collapse discipline — exact dup groups are the hot buckets, and
+    their pair volume belongs to exact dedup, not here), then 4x16-bit
+    pigeonhole banding guarantees every representative pair within
+    hamming <= {k} shares a band; survivors verify with two XOR+popcount
+    words.  Top-20 true near-misses (hamming 1..{k}) with both sides'
+    dup-group sizes.  At 100 TB: the fingerprint is a write-time
+    column, the collapse is one hash-keyed shuffle, band buckets are
+    over DISTINCT hashes (bounded), and the verify is
+    output-proportional."""
+    return (
+        _phash_rep_pairs(spark, sf_dir)
         .orderBy(
             F.col("hamming").asc(), F.col("media_a").asc(),
             F.col("media_b").asc(),
@@ -337,3 +357,43 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_phash_neardup.__doc__ = multimodal_phash_neardup.__doc__.format(
     k=multimodal.PHASH_HAM_K
 )
+
+
+_PHASH_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_PHASH_PAIRS_CTES},
+edges AS (
+  SELECT media_a AS src, media_b AS dst FROM ppairs
+  UNION
+  SELECT media_b, media_a FROM ppairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS media_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("multimodal_phash_clusters", oracle=_PHASH_CLUSTERS_ORACLE)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary near-dup CLUSTERS: connected components over the phash
+    near-miss pairs (the same verified pair set as
+    multimodal_phash_neardup, unlimited), every representative labeled
+    with its component's min media_id — the keep-one-per-cluster
+    decision a multimodal curation pass executes.  Reuses the text
+    stack's min-label CC (operators/dedup.duplicate_clusters — one
+    shuffle per round, fixpoint early-exit) against DuckDB's
+    recursive-CTE transitive closure, so the multimodal face gets the
+    identical clustering guarantee as the LSH/Jaccard text families."""
+    from javascript_vector_database_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = _phash_rep_pairs(spark, sf_dir).select(
+        F.col("media_a").alias("id_a"), F.col("media_b").alias("id_b")
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("media_id"), "cluster_id"
+    )
