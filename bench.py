@@ -166,6 +166,8 @@ _SCALE_HEADLINE = [
     # band join over DISTINCT hashes on the 10x mass-duplicated corpus:
     # the star collapse is what keeps the hot buckets bounded
     "multimodal_phash_neardup",
+    # weighted Pregel rounds over the full 10x weighted edge list
+    "graph_pagerank_weighted",
 ]
 
 
@@ -889,6 +891,8 @@ def main() -> None:
         "events_peak_concurrency",
         "multimodal_phash_neardup",
         "multimodal_phash_clusters",
+        "graph_pagerank_weighted",
+        "hybrid_rrf_batch",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

@@ -927,3 +927,70 @@ def jaccard_neighbor_pairs(
             ).cast("long").alias("jaccard_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank (edge-strength-proportional contributions)
+# ---------------------------------------------------------------------------
+
+
+def pagerank_weighted(
+    edges: DataFrame, rounds: int = PAGERANK_ROUNDS
+) -> DataFrame:
+    """(node, rank) after ``rounds`` integer-exact WEIGHTED power
+    iterations: a node's contribution along an edge is
+    ``(rank * w) DIV strength`` where strength = sum of its out-edge
+    weights — the standard weighted-PageRank column-stochastic split
+    with the same BIGINT fixed-point discipline as :func:`pagerank`
+    (integer floor division replaces the float ratio, so the result is
+    shuffle-order-proof and oracle-exact).  ``edges`` must be the
+    SYMMETRIC edge list carrying a positive BIGINT ``w``; real graphs
+    are weighted (co-occurrence counts, interaction strengths), and the
+    unweighted row is the w == 1 special case.  Bounds: rank*w peaks at
+    RANK_SCALE * max_w — int64-safe while max_w < ~9e6 at the 10^12
+    scale; per-round shape is the identical join + map-side-combined
+    sum as the unweighted Pregel round."""
+    strength = edges.groupBy("src").agg(F.sum("w").cast("long").alias("s"))
+    ranks = strength.select(
+        F.col("src").alias("node"), F.lit(RANK_SCALE).cast("long").alias("rank")
+    )
+    withs = edges.join(strength, "src")
+    for _ in range(rounds):
+        contrib = withs.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("(rank * w) DIV s").alias("c"))
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit(BASE_MASS).cast("long")
+                + F.expr(f"({DAMP_NUM} * sum(c)) DIV {DAMP_DEN}")
+            ).alias("rank")
+        )
+    return ranks
+
+
+def sql_pagerank_weighted(
+    edges_cte: str, rounds: int = PAGERANK_ROUNDS
+) -> str:
+    """DuckDB oracle for :func:`pagerank_weighted`: identical unrolled
+    iteration; ``edges_cte`` must select symmetric (src, dst, w).
+    MATERIALIZED throughout (the multiply-referenced-CTE lesson)."""
+    sql = [f"WITH edges AS MATERIALIZED ({edges_cte}),"]
+    sql.append(
+        "deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS s"
+        " FROM edges GROUP BY src),"
+    )
+    sql.append(
+        f"r0 AS MATERIALIZED (SELECT src AS node,"
+        f" CAST({RANK_SCALE} AS BIGINT) AS rank FROM deg),"
+    )
+    for i in range(rounds):
+        sql.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"CAST({BASE_MASS} + ({DAMP_NUM} * sum((r.rank * e.w) // d.s))"
+            f" // {DAMP_DEN} AS BIGINT) AS rank "
+            f"FROM edges e JOIN r{i} r ON r.node = e.src "
+            "JOIN deg d ON d.src = e.src "
+            "GROUP BY e.dst),"
+        )
+    body = "\n".join(sql).rstrip(",")
+    return f"{body}\nSELECT node, rank AS pagerank FROM r{rounds}"

@@ -2218,3 +2218,76 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("q_num").desc(), F.col("community").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def _weighted_pagerank_oracle() -> str:
+    from javascript_vector_database_spark.operators.graph import (
+        sql_pagerank_weighted,
+    )
+
+    edges = """WITH p AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT src, dst, w FROM p
+UNION ALL SELECT dst AS src, src AS dst, w FROM p"""
+    inner = sql_pagerank_weighted(edges)
+    return (
+        f"SELECT * FROM ({inner})\n"
+        "ORDER BY pagerank DESC, node ASC LIMIT 50"
+    )
+
+
+@register("graph_pagerank_weighted", oracle=_weighted_pagerank_oracle())
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 parts by WEIGHTED PageRank: contributions proportional to
+    co-occurrence strength ((rank * w) DIV strength — the
+    column-stochastic weighted split, integer-exact end to end;
+    operators/graph.py:pagerank_weighted).  Real graphs are weighted,
+    and frequency-weighted centrality separates habitual pairings from
+    one-off basket noise — the unweighted `graph_pagerank_copurchase`
+    is the w == 1 special case of this row.  The weighted pair list is
+    built once (the same single self-join + groupBy every co-purchase
+    row pays), symmetrized without a dedup shuffle, and cached across
+    the 3 Pregel rounds."""
+    from javascript_vector_database_spark.operators.graph import (
+        pagerank_weighted,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    p = (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = (
+        p.unionByName(
+            p.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        # feeds the strength agg + all 3 rounds — pin once
+        .localCheckpoint(eager=True)
+    )
+    return (
+        pagerank_weighted(edges)
+        .select("node", F.col("rank").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), F.col("node").asc())
+        .limit(50)
+    )

@@ -502,3 +502,105 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 hybrid_rrf_search.__doc__ = hybrid_rrf_search.__doc__.format(
     bt=15, k=RRF_K
 )
+
+
+_HYBRID_BATCH_QIDS = (1, 2, 3)
+
+
+def _rrf_batch_oracle() -> str:
+    from javascript_vector_database_spark.registry.text_queries import (
+        _bm25_batch_oracle,
+    )
+
+    lex = _bm25_batch_oracle().strip()
+    vec = _KNN_BATCH_ORACLE.strip()
+    qids = ", ".join(str(q) for q in _HYBRID_BATCH_QIDS)
+    return f"""
+WITH lex AS MATERIALIZED (
+  SELECT * FROM ({lex}) WHERE query_id IN ({qids})),
+vec AS MATERIALIZED (
+  SELECT * FROM ({vec}) WHERE query_id IN ({qids})),
+rl AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY bm25 DESC, doc_id ASC) AS r
+       FROM lex),
+rv AS (SELECT query_id, vec_id AS doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY distance ASC, vec_id ASC) AS r
+       FROM vec),
+u AS (
+  SELECT query_id, doc_id,
+         CAST({RRF_SCALE} // ({RRF_K} + r) AS BIGINT) AS s FROM rl
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST({RRF_SCALE} // ({RRF_K} + r) AS BIGINT) AS s FROM rv
+),
+f AS (
+  SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS rrf_micro,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_micro, n_lists FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id ASC) AS rn
+  FROM f
+) WHERE rn <= {RRF_TOP}
+"""
+
+
+@register("hybrid_rrf_batch", oracle=_rrf_batch_oracle())
+def hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH hybrid search: reciprocal-rank fusion for several queries
+    at once, each query pairing its lexical arm (the registered batch
+    BM25, one corpus scan for ALL queries) with its vector arm (the
+    registered batch kNN, one corpus scan) — so the whole hybrid batch
+    costs TWO corpus scans regardless of query count, the amortization
+    shape both batch rows already certify.  Per query: rank each arm
+    (windows PARTITIONED by query_id — never global), fuse with the
+    same integer SCALE div (K + rank) scoring as `hybrid_rrf_search`,
+    keep the top-{k} per query.  Queries {q} carry both a term set
+    (BM25_BATCH) and a query vector (the same ids in the embeddings
+    table)."""
+    from javascript_vector_database_spark.registry.text_queries import (
+        text_bm25_batch_search,
+    )
+
+    qids = list(_HYBRID_BATCH_QIDS)
+    lex = text_bm25_batch_search(spark, sf_dir).where(
+        F.col("query_id").isin(qids)
+    )
+    vec = knn_batch_exact(spark, sf_dir).where(F.col("query_id").isin(qids))
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    rl = lex.select("query_id", "doc_id", F.row_number().over(wl).alias("r"))
+    rv = vec.select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).alias("r"),
+    )
+    u = rl.unionByName(rv).select(
+        "query_id",
+        "doc_id",
+        F.expr(f"{RRF_SCALE} DIV ({RRF_K} + r)").cast("long").alias("s"),
+    )
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("s").cast("long").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(wf))
+        .where(F.col("__rn") <= RRF_TOP)
+        .select("query_id", "doc_id", "rrf_micro", "n_lists")
+    )
+
+
+hybrid_rrf_batch.__doc__ = hybrid_rrf_batch.__doc__.format(
+    k=RRF_TOP, q=_HYBRID_BATCH_QIDS
+)

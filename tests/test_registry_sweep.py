@@ -29,6 +29,8 @@ ALL_NAMES = sorted(registry.queries())
 #: CartesianProduct — is a 100 TB regression and fails the sweep.
 BNLJ_ALLOWED = {
     "knn_batch_exact",  # 5-row query table broadcast against the corpus
+    # inherits knn_batch_exact's 5-row broadcast as its vector arm
+    "hybrid_rrf_batch",
     # decorrelated scalar subqueries: a ONE-row global aggregate
     # (total / max / (count, sum) pair) broadcast-crossJoined against
     # the grouped relation — the side is 1 row by construction
