@@ -2870,18 +2870,22 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dd"),
     ).withColumn("t2", F.col("t") + F.col("lag"))
     f2 = d.select(F.col("t").alias("t2"), F.col("dd").alias("dd2"))
+    # a CONSTANT series has zero variance: DuckDB's x/0.0 is NULL while
+    # Spark's is Infinity — pin the NULL contract on both sides (acf
+    # undefined when the denominator is 0)
+    acf = (
+        F.lit(None).cast("double")
+        if dn == 0
+        else F.round(F.col("__num").cast("double") / F.lit(float(dn)), 6)
+    )
     return (
         lags.join(f2, "t2")
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.round(
-                F.sum(F.col("dd") * F.col("dd2")).cast("long").cast("double")
-                / F.lit(float(dn)),
-                6,
-            ).alias("acf"),
+            F.sum(F.col("dd") * F.col("dd2")).cast("long").alias("__num"),
         )
-        .select("lag", "n_pairs", "acf")
+        .select("lag", "n_pairs", acf.alias("acf"))
         .orderBy(F.col("lag").asc())
     )
 

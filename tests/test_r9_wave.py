@@ -166,3 +166,36 @@ def test_phash_near_dup_sensitivity(spark):
         got[1][1] ^ got[2][1]
     ).count("1")
     assert ham <= multimodal.PHASH_HAM_K
+
+
+def test_hourly_acf_constant_series_null_contract(spark, tmp_path):
+    # zero-variance series: DuckDB's x/0.0 is NULL while Spark's is
+    # Infinity — the row pins acf = NULL on both engines when D == 0
+    import datetime
+    import os
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+            1,
+            "view",
+            1.0,
+            None,
+        )
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd, exist_ok=True)
+    ev.write.parquet(os.path.join(sfd, "events.parquet"))
+    from javascript_vector_database_spark.registry import queries
+
+    out = queries()["events_hourly_acf"](spark, sfd).collect()
+    assert len(out) == 24
+    assert all(r["acf"] is None for r in out)
+    assert all(r["n_pairs"] == 60 - r["lag"] for r in out)
