@@ -104,7 +104,7 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 9.  Composition (exact):
-    #   13 r9-NEW rows:
+    #   14 r9-NEW rows:
     #      stream_ann_index_live — checkpointed pipeline MERGE-maintains
     #        the precomputed BQ word index under a change feed with
     #        stop/restart + re-delivered files (11th streaming==batch);
@@ -137,6 +137,10 @@ _PRIORITY = [
     #        integer-exact; the unweighted row is the w==1 special case;
     #      hybrid_rrf_batch — per-query RRF over the two batch arms
     #        (two corpus scans for the whole batch);
+    #      stream_hybrid_live — THE capstone (14th streaming==batch):
+    #        hybrid search served entirely from the two live-maintained
+    #        indexes (tf/dl + BQ words), fused top-10 hash-matches an
+    #        oracle that rescans the corpus for both arms;
     #    4 r9-CHANGED-result rows (ADVICE r8 empty-prefix fix: the
     #      Kadane/CUSUM prefix-min now includes P_0 = 0 in row, oracle,
     #      and streaming fold): events_spend_burst,
@@ -145,21 +149,21 @@ _PRIORITY = [
     #    1 r9-CHANGED-oracle-text row: graph_ktruss_strong_ties
     #      (MATERIALIZED CTE hints only — values identical, re-stamped
     #      out of caution);
-    #   32 oldest-stamp refreshers: ALL 24 remaining r3 stamps (the
-    #      list r8 deferred) + the 8 alphabetically-first r4 stamps.
+    #   31 oldest-stamp refreshers: ALL 24 remaining r3 stamps (the
+    #      list r8 deferred) + the 7 alphabetically-first r4 stamps.
     # Rotation-exempt by policy (outputs unchanged, locally
     # sweep-verified every pytest run): docstring-only and
     # checkpoint-only edits; hits() degenerate-input guards (raise/
     # empty-DF paths never reached by the registered row).
-    # -- r9 new/changed (18)
+    # -- r9 new/changed (19)
     "stream_ann_index_live", "stream_ann_index_delete_live",
     "ann_ivf_lloyd_search", "graph_ktruss_capped", "hybrid_rrf_search",
     "graph_lpa_modularity", "events_hourly_acf", "stream_bm25_index_live",
     "events_peak_concurrency", "multimodal_phash_neardup", "multimodal_phash_clusters",
-    "graph_pagerank_weighted", "hybrid_rrf_batch",
+    "graph_pagerank_weighted", "hybrid_rrf_batch", "stream_hybrid_live",
     "events_spend_burst", "stream_spend_burst_live", "events_cusum_alarms",
     "stream_cusum_live", "graph_ktruss_strong_ties",
-    # -- oldest-stamp refreshers (32): 24 x r3, then 8 x r4
+    # -- oldest-stamp refreshers (31): 24 x r3, then 7 x r4
     "ann_ivf_search_partitioned", "dedup_cosine_pairs", "join_salted_skew",
     "knn_ann_range", "knn_ann_range_compat", "knn_ann_similarity",
     "knn_batch_exact", "knn_cosine", "knn_exact", "multimodal_byte_stats",
@@ -170,8 +174,9 @@ _PRIORITY = [
     "text_quality_score", "text_title_content_parse", "text_token_count",
     "agg_pricing_summary", "agg_top_revenue_orders", "ann_pq_codes",
     "changefeed_page", "curation_chunk_dedup", "curation_contamination",
-    "curation_mixture_sample", "curation_normalize_dedup",
+    "curation_mixture_sample",
     # ---- window boundary (50) ----
+    "curation_normalize_dedup",
     "curation_pack_sequences", "curation_pii_scrub", "curation_pipeline",
     # everything below carries a green r4-r8 stamp and is
     # unchanged; the local sf0.001 sweep re-verifies all of it

@@ -1415,3 +1415,159 @@ def stream_ann_index_delete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 stream_ann_index_delete_live.__doc__ = (
     stream_ann_index_delete_live.__doc__.format(m=_DELETE_MOD, r=_DELETE_RES)
 )
+
+
+def _hybrid_live_oracle() -> str:
+    from javascript_vector_database_spark.registry.text_queries import (
+        _bm25_oracle,
+    )
+    from javascript_vector_database_spark.registry.vector_search import (
+        RRF_K,
+        RRF_SCALE,
+        RRF_TOP,
+    )
+
+    lex = _bm25_oracle().strip()
+    vec = _bq_search_oracle(ORACLE_DIM).strip()
+    return f"""
+WITH lex AS MATERIALIZED (SELECT * FROM ({lex})),
+vec AS MATERIALIZED (SELECT * FROM ({vec})),
+rl AS (SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+       FROM lex),
+rv AS (SELECT vec_id AS doc_id,
+              row_number() OVER (ORDER BY distance ASC, vec_id ASC) AS r
+       FROM vec),
+u AS (
+  SELECT doc_id, CAST({RRF_SCALE} // ({RRF_K} + r) AS BIGINT) AS s FROM rl
+  UNION ALL
+  SELECT doc_id, CAST({RRF_SCALE} // ({RRF_K} + r) AS BIGINT) AS s FROM rv
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS rrf_micro,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT {RRF_TOP}
+"""
+
+
+@register("stream_hybrid_live", oracle=_hybrid_live_oracle())
+def stream_hybrid_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone streaming==batch row (14th): hybrid search served
+    ENTIRELY from live-maintained indexes.  Two checkpointed pipelines
+    run side by side under their own change feeds — the lexical tf/dl
+    index (stream_bm25_index_live's ingest) and the BQ sign-word index
+    (stream_ann_index_live's) — each with a stop/restart between feed
+    halves; the query then fuses BM25-off-the-maintained-tf-table with
+    the hamming-probe-off-the-maintained-words-table by the registered
+    RRF rule, and the fused top-10 must hash-match an oracle that
+    RESCANS the corpus for both arms.  This is the reference's whole
+    architecture in one row (src/database.ts:176-206: reactive derived
+    collections standing in for the corpus at query time) — if either
+    maintained index dropped, duplicated, or ghosted one row, the
+    fusion's ranks would shift and the hash would miss.  Arms are
+    bounded top-k lists, so fusion cost is O(k); the rank windows run
+    on 15+10 rows, never the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.functions import text as T
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.registry.text_queries import (
+        BM25_TERMS,
+        bm25_from_tf_index,
+    )
+    from javascript_vector_database_spark.registry.vector_search import (
+        RRF_K,
+        RRF_SCALE,
+        RRF_TOP,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    dim = len(qv)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_hybrid_")
+    lex_src, lex_cp = os.path.join(tmp, "lsrc"), os.path.join(tmp, "lcp")
+    vec_src, vec_cp = os.path.join(tmp, "vsrc"), os.path.join(tmp, "vcp")
+    lex_dest = ParquetTable(spark, os.path.join(tmp, "lidx"), "doc_id")
+    vec_dest = ParquetTable(spark, os.path.join(tmp, "vidx"), "vec_id")
+    lex_rest = _stream_feed(spark, docs, lex_src, "doc_id")
+    vec_rest = _stream_feed(
+        spark, emb.select("vec_id", "embedding"), vec_src, "vec_id"
+    )
+
+    def tf(term: str):
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    def lex_handler(batch: DataFrame, batch_id: int) -> None:
+        toks = batch.select("doc_id", T.word_tokens("text").alias("toks"))
+        lex_dest.bulk_upsert(
+            toks.select(
+                "doc_id",
+                F.size("toks").cast("long").alias("dl"),
+                *[
+                    tf(t).cast("long").alias(f"tf{i}")
+                    for i, t in enumerate(BM25_TERMS)
+                ],
+            ),
+            lwt=float(batch_id),
+        )
+
+    def vec_handler(batch: DataFrame, batch_id: int) -> None:
+        vec_dest.bulk_upsert(quant.bq_table(batch, dim), lwt=float(batch_id))
+
+    lex_schema = "doc_id long, text string"
+    vec_schema = "vec_id long, embedding array<float>"
+    try:
+        for src, cp, handler, schema in (
+            (lex_src, lex_cp, lex_handler, lex_schema),
+            (vec_src, vec_cp, vec_handler, vec_schema),
+        ):
+            q = streaming_pipeline(spark, src, schema, handler, cp)
+            q.awaitTermination()
+        lex_rest()
+        vec_rest()
+        for src, cp, handler, schema in (
+            (lex_src, lex_cp, lex_handler, lex_schema),
+            (vec_src, vec_cp, vec_handler, vec_schema),
+        ):
+            q = streaming_pipeline(spark, src, schema, handler, cp)
+            q.awaitTermination()
+        lex = bm25_from_tf_index(lex_dest.docs())
+        vec = quant.bq_search_precomputed(
+            vec_dest.docs().select("vec_id", "bq_words"), emb, qv
+        )
+        # fuse on the driver: both arms are bounded top-k lists
+        lrows = sorted(
+            lex.collect(), key=lambda r: (-r["bm25"], r["doc_id"])
+        )
+        vrows = sorted(
+            vec.collect(), key=lambda r: (r["distance"], r["vec_id"])
+        )
+        score: dict[int, list[int]] = {}
+        for rank, r in enumerate(lrows, start=1):
+            e = score.setdefault(int(r["doc_id"]), [0, 0])
+            e[0] += RRF_SCALE // (RRF_K + rank)
+            e[1] += 1
+        for rank, r in enumerate(vrows, start=1):
+            e = score.setdefault(int(r["vec_id"]), [0, 0])
+            e[0] += RRF_SCALE // (RRF_K + rank)
+            e[1] += 1
+        fused = sorted(
+            ((doc, s, n) for doc, (s, n) in score.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:RRF_TOP]
+        out = spark.createDataFrame(
+            fused, schema="doc_id long, rrf_micro long, n_lists long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

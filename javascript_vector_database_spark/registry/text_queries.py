@@ -669,6 +669,54 @@ def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def bm25_from_tf_index(idx) -> DataFrame:
+    """Score BM25 entirely off a maintained (doc_id, dl, tf0..tfk)
+    index table: corpus stats fold from the index in one bounded
+    aggregate, idf/avgdl inline as literals, top-15 by the identical
+    expression shape as the corpus-scanning row — the serving path of
+    stream_bm25_index_live, shared with the live-hybrid capstone."""
+    import math
+
+    idx = idx.select(
+        "doc_id", "dl", *[f"tf{i}" for i in range(len(BM25_TERMS))]
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    ).first()
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["sumdl"]) / float(n_docs)
+    idf = [
+        math.log(
+            1
+            + (n_docs - int(stats[f"df{i}"]) + 0.5)
+            / (int(stats[f"df{i}"]) + 0.5)
+        )
+        for i in range(len(BM25_TERMS))
+    ]
+    score = None
+    for i in range(len(BM25_TERMS)):
+        term_score = (
+            F.lit(idf[i])
+            * (F.col(f"tf{i}") * F.lit(2.2))
+            / (
+                F.col(f"tf{i}")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.lit(avgdl)))
+            )
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        idx.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
+
+
 @register("stream_bm25_index_live", oracle=_bm25_oracle())
 def stream_bm25_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE-MAINTAINED lexical index (12th streaming==batch row): the
@@ -686,7 +734,6 @@ def stream_bm25_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance loses nothing.  At 100 TB this is how lexical search
     actually ships: tokenize-on-ingest, maintained stats table,
     scoring scans the compact index, never the text."""
-    import math
     import os
     import shutil
     import tempfile
@@ -737,44 +784,7 @@ def stream_bm25_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("append").parquet(src)
         q2 = streaming_pipeline(spark, src, schema, handler, cp)
         q2.awaitTermination()
-        idx = dest.docs().select(
-            "doc_id", "dl", *[f"tf{i}" for i in range(len(BM25_TERMS))]
-        )
-        stats = idx.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("sumdl"),
-            *[
-                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-                for i in range(len(BM25_TERMS))
-            ],
-        ).first()
-        n_docs = int(stats["n_docs"])
-        avgdl = float(stats["sumdl"]) / float(n_docs)
-        idf = [
-            math.log(
-                1
-                + (n_docs - int(stats[f"df{i}"]) + 0.5)
-                / (int(stats[f"df{i}"]) + 0.5)
-            )
-            for i in range(len(BM25_TERMS))
-        ]
-        score = None
-        for i in range(len(BM25_TERMS)):
-            term_score = (
-                F.lit(idf[i])
-                * (F.col(f"tf{i}") * F.lit(2.2))
-                / (
-                    F.col(f"tf{i}")
-                    + F.lit(1.2)
-                    * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.lit(avgdl)))
-                )
-            )
-            score = term_score if score is None else score + term_score
-        out = (
-            idx.select("doc_id", F.round(score, 6).alias("bm25"))
-            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-            .limit(BM25_TOP)
-        )
+        out = bm25_from_tf_index(dest.docs())
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
