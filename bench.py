@@ -171,6 +171,25 @@ _SCALE_HEADLINE = [
 ]
 
 
+#: the 30x linearity subset (r9 verdict ask #2): the shuffle-heaviest
+#: rows, so time-vs-scale is MEASURED at 1x/10x/30x instead of
+#: extrapolated from 10x.  Facts only — dims stay broadcast-sized.
+#: Single timed pass per row (the 3-point slope tolerates one noisy
+#: sample; best-of-2 here would double a multi-minute column).
+_SCALE30_HEADLINE = [
+    "graph_hits_authorities",
+    "graph_ktruss_capped",
+    "graph_pagerank_weighted",
+    "graph_lpa_modularity",
+    "dedup_minhash_calibration",
+    "dedup_substring_profile",
+    "dedup_jaccard_prefix",
+    "events_scd2_state_intervals",
+    "events_asof_join",
+    "events_peak_concurrency",
+]
+
+
 def _scaled_dir(spark, sf_dir: str, factor: int = 10) -> str:
     """Materialize a ``factor``x scale-up of ``sf_dir`` (union of
     key-shifted copies — one scan per table via a range cross join, not
@@ -250,6 +269,40 @@ def main() -> None:
     results["ann_range_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(ann_sets, exact_sets)
     ) / len(qvecs)
+
+    # tuned band (r10): the band knob demonstrated — recall/docs-read at
+    # pivots.TUNED_INDEX_DISTANCE alongside the faithful 0.003 row
+    from javascript_vector_database_spark.pivots import TUNED_INDEX_DISTANCE
+
+    t, tuned_sets = _timed_best2(
+        lambda: [
+            {
+                r["vec_id"]
+                for r in knn.ann_index_range(
+                    indexed,
+                    qv,
+                    pivots,
+                    index_distance=TUNED_INDEX_DISTANCE,
+                    precomputed=True,
+                ).collect()
+            }
+            for qv in qvecs
+        ]
+    )
+    results["ann_range_tuned_sec_per_query"] = t / len(qvecs)
+    results["ann_range_tuned_recall_at_10"] = sum(
+        len(a & e) / len(e) for a, e in zip(tuned_sets, exact_sets)
+    ) / len(qvecs)
+    results["ann_range_tuned_docs_read_ratio"] = (
+        knn.candidate_count(
+            indexed,
+            qvecs[0],
+            pivots,
+            index_distance=TUNED_INDEX_DISTANCE,
+            precomputed=True,
+        )
+        / n_vec
+    )
 
     # ANN similarity
     t, sim_sets = _timed_best2(
@@ -946,6 +999,21 @@ def main() -> None:
             t2, _ = _timed(lambda fn=fn: fn(spark, sf1_dir).collect())
             sf1_queries[name] = round(min(t1, t2), 4)
 
+    # 30x column: third point on the time-vs-scale curve for the
+    # shuffle-heaviest rows — linearity measured, not asserted.  The
+    # gate the verdict reads: sf30/sf1 time ratio <= ~3.9 per row
+    # (1.3x per data-x over the 10x->30x leg).
+    sf30_queries: dict[str, float] = {}
+    sf30_gen_sec = 0.0
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        sf30_gen_sec, sf30_dir = _timed(
+            lambda: _scaled_dir(spark, sf_dir, factor=30)
+        )
+        for name in _SCALE30_HEADLINE:
+            fn = registry.queries()[name]
+            t1, _ = _timed(lambda fn=fn: fn(spark, sf30_dir).collect())
+            sf30_queries[name] = round(t1, 4)
+
     total_sec = sum(queries.values())
     # Key order matters for the record's survival: the driver keeps only
     # the LAST ~2000 chars of bench stdout, so the big per-query dicts go
@@ -957,10 +1025,13 @@ def main() -> None:
         "queries": queries,
         "contended": contended,
         "sf1_queries": sf1_queries,
+        "sf30_queries": sf30_queries,
         "extra": {k: round(v, 6) for k, v in results.items()},
         "sf": sf,
         "sf1_gen_sec": round(sf1_gen_sec, 3),
         "sf1_total_sec": round(sum(sf1_queries.values()), 3),
+        "sf30_gen_sec": round(sf30_gen_sec, 3),
+        "sf30_total_sec": round(sum(sf30_queries.values()), 3),
         "metric": "headline_queries_total",
         "value": round(total_sec, 3),
         "unit": "sec",

@@ -17,7 +17,10 @@ is identical on both branches and fully tested.
 
 Install attempts (the round checklist item): r1-r9 all failed — the
 container has no package-index network route (pip: "Name or service not
-known", re-verified round 9 for both sentence-transformers and pillow).
+known", re-verified round 9 for both sentence-transformers and pillow;
+round 10 re-probed without side effects: getaddrinfo(pypi.org, 443) and
+getaddrinfo(files.pythonhosted.org, 443) both raise "Name or service not
+known", and both modules remain unimportable).
 Same gate class as PIL for operators/multimodal.py's real decode branch.
 """
 

@@ -58,7 +58,23 @@ class ParquetTable:
     """A tiny managed table: PK-bucket-partitioned parquet dir giving the
     reference's DML verbs as touched-partition read-modify-write cycles.
     ``n_buckets=None`` keeps a flat single-dir layout (used for small
-    wholesale-replaced views like the reactive bounded emission)."""
+    wholesale-replaced views like the reactive bounded emission).
+
+    ``partition_col`` swaps the synthetic PK-hash bucket for a NAMED DATA
+    column (e.g. an IVF coarse cell): the table is stored
+    ``partitionBy(partition_col)`` so downstream probes get real
+    PartitionFilters, while the DML verbs keep their touched-partition
+    pruning.  Contract: the partition value must be KEY-STABLE — a pure
+    function of the row's payload that re-deliveries and upserts of the
+    same key reproduce (true for a deterministic coarse assignment under
+    FIXED centroids).  An upsert that changes a key's partition value
+    would strand the stored row in its old partition; a production
+    engine resolves that with a PK->partition index lookup (Delta MERGE
+    reads matched files by stats), which is out of scope for this
+    emulation and asserted away by the contract.  Keyed verbs whose
+    delta carries only PKs (bulk_remove/bulk_delete_rows) fall back to a
+    semi-join over the stored table to find their touched partitions —
+    correct, but a scan; the MERGE hot path always carries the column."""
 
     def __init__(
         self,
@@ -66,13 +82,21 @@ class ParquetTable:
         path: str,
         primary_key: str,
         n_buckets: int | None = 16,
+        partition_col: str | None = None,
     ):
         self.spark = spark
         self.path = path
         self.primary_key = primary_key
         self.n_buckets = n_buckets
+        self.partition_col = partition_col
         self._layout_resolved = False
         self._write_listeners: list = []
+
+    @property
+    def _part(self) -> str:
+        """The physical partition column: the caller's data column when
+        ``partition_col`` is set, else the synthetic PK-hash bucket."""
+        return self.partition_col or BUCKET_COL
 
     def on_write(self, fn) -> None:
         """Register a zero-arg callback fired after any write lands (the
@@ -106,14 +130,22 @@ class ParquetTable:
         meta_path = os.path.join(self.path, META_FILE)
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                self.n_buckets = json.load(f).get("n_buckets")
+                meta = json.load(f)
+            self.n_buckets = meta.get("n_buckets")
+            self.partition_col = meta.get("partition_col")
         elif BUCKET_COL not in self._raw().columns:
             self.n_buckets = None  # legacy flat dir: stay flat
         self._layout_resolved = True
 
     def _write_meta(self) -> None:
         with open(os.path.join(self.path, META_FILE), "w") as f:
-            json.dump({"n_buckets": self.n_buckets}, f)
+            json.dump(
+                {
+                    "n_buckets": self.n_buckets,
+                    "partition_col": self.partition_col,
+                },
+                f,
+            )
         self._layout_resolved = True
 
     def df(self) -> DataFrame:
@@ -131,14 +163,25 @@ class ParquetTable:
         return F.pmod(F.hash(F.col(self.primary_key)), F.lit(self.n_buckets))
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if self.partition_col:
+            if self.partition_col not in df.columns:
+                raise ValueError(
+                    f"partition_col={self.partition_col!r} layout needs the"
+                    " column on every written row (it is a data column,"
+                    " not a derived hash)"
+                )
+            return df
         if not self.n_buckets or BUCKET_COL in df.columns:
             return df
         return df.withColumn(BUCKET_COL, self._bucket_expr())
 
     def _bucketed(self) -> bool:
-        """True when the stored layout is bucket-partitioned (it always is
-        for tables this class created with n_buckets set)."""
+        """True when the stored layout is partitioned (PK-hash bucket or
+        a caller data column — it always is for tables this class created
+        with n_buckets or partition_col set)."""
         self._resolve_layout()
+        if self.partition_col:
+            return self.partition_col in self._raw().columns
         return bool(self.n_buckets) and BUCKET_COL in self._raw().columns
 
     def _swap_in(self, new_df: DataFrame) -> None:
@@ -148,8 +191,8 @@ class ParquetTable:
         tmp = self.path + ".tmp"
         w = self._with_bucket(new_df)
         writer = w.write.mode("overwrite")
-        if self.n_buckets:
-            writer = writer.partitionBy(BUCKET_COL)
+        if self.partition_col or self.n_buckets:
+            writer = writer.partitionBy(self._part)
         writer.parquet(tmp)
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
@@ -171,10 +214,10 @@ class ParquetTable:
         which is the drop-in at production scale."""
         tmp = self.path + ".parts.tmp"
         self._with_bucket(parts_df).write.mode("overwrite").partitionBy(
-            BUCKET_COL
+            self._part
         ).parquet(tmp)
         for b in buckets:
-            sub = f"{BUCKET_COL}={b}"
+            sub = f"{self._part}={b}"
             dst = os.path.join(self.path, sub)
             src = os.path.join(tmp, sub)
             if os.path.exists(dst):
@@ -213,10 +256,15 @@ class ParquetTable:
         if self._bucketed():
             raw = self._raw()
             buckets = [
-                r[0] for r in raw.select(BUCKET_COL).distinct().collect()
+                r[0] for r in raw.select(self._part).distinct().collect()
             ]
+            n_parts = (
+                max(len(buckets), 1)
+                if self.partition_col
+                else int(self.n_buckets)
+            )
             self._replace_partitions(
-                raw.repartition(int(self.n_buckets), F.col(BUCKET_COL)),
+                raw.repartition(n_parts, F.col(self._part)),
                 buckets,
             )
         else:
@@ -224,12 +272,25 @@ class ParquetTable:
         return {"files_before": before, "files_after": _count_files()}
 
     def _touched(self, keyed_df: DataFrame) -> list[int]:
-        """Distinct buckets the delta's keys hash into (≤ n_buckets rows,
-        bounded driver collect)."""
+        """Distinct partitions the delta lands in (≤ partition count,
+        bounded driver collect).  Under a ``partition_col`` layout a
+        keys-only delta (bulk_remove) can't derive its partitions from
+        the hash — fall back to a PK semi-join over the stored table
+        (the documented no-PK-index scan; the MERGE path always carries
+        the column and never takes this branch)."""
+        if self.partition_col and self.partition_col not in keyed_df.columns:
+            src = self._raw().join(
+                keyed_df.select(self.primary_key), self.primary_key,
+                "left_semi",
+            )
+            return [
+                r[0]
+                for r in src.select(self._part).distinct().collect()
+            ]
         return [
             r[0]
             for r in self._with_bucket(keyed_df)
-            .select(BUCKET_COL)
+            .select(self._part)
             .distinct()
             .collect()
         ]
@@ -270,7 +331,7 @@ class ParquetTable:
                 }
             if self._bucketed():  # resolves the stored layout first
                 touched = self._touched(rows)
-                cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
+                cur = self._raw().where(F.col(self._part).isin(touched))
             else:
                 touched = None
                 cur = self.df()
@@ -323,7 +384,7 @@ class ParquetTable:
                 return
             if self._bucketed():  # resolves the stored layout first
                 touched = self._touched(rows)
-                cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
+                cur = self._raw().where(F.col(self._part).isin(touched))
             else:
                 touched = None
                 cur = self.df()
@@ -389,12 +450,12 @@ class ParquetTable:
             return
         touched = [
             r[0]
-            for r in out.where(F.col("__hit")).select(BUCKET_COL).distinct().collect()
+            for r in out.where(F.col("__hit")).select(self._part).distinct().collect()
         ]
         if not touched:
             return
         self._replace_partitions(
-            out.where(F.col(BUCKET_COL).isin(touched)).drop("__hit"), touched
+            out.where(F.col(self._part).isin(touched)).drop("__hit"), touched
         )
 
     def _key_df(self, ids) -> DataFrame:
@@ -420,7 +481,7 @@ class ParquetTable:
         key_df = self._key_df(ids)
         if self._bucketed():
             touched = self._touched(key_df)
-            cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
+            cur = self._raw().where(F.col(self._part).isin(touched))
         else:
             touched = None
             cur = self.df()
@@ -457,5 +518,5 @@ class ParquetTable:
             self._swap_in(self.df().join(key_df, pk, "left_anti"))
             return
         touched = self._touched(key_df)
-        cur = self._raw().where(F.col(BUCKET_COL).isin(touched))
+        cur = self._raw().where(F.col(self._part).isin(touched))
         self._replace_partitions(cur.join(key_df, pk, "left_anti"), touched)

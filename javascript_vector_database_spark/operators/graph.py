@@ -794,18 +794,6 @@ def hits(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
     if rounds < 1:
         raise ValueError(f"hits() needs rounds >= 1, got {rounds}")
     e = edges.select("src", "dst")
-    if e.isEmpty():
-        # renorm would divide by a NULL max on an empty edge list
-        from pyspark.sql import types as T
-
-        schema = T.StructType(
-            [
-                T.StructField("node", e.schema["dst"].dataType),
-                T.StructField("authority", T.LongType()),
-                T.StructField("n_in", T.LongType()),
-            ]
-        )
-        return edges.sparkSession.createDataFrame([], schema=schema)
     hubs = e.select("src").distinct().select(
         "src", F.lit(HITS_SCALE).cast("long").alias("h")
     )
@@ -813,9 +801,14 @@ def hits(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
     def renorm(df: DataFrame, col: str) -> DataFrame:
         df = df.localCheckpoint(eager=True)  # consumed by max AND project
         mx = df.agg(F.max(col).cast("long").alias("__mx"))
+        # coalesce keeps the empty-edge-list case lazy (zero rows ride
+        # through every join; the 1-row NULL max never meets a row) —
+        # no driver-side isEmpty() action on the hot path
         return df.crossJoin(F.broadcast(mx)).select(
             *[c for c in df.columns if c != col],
-            F.expr(f"({col} * {HITS_SCALE}) DIV __mx").alias(col),
+            F.expr(
+                f"({col} * {HITS_SCALE}) DIV coalesce(__mx, 1)"
+            ).alias(col),
         )
 
     auth = None

@@ -103,92 +103,60 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # DRIVER WINDOW (first 50), round 9.  Composition (exact):
-    #   14 r9-NEW rows:
-    #      stream_ann_index_live — checkpointed pipeline MERGE-maintains
-    #        the precomputed BQ word index under a change feed with
-    #        stop/restart + re-delivered files (11th streaming==batch);
-    #      stream_ann_index_delete_live — DELETE propagation through
-    #        the same maintained index: tombstoned keys soft-delete via
-    #        bulk_remove, probe reads the _deleted=false view, oracle
-    #        excludes the deleted vectors (13th streaming==batch);
-    #      stream_bm25_index_live — the lexical twin: tokenize-on-
-    #        ingest tf/dl table, BM25 served off the maintained table,
-    #        batch oracle unchanged (12th streaming==batch);
-    #      ann_ivf_lloyd_search — deterministic integer-mean Lloyd
-    #        training reproduced round-for-round in the oracle
-    #        (recall@10 0.82 at both sf's on the bench's 10-query set,
-    #        registered nprobe=8 — see LLOYD_NPROBE's docs-read note);
-    #      graph_ktruss_capped — bounded top-20k-weight edge cut before
-    #        the peel (the scale-safe routing strong_ties promised);
-    #      hybrid_rrf_search — reciprocal-rank fusion of the registered
-    #        BM25 + exact-kNN lists, integer rank math;
-    #      graph_lpa_modularity — integer-exact Newman Q over the
-    #        registered LPA labeling;
-    #      events_hourly_acf — lag-1..24 autocorrelation, integer
-    #        drifts + proven round6 division;
-    #      events_peak_concurrency — session sweep-line as the
-    #        distributed global prefix sum;
-    #      multimodal_phash_neardup — binary aHash fingerprints, star
-    #        collapse + 4x16 pigeonhole bands + XOR/popcount verify;
-    #      multimodal_phash_clusters — min-label CC over the same pair
-    #        set vs DuckDB's recursive-CTE closure;
-    #      graph_pagerank_weighted — (rank*w) DIV strength contributions,
-    #        integer-exact; the unweighted row is the w==1 special case;
-    #      hybrid_rrf_batch — per-query RRF over the two batch arms
-    #        (two corpus scans for the whole batch);
-    #      stream_hybrid_live — THE capstone (14th streaming==batch):
-    #        hybrid search served entirely from the two live-maintained
-    #        indexes (tf/dl + BQ words), fused top-10 hash-matches an
-    #        oracle that rescans the corpus for both arms;
-    #    4 r9-CHANGED-result rows (ADVICE r8 empty-prefix fix: the
-    #      Kadane/CUSUM prefix-min now includes P_0 = 0 in row, oracle,
-    #      and streaming fold): events_spend_burst,
-    #      stream_spend_burst_live, events_cusum_alarms,
-    #      stream_cusum_live;
-    #    1 r9-CHANGED-oracle-text row: graph_ktruss_strong_ties
-    #      (MATERIALIZED CTE hints only — values identical, re-stamped
-    #      out of caution);
-    #   31 oldest-stamp refreshers: ALL 24 remaining r3 stamps (the
-    #      list r8 deferred) + the 7 alphabetically-first r4 stamps.
+    # DRIVER WINDOW (first 50), round 10.  Composition (exact):
+    #   4 r10-NEW rows:
+    #      stream_ivf_index_live — the 15th streaming==batch row: the
+    #        checkpointed pipeline MERGE-maintains the partitionBy(
+    #        ivf_cell) IVF layout (ParquetTable partition_col — MERGE
+    #        pruning and probe PartitionFilters ride the same physical
+    #        column); probe hash-matches ann_ivf_search_partitioned's
+    #        oracle across stop/restart + re-delivered files;
+    #      stream_ivfpq_index_live — the 17th: the COMPOUNDING layout
+    #        maintained — per-row (ivf_cell, pq_code) both computed at
+    #        ingest (argmin projection + Arrow codebook projection),
+    #        MERGEd into the same partition_col layout; ADC probe
+    #        hash-matches ann_ivfpq_search's oracle;
+    #      stream_ann_index_compact_live — the 16th: compact() (the
+    #        Delta OPTIMIZE analog) run between the feed halves AND
+    #        before the probe; content digest pinned unchanged, probe
+    #        hash-matches the uncompacted row's oracle;
+    #      knn_ann_range_tuned — the range band as a KNOB: ±0.03
+    #        (recall@10 0.87 / docs-read 0.78 vs 0.29/0.13 at the
+    #        faithful ±0.003); honest sweep on TUNED_INDEX_DISTANCE,
+    #        bench extras ann_range_tuned_*;
+    #   2 r10-CHANGED rows (r9 ADVICE):
+    #      ann_ivf_lloyd_search — the HIGH fix: the oracle CTE now
+    #        floor-divides negative member sums (DuckDB's native //
+    #        truncates toward zero; Python floors) — pinned bit-exact
+    #        cross-engine by tests/test_r10_wave.py;
+    #      graph_hits_authorities — hits() no longer runs a driver-side
+    #        isEmpty() action per invocation; the empty-edge case rides
+    #        a lazy coalesce on the renorm max (plan changed, values
+    #        unchanged — re-stamped out of caution);
+    #   2 shared-infrastructure re-stamps: dml_roundtrip and
+    #      pipeline_roundtrip (ParquetTable grew the partition_col
+    #      layout; the hash-bucket path is refactored-not-changed and
+    #      pytest-pinned, but these two rows exercise it end-to-end);
+    #   42 oldest-stamp refreshers: ALL 39 remaining r4 stamps (clears
+    #      rotation debt — no stamp older than r5 after this round)
+    #      + the 3 alphabetically-first r5 stamps.
     # Rotation-exempt by policy (outputs unchanged, locally
-    # sweep-verified every pytest run): docstring-only and
-    # checkpoint-only edits; hits() degenerate-input guards (raise/
-    # empty-DF paths never reached by the registered row).
-    # -- r9 new/changed (19)
-    "stream_ann_index_live", "stream_ann_index_delete_live",
-    "ann_ivf_lloyd_search", "graph_ktruss_capped", "hybrid_rrf_search",
-    "graph_lpa_modularity", "events_hourly_acf", "stream_bm25_index_live",
-    "events_peak_concurrency", "multimodal_phash_neardup", "multimodal_phash_clusters",
-    "graph_pagerank_weighted", "hybrid_rrf_batch", "stream_hybrid_live",
-    "events_spend_burst", "stream_spend_burst_live", "events_cusum_alarms",
-    "stream_cusum_live", "graph_ktruss_strong_ties",
-    # -- oldest-stamp refreshers (31): 24 x r3, then 7 x r4
-    "ann_ivf_search_partitioned", "dedup_cosine_pairs", "join_salted_skew",
-    "knn_ann_range", "knn_ann_range_compat", "knn_ann_similarity",
-    "knn_batch_exact", "knn_cosine", "knn_exact", "multimodal_byte_stats",
-    "multimodal_decode_fake", "multimodal_resize_fake",
-    "profile_length_quantiles", "reactive_count_ivm", "reactive_query_ivm",
-    "reactive_topk_ivm", "set_ops_intersect_except", "text_bm25_search",
-    "text_bpe_token_count", "text_fingerprint", "text_lang_id",
-    "text_quality_score", "text_title_content_parse", "text_token_count",
-    "agg_pricing_summary", "agg_top_revenue_orders", "ann_pq_codes",
-    "changefeed_page", "curation_chunk_dedup", "curation_contamination",
-    "curation_mixture_sample",
-    # ---- window boundary (50) ----
-    "curation_normalize_dedup",
-    "curation_pack_sequences", "curation_pii_scrub", "curation_pipeline",
-    # everything below carries a green r4-r8 stamp and is
-    # unchanged; the local sf0.001 sweep re-verifies all of it
-    # on every pytest run (ordered oldest stamp first)
-    "curation_repetition_stats", "curation_split_stratified",
-    "dedup_duplicate_clusters", "dedup_duplicate_clusters_star",
-    "dedup_exact_groups", "dedup_lsh_pairs", "dedup_minhash_signatures",
-    "dedup_ngram_jaccard", "dedup_simhash", "events_asof_join",
-    "events_range_join", "events_rollup_multires",
-    "events_session_window_agg", "events_sessionize", "events_windowed_agg",
-    "json_dump_roundtrip", "mango_bool_combinators", "mango_elemmatch_size",
-    "mango_eq_ne", "mango_exists", "mango_in_nin", "mango_mod", "mango_range",
+    # sweep-verified every pytest run): docstring-only edits
+    # (graph_lpa_modularity's materialize-once clarification).
+    "stream_ivf_index_live", "stream_ivfpq_index_live",
+    "stream_ann_index_compact_live",
+    "knn_ann_range_tuned", "ann_ivf_lloyd_search",
+    "graph_hits_authorities", "dml_roundtrip", "pipeline_roundtrip",
+    "curation_normalize_dedup", "curation_pack_sequences",
+    "curation_pii_scrub", "curation_pipeline", "curation_repetition_stats",
+    "curation_split_stratified", "dedup_duplicate_clusters",
+    "dedup_duplicate_clusters_star", "dedup_exact_groups",
+    "dedup_lsh_pairs", "dedup_minhash_signatures", "dedup_ngram_jaccard",
+    "dedup_simhash", "events_asof_join", "events_range_join",
+    "events_rollup_multires", "events_session_window_agg",
+    "events_sessionize", "events_windowed_agg", "json_dump_roundtrip",
+    "mango_bool_combinators", "mango_elemmatch_size", "mango_eq_ne",
+    "mango_exists", "mango_in_nin", "mango_mod", "mango_range",
     "mango_regex", "multimodal_frame_sample", "profile_cube_source_lang",
     "profile_length_histogram", "profile_pivot_lang_counts",
     "profile_sample_per_source", "profile_top_tokens",
@@ -196,36 +164,43 @@ _PRIORITY = [
     "state_fold_last_per_user", "text_bm25_batch_search",
     "window_top_customers_per_nation", "agg_q17_small_quantity_revenue",
     "agg_q18_large_orders", "agg_regional_revenue",
-    "basket_association_rules", "compat_index_string_384",
-    "curation_contamination_bloom", "curation_domain_cap",
-    "curation_lm_quality", "curation_luhn_cc_detect",
-    "curation_remove_boilerplate", "dedup_simhash_hamming",
-    "division_suppliers_full_brand", "events_anomaly_hours",
-    "events_asof_join_forward", "events_corr_pairs", "events_dwell_stats",
-    "events_funnel_counts", "events_funnel_latency", "events_gapfill_hourly",
+    # ---- window boundary (50) ----
+    "basket_association_rules",
+    # everything below carries a green r4-r9 stamp and is unchanged;
+    # the local sf0.001 sweep re-verifies all of it on every pytest
+    # run (ordered oldest stamp first)
+    "compat_index_string_384", "curation_contamination_bloom",
+    "curation_domain_cap", "curation_lm_quality",
+    "curation_luhn_cc_detect", "curation_remove_boilerplate",
+    "dedup_simhash_hamming", "division_suppliers_full_brand",
+    "events_anomaly_hours", "events_asof_join_forward",
+    "events_corr_pairs", "events_dwell_stats", "events_funnel_counts",
+    "events_funnel_latency", "events_gapfill_hourly",
     "events_hopping_window_agg", "events_hourly_trend",
     "events_markov_transitions", "events_retention_cohorts",
     "events_scd2_state_intervals", "graph_pagerank_copurchase",
     "join_bucketed_colocated", "knn_ann_range_compat_384",
     "knn_ann_similarity_384", "knn_exact_384", "knn_mmr_rerank",
-    "orders_mad_outliers", "orders_price_outliers", "orders_winsorized_mean",
-    "profile_benford_digits", "profile_unpivot_lang_stats",
-    "sketch_cms_token_freq", "sketch_hll_distinct_users",
-    "sketch_hll_users_by_type", "text_bpe_pair_counts", "text_keywords",
-    "text_phrase_postings_join", "text_phrase_search",
-    "text_winnow_fingerprints", "text_winnow_overlap_pairs",
-    "agg_q10_returned_items", "agg_q11_important_shares",
-    "agg_q13_customer_distribution", "agg_q15_top_supplier",
-    "agg_q22_dormant_customers", "agg_q2_min_cost_supplier",
-    "agg_q4_late_orders", "agg_q6_forecast_revenue", "agg_q7_nation_volume",
-    "ann_sq8_384", "curation_universe_sample", "curation_weighted_sample",
+    "orders_mad_outliers", "orders_price_outliers",
+    "orders_winsorized_mean", "profile_benford_digits",
+    "profile_unpivot_lang_stats", "sketch_cms_token_freq",
+    "sketch_hll_distinct_users", "sketch_hll_users_by_type",
+    "text_bpe_pair_counts", "text_keywords", "text_phrase_postings_join",
+    "text_phrase_search", "text_winnow_fingerprints",
+    "text_winnow_overlap_pairs", "agg_q10_returned_items",
+    "agg_q11_important_shares", "agg_q13_customer_distribution",
+    "agg_q15_top_supplier", "agg_q22_dormant_customers",
+    "agg_q2_min_cost_supplier", "agg_q4_late_orders",
+    "agg_q6_forecast_revenue", "agg_q7_nation_volume", "ann_sq8_384",
+    "curation_universe_sample", "curation_weighted_sample",
     "customer_pareto_share", "dedup_jaccard_clusters",
     "embedding_norm_profile", "events_attribution_last_touch",
-    "events_cohort_ltv", "events_props_json_stats", "events_retention_rate",
-    "events_session_funnel", "events_stickiness", "events_top_journeys",
-    "graph_clustering_coefficient", "graph_common_neighbors",
-    "graph_degree_histogram", "graph_triangle_count", "lineitem_ship_latency",
-    "mango_all", "orders_basket_size_hist", "orders_percent_rank_top",
+    "events_cohort_ltv", "events_props_json_stats",
+    "events_retention_rate", "events_session_funnel", "events_stickiness",
+    "events_top_journeys", "graph_clustering_coefficient",
+    "graph_common_neighbors", "graph_degree_histogram",
+    "graph_triangle_count", "lineitem_ship_latency", "mango_all",
+    "orders_basket_size_hist", "orders_percent_rank_top",
     "orders_trailing_week_revenue", "orders_wow_growth",
     "profile_split_drift", "quality_checks_report",
     "sketch_comparison_report", "sketch_hll_rolling_distinct",
@@ -234,12 +209,13 @@ _PRIORITY = [
     "text_tfidf_similar_pairs", "text_zipf_profile",
     "agg_grouping_sets_revenue", "agg_q14_promo_effect",
     "agg_q19_disjunctive_revenue", "agg_q3_shipping_priority",
-    "agg_q5_local_supplier_volume", "agg_q8_market_share", "ann_ivfpq_search",
-    "ann_ivfpq_search_partitioned", "ann_pq_384", "ann_pq_batch_search",
-    "ann_pq_search", "ann_pq_search_precomputed", "brand_price_size_skyline",
-    "customer_rfm_segments", "dedup_containment_pairs",
-    "dedup_cosine_pairs_384", "dedup_jaccard_prefix", "dedup_multipass_pairs",
-    "dedup_semantic_medoids", "dedup_semantic_prune", "dml_roundtrip",
+    "agg_q5_local_supplier_volume", "agg_q8_market_share",
+    "ann_ivfpq_search", "ann_ivfpq_search_partitioned", "ann_pq_384",
+    "ann_pq_batch_search", "ann_pq_search", "ann_pq_search_precomputed",
+    "brand_price_size_skyline", "customer_rfm_segments",
+    "dedup_containment_pairs", "dedup_cosine_pairs_384",
+    "dedup_jaccard_prefix", "dedup_multipass_pairs",
+    "dedup_semantic_medoids", "dedup_semantic_prune",
     "events_activity_streaks", "events_attribution_linear",
     "events_attribution_time_decay", "events_ewma_hourly",
     "events_revenue_milestones", "flagship_search", "graph_bfs_reach",
@@ -247,7 +223,7 @@ _PRIORITY = [
     "graph_kcore_peel", "graph_label_propagation",
     "graph_personalized_pagerank", "lineitem_weighted_median",
     "orders_weekly_trend_ols", "parts_price_size_skyline",
-    "pipeline_roundtrip", "profile_key_skew", "profile_ntile_deciles",
+    "profile_key_skew", "profile_ntile_deciles",
     "sketch_grouped_quantiles", "sketch_histogram_quantiles",
     "stream_cms_live_tokens", "stream_dedup_live", "stream_hll_live_users",
     "stream_interval_join_live", "stream_live_count_by_type",
@@ -259,16 +235,35 @@ _PRIORITY = [
     "ann_lsh_search", "ann_lsh_search_precomputed", "ann_sq8_codes",
     "ann_sq8_search", "ann_sq8_search_precomputed", "compat_index_string",
     "curation_chunk_documents", "curation_k_anonymity",
-    "curation_split_assign", "customer_gini_revenue", "dedup_batch_vs_corpus",
-    "dedup_minhash_calibration", "dedup_substring_profile",
-    "dedup_top_passages", "events_conversion_propensity",
-    "graph_hits_authorities", "graph_jaccard_neighbors",
+    "curation_split_assign", "customer_gini_revenue",
+    "dedup_batch_vs_corpus", "dedup_minhash_calibration",
+    "dedup_substring_profile", "dedup_top_passages",
+    "events_conversion_propensity", "graph_jaccard_neighbors",
     "graph_resource_allocation", "join_anti_missing_vectors",
-    "join_zip_documents_embeddings", "mango_count", "mango_sort_skip_limit",
-    "multimodal_audio_windows", "orders_mann_kendall",
-    "orders_theil_sen_trend", "point_lookup", "profile_chi_square",
-    "profile_equidepth_bins", "scan_documents", "stream_late_drop_live",
-    "stream_reactive_topk_384", "union_dedup",
+    "join_zip_documents_embeddings", "mango_count",
+    "mango_sort_skip_limit", "multimodal_audio_windows",
+    "orders_mann_kendall", "orders_theil_sen_trend", "point_lookup",
+    "profile_chi_square", "profile_equidepth_bins", "scan_documents",
+    "stream_late_drop_live", "stream_reactive_topk_384", "union_dedup",
+    "agg_pricing_summary", "agg_top_revenue_orders",
+    "ann_ivf_search_partitioned", "ann_pq_codes", "changefeed_page",
+    "curation_chunk_dedup", "curation_contamination",
+    "curation_mixture_sample", "dedup_cosine_pairs", "events_cusum_alarms",
+    "events_hourly_acf", "events_peak_concurrency", "events_spend_burst",
+    "graph_ktruss_capped", "graph_ktruss_strong_ties",
+    "graph_lpa_modularity", "graph_pagerank_weighted", "hybrid_rrf_batch",
+    "hybrid_rrf_search", "join_salted_skew", "knn_ann_range",
+    "knn_ann_range_compat", "knn_ann_similarity", "knn_batch_exact",
+    "knn_cosine", "knn_exact", "multimodal_byte_stats",
+    "multimodal_decode_fake", "multimodal_phash_clusters",
+    "multimodal_phash_neardup", "multimodal_resize_fake",
+    "profile_length_quantiles", "reactive_count_ivm", "reactive_query_ivm",
+    "reactive_topk_ivm", "set_ops_intersect_except",
+    "stream_ann_index_delete_live", "stream_ann_index_live",
+    "stream_bm25_index_live", "stream_cusum_live", "stream_hybrid_live",
+    "stream_spend_burst_live", "text_bm25_search", "text_bpe_token_count",
+    "text_fingerprint", "text_lang_id", "text_quality_score",
+    "text_title_content_parse", "text_token_count",
 ]
 
 

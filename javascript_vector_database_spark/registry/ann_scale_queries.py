@@ -1207,6 +1207,245 @@ def stream_ann_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("stream_ivf_index_live", oracle=_IVF_SEARCH_ORACLE)
+def stream_ivf_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE-MAINTAINED partitioned IVF layout (15th streaming==batch
+    row) — the last precomputed ANN layout to get a live face (BQ words
+    and BM25 tf/dl landed r9).  Coarse assignment against the FIXED
+    write-time centroid set is a pure scan-local projection
+    (ann_scale.ivf_cell_expr — no shuffle, exactly like BQ's sign
+    packing), so the same checkpointed pipeline
+    (streaming/pipeline.py:streaming_pipeline) MERGEs
+    (vec_id, ivf_cell, embedding) rows into a ParquetTable stored
+    ``partitionBy(ivf_cell)`` — the dml partition_col layout, where the
+    MERGE's touched-partition pruning and the probe's PartitionFilters
+    ride the SAME physical column.  The feed arrives in two halves with
+    a stop/restart from the checkpoint between them, plus a re-delivered
+    slice of the first half (at-least-once); cell assignments are
+    key-stable under fixed centroids, so the MERGE absorbs both
+    invisibly.  Certification: ``ivf_search(precomputed=True)`` probes
+    the LIVE table and must hash-match the SAME DuckDB oracle as the
+    batch ``ann_ivf_search_partitioned`` row; partition pruning on the
+    live table is pinned by tests/test_plans.py::
+    test_partition_col_table_probe_prunes.  At 100 TB this is the
+    reference's derived-collection architecture (src/database.ts:
+    176-206) for the IVF index: per-row assignment at ingest, MERGE
+    touches only the cells present in each micro-batch, probes read
+    nprobe partitions and never rescan the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    tmp = tempfile.mkdtemp(prefix="stream_ivfidx_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    dest = ParquetTable(
+        spark, os.path.join(tmp, "index"), "vec_id", partition_col="ivf_cell"
+    )
+    feed = emb.select("vec_id", "embedding")
+    feed_rest = _stream_feed(spark, feed, src, "vec_id")
+    schema = "vec_id long, embedding array<float>"
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        # assignment is a pure projection against the fixed centroids;
+        # MERGE keyed on vec_id + key-stable cells make re-delivered
+        # rows idempotent (same key, same cell, same embedding)
+        dest.bulk_upsert(
+            batch.withColumn(
+                "ivf_cell",
+                ann_scale.ivf_cell_expr(F.col("embedding"), cents),
+            ),
+            lwt=float(batch_id),
+        )
+
+    try:
+        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q.awaitTermination()  # availableNow: drains half 1, stops
+        feed_rest()
+        # at-least-once: re-deliver a slice of the ALREADY-PROCESSED
+        # first half as fresh files; the MERGE must absorb them silently
+        feed.where(
+            (F.coalesce(F.col("vec_id"), F.lit(0)) % 2 == 0)
+            & (F.col("vec_id") % 10 == 0)
+        ).write.mode("append").parquet(src)
+        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2.awaitTermination()  # checkpoint resume: only the new files
+        stored = dest.docs().select("vec_id", "embedding", "ivf_cell")
+        out = ann_scale.ivf_search(stored, qv, cents=cents, precomputed=True)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register("stream_ivfpq_index_live", oracle=_ivfpq_search_oracle())
+def stream_ivfpq_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE-MAINTAINED IVF-PQ layout (17th streaming==batch row) — the
+    compounding index maintained, completing "every precomputed layout
+    has a live face" INCLUDING the code column: per arriving vector the
+    handler computes BOTH write-time artifacts — the coarse cell
+    (scan-local argmin vs fixed centroids) and the PQ code (one Arrow
+    projection against the fixed codebook, operators/pq.py:
+    pq_code_table) — and MERGEs (vec_id, ivf_cell, pq_code) into the
+    partitionBy(ivf_cell) ParquetTable that
+    ``ann_ivfpq_search_partitioned`` probes.  Stop/restart from the
+    checkpoint between halves + a re-delivered first-half slice, both
+    absorbed (cell and code are key-stable pure functions of the
+    payload).  Certification: the ADC probe + exact re-rank over the
+    LIVE table hash-matches the SAME oracle as the batch
+    ``ann_ivfpq_search`` / ``_partitioned`` rows.  At 100 TB: ingest
+    cost is one projection per row (no shuffle), probes prune whole
+    cell directories and read ONLY the code column of survivors — the
+    maintained table serves the (nprobe/K) x (M bytes/row) I/O story
+    continuously."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    cb = pqm.pq_codebook(cents)
+    tmp = tempfile.mkdtemp(prefix="stream_ivfpqidx_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    dest = ParquetTable(
+        spark, os.path.join(tmp, "index"), "vec_id", partition_col="ivf_cell"
+    )
+    feed = emb.select("vec_id", "embedding")
+    feed_rest = _stream_feed(spark, feed, src, "vec_id")
+    schema = "vec_id long, embedding array<float>"
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        delta = batch.withColumn(
+            "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+        ).select("vec_id", "ivf_cell").join(
+            pqm.pq_code_table(batch, cb), "vec_id"
+        )
+        dest.bulk_upsert(delta, lwt=float(batch_id))
+
+    try:
+        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q.awaitTermination()
+        feed_rest()
+        feed.where(
+            (F.coalesce(F.col("vec_id"), F.lit(0)) % 2 == 0)
+            & (F.col("vec_id") % 10 == 0)
+        ).write.mode("append").parquet(src)
+        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2.awaitTermination()
+        stored = dest.docs()
+        out = pqm.ivfpq_search_precomputed(stored, emb, qv, cents, cb)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register("stream_ann_index_compact_live", oracle=_bq_search_oracle(ORACLE_DIM))
+def stream_ann_index_compact_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION invariance of the live-maintained ANN index (16th
+    streaming==batch row): at 100 TB a MERGE-maintained code table is
+    compacted constantly (every micro-batch MERGE leaves up to one file
+    per writing task per touched partition — the small-files tax), and
+    compaction must be a pure physical rewrite: same rows, same
+    revisions, same probe results.  Same checkpointed pipeline as
+    ``stream_ann_index_live``, with ``ParquetTable.compact()`` (the
+    Delta OPTIMIZE analog, operators/dml.py) run TWICE at the nastiest
+    moments: between the two feed halves (the next MERGE must land on
+    the compacted layout) and after the final drain (the probe must
+    read the compacted files).  Certification: the hamming probe + exact
+    re-rank over the twice-compacted live table hash-matches the SAME
+    DuckDB oracle as ``ann_bq_search_precomputed`` / the uncompacted
+    ``stream_ann_index_live`` row; the row itself asserts each compact
+    strictly reduced (or kept) the file count while preserving the
+    table's exact row set."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    dim = len(qv)
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="stream_annidx_cmp_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    dest = ParquetTable(spark, os.path.join(tmp, "index"), "vec_id")
+    feed = emb.select("vec_id", "embedding")
+    feed_rest = _stream_feed(spark, feed, src, "vec_id")
+    schema = "vec_id long, embedding array<float>"
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        dest.bulk_upsert(quant.bq_table(batch, dim), lwt=float(batch_id))
+
+    def table_digest():
+        # order-free content digest as ONE bounded 1-row collect (the
+        # full-table collect would break the bounded-collect discipline)
+        return dest.df().select(
+            # decimal(38,0) sum: 64-bit hash terms would overflow an
+            # ANSI-mode BIGINT sum
+            F.sum(
+                F.xxhash64("vec_id", "bq_words", "_rev").cast("decimal(38,0)")
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+
+    def compact_checked() -> None:
+        before = table_digest()
+        stats = dest.compact()
+        assert stats["files_after"] <= stats["files_before"], stats
+        after = table_digest()
+        assert tuple(before) == tuple(after), (
+            "compact() must not change table content"
+        )
+
+    try:
+        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q.awaitTermination()  # availableNow: drains half 1, stops
+        compact_checked()  # the next MERGE lands on the compacted layout
+        feed_rest()
+        feed.where(
+            (F.coalesce(F.col("vec_id"), F.lit(0)) % 2 == 0)
+            & (F.col("vec_id") % 10 == 0)
+        ).write.mode("append").parquet(src)
+        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2.awaitTermination()
+        compact_checked()  # the probe reads the compacted files
+        stored = dest.docs().select("vec_id", "bq_words")
+        out = quant.bq_search_precomputed(stored, emb, qv)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Lloyd-trained IVF: the training rounds themselves oracle-checked
 # ---------------------------------------------------------------------------
@@ -1226,9 +1465,20 @@ def _lloyd_cents_cte(
     whole chain per reference (the sql_ktruss_peel lesson).  Ends in
     ``cents`` so _ivf_search_oracle's probe/assign CTEs plug on top."""
     s = ann_scale.LLOYD_SCALE
+    sum_terms = ", ".join(
+        f"sum(CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE)"
+        f" * {s}.0 + 0.5) AS BIGINT)) AS s{d}"
+        for d in range(dim)
+    )
+    # FLOOR division, not DuckDB's native truncating `//`: Python's
+    # `//` floors (-7 // 2 = -4) while DuckDB's truncates toward zero
+    # (-7 // 2 = -3), and Gaussian embeddings make negative member
+    # sums routine — without this correction the two engines train
+    # centroids differing by 1/LLOYD_SCALE (r9 ADVICE, high).  n > 0
+    # always (a cell only appears in la{i} with >= 1 member).
     mean_terms = ", ".join(
-        f"CAST(sum(CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE)"
-        f" * {s}.0 + 0.5) AS BIGINT)) // count(*) AS DOUBLE) / {s}.0"
+        f"CAST(s{d} // n - CASE WHEN s{d} < 0 AND s{d} % n <> 0"
+        f" THEN 1 ELSE 0 END AS DOUBLE) / {s}.0"
         for d in range(dim)
     )
     sql = [
@@ -1251,12 +1501,17 @@ def _lloyd_cents_cte(
   ) WHERE rn = 1)"""
         )
         sql.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT cid, count(*) AS n, {sum_terms}
+  FROM la{i} GROUP BY cid)"""
+        )
+        sql.append(
             f"""c{i + 1} AS MATERIALIZED (
   SELECT cid, list_value({mean_terms}) AS cemb
-  FROM la{i} GROUP BY cid
+  FROM m{i}
   UNION ALL
   SELECT c.cid, list_transform(c.cemb, x -> CAST(x AS DOUBLE)) AS cemb
-  FROM c{i} c WHERE c.cid NOT IN (SELECT DISTINCT cid FROM la{i}))"""
+  FROM c{i} c WHERE c.cid NOT IN (SELECT DISTINCT cid FROM m{i}))"""
         )
     return (
         ",\n".join(sql)

@@ -2172,9 +2172,14 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting its labels (public: Newman & Girvan 2004).  Reuses the
     registered deterministic LPA labeling verbatim; the label table is
     materialized ONCE (three consumers: degree join + both endpoint
-    joins — the HITS materialize-once lesson), m comes from one bounded
-    count (a literal in the plan, so no 1-row broadcast join), and
-    every shuffle is keyed on node/community ids."""
+    joins — the HITS materialize-once lesson), and the PAIR LIST is
+    materialized once too — _copurchase_edges eagerly localCheckpoints
+    and session-caches it (decorrelated.py _EDGE_CACHE), so its three
+    consumers here (m's count, the intra join, sym's union for
+    labels/degree) all scan checkpointed blocks rather than replaying
+    the lineitem self-join.  m comes from one bounded count (a literal
+    in the plan, so no 1-row broadcast join), and every shuffle is
+    keyed on node/community ids."""
     from javascript_vector_database_spark.operators.graph import (
         label_propagation,
     )

@@ -161,6 +161,44 @@ def test_ivf_partitioned_write_prunes(spark, tmp_path):
     assert probe.select("ivf_cell").distinct().count() <= 2
 
 
+def test_partition_col_table_probe_prunes(spark, tmp_path):
+    """The LIVE IVF layout's probe plan: a ParquetTable stored with
+    partition_col='ivf_cell' (the table stream_ivf_index_live MERGEs
+    into) must serve ivf_search(precomputed=True) with a real
+    PartitionFilter — MERGE maintenance and probe pruning ride the same
+    physical column."""
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    assigned = emb.select("vec_id", "embedding").withColumn(
+        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+    )
+    t = ParquetTable(
+        spark, str(tmp_path / "live_ivf"), "vec_id", partition_col="ivf_cell"
+    )
+    # build through the MERGE path (two upserts), like the live handler
+    t.bulk_upsert(assigned.where(F.col("vec_id") % 2 == 0), lwt=1.0)
+    t.bulk_upsert(assigned.where(F.col("vec_id") % 2 != 0), lwt=2.0)
+
+    qv = registry.get_query_vec(spark, SF)
+    probe = ann_scale.ivf_search(
+        t.docs().select("vec_id", "embedding", "ivf_cell"),
+        qv,
+        cents=cents,
+        precomputed=True,
+    )
+    plan = _plan(probe)
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "ivf_cell" in seg and seg.strip()
+    # and it returns the same rows as the inline-assignment path
+    baseline = ann_scale.ivf_search(emb, qv, cents=cents)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in baseline.collect()
+    ]
+
+
 def test_ivf_search_partitioned_registry_prunes(spark):
     """The registry's precomputed-IVF probe query must hit the partitioned
     layout with a real partition filter (no per-query assignment fold over

@@ -76,19 +76,22 @@ def test_lloyd_centroids_match_python_reference(spark):
 
 def test_lloyd_centroids_converge_to_cluster_means(spark):
     # k=2 with one init point in each far-apart cluster: after one round
-    # each centroid must be exactly the integer mean of its cluster
+    # each centroid must be exactly the integer mean of its cluster.
+    # Ids 1..4 are CHOSEN so the md5-order init provably splits:
+    # md5 order of {1,2,3,4} is [4,1,2,3], so init = {4 (high), 1 (low)}
+    # — the previous id set {1,2,7,9} ordered [9,7,1,2], put BOTH inits
+    # in the high cluster, and the test silently never ran (r9 ADVICE).
     vecs = {
         1: [0.0, 0.0],
         2: [0.2, 0.2],
-        7: [9.0, 9.0],
-        9: [9.4, 9.4],
+        3: [9.0, 9.0],
+        4: [9.4, 9.4],
     }
     order = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
     init = sorted(order[:2])
     low = [i for i in init if vecs[i][0] < 5]
     high = [i for i in init if vecs[i][0] >= 5]
-    if not (low and high):  # hash order put both inits in one cluster:
-        return  # the reference-equality test above still pins the rule
+    assert low and high, f"init {init} must split across clusters"
     df = spark.createDataFrame(
         [(i, v) for i, v in vecs.items()],
         schema="vec_id long, embedding array<double>",
@@ -100,7 +103,7 @@ def test_lloyd_centroids_converge_to_cluster_means(spark):
         for d in range(2)
     ]
     hi_mean = [
-        (sum(_floor(vecs[i][d] * s + 0.5) for i in (7, 9)) // 2) / s
+        (sum(_floor(vecs[i][d] * s + 0.5) for i in (3, 4)) // 2) / s
         for d in range(2)
     ]
     assert got[low[0]] == lo_mean

@@ -31,6 +31,73 @@ EXCLUDED = {
     "reactive_topk_ivm",
 }
 
+#: rows whose result comes from a DRIVER-COORDINATED LOOP of Spark jobs
+#: with eager localCheckpoints between rounds: the audited plan is the
+#: FINAL post-checkpoint DF, so xchg/wscg show the last scan, NOT the
+#: loop's real shuffle work (r9 verdict "What's wrong" #1).  The value
+#: names the per-round cost actually paid; rows not listed here run as
+#: one static plan and their columns are the whole story.
+LOOP_BACKED = {
+    "dedup_duplicate_clusters": (
+        "min-label CC: per round = edge join + per-node min agg "
+        "(1 shuffle), O(component diameter) rounds w/ fixpoint exit"
+    ),
+    "dedup_duplicate_clusters_star": (
+        "identical-hash star collapse first, then the same min-label CC "
+        "per-round join + min agg over the residual pairs"
+    ),
+    "dedup_jaccard_clusters": (
+        "min-label CC over the prefix-filtered pair set: per round = "
+        "edge join + per-node min agg"
+    ),
+    "multimodal_phash_clusters": (
+        "min-label CC over the phash near-dup pairs: per round = edge "
+        "join + per-node min agg"
+    ),
+    "graph_pagerank_copurchase": (
+        "3 Pregel rounds: contribution equi-join + map-side-combined "
+        "sum per round over the full edge list"
+    ),
+    "graph_pagerank_weighted": (
+        "3 Pregel rounds: weighted contribution equi-join + sum per "
+        "round (strength precomputed once)"
+    ),
+    "graph_personalized_pagerank": (
+        "3 Pregel rounds: same join+sum shape with the seed restart "
+        "vector folded in per round"
+    ),
+    "graph_hits_authorities": (
+        "2 rounds x 2 half-steps: edge join + groupBy sum + max-renorm "
+        "projection each half-step"
+    ),
+    "graph_kcore_peel": (
+        "per peel round: degree agg + semi-join cut of sub-k nodes"
+    ),
+    "graph_ktruss_strong_ties": (
+        "per peel round: wedge support join + sub-support edge cut over "
+        "the full surviving graph"
+    ),
+    "graph_ktruss_capped": (
+        "bounded peel: per round wedge join + cut over <= 20k edges "
+        "(constant at any corpus size); only the up-front weight agg "
+        "scales with the corpus"
+    ),
+    "graph_label_propagation": (
+        "2 LPA rounds: label equi-join + per-node mode window per round"
+    ),
+    "graph_lpa_modularity": (
+        "consumes the LPA loop's labels (same per-round join+mode cost) "
+        "before its own two label equi-joins"
+    ),
+    "graph_bfs_reach": (
+        "per hop: frontier equi-join + min-union distance fold"
+    ),
+    "ann_ivf_lloyd_search": (
+        "3 Lloyd rounds: scan-local argmin + k-group integer-mean agg "
+        "(one 16-row collect) per round before the audited probe"
+    ),
+}
+
 
 def audited_names() -> list[str]:
     return [
@@ -115,20 +182,34 @@ def main() -> None:
         "is loop/micro-batch semantics, not one static plan.  Audited:",
         f"{len(rows)} of {len(registry.queries())} registered queries.",
         "",
-        "| query | xchg | topk | pushed | part | joins | py | wscg |",
-        "|---|---|---|---|---|---|---|---|",
+        "`loop` marks rows produced by a driver-coordinated loop with",
+        "eager localCheckpoints between rounds: their xchg/wscg columns",
+        "describe the FINAL post-checkpoint plan only — the loop's",
+        "per-round shuffle cost is listed in the footnotes below the",
+        "table, not in the columns.",
+        "",
+        "| query | xchg | topk | pushed | part | joins | py | wscg | loop |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, info in rows:
         if isinstance(info, str):
-            lines.append(f"| {name} | {info} |" + " - |" * 6)
+            lines.append(f"| {name} | {info} |" + " - |" * 7)
             continue
         lines.append(
             f"| {name} | {info['exchanges']} | "
             f"{'yes' if info['topk'] else '-'} | "
             f"{'yes' if info['pushed'] else '-'} | "
             f"{info['partition_filters']} | {info['joins']} | "
-            f"{info['python']} | {info['codegen_spans']} |"
+            f"{info['python']} | {info['codegen_spans']} | "
+            f"{'yes*' if name in LOOP_BACKED else '-'} |"
         )
+    lines += [
+        "",
+        "## loop-backed rows: per-round cost (what the columns can't show)",
+        "",
+    ]
+    for name in sorted(n for n, _ in rows if n in LOOP_BACKED):
+        lines.append(f"- **{name}** — {LOOP_BACKED[name]}")
     out = "\n".join(lines) + "\n"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
