@@ -946,6 +946,14 @@ def main() -> None:
         "multimodal_phash_clusters",
         "graph_pagerank_weighted",
         "hybrid_rrf_batch",
+        # round-10 addition: the tuned range band (recall/docs-read pair
+        # lives in the ann_range_tuned_* extras).  The four new stream_*
+        # live-index rows are NOT headline rows — like the r9 live rows,
+        # their cost is pipeline orchestration (checkpoint restarts +
+        # MERGE cycles), not a query plan; their steady-state serving
+        # cost IS the probe each one hash-matches (knn/ann/bq/lsh rows
+        # already timed here).
+        "knn_ann_range_tuned",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state
@@ -1002,7 +1010,10 @@ def main() -> None:
     # 30x column: third point on the time-vs-scale curve for the
     # shuffle-heaviest rows — linearity measured, not asserted.  The
     # gate the verdict reads: sf30/sf1 time ratio <= ~3.9 per row
-    # (1.3x per data-x over the 10x->30x leg).
+    # (1.3x per data-x over the 10x->30x leg).  Best-of-2 like every
+    # other column: this box takes multi-second contention bursts
+    # (external sessions), and a single inflated 30x sample reads as a
+    # false scale cliff in exactly the column built to rule cliffs out.
     sf30_queries: dict[str, float] = {}
     sf30_gen_sec = 0.0
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
@@ -1012,7 +1023,8 @@ def main() -> None:
         for name in _SCALE30_HEADLINE:
             fn = registry.queries()[name]
             t1, _ = _timed(lambda fn=fn: fn(spark, sf30_dir).collect())
-            sf30_queries[name] = round(t1, 4)
+            t2, _ = _timed(lambda fn=fn: fn(spark, sf30_dir).collect())
+            sf30_queries[name] = round(min(t1, t2), 4)
 
     total_sec = sum(queries.values())
     # Key order matters for the record's survival: the driver keeps only

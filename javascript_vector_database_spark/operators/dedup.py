@@ -343,6 +343,43 @@ def lsh_band_pairs(
     return pairs
 
 
+def lsh_pairs_from_sig_table(
+    sig_table: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_HASHES,
+    bands: int = DEFAULT_BANDS,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Pair derivation over a MAINTAINED (id, th, mh) signature table —
+    the query-time half of :func:`lsh_band_pairs` when the per-document
+    work (text hash + MinHash signature, both deterministic pure
+    functions of the text) was done at INGEST and MERGEd into a managed
+    table.  Replays the identical two hot-bucket guards over the stored
+    rows: exact-dup star collapse on ``th`` (rows with a NULL ``mh`` —
+    shingle-less docs — still participate here, exactly as they enter
+    ``lsh_band_pairs``'s collapse before signatures exist), then capped
+    banding over the surviving representatives' stored signatures.
+    Returns the identical (id_a, id_b) set as ``lsh_band_pairs`` over
+    the same corpus; certified by ``stream_lsh_index_live`` against the
+    batch row's DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    wth = Window.partitionBy("th")
+    withrep = sig_table.select(id_col, "th", "mh").withColumn(
+        "__rep", F.min(id_col).over(wth)
+    )
+    star = withrep.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    reps = (
+        withrep.where(F.col(id_col) == F.col("__rep"))
+        .where(F.col("mh").isNotNull())
+        .select(id_col, "mh")
+    )
+    pairs = _band_pairs_from_sigs(reps, id_col, num_hashes, bands, bucket_cap)
+    return pairs.unionByName(star).distinct()
+
+
 def _band_pairs_from_sigs(
     sigs: DataFrame,
     id_col: str,

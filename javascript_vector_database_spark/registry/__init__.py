@@ -104,13 +104,17 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 10.  Composition (exact):
-    #   4 r10-NEW rows:
+    #   5 r10-NEW rows:
     #      stream_ivf_index_live — the 15th streaming==batch row: the
     #        checkpointed pipeline MERGE-maintains the partitionBy(
     #        ivf_cell) IVF layout (ParquetTable partition_col — MERGE
     #        pruning and probe PartitionFilters ride the same physical
     #        column); probe hash-matches ann_ivf_search_partitioned's
     #        oracle across stop/restart + re-delivered files;
+    #      stream_lsh_index_live — the 18th: the DEDUP family's
+    #        maintained index — per-doc (th, mh) computed at ingest,
+    #        MERGEd; star collapse + capped banding replayed over the
+    #        stored signatures hash-match dedup_lsh_pairs' oracle;
     #      stream_ivfpq_index_live — the 17th: the COMPOUNDING layout
     #        maintained — per-row (ivf_cell, pq_code) both computed at
     #        ingest (argmin projection + Arrow codebook projection),
@@ -137,13 +141,14 @@ _PRIORITY = [
     #      pipeline_roundtrip (ParquetTable grew the partition_col
     #      layout; the hash-bucket path is refactored-not-changed and
     #      pytest-pinned, but these two rows exercise it end-to-end);
-    #   42 oldest-stamp refreshers: ALL 39 remaining r4 stamps (clears
+    #   41 oldest-stamp refreshers: ALL 39 remaining r4 stamps (clears
     #      rotation debt — no stamp older than r5 after this round)
-    #      + the 3 alphabetically-first r5 stamps.
+    #      + the 2 alphabetically-first r5 stamps.
     # Rotation-exempt by policy (outputs unchanged, locally
     # sweep-verified every pytest run): docstring-only edits
     # (graph_lpa_modularity's materialize-once clarification).
     "stream_ivf_index_live", "stream_ivfpq_index_live",
+    "stream_lsh_index_live",
     "stream_ann_index_compact_live",
     "knn_ann_range_tuned", "ann_ivf_lloyd_search",
     "graph_hits_authorities", "dml_roundtrip", "pipeline_roundtrip",
@@ -163,9 +168,9 @@ _PRIORITY = [
     "rollup_orders_by_status_priority", "sketch_kmv_distinct_users",
     "state_fold_last_per_user", "text_bm25_batch_search",
     "window_top_customers_per_nation", "agg_q17_small_quantity_revenue",
-    "agg_q18_large_orders", "agg_regional_revenue",
+    "agg_q18_large_orders",
     # ---- window boundary (50) ----
-    "basket_association_rules",
+    "agg_regional_revenue", "basket_association_rules",
     # everything below carries a green r4-r9 stamp and is unchanged;
     # the local sf0.001 sweep re-verifies all of it on every pytest
     # run (ordered oldest stamp first)

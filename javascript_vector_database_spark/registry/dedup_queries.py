@@ -154,6 +154,72 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_band_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register("stream_lsh_index_live", oracle=_lsh_pairs_oracle())
+def stream_lsh_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE-MAINTAINED LSH dedup index (18th streaming==batch row): the
+    DEDUP family's analog of the maintained ANN/BM25 indexes — at 100 TB
+    a near-dup pipeline cannot re-sign the corpus per query, it
+    maintains the signature table and derives pairs from it.  The
+    per-document work (md5 text hash + 8-hash MinHash signature, both
+    deterministic pure functions of the text) runs at INGEST inside the
+    checkpointed pipeline and MERGEs (doc_id, th, mh) into a managed
+    table — the signature aggregation shuffles only each micro-batch,
+    keyed on doc_id; shingle-less docs store a NULL signature but keep
+    their text hash so the exact-dup star collapse still sees them.
+    Stop/restart from the checkpoint between halves + a re-delivered
+    first-half slice, both absorbed by the key-stable MERGE.
+    Certification: dedup.lsh_pairs_from_sig_table — star collapse +
+    capped banding replayed over the STORED signatures — hash-matches
+    the SAME DuckDB oracle as the batch ``dedup_lsh_pairs`` row."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_lshidx_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    dest = ParquetTable(spark, os.path.join(tmp, "index"), "doc_id")
+    feed_rest = _stream_feed(spark, docs, src, "doc_id")
+    schema = "doc_id long, text string"
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        withh = batch.select(
+            "doc_id", F.col("text").alias("__text")
+        ).withColumn("th", F.md5("__text"))
+        sigs = dedup.minhash_signatures(withh, "__text", "doc_id")
+        # left join: shingle-less docs keep a NULL mh but stay in the
+        # table for the star collapse (mirrors lsh_band_pairs, where
+        # the collapse runs BEFORE signatures exist)
+        delta = withh.select("doc_id", "th").join(sigs, "doc_id", "left")
+        dest.bulk_upsert(delta, lwt=float(batch_id))
+
+    try:
+        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q.awaitTermination()  # availableNow: drains half 1, stops
+        feed_rest()
+        # at-least-once: re-deliver a slice of the already-processed half
+        docs.where(
+            (F.coalesce(F.col("doc_id"), F.lit(0)) % 2 == 0)
+            & (F.col("doc_id") % 10 == 0)
+        ).write.mode("append").parquet(src)
+        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2.awaitTermination()  # checkpoint resume: only the new files
+        out = dedup.lsh_pairs_from_sig_table(dest.docs())
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (blocked by source at scale)
 # ---------------------------------------------------------------------------

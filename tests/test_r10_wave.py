@@ -219,6 +219,40 @@ def test_partition_col_compact_preserves_content_and_layout(spark, tmp_path):
             assert n == 1, (part, n)
 
 
+def test_lsh_pairs_from_sig_table_equals_batch(spark):
+    # the maintained-signature probe must reproduce lsh_band_pairs
+    # exactly, including the two edge classes the MERGE path must not
+    # lose: exact-dup groups (star collapse on th) and shingle-less
+    # docs (NULL mh in the stored table, still collapse participants)
+    from javascript_vector_database_spark.operators import dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, boiler),
+        (2, boiler),                      # exact dup of 1 -> star edge
+        (3, boiler + " with a twist"),    # near dup -> band pair
+        (4, "completely different text about spark shuffles and joins"),
+        (5, "hi"),                        # shingle-less (< k tokens)
+        (6, "hi"),                        # exact dup of 5 -> star edge
+        (7, ""),                          # empty text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch = sorted(
+        (r["id_a"], r["id_b"]) for r in dedup.lsh_band_pairs(df).collect()
+    )
+    withh = df.select(
+        "doc_id", F.col("text").alias("__text")
+    ).withColumn("th", F.md5("__text"))
+    sigs = dedup.minhash_signatures(withh, "__text", "doc_id")
+    table = withh.select("doc_id", "th").join(sigs, "doc_id", "left")
+    live = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_pairs_from_sig_table(table).collect()
+    )
+    assert live == batch
+    assert (1, 2) in live and (5, 6) in live  # both edge classes present
+
+
 def test_partition_col_meta_roundtrip_reopen(spark, tmp_path):
     path = str(tmp_path / "t")
     ParquetTable(spark, path, "id", partition_col="cell").bulk_upsert(
