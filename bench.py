@@ -722,6 +722,56 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # z-order clustering evidence (r10): footer-level prunable-file
+    # fraction of the registered 2-D box query under the z-ordered
+    # layout vs a single-column time-sorted layout — the user-dimension
+    # number is the whole point (a time sort prunes ~0 of it)
+    from javascript_vector_database_spark.operators import layout as zl
+    from javascript_vector_database_spark.registry.relational import (
+        _ZBOX_TS,
+        _ZBOX_USER,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_zorder_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        zpath = os.path.join(tmp, "z")
+        zl.write_zorder_layout(
+            ev, zpath, F.col("user_id"), F.col("ts").cast("long")
+        )
+        tpath = os.path.join(tmp, "t")
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+        try:
+            ev.repartitionByRange(16, F.col("ts")).sortWithinPartitions(
+                "ts"
+            ).write.mode("overwrite").parquet(tpath)
+        finally:
+            spark.conf.unset(ts_conf)
+        import datetime
+
+        utc = datetime.timezone.utc
+        box = {
+            "user_id": _ZBOX_USER,
+            "ts": tuple(
+                datetime.datetime.fromisoformat(s).replace(tzinfo=utc)
+                for s in _ZBOX_TS
+            ),
+        }
+        sz = zl.file_minmax_stats(zpath, ["user_id", "ts"])
+        st = zl.file_minmax_stats(tpath, ["user_id", "ts"])
+        results["zorder_box_prunable_frac"] = zl.prunable_fraction(sz, box)
+        results["timesort_box_prunable_frac"] = zl.prunable_fraction(st, box)
+        user_only = {"user_id": _ZBOX_USER}
+        results["zorder_userdim_prunable_frac"] = zl.prunable_fraction(
+            sz, user_only
+        )
+        results["timesort_userdim_prunable_frac"] = zl.prunable_fraction(
+            st, user_only
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     # headline registry queries (one pass each).  The historically
     # contention-sensitive heavy graph/dedup rows go FIRST: when the
     # driver harness runs several sessions, whatever times LAST eats

@@ -2508,3 +2508,73 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout: multi-dimensional file skipping
+# ---------------------------------------------------------------------------
+
+#: box bounds valid at EVERY sf (sf0.001's user_ids span only 0..14)
+_ZBOX_USER = (3, 9)
+_ZBOX_TS = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+
+_ZORDER_BOX_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM events
+WHERE user_id BETWEEN {_ZBOX_USER[0]} AND {_ZBOX_USER[1]}
+  AND ts >= TIMESTAMP '{_ZBOX_TS[0]}' AND ts < TIMESTAMP '{_ZBOX_TS[1]}'
+GROUP BY event_type
+"""
+
+
+@register("layout_zorder_box_query", oracle=_ZORDER_BOX_ORACLE)
+def layout_zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box query served from a Z-ORDER clustered layout — the
+    multi-dimensional file-skipping technique (Morton 1966; the public
+    idea behind Delta/Iceberg OPTIMIZE ZORDER BY).  A time-sorted event
+    log prunes time ranges but reads EVERYTHING for a user-scoped
+    query; interleaving the bits of the normalized (user_id, ts) codes
+    and range-partitioning + sorting the WRITE on that one z-value
+    gives every file a tight min/max bounding box in BOTH dimensions,
+    so parquet footers prune the box query in either dimension
+    (operators/layout.py; the z column is dropped — readers see plain
+    predicates, and the scan carries both ranges as PushedFilters,
+    pinned by tests/test_plans.py).  Same rows as the straight scan —
+    the oracle never sees the layout; the layout's VALUE is measured
+    by bench extras zorder_prunable_frac vs timesort_prunable_frac
+    (footer-level skippable-file fraction of this exact box under each
+    layout, read back with pyarrow) and pinned directionally by
+    tests/test_r10_wave.py.  At 100 TB this is a write-time clustering
+    decision exactly like the IVF cell layout: one extra sort at
+    ingest, every mixed-predicate scan thereafter reads a small file
+    subset."""
+    import os
+    import tempfile
+
+    from javascript_vector_database_spark.operators import layout
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "events_z")
+    layout.write_zorder_layout(
+        ev, path, F.col("user_id"), F.col("ts").cast("long")
+    )
+    z = spark.read.parquet(path)
+    out = (
+        z.where(
+            F.col("user_id").between(*_ZBOX_USER)
+            & (F.col("ts") >= F.lit(_ZBOX_TS[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(_ZBOX_TS[1]).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+    # freeze before the tmp layout disappears with the registry call
+    return spark.createDataFrame(out.collect(), out.schema)

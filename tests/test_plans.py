@@ -161,6 +161,27 @@ def test_ivf_partitioned_write_prunes(spark, tmp_path):
     assert probe.select("ivf_cell").distinct().count() <= 2
 
 
+def test_zorder_scan_pushes_both_ranges(spark, tmp_path):
+    """The z-ordered layout is read with PLAIN predicates — both box
+    ranges must reach the parquet scan as PushedFilters (the footers
+    they prune against are pinned by test_r10_wave's stats test)."""
+    from javascript_vector_database_spark.operators import layout
+
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "z")
+    layout.write_zorder_layout(
+        ev, path, F.col("user_id"), F.col("ts").cast("long")
+    )
+    probe = spark.read.parquet(path).where(
+        F.col("user_id").between(3, 9)
+        & (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    )
+    plan = _plan(probe)
+    seg = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "user_id" in seg and "ts" in seg
+
+
 def test_partition_col_table_probe_prunes(spark, tmp_path):
     """The LIVE IVF layout's probe plan: a ParquetTable stored with
     partition_col='ivf_cell' (the table stream_ivf_index_live MERGEs

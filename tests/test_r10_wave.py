@@ -253,6 +253,63 @@ def test_lsh_pairs_from_sig_table_equals_batch(spark):
     assert (1, 2) in live and (5, 6) in live  # both edge classes present
 
 
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    # the z-order claim, measured from parquet footers: a time-sorted
+    # layout prunes nothing for a user-scoped query (every file spans
+    # the full user range), while the z-ordered layout of the SAME rows
+    # gives every file a bounding box in both dimensions
+    from javascript_vector_database_spark.operators import layout
+    from javascript_vector_database_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    zpath = str(tmp_path / "z")
+    layout.write_zorder_layout(
+        ev, zpath, F.col("user_id"), F.col("ts").cast("long")
+    )
+    tpath = str(tmp_path / "t")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        (
+            ev.repartitionByRange(16, F.col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(tpath)
+        )
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    sz = layout.file_minmax_stats(zpath, ["user_id", "ts"])
+    st = layout.file_minmax_stats(tpath, ["user_id", "ts"])
+    assert len(sz) > 4 and len(st) > 4  # enough files for pruning to mean anything
+
+    user_box = {"user_id": (3, 9)}
+    pz_user = layout.prunable_fraction(sz, user_box)
+    pt_user = layout.prunable_fraction(st, user_box)
+    assert pt_user <= 0.1  # time-sorted: user predicate prunes ~nothing
+    assert pz_user > pt_user and pz_user >= 0.3
+
+    import datetime
+
+    utc = datetime.timezone.utc  # pyarrow returns tz-aware UTC stats
+    time_box = {
+        "ts": (
+            datetime.datetime(2024, 1, 8, tzinfo=utc),
+            datetime.datetime(2024, 1, 15, tzinfo=utc),
+        )
+    }
+    # both layouts prune the time dimension; z-order must too (its files
+    # carry a ts bounding box as well), even if less tightly than the
+    # dedicated time sort
+    assert layout.prunable_fraction(st, time_box) >= 0.5
+    assert layout.prunable_fraction(sz, time_box) > 0.0
+
+    # and the layouts hold the same rows (clustering is value-neutral)
+    a = sorted(tuple(r) for r in spark.read.parquet(zpath).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(tpath).collect())
+    assert a == b
+
+
 def test_partition_col_meta_roundtrip_reopen(spark, tmp_path):
     path = str(tmp_path / "t")
     ParquetTable(spark, path, "id", partition_col="cell").bulk_upsert(

@@ -96,6 +96,14 @@ LOOP_BACKED = {
         "3 Lloyd rounds: scan-local argmin + k-group integer-mean agg "
         "(one 16-row collect) per round before the audited probe"
     ),
+    "layout_zorder_box_query": (
+        "not a loop but the same audit caveat: the row writes the "
+        "z-clustered layout then freezes the probe result, so the "
+        "audited plan is the frozen frame — the REAL probe plan (both "
+        "box ranges as PushedFilters over the z layout) is pinned by "
+        "tests/test_plans.py::test_zorder_scan_pushes_both_ranges and "
+        "the footer-skipping evidence by the bench zorder_* extras"
+    ),
 }
 
 
@@ -182,11 +190,12 @@ def main() -> None:
         "is loop/micro-batch semantics, not one static plan.  Audited:",
         f"{len(rows)} of {len(registry.queries())} registered queries.",
         "",
-        "`loop` marks rows produced by a driver-coordinated loop with",
-        "eager localCheckpoints between rounds: their xchg/wscg columns",
-        "describe the FINAL post-checkpoint plan only — the loop's",
-        "per-round shuffle cost is listed in the footnotes below the",
-        "table, not in the columns.",
+        "`loop` marks rows whose audited plan hides earlier work — a",
+        "driver-coordinated loop with eager localCheckpoints between",
+        "rounds, or a side-effecting layout write before a frozen",
+        "probe: their xchg/wscg columns describe the FINAL",
+        "post-checkpoint/post-materialization plan only; the hidden",
+        "cost is named per row in the footnotes below the table.",
         "",
         "| query | xchg | topk | pushed | part | joins | py | wscg | loop |",
         "|---|---|---|---|---|---|---|---|---|",
@@ -205,7 +214,8 @@ def main() -> None:
         )
     lines += [
         "",
-        "## loop-backed rows: per-round cost (what the columns can't show)",
+        "## loop-backed / post-materialization rows: the cost the"
+        " columns can't show",
         "",
     ]
     for name in sorted(n for n, _ in rows if n in LOOP_BACKED):
