@@ -124,12 +124,20 @@ def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         mins: dict = {c: None for c in cols}
         maxs: dict = {c: None for c in cols}
+        # a column missing stats in ANY row group has no file-level
+        # bound at all — once invalid it must STAY invalid, or a later
+        # row group's stats would fabricate a bound the statless group
+        # can escape (and "prunable" would wrongly skip matching rows)
+        valid: dict = {c: True for c in cols}
         for rg in range(md.num_row_groups):
             for c in cols:
+                if not valid[c]:
+                    continue
                 st = md.row_group(rg).column(idx[c]).statistics
                 if st is None or not st.has_min_max:
+                    valid[c] = False
                     mins[c] = maxs[c] = None
-                    break
+                    continue
                 mins[c] = st.min if mins[c] is None else min(mins[c], st.min)
                 maxs[c] = st.max if maxs[c] is None else max(maxs[c], st.max)
         out.append({c: (mins[c], maxs[c]) for c in cols})

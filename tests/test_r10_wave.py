@@ -310,6 +310,39 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert a == b
 
 
+def test_file_stats_statless_column_never_prunes(spark, tmp_path):
+    # Spark's default INT96 timestamps carry no parquet min/max stats:
+    # the stats reader must report (None, None) for them and
+    # prunable_fraction must never prune on a statless column — while
+    # still pruning on columns that do have bounds in the same files
+    import datetime
+
+    from javascript_vector_database_spark.operators import layout
+    from javascript_vector_database_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    path = str(tmp_path / "int96")
+    # default conf -> INT96 timestamps, sorted by user so user prunes
+    (
+        ev.repartitionByRange(8, F.col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    stats = layout.file_minmax_stats(path, ["user_id", "ts"])
+    assert all(f["ts"] == (None, None) for f in stats)
+    assert all(f["user_id"][0] is not None for f in stats)
+    utc = datetime.timezone.utc
+    ts_box = {
+        "ts": (
+            datetime.datetime(2024, 1, 8, tzinfo=utc),
+            datetime.datetime(2024, 1, 15, tzinfo=utc),
+        )
+    }
+    assert layout.prunable_fraction(stats, ts_box) == 0.0
+    assert layout.prunable_fraction(stats, {"user_id": (3, 9)}) >= 0.5
+
+
 def test_partition_col_meta_roundtrip_reopen(spark, tmp_path):
     path = str(tmp_path / "t")
     ParquetTable(spark, path, "id", partition_col="cell").bulk_upsert(
