@@ -996,14 +996,18 @@ def main() -> None:
         "multimodal_phash_clusters",
         "graph_pagerank_weighted",
         "hybrid_rrf_batch",
-        # round-10 addition: the tuned range band (recall/docs-read pair
-        # lives in the ann_range_tuned_* extras).  The four new stream_*
-        # live-index rows are NOT headline rows — like the r9 live rows,
-        # their cost is pipeline orchestration (checkpoint restarts +
-        # MERGE cycles), not a query plan; their steady-state serving
-        # cost IS the probe each one hash-matches (knn/ann/bq/lsh rows
-        # already timed here).
+        # round-10 additions: the tuned range band (recall/docs-read
+        # pair lives in the ann_range_tuned_* extras), the z-order box
+        # query (skipping evidence in the zorder_* extras), and
+        # hard-negative mining (the knn_batch shape).  The four new
+        # stream_* live-index rows are NOT headline rows — like the r9
+        # live rows, their cost is pipeline orchestration (checkpoint
+        # restarts + MERGE cycles), not a query plan; their
+        # steady-state serving cost IS the probe each one hash-matches
+        # (knn/ann/bq/lsh rows already timed here).
         "knn_ann_range_tuned",
+        "layout_zorder_box_query",
+        "embedding_hard_negatives",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state

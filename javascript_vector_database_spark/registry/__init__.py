@@ -104,7 +104,7 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 10.  Composition (exact):
-    #   6 r10-NEW rows:
+    #   7 r10-NEW rows:
     #      stream_ivf_index_live — the 15th streaming==batch row: the
     #        checkpointed pipeline MERGE-maintains the partitionBy(
     #        ivf_cell) IVF layout (ParquetTable partition_col — MERGE
@@ -124,6 +124,11 @@ _PRIORITY = [
     #        Delta OPTIMIZE analog) run between the feed halves AND
     #        before the probe; content digest pinned unchanged, probe
     #        hash-matches the uncompacted row's oracle;
+    #      embedding_hard_negatives — DPR/RocketQA-style hard-negative
+    #        mining: per-anchor top-k below the dedup stack's cosine
+    #        near-dup ceiling (mining presumed positives as negatives
+    #        poisons contrastive training); one corpus scan for the
+    #        whole anchor set via the knn_batch WindowGroupLimit shape;
     #      layout_zorder_box_query — Z-ORDER clustered layout (Morton
     #        1966; the OPTIMIZE ZORDER BY idea): one write-time
     #        repartitionByRange+sort on the interleaved (user, ts)
@@ -146,16 +151,17 @@ _PRIORITY = [
     #      pipeline_roundtrip (ParquetTable grew the partition_col
     #      layout; the hash-bucket path is refactored-not-changed and
     #      pytest-pinned, but these two rows exercise it end-to-end);
-    #   40 oldest-stamp refreshers: ALL 39 remaining r4 stamps (clears
+    #   39 oldest-stamp refreshers: ALL 39 remaining r4 stamps (clears
     #      rotation debt — no stamp older than r5 after this round)
-    #      + the alphabetically-first r5 stamp.
+    #      (the r5 tail rotates next round).
     # Rotation-exempt by policy (outputs unchanged, locally
     # sweep-verified every pytest run): docstring-only edits
     # (graph_lpa_modularity's materialize-once clarification).
     "stream_ivf_index_live", "stream_ivfpq_index_live",
     "stream_lsh_index_live",
     "stream_ann_index_compact_live",
-    "knn_ann_range_tuned", "layout_zorder_box_query", "ann_ivf_lloyd_search",
+    "knn_ann_range_tuned", "layout_zorder_box_query",
+    "embedding_hard_negatives", "ann_ivf_lloyd_search",
     "graph_hits_authorities", "dml_roundtrip", "pipeline_roundtrip",
     "curation_normalize_dedup", "curation_pack_sequences",
     "curation_pii_scrub", "curation_pipeline", "curation_repetition_stats",
@@ -172,9 +178,9 @@ _PRIORITY = [
     "profile_sample_per_source", "profile_top_tokens",
     "rollup_orders_by_status_priority", "sketch_kmv_distinct_users",
     "state_fold_last_per_user", "text_bm25_batch_search",
-    "window_top_customers_per_nation", "agg_q17_small_quantity_revenue",
+    "window_top_customers_per_nation",
     # ---- window boundary (50) ----
-    "agg_q18_large_orders",
+    "agg_q17_small_quantity_revenue", "agg_q18_large_orders",
     "agg_regional_revenue", "basket_association_rules",
     # everything below carries a green r4-r9 stamp and is unchanged;
     # the local sf0.001 sweep re-verifies all of it on every pytest

@@ -37,6 +37,81 @@ LIMIT {TOP_K}
 """
 
 
+#: hard-negative ceiling == the cosine-dedup emission threshold: anything
+#: the dedup stack would flag as a near-duplicate is a presumed positive
+#: and must NOT be mined as a negative (the false-negative poisoning
+#: problem in DPR/RocketQA-style contrastive training, public)
+HARD_NEG_CEIL = 0.2
+HARD_NEG_ANCHORS = (1, 2, 3, 4, 5)
+
+_HARD_NEG_ORACLE = f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN {HARD_NEG_ANCHORS}),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         round({osql.sql_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+  FROM embeddings e CROSS JOIN qs q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS neg_rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM d WHERE cos_sim < {HARD_NEG_CEIL}
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register("embedding_hard_negatives", oracle=_HARD_NEG_ORACLE)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive retriever training (public:
+    DPR Karpukhin 2020, RocketQA Qu 2021): for each anchor, the top-k
+    most-similar documents that are NOT near-duplicates — the negatives
+    that actually move a contrastive loss, unlike random negatives the
+    model separates for free.  The ceiling is the dedup stack's own
+    cosine emission threshold ({ceil}): anything dedup would flag as a
+    near-dup is a presumed positive, and mining it as a negative poisons
+    training (the known false-negative failure mode RocketQA's denoising
+    addresses).  Plan: broadcast the anchor set, ONE corpus scan scores
+    every (anchor, doc) cosine JVM-side, the rounded score is filtered
+    below the ceiling, and the per-anchor rank filter compiles to the
+    two-phase WindowGroupLimit — each map partition emits at most k rows
+    per anchor, so the corpus is read once for the whole anchor set and
+    never fans out by |anchors| (the knn_batch shape).  Output
+    (query_id, vec_id, cos_sim, neg_rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(
+        F.col("vec_id").isin(list(HARD_NEG_ANCHORS))
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from pyspark.sql.window import Window
+
+    scored = emb.crossJoin(F.broadcast(anchors)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("qv")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.where(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("cos_sim") < HARD_NEG_CEIL)
+        )
+        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "neg_rank")
+    )
+
+
+embedding_hard_negatives.__doc__ = embedding_hard_negatives.__doc__.format(
+    ceil=HARD_NEG_CEIL
+)
+
+
 @register("knn_cosine", oracle=_KNN_COSINE_ORACLE)
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 by cosine similarity: one scan ->

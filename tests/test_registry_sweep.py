@@ -31,6 +31,8 @@ BNLJ_ALLOWED = {
     "knn_batch_exact",  # 5-row query table broadcast against the corpus
     # inherits knn_batch_exact's 5-row broadcast as its vector arm
     "hybrid_rrf_batch",
+    # same 5-anchor broadcast-vs-corpus shape as knn_batch_exact
+    "embedding_hard_negatives",
     # decorrelated scalar subqueries: a ONE-row global aggregate
     # (total / max / (count, sum) pair) broadcast-crossJoined against
     # the grouped relation — the side is 1 row by construction
