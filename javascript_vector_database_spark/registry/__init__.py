@@ -104,7 +104,7 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
     # DRIVER WINDOW (first 50), round 10.  Composition (exact):
-    #   7 r10-NEW rows:
+    #   8 r10-NEW rows:
     #      stream_ivf_index_live — the 15th streaming==batch row: the
     #        checkpointed pipeline MERGE-maintains the partitionBy(
     #        ivf_cell) IVF layout (ParquetTable partition_col — MERGE
@@ -120,6 +120,11 @@ _PRIORITY = [
     #        ingest (argmin projection + Arrow codebook projection),
     #        MERGEd into the same partition_col layout; ADC probe
     #        hash-matches ann_ivfpq_search's oracle;
+    #      stream_ivf_index_delete_live — the 19th: tombstones through
+    #        the partition_col layout — a keys-only delete cannot hash
+    #        to its partitions, so bulk_remove takes the documented
+    #        PK-semi-join fallback to find the doomed cells; probe over
+    #        docs() hash-matches the alive-only IVF oracle;
     #      stream_ann_index_compact_live — the 16th: compact() (the
     #        Delta OPTIMIZE analog) run between the feed halves AND
     #        before the probe; content digest pinned unchanged, probe
@@ -147,10 +152,11 @@ _PRIORITY = [
     #        isEmpty() action per invocation; the empty-edge case rides
     #        a lazy coalesce on the renorm max (plan changed, values
     #        unchanged — re-stamped out of caution);
-    #   2 shared-infrastructure re-stamps: dml_roundtrip and
-    #      pipeline_roundtrip (ParquetTable grew the partition_col
-    #      layout; the hash-bucket path is refactored-not-changed and
-    #      pytest-pinned, but these two rows exercise it end-to-end);
+    #   1 shared-infrastructure re-stamp: dml_roundtrip (ParquetTable
+    #      grew the partition_col layout; the hash-bucket path is
+    #      refactored-not-changed and pytest-pinned — pipeline_roundtrip
+    #      yields its precautionary slot to the new delete row and keeps
+    #      its green r7 stamp under the local sweep);
     #   39 oldest-stamp refreshers: ALL 39 remaining r4 stamps (clears
     #      rotation debt — no stamp older than r5 after this round)
     #      (the r5 tail rotates next round).
@@ -158,11 +164,11 @@ _PRIORITY = [
     # sweep-verified every pytest run): docstring-only edits
     # (graph_lpa_modularity's materialize-once clarification).
     "stream_ivf_index_live", "stream_ivfpq_index_live",
-    "stream_lsh_index_live",
+    "stream_lsh_index_live", "stream_ivf_index_delete_live",
     "stream_ann_index_compact_live",
     "knn_ann_range_tuned", "layout_zorder_box_query",
     "embedding_hard_negatives", "ann_ivf_lloyd_search",
-    "graph_hits_authorities", "dml_roundtrip", "pipeline_roundtrip",
+    "graph_hits_authorities", "dml_roundtrip",
     "curation_normalize_dedup", "curation_pack_sequences",
     "curation_pii_scrub", "curation_pipeline", "curation_repetition_stats",
     "curation_split_stratified", "dedup_duplicate_clusters",
@@ -239,6 +245,7 @@ _PRIORITY = [
     "graph_kcore_peel", "graph_label_propagation",
     "graph_personalized_pagerank", "lineitem_weighted_median",
     "orders_weekly_trend_ols", "parts_price_size_skyline",
+    "pipeline_roundtrip",
     "profile_key_skew", "profile_ntile_deciles",
     "sketch_grouped_quantiles", "sketch_histogram_quantiles",
     "stream_cms_live_tokens", "stream_dedup_live", "stream_hll_live_users",

@@ -1747,6 +1747,110 @@ stream_ann_index_delete_live.__doc__ = (
 )
 
 
+#: alive-only corpus for the IVF delete oracle; centroids stay the FULL
+#: table's hash-order sample (the write-time set is fixed before any
+#: delete, exactly like the Spark side's collect_centroids(emb))
+_IVF_DELETED_ORACLE = _ivf_search_oracle(
+    table=(
+        f"(SELECT * FROM embeddings WHERE NOT (vec_id % 2 = 0"
+        f" AND vec_id % {_DELETE_MOD} = {_DELETE_RES})) "
+    ),
+    cents_cte=_IVF_CENTS_CTE,
+)
+
+
+@register("stream_ivf_index_delete_live", oracle=_IVF_DELETED_ORACLE)
+def stream_ivf_index_delete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE propagation through the PARTITION_COL live IVF layout
+    (19th streaming==batch row) — the companion stream_ann_index_
+    delete_live certifies for the hash-bucket layout; this row
+    certifies the harder path: a tombstone delta carries ONLY keys, so
+    under a partitionBy(ivf_cell) layout the bulk_remove cannot derive
+    its touched partitions from a hash — it takes the documented
+    PK-semi-join fallback (operators/dml.py:_touched) to find the cells
+    holding the doomed keys, then rewrites only those cell directories.
+    Unit-pinned in tests/test_r10_wave.py; this row closes the loop
+    end-to-end under the checkpointed feed: wave 2 routes tombstones
+    (first-half ids, vec_id % {m} == {r} — checkpoint-complete, so the
+    outcome is file-batching independent) through soft-delete, the
+    probe reads dest.docs() (the implicit `_deleted = false` view) with
+    PartitionFilters intact, and must hash-match the batch IVF oracle
+    over the corpus WITH the deleted vectors excluded — centroids stay
+    the full table's write-time sample on both engines."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)  # fixed BEFORE any delete
+    tmp = tempfile.mkdtemp(prefix="stream_ivfidx_del_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    dest = ParquetTable(
+        spark, os.path.join(tmp, "index"), "vec_id", partition_col="ivf_cell"
+    )
+    feed = emb.select(
+        "vec_id", "embedding", F.lit(False).alias("_tombstone")
+    )
+    feed_rest = _stream_feed(spark, feed, src, "vec_id")
+    schema = "vec_id long, embedding array<float>, _tombstone boolean"
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.cache()  # two filtered consumers, one tiny batch
+        try:
+            live = batch.where(~F.col("_tombstone"))
+            dead = batch.where(F.col("_tombstone")).select("vec_id")
+            if not live.isEmpty():
+                dest.bulk_upsert(
+                    live.withColumn(
+                        "ivf_cell",
+                        ann_scale.ivf_cell_expr(F.col("embedding"), cents),
+                    ).drop("_tombstone"),
+                    lwt=float(batch_id),
+                )
+            if not dead.isEmpty():
+                # keys-only delta: the partition_col table derives its
+                # touched cells via the PK semi-join fallback
+                dest.bulk_remove(dead, lwt=float(batch_id) + 0.5)
+        finally:
+            batch.unpersist()
+
+    try:
+        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q.awaitTermination()
+        feed_rest()
+        emb.where(
+            (F.col("vec_id") % 2 == 0)
+            & (F.col("vec_id") % _DELETE_MOD == _DELETE_RES)
+        ).select(
+            "vec_id",
+            "embedding",
+            F.lit(True).alias("_tombstone"),
+        ).write.mode("append").parquet(src)
+        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2.awaitTermination()
+        stored = dest.docs().select("vec_id", "embedding", "ivf_cell")
+        out = ann_scale.ivf_search(stored, qv, cents=cents, precomputed=True)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+stream_ivf_index_delete_live.__doc__ = (
+    stream_ivf_index_delete_live.__doc__.format(m=_DELETE_MOD, r=_DELETE_RES)
+)
+
+
 def _hybrid_live_oracle() -> str:
     from javascript_vector_database_spark.registry.text_queries import (
         _bm25_oracle,

@@ -310,6 +310,34 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert a == b
 
 
+def test_z_interleave_matches_python_reference(spark):
+    # bit-exact pin of the Morton kernel: bit i of x -> position 2i,
+    # bit i of y -> 2i+1, over boundary values and a deterministic grid
+    from javascript_vector_database_spark.operators import layout
+
+    def ref(x, y, bits=layout.Z_BITS):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    top = (1 << layout.Z_BITS) - 1
+    pts = [(0, 0), (top, top), (top, 0), (0, top), (1, 2), (43690, 21845)]
+    pts += [((i * 7919) % (top + 1), (i * 104729) % (top + 1)) for i in range(50)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", layout.z_interleave(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == ref(x, y), (x, y)
+    # interleave is a bijection on the grid: distinct inputs, distinct z
+    assert len(set(got.values())) == len(got)
+
+
 def test_file_stats_statless_column_never_prunes(spark, tmp_path):
     # Spark's default INT96 timestamps carry no parquet min/max stats:
     # the stats reader must report (None, None) for them and
