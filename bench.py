@@ -174,8 +174,9 @@ _SCALE_HEADLINE = [
 #: the 30x linearity subset (r9 verdict ask #2): the shuffle-heaviest
 #: rows, so time-vs-scale is MEASURED at 1x/10x/30x instead of
 #: extrapolated from 10x.  Facts only — dims stay broadcast-sized.
-#: Single timed pass per row (the 3-point slope tolerates one noisy
-#: sample; best-of-2 here would double a multi-minute column).
+#: Best-of-2 per row, same as every other column (see the loop below):
+#: a single inflated 30x sample would read as a false scale cliff in
+#: exactly the column built to rule cliffs out.
 _SCALE30_HEADLINE = [
     "graph_hits_authorities",
     "graph_ktruss_capped",
@@ -741,13 +742,19 @@ def main() -> None:
         )
         tpath = os.path.join(tmp, "t")
         ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev_ts = spark.conf.get(ts_conf, None)
         spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
         try:
             ev.repartitionByRange(16, F.col("ts")).sortWithinPartitions(
                 "ts"
             ).write.mode("overwrite").parquet(tpath)
         finally:
-            spark.conf.unset(ts_conf)
+            # save/restore (not unset): mirror write_zorder_layout so a
+            # pre-existing session value survives the bench block
+            if prev_ts is None:
+                spark.conf.unset(ts_conf)
+            else:
+                spark.conf.set(ts_conf, prev_ts)
         import datetime
 
         utc = datetime.timezone.utc

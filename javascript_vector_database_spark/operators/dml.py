@@ -35,6 +35,29 @@ BUCKET_COL = "__pkb"
 META_FILE = "_table_meta.json"
 
 
+#: characters Spark/Hive escape in partition directory names
+#: (ExternalCatalogUtils.charToEscape: control chars, plus the set below)
+_PART_ESCAPE = (
+    {chr(c) for c in range(1, 32)}
+    | set('"#%\'*/:=?\\{[]^')
+    | {chr(127)}
+)
+
+
+def _escape_part_value(v) -> str:
+    """Render a partition VALUE exactly as Spark writes its directory name
+    (ExternalCatalogUtils.escapePathName): reserved characters become
+    %XX uppercase hex.  Without this, a string-valued partition_col
+    containing '/', ':' etc. would make _replace_partitions look for the
+    wrong directory and silently leave stale data in place (r10 ADVICE).
+    NULL/empty map to Spark's __HIVE_DEFAULT_PARTITION__ sentinel."""
+    if v is None or v == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(c):02X}" if c in _PART_ESCAPE else c for c in str(v)
+    )
+
+
 def _rev_bump(prev_rev: F.Column, payload_hash: F.Column) -> F.Column:
     """`_rev` = '<height>-<hash>' bumped per write
     (MAP#rxdb/dist/esm/plugins/utils/utils-revision.js:1-41)."""
@@ -157,6 +180,33 @@ class ParquetTable:
         d = self.df()
         return d.where(~F.col("_deleted")) if "_deleted" in d.columns else d
 
+    def get_by_ids(self, ids: list) -> DataFrame:
+        """Point-lookup fast path (the reference's ``findByIds``,
+        MAP#rxdb/dist/esm/rx-collection.js:343-381 — a direct
+        ``findDocumentsById`` storage call, never a full query).  The
+        Spark analog of "go straight to the right storage shard": derive
+        the PK-hash buckets the ids land in (bounded — same machinery as
+        every keyed DML verb) and restrict the scan to those partition
+        directories BEFORE the IN filter, so the read is
+        O(touched buckets), not O(table).  Non-deleted rows only."""
+        self._resolve_layout()
+        if not self.exists():
+            raise FileNotFoundError(self.path)
+        key_df = self._key_df(ids)
+        src = self._raw()
+        if self._bucketed() and not self.partition_col:
+            src = src.where(F.col(BUCKET_COL).isin(self._touched(key_df)))
+        pk = self.primary_key
+        if isinstance(ids, DataFrame):
+            src = src.join(key_df, pk, "left_semi")
+        else:
+            # literal IN: pushes to parquet as row-group filters
+            src = src.where(F.col(pk).isin(list(set(ids))))
+        out = src.drop(BUCKET_COL) if BUCKET_COL in src.columns else src
+        if "_deleted" in out.columns:
+            out = out.where(~F.col("_deleted"))
+        return out
+
     # -- physical layout ------------------------------------------------------
 
     def _bucket_expr(self) -> F.Column:
@@ -217,7 +267,7 @@ class ParquetTable:
             self._part
         ).parquet(tmp)
         for b in buckets:
-            sub = f"{self._part}={b}"
+            sub = f"{self._part}={_escape_part_value(b)}"
             dst = os.path.join(self.path, sub)
             src = os.path.join(tmp, sub)
             if os.path.exists(dst):
@@ -457,6 +507,111 @@ class ParquetTable:
         self._replace_partitions(
             out.where(F.col(self._part).isin(touched)).drop("__hit"), touched
         )
+
+    def merge_cdc(
+        self,
+        rows: DataFrame,
+        csn_col: str = "_csn",
+        tombstone_col: str = "_tombstone",
+        lwt: float | None = None,
+    ) -> None:
+        """CDC MERGE with per-key change-sequence-number (CSN) conflict
+        resolution — upserts and deletes in ONE verb that COMMUTES under
+        at-least-once re-delivery.
+
+        The ordering problem this solves: bulk_upsert + bulk_remove as
+        separate verbs make the final state depend on ARRIVAL order — a
+        re-delivered insert landing after its key's delete resurrects
+        the row, which is why the r10 live-index rows restricted
+        tombstones to checkpoint-complete ids.  Real CDC engines version
+        every change with a monotonic per-key sequence number and keep
+        the max in the MERGE (Delta CDF's _commit_version, a Kafka log
+        offset); this verb implements that discipline:
+
+        * every delta row carries ``csn_col`` (producer-assigned,
+          monotonic per key) and ``tombstone_col`` (true = delete);
+        * within one batch only the max-(csn, tombstone) row per key
+          survives (a tombstone outranks an insert at the same csn);
+        * against stored state an arriving row wins ONLY if its csn
+          exceeds the stored row's — equal or lower (a re-delivery or a
+          stale change) is absorbed silently, in EITHER direction;
+        * a winning tombstone is STORED as a ``_deleted=true`` row (the
+          soft-delete shape ``docs()`` already filters), never removed:
+          it must outlive the insert it supersedes, and a tombstone for
+          a not-yet-delivered key parks a row that absorbs the insert
+          when it finally arrives — delete-before-insert and
+          insert-after-delete both converge to deleted.
+
+        Touched-partition contract: under a ``partition_col`` layout
+        the delta must carry the partition column on EVERY row,
+        tombstones included — the partition value is a pure function of
+        the payload, so a CDC producer computes it for deletes too (and
+        the MERGE never needs the PK-semi-join fallback).  Only touched
+        partitions are read or rewritten, same as bulk_upsert."""
+        from pyspark.sql.window import Window
+
+        pk = self.primary_key
+        lwt = time.time() * 1000.0 if lwt is None else lwt
+        w = Window.partitionBy(pk).orderBy(
+            F.col(csn_col).desc(), F.col(tombstone_col).cast("int").desc()
+        )
+        delta = (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "_rev")
+            .withColumn("_deleted", F.col(tombstone_col))
+            .drop(tombstone_col)
+            .withColumn("_lwt", F.lit(float(lwt)))
+        )
+        if not delta.isStreaming:
+            delta = delta.cache()
+        try:
+            if not self.exists():
+                self._swap_in(
+                    delta.withColumn(
+                        "_rev",
+                        F.concat(F.lit("1-"), _payload_hash(delta.columns)),
+                    )
+                )
+                return
+            if self._bucketed():
+                touched = self._touched(delta)
+                cur = self._raw().where(F.col(self._part).isin(touched))
+            else:
+                touched = None
+                cur = self.df()
+            prev_csn = (
+                F.col(csn_col)
+                if csn_col in cur.columns
+                else F.lit(None).cast("long")
+            )
+            prev = cur.select(
+                pk,
+                F.col("_rev").alias("__prev_rev"),
+                prev_csn.alias("__prev_csn"),
+            )
+            winners = (
+                self._with_bucket(delta)
+                .join(prev, pk, "left")
+                .where(
+                    F.col("__prev_csn").isNull()
+                    | (F.col(csn_col) > F.col("__prev_csn"))
+                )
+                .withColumn(
+                    "_rev",
+                    _rev_bump(F.col("__prev_rev"), _payload_hash(delta.columns)),
+                )
+                .drop("__prev_rev", "__prev_csn")
+            )
+            kept = cur.join(winners.select(pk), pk, "left_anti")
+            new_state = kept.unionByName(winners, allowMissingColumns=True)
+            if touched is None:
+                self._swap_in(new_state)
+            else:
+                self._replace_partitions(new_state, touched)
+        finally:
+            if not delta.isStreaming:
+                delta.unpersist()
 
     def _key_df(self, ids) -> DataFrame:
         """Normalize a Python list or single-column DataFrame of keys to a

@@ -82,9 +82,22 @@ def write_zorder_layout(
         F.min(x_col).alias("xlo"), F.max(x_col).alias("xhi"),
         F.min(y_col).alias("ylo"), F.max(y_col).alias("yhi"),
     ).first()  # bounded: one row of layout constants
-    z = z_interleave(
-        z_norm16(x_col, float(xb["xlo"]), float(xb["xhi"])),
-        z_norm16(y_col, float(xb["ylo"]), float(xb["yhi"])),
+    if xb is None or xb["xlo"] is None or xb["ylo"] is None:
+        # empty input (or all-NULL dimension): no bounds to cluster on
+        raise ValueError(
+            "write_zorder_layout needs >= 1 row with non-NULL values in"
+            " both dimension columns"
+        )
+    # rows with a NULL dimension get z=0 (cluster at the origin) instead
+    # of a NULL z that would range-partition arbitrarily; pruning stays
+    # correct because parquet min/max bounds cover non-NULL values only
+    # and a NULL dimension never satisfies a range predicate anyway
+    z = F.coalesce(
+        z_interleave(
+            z_norm16(x_col, float(xb["xlo"]), float(xb["xhi"])),
+            z_norm16(y_col, float(xb["ylo"]), float(xb["yhi"])),
+        ),
+        F.lit(0).cast("long"),
     )
     spark = df.sparkSession
     ts_conf = "spark.sql.parquet.outputTimestampType"

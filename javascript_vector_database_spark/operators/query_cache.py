@@ -64,15 +64,20 @@ class CachedCollection:
     ) -> None:
         self._source = source
         self._pk = primary_key
+        self._table = None
         self._entries: dict[str, DataFrame] = {}
+        self._counts: dict[str, int] = {}
         self.hits = 0
         self.misses = 0
 
     @classmethod
     def attach(cls, table, primary_key: str | None = None) -> "CachedCollection":
         """Wrap a ``ParquetTable``: queries read ``table.docs()`` and any
-        DML verb on the table invalidates the cache."""
+        DML verb on the table invalidates the cache.  ``find_by_ids``
+        additionally gains the table's partition-pruned point-lookup
+        fast path."""
         cache = cls(table.docs, primary_key or table.primary_key)
+        cache._table = table
         table.on_write(cache.invalidate)
         return cache
 
@@ -102,12 +107,69 @@ class CachedCollection:
         self._entries[key] = df
         return df
 
+    def count(self, selector: dict[str, Any] | None = None) -> int:
+        """Matching-doc count with the reference's two-tier fast path
+        (rx-query.js:83-120 ``_execOverDatabase``: a COUNT query skips
+        result materialization and calls the storage's ``count()``
+        directly; rx-query caches ``_result`` so a re-exec is free).
+
+        Tier 1 — cached: the same selector's count (or an already-
+        materialized find() result for the same selector, which is
+        counted without any rescan).  Tier 2 — storage count: one
+        COUNT(1) aggregate with the selector pushed into the scan; no
+        row ever reaches the driver but the single tally (count-star
+        over parquet can even be answered from footer row counts when
+        the selector is empty)."""
+        key = "count:" + normalize_spec(selector, None, 0, None, None)
+        if key in self._counts:
+            self.hits += 1
+            return self._counts[key]
+        find_key = normalize_spec(selector, None, 0, None, None)
+        cached_find = self._entries.get(find_key)
+        if cached_find is not None:
+            # count the persisted result instance — no rescan
+            self.hits += 1
+            n = cached_find.count()
+        else:
+            self.misses += 1
+            src = self._source()
+            if selector:
+                src = src.where(mango.mango_to_column(selector))
+            n = src.count()
+        self._counts[key] = n
+        return n
+
+    def find_by_ids(self, ids: list) -> DataFrame:
+        """Point lookups by primary key (the reference's ``findByIds``,
+        rx-collection.js:343-381 — a direct storage
+        ``findDocumentsById``, never a full query executor pass).  When
+        attached to a ``ParquetTable`` this delegates to its
+        partition-pruned ``get_by_ids`` (read only the PK-hash buckets
+        the ids land in); otherwise an IN filter over the source.
+        Cached under its own key like any query."""
+        key = "byids:" + json.dumps(sorted(map(repr, ids)))
+        hit = self._entries.get(key)
+        if hit is not None:
+            self.hits += 1
+            return hit
+        self.misses += 1
+        if self._table is not None:
+            df = self._table.get_by_ids(list(ids))
+        else:
+            from pyspark.sql import functions as F
+
+            df = self._source().where(F.col(self._pk).isin(list(ids)))
+        df = df.persist()
+        self._entries[key] = df
+        return df
+
     def invalidate(self) -> None:
         """Drop every cached result (called on any write to the backing
         collection — the RxDB change-event analog)."""
         for df in self._entries.values():
             df.unpersist()
         self._entries.clear()
+        self._counts.clear()
 
     def __len__(self) -> int:
         return len(self._entries)

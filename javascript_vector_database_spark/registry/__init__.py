@@ -103,128 +103,101 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # DRIVER WINDOW (first 50), round 10.  Composition (exact):
-    #   8 r10-NEW rows:
-    #      stream_ivf_index_live — the 15th streaming==batch row: the
-    #        checkpointed pipeline MERGE-maintains the partitionBy(
-    #        ivf_cell) IVF layout (ParquetTable partition_col — MERGE
-    #        pruning and probe PartitionFilters ride the same physical
-    #        column); probe hash-matches ann_ivf_search_partitioned's
-    #        oracle across stop/restart + re-delivered files;
-    #      stream_lsh_index_live — the 18th: the DEDUP family's
-    #        maintained index — per-doc (th, mh) computed at ingest,
-    #        MERGEd; star collapse + capped banding replayed over the
-    #        stored signatures hash-match dedup_lsh_pairs' oracle;
-    #      stream_ivfpq_index_live — the 17th: the COMPOUNDING layout
-    #        maintained — per-row (ivf_cell, pq_code) both computed at
-    #        ingest (argmin projection + Arrow codebook projection),
-    #        MERGEd into the same partition_col layout; ADC probe
-    #        hash-matches ann_ivfpq_search's oracle;
-    #      stream_ivf_index_delete_live — the 19th: tombstones through
-    #        the partition_col layout — a keys-only delete cannot hash
-    #        to its partitions, so bulk_remove takes the documented
-    #        PK-semi-join fallback to find the doomed cells; probe over
-    #        docs() hash-matches the alive-only IVF oracle;
-    #      stream_ann_index_compact_live — the 16th: compact() (the
-    #        Delta OPTIMIZE analog) run between the feed halves AND
-    #        before the probe; content digest pinned unchanged, probe
-    #        hash-matches the uncompacted row's oracle;
-    #      embedding_hard_negatives — DPR/RocketQA-style hard-negative
-    #        mining: per-anchor top-k below the dedup stack's cosine
-    #        near-dup ceiling (mining presumed positives as negatives
-    #        poisons contrastive training); one corpus scan for the
-    #        whole anchor set via the knn_batch WindowGroupLimit shape;
-    #      layout_zorder_box_query — Z-ORDER clustered layout (Morton
-    #        1966; the OPTIMIZE ZORDER BY idea): one write-time
-    #        repartitionByRange+sort on the interleaved (user, ts)
-    #        code gives every file a 2-D bounding box; footer-measured
-    #        prunable fractions in bench extras zorder_*/timesort_*;
-    #      knn_ann_range_tuned — the range band as a KNOB: ±0.03
-    #        (recall@10 0.87 / docs-read 0.78 vs 0.29/0.13 at the
-    #        faithful ±0.003); honest sweep on TUNED_INDEX_DISTANCE,
-    #        bench extras ann_range_tuned_*;
-    #   2 r10-CHANGED rows (r9 ADVICE):
-    #      ann_ivf_lloyd_search — the HIGH fix: the oracle CTE now
-    #        floor-divides negative member sums (DuckDB's native //
-    #        truncates toward zero; Python floors) — pinned bit-exact
-    #        cross-engine by tests/test_r10_wave.py;
-    #      graph_hits_authorities — hits() no longer runs a driver-side
-    #        isEmpty() action per invocation; the empty-edge case rides
-    #        a lazy coalesce on the renorm max (plan changed, values
-    #        unchanged — re-stamped out of caution);
-    #   1 shared-infrastructure re-stamp: dml_roundtrip (ParquetTable
-    #      grew the partition_col layout; the hash-bucket path is
-    #      refactored-not-changed and pytest-pinned — pipeline_roundtrip
-    #      yields its precautionary slot to the new delete row and keeps
-    #      its green r7 stamp under the local sweep);
-    #   39 oldest-stamp refreshers: ALL 39 remaining r4 stamps (clears
-    #      rotation debt — no stamp older than r5 after this round)
-    #      (the r5 tail rotates next round).
-    # Rotation-exempt by policy (outputs unchanged, locally
-    # sweep-verified every pytest run): docstring-only edits
-    # (graph_lpa_modularity's materialize-once clarification).
-    "stream_ivf_index_live", "stream_ivfpq_index_live",
-    "stream_lsh_index_live", "stream_ivf_index_delete_live",
-    "stream_ann_index_compact_live",
-    "knn_ann_range_tuned", "layout_zorder_box_query",
-    "embedding_hard_negatives", "ann_ivf_lloyd_search",
-    "graph_hits_authorities", "dml_roundtrip",
-    "curation_normalize_dedup", "curation_pack_sequences",
-    "curation_pii_scrub", "curation_pipeline", "curation_repetition_stats",
-    "curation_split_stratified", "dedup_duplicate_clusters",
-    "dedup_duplicate_clusters_star", "dedup_exact_groups",
-    "dedup_lsh_pairs", "dedup_minhash_signatures", "dedup_ngram_jaccard",
-    "dedup_simhash", "events_asof_join", "events_range_join",
-    "events_rollup_multires", "events_session_window_agg",
-    "events_sessionize", "events_windowed_agg", "json_dump_roundtrip",
-    "mango_bool_combinators", "mango_elemmatch_size", "mango_eq_ne",
-    "mango_exists", "mango_in_nin", "mango_mod", "mango_range",
-    "mango_regex", "multimodal_frame_sample", "profile_cube_source_lang",
-    "profile_length_histogram", "profile_pivot_lang_counts",
-    "profile_sample_per_source", "profile_top_tokens",
-    "rollup_orders_by_status_priority", "sketch_kmv_distinct_users",
-    "state_fold_last_per_user", "text_bm25_batch_search",
-    "window_top_customers_per_nation",
-    # ---- window boundary (50) ----
+    # DRIVER WINDOW (first 50), round 11.  Composition (exact):
+    #   2 r11-NEW rows:
+    #      stream_pivot_index_live — the 20th streaming==batch row and
+    #        the one the reference actually ships: the checkpointed
+    #        pipeline computes idx0..idx4 pivot distances per arriving
+    #        vector (src/database.ts:176-206, :195-198) and MERGEs them
+    #        into a managed table; the faithful +-0.003 range probe
+    #        (src/search.ts:19-54) over the LIVE table hash-matches the
+    #        batch knn_ann_range oracle across stop/restart +
+    #        re-delivery;
+    #      cache_collection_roundtrip — the rx-query fast paths
+    #        (rx-query.js:83-120, rx-collection.js:343-381): count()
+    #        served from the cached tally / a materialized find()
+    #        instance, findByIds via the partition-pruned
+    #        ParquetTable.get_by_ids, instance tunneling asserted, and
+    #        write invalidation recomputing both — counts, the
+    #        deterministic hit/miss ledger, and surviving lookups all
+    #        oracle-checked;
+    #   2 r11-CHANGED rows (the r10 verdict's CSN ask):
+    #      stream_ivf_index_delete_live / stream_ann_index_delete_live
+    #        — rebuilt on merge_cdc (operators/dml.py): per-key change
+    #        sequence numbers make deletes COMMUTE with re-delivered
+    #        inserts, so the r10 "tombstones only for checkpoint-
+    #        complete ids" caveat is GONE — the delete wave now lands
+    #        BEFORE the second insert half (tombstones for undelivered
+    #        keys park and absorb the late insert) and a third
+    #        checkpointed run re-delivers original inserts for half the
+    #        deleted ids, which must not resurrect;
+    #   2 shared-infrastructure re-stamps (outputs expected unchanged,
+    #      re-stamped out of caution like r10's hits row):
+    #      layout_zorder_box_query — write_zorder_layout grew the
+    #        empty-input guard + NULL-z coalesce (r10 ADVICE);
+    #      dml_roundtrip — _replace_partitions now escapes partition
+    #        directory values the way Spark writes them (r10 ADVICE;
+    #        integer buckets render identically, pinned by
+    #        tests/test_r11_wave.py);
+    #   44 oldest-stamp refreshers: ALL 44 remaining r5 stamps (clears
+    #      the rotation debt — no stamp older than r6 after this round;
+    #      the r6 tail rotates next round).
+    "stream_pivot_index_live", "cache_collection_roundtrip",
+    "stream_ivf_index_delete_live", "stream_ann_index_delete_live",
+    "layout_zorder_box_query", "dml_roundtrip",
     "agg_q17_small_quantity_revenue", "agg_q18_large_orders",
     "agg_regional_revenue", "basket_association_rules",
-    # everything below carries a green r4-r9 stamp and is unchanged;
-    # the local sf0.001 sweep re-verifies all of it on every pytest
-    # run (ordered oldest stamp first)
     "compat_index_string_384", "curation_contamination_bloom",
-    "curation_domain_cap", "curation_lm_quality",
-    "curation_luhn_cc_detect", "curation_remove_boilerplate",
-    "dedup_simhash_hamming", "division_suppliers_full_brand",
-    "events_anomaly_hours", "events_asof_join_forward",
-    "events_corr_pairs", "events_dwell_stats", "events_funnel_counts",
-    "events_funnel_latency", "events_gapfill_hourly",
+    "curation_domain_cap", "curation_lm_quality", "curation_luhn_cc_detect",
+    "curation_remove_boilerplate", "dedup_simhash_hamming",
+    "division_suppliers_full_brand", "events_anomaly_hours",
+    "events_asof_join_forward", "events_corr_pairs", "events_dwell_stats",
+    "events_funnel_counts", "events_funnel_latency", "events_gapfill_hourly",
     "events_hopping_window_agg", "events_hourly_trend",
     "events_markov_transitions", "events_retention_cohorts",
     "events_scd2_state_intervals", "graph_pagerank_copurchase",
     "join_bucketed_colocated", "knn_ann_range_compat_384",
     "knn_ann_similarity_384", "knn_exact_384", "knn_mmr_rerank",
-    "orders_mad_outliers", "orders_price_outliers",
-    "orders_winsorized_mean", "profile_benford_digits",
-    "profile_unpivot_lang_stats", "sketch_cms_token_freq",
-    "sketch_hll_distinct_users", "sketch_hll_users_by_type",
-    "text_bpe_pair_counts", "text_keywords", "text_phrase_postings_join",
-    "text_phrase_search", "text_winnow_fingerprints",
-    "text_winnow_overlap_pairs", "agg_q10_returned_items",
-    "agg_q11_important_shares", "agg_q13_customer_distribution",
-    "agg_q15_top_supplier", "agg_q22_dormant_customers",
-    "agg_q2_min_cost_supplier", "agg_q4_late_orders",
-    "agg_q6_forecast_revenue", "agg_q7_nation_volume", "ann_sq8_384",
-    "curation_universe_sample", "curation_weighted_sample",
+    "orders_mad_outliers", "orders_price_outliers", "orders_winsorized_mean",
+    "profile_benford_digits", "profile_unpivot_lang_stats",
+    "sketch_cms_token_freq", "sketch_hll_distinct_users",
+    "sketch_hll_users_by_type", "text_bpe_pair_counts", "text_keywords",
+    "text_phrase_postings_join", "text_phrase_search",
+    "text_winnow_fingerprints", "text_winnow_overlap_pairs",
+    # ---- window boundary (50) ----
+    "stream_ivf_index_live", "stream_ivfpq_index_live",
+    "stream_lsh_index_live", "stream_ann_index_compact_live",
+    "knn_ann_range_tuned", "embedding_hard_negatives",
+    "ann_ivf_lloyd_search", "graph_hits_authorities",
+    "curation_normalize_dedup", "curation_pack_sequences",
+    "curation_pii_scrub", "curation_pipeline", "curation_repetition_stats",
+    "curation_split_stratified", "dedup_duplicate_clusters",
+    "dedup_duplicate_clusters_star", "dedup_exact_groups", "dedup_lsh_pairs",
+    "dedup_minhash_signatures", "dedup_ngram_jaccard", "dedup_simhash",
+    "events_asof_join", "events_range_join", "events_rollup_multires",
+    "events_session_window_agg", "events_sessionize", "events_windowed_agg",
+    "json_dump_roundtrip", "mango_bool_combinators", "mango_elemmatch_size",
+    "mango_eq_ne", "mango_exists", "mango_in_nin", "mango_mod",
+    "mango_range", "mango_regex", "multimodal_frame_sample",
+    "profile_cube_source_lang", "profile_length_histogram",
+    "profile_pivot_lang_counts", "profile_sample_per_source",
+    "profile_top_tokens", "rollup_orders_by_status_priority",
+    "sketch_kmv_distinct_users", "state_fold_last_per_user",
+    "text_bm25_batch_search", "window_top_customers_per_nation",
+    "agg_q10_returned_items", "agg_q11_important_shares",
+    "agg_q13_customer_distribution", "agg_q15_top_supplier",
+    "agg_q22_dormant_customers", "agg_q2_min_cost_supplier",
+    "agg_q4_late_orders", "agg_q6_forecast_revenue", "agg_q7_nation_volume",
+    "ann_sq8_384", "curation_universe_sample", "curation_weighted_sample",
     "customer_pareto_share", "dedup_jaccard_clusters",
     "embedding_norm_profile", "events_attribution_last_touch",
-    "events_cohort_ltv", "events_props_json_stats",
-    "events_retention_rate", "events_session_funnel", "events_stickiness",
-    "events_top_journeys", "graph_clustering_coefficient",
-    "graph_common_neighbors", "graph_degree_histogram",
-    "graph_triangle_count", "lineitem_ship_latency", "mango_all",
-    "orders_basket_size_hist", "orders_percent_rank_top",
-    "orders_trailing_week_revenue", "orders_wow_growth",
-    "profile_split_drift", "quality_checks_report",
+    "events_cohort_ltv", "events_props_json_stats", "events_retention_rate",
+    "events_session_funnel", "events_stickiness", "events_top_journeys",
+    "graph_clustering_coefficient", "graph_common_neighbors",
+    "graph_degree_histogram", "graph_triangle_count",
+    "lineitem_ship_latency", "mango_all", "orders_basket_size_hist",
+    "orders_percent_rank_top", "orders_trailing_week_revenue",
+    "orders_wow_growth", "profile_split_drift", "quality_checks_report",
     "sketch_comparison_report", "sketch_hll_rolling_distinct",
     "sketch_kmv_set_ops", "supplier_fill_rate", "supplier_sole_late_q21",
     "text_collocations_lift", "text_lang_confusion",
@@ -245,8 +218,7 @@ _PRIORITY = [
     "graph_kcore_peel", "graph_label_propagation",
     "graph_personalized_pagerank", "lineitem_weighted_median",
     "orders_weekly_trend_ols", "parts_price_size_skyline",
-    "pipeline_roundtrip",
-    "profile_key_skew", "profile_ntile_deciles",
+    "pipeline_roundtrip", "profile_key_skew", "profile_ntile_deciles",
     "sketch_grouped_quantiles", "sketch_histogram_quantiles",
     "stream_cms_live_tokens", "stream_dedup_live", "stream_hll_live_users",
     "stream_interval_join_live", "stream_live_count_by_type",
@@ -263,14 +235,13 @@ _PRIORITY = [
     "dedup_substring_profile", "dedup_top_passages",
     "events_conversion_propensity", "graph_jaccard_neighbors",
     "graph_resource_allocation", "join_anti_missing_vectors",
-    "join_zip_documents_embeddings", "mango_count",
-    "mango_sort_skip_limit", "multimodal_audio_windows",
-    "orders_mann_kendall", "orders_theil_sen_trend", "point_lookup",
-    "profile_chi_square", "profile_equidepth_bins", "scan_documents",
-    "stream_late_drop_live", "stream_reactive_topk_384", "union_dedup",
-    "agg_pricing_summary", "agg_top_revenue_orders",
-    "ann_ivf_search_partitioned", "ann_pq_codes", "changefeed_page",
-    "curation_chunk_dedup", "curation_contamination",
+    "join_zip_documents_embeddings", "mango_count", "mango_sort_skip_limit",
+    "multimodal_audio_windows", "orders_mann_kendall",
+    "orders_theil_sen_trend", "point_lookup", "profile_chi_square",
+    "profile_equidepth_bins", "scan_documents", "stream_late_drop_live",
+    "stream_reactive_topk_384", "union_dedup", "agg_pricing_summary",
+    "agg_top_revenue_orders", "ann_ivf_search_partitioned", "ann_pq_codes",
+    "changefeed_page", "curation_chunk_dedup", "curation_contamination",
     "curation_mixture_sample", "dedup_cosine_pairs", "events_cusum_alarms",
     "events_hourly_acf", "events_peak_concurrency", "events_spend_burst",
     "graph_ktruss_capped", "graph_ktruss_strong_ties",
@@ -281,8 +252,7 @@ _PRIORITY = [
     "multimodal_decode_fake", "multimodal_phash_clusters",
     "multimodal_phash_neardup", "multimodal_resize_fake",
     "profile_length_quantiles", "reactive_count_ivm", "reactive_query_ivm",
-    "reactive_topk_ivm", "set_ops_intersect_except",
-    "stream_ann_index_delete_live", "stream_ann_index_live",
+    "reactive_topk_ivm", "set_ops_intersect_except", "stream_ann_index_live",
     "stream_bm25_index_live", "stream_cusum_live", "stream_hybrid_live",
     "stream_spend_burst_live", "text_bm25_search", "text_bpe_token_count",
     "text_fingerprint", "text_lang_id", "text_quality_score",

@@ -1641,19 +1641,72 @@ ann_ivf_lloyd_search.__doc__ = ann_ivf_lloyd_search.__doc__.format(
 _DELETE_MOD = 17
 _DELETE_RES = 3
 
-#: tombstones target FIRST-HALF ids only (parity 0): those are
-#: guaranteed already indexed across run 1's checkpoint boundary, so
-#: the final state is independent of how the file source batches run
-#: 2's insert and delete files — a tombstone for a not-yet-delivered
-#: row would otherwise be order-sensitive (real engines resolve that
-#: with per-key change sequence numbers; this row pins the
-#: deterministic half of the contract)
+#: change sequence numbers: inserts carry 1, the delete wave carries 2.
+#: The per-key CSN MERGE (operators/dml.py:merge_cdc) makes the final
+#: state independent of arrival order — tombstones target ANY id
+#: (second-half ids whose insert has not even been delivered yet
+#: included), and a post-delete re-delivery of the original insert
+#: cannot resurrect the row (its csn=1 loses to the stored tombstone's
+#: 2).  r10 had to restrict tombstones to checkpoint-complete
+#: first-half ids to dodge exactly this order sensitivity; the CSN
+#: discipline removes the restriction.
+_CSN_INSERT = 1
+_CSN_DELETE = 2
+
 _BQ_DELETED_ORACLE = _bq_search_oracle(
     ORACLE_DIM,
     table=(
-        f"(SELECT * FROM embeddings WHERE NOT (vec_id % 2 = 0"
-        f" AND vec_id % {_DELETE_MOD} = {_DELETE_RES})) "
+        f"(SELECT * FROM embeddings"
+        f" WHERE NOT (vec_id % {_DELETE_MOD} = {_DELETE_RES})) "
     ),
+)
+
+
+def _cdc_feed(emb: DataFrame) -> DataFrame:
+    """The insert side of the CDC feed: every corpus row as an insert
+    change (csn=1, no tombstone)."""
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.lit(False).alias("_tombstone"),
+        F.lit(_CSN_INSERT).cast("long").alias("_csn"),
+    )
+
+
+def _cdc_delete_wave(emb: DataFrame) -> DataFrame:
+    """The delete wave: tombstones (csn=2) for ALL ids with
+    vec_id % MOD == RES — including second-half ids whose insert may
+    not have been delivered yet (the merge parks the tombstone and
+    absorbs the late insert)."""
+    return emb.where(
+        F.col("vec_id") % _DELETE_MOD == _DELETE_RES
+    ).select(
+        "vec_id",
+        "embedding",
+        F.lit(True).alias("_tombstone"),
+        F.lit(_CSN_DELETE).cast("long").alias("_csn"),
+    )
+
+
+def _cdc_redeliver_after_delete(emb: DataFrame) -> DataFrame:
+    """Post-delete re-delivery: the ORIGINAL insert rows (csn=1) for a
+    slice of the DELETED ids plus a slice of live ids — at-least-once
+    delivery arriving AFTER the delete they precede causally.  The
+    merge must absorb the deleted ids' inserts (stale csn) and the live
+    ids' inserts (same csn = re-delivery) without changing anything."""
+    return emb.where(
+        ((F.col("vec_id") % _DELETE_MOD == _DELETE_RES) & (F.col("vec_id") % 2 == 0))
+        | (F.col("vec_id") % 23 == 5)
+    ).select(
+        "vec_id",
+        "embedding",
+        F.lit(False).alias("_tombstone"),
+        F.lit(_CSN_INSERT).cast("long").alias("_csn"),
+    )
+
+
+_CDC_SCHEMA = (
+    "vec_id long, embedding array<float>, _tombstone boolean, _csn long"
 )
 
 
@@ -1663,14 +1716,17 @@ def stream_ann_index_delete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard half of index maintenance (the reference's change feed carries
     deletions, rx-collection.js:243-289, and a derived index that only
     absorbs upserts serves ghosts).  Same checkpointed pipeline as
-    stream_ann_index_live, but the feed's second wave carries a DELETE
-    batch (first-half ids with vec_id % {m} == {r} — already indexed
-    across the checkpoint boundary, so the outcome is independent of
-    run 2's file batching; see the oracle's note): the handler routes
-    tombstoned
-    keys to the managed table's soft-delete MERGE (bulk_remove — the
-    row STAYS for the change feed, flagged _deleted) and live rows to
-    the upsert MERGE.  The probe then reads dest.docs() — the implicit
+    stream_ann_index_live, but the feed is a CDC stream: every change
+    carries a per-key change sequence number and a tombstone flag, and
+    the handler applies the whole batch through ONE
+    ``merge_cdc`` (operators/dml.py) — max-csn wins, tombstones stored
+    as `_deleted=true` rows.  That makes the final state independent of
+    arrival order, certified by running the NASTY schedule: the delete
+    wave (csn=2, ids with vec_id % {m} == {r} — INCLUDING second-half
+    ids whose insert has not been delivered yet) is appended BEFORE the
+    second insert half, and after everything drains a third run
+    re-delivers the original csn=1 inserts for half the deleted ids —
+    none may resurrect.  The probe reads dest.docs() — the implicit
     `_deleted = false` view every reference query applies — and must
     hash-match the batch oracle over the corpus WITH the deleted
     vectors excluded.  At 100 TB tombstones touch only their key-hashed
@@ -1694,47 +1750,35 @@ def stream_ann_index_delete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(tmp, "src")
     cp = os.path.join(tmp, "cp")
     dest = ParquetTable(spark, os.path.join(tmp, "index"), "vec_id")
-    feed = emb.select(
-        "vec_id", "embedding", F.lit(False).alias("_tombstone")
-    )
-    feed_rest = _stream_feed(spark, feed, src, "vec_id")
-    schema = "vec_id long, embedding array<float>, _tombstone boolean"
+    feed_rest = _stream_feed(spark, _cdc_feed(emb), src, "vec_id")
 
     def handler(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.cache()  # two filtered consumers, one tiny batch
-        try:
-            live = batch.where(~F.col("_tombstone"))
-            dead = batch.where(F.col("_tombstone")).select("vec_id")
-            if not live.isEmpty():
-                dest.bulk_upsert(quant.bq_table(live, dim), lwt=float(batch_id))
-            if not dead.isEmpty():
-                dest.bulk_remove(dead, lwt=float(batch_id) + 0.5)
-        finally:
-            batch.unpersist()
+        # ONE CDC merge for the whole batch: the packed words are a pure
+        # projection, tombstones keep their payload so the merge window
+        # and csn comparison see every change uniformly
+        dest.merge_cdc(
+            quant.bq_table(batch, dim).join(
+                batch.select("vec_id", "_tombstone", "_csn"), "vec_id"
+            ),
+            lwt=float(batch_id),
+        )
 
     try:
-        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q = streaming_pipeline(spark, src, _CDC_SCHEMA, handler, cp)
         q.awaitTermination()
+        # delete wave FIRST (tombstones for not-yet-delivered ids too),
+        # then the second insert half — the order a naive apply breaks on
+        _cdc_delete_wave(emb).write.mode("append").parquet(src)
         feed_rest()
-        # the delete wave: tombstones for already-indexed (first-half)
-        # ids with vec_id % MOD == RES — see _BQ_DELETED_ORACLE's note
-        emb.where(
-            (F.col("vec_id") % 2 == 0)
-            & (F.col("vec_id") % _DELETE_MOD == _DELETE_RES)
-        ).select(
-            "vec_id",
-            "embedding",
-            F.lit(True).alias("_tombstone"),
-        ).write.mode("append").parquet(src)
-        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2 = streaming_pipeline(spark, src, _CDC_SCHEMA, handler, cp)
         q2.awaitTermination()
+        # run 3: at-least-once re-delivery AFTER the delete — the stale
+        # csn=1 inserts must be absorbed, not resurrect deleted rows
+        _cdc_redeliver_after_delete(emb).write.mode("append").parquet(src)
+        q3 = streaming_pipeline(spark, src, _CDC_SCHEMA, handler, cp)
+        q3.awaitTermination()
         stored = dest.docs().select("vec_id", "bq_words")
-        alive = emb.where(
-            ~(
-                (F.col("vec_id") % 2 == 0)
-                & (F.col("vec_id") % _DELETE_MOD == _DELETE_RES)
-            )
-        )
+        alive = emb.where(~(F.col("vec_id") % _DELETE_MOD == _DELETE_RES))
         out = quant.bq_search_precomputed(stored, alive, qv)
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
@@ -1752,8 +1796,8 @@ stream_ann_index_delete_live.__doc__ = (
 #: delete, exactly like the Spark side's collect_centroids(emb))
 _IVF_DELETED_ORACLE = _ivf_search_oracle(
     table=(
-        f"(SELECT * FROM embeddings WHERE NOT (vec_id % 2 = 0"
-        f" AND vec_id % {_DELETE_MOD} = {_DELETE_RES})) "
+        f"(SELECT * FROM embeddings"
+        f" WHERE NOT (vec_id % {_DELETE_MOD} = {_DELETE_RES})) "
     ),
     cents_cte=_IVF_CENTS_CTE,
 )
@@ -1762,21 +1806,23 @@ _IVF_DELETED_ORACLE = _ivf_search_oracle(
 @register("stream_ivf_index_delete_live", oracle=_IVF_DELETED_ORACLE)
 def stream_ivf_index_delete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE propagation through the PARTITION_COL live IVF layout
-    (19th streaming==batch row) — the companion stream_ann_index_
-    delete_live certifies for the hash-bucket layout; this row
-    certifies the harder path: a tombstone delta carries ONLY keys, so
-    under a partitionBy(ivf_cell) layout the bulk_remove cannot derive
-    its touched partitions from a hash — it takes the documented
-    PK-semi-join fallback (operators/dml.py:_touched) to find the cells
-    holding the doomed keys, then rewrites only those cell directories.
-    Unit-pinned in tests/test_r10_wave.py; this row closes the loop
-    end-to-end under the checkpointed feed: wave 2 routes tombstones
-    (first-half ids, vec_id % {m} == {r} — checkpoint-complete, so the
-    outcome is file-batching independent) through soft-delete, the
-    probe reads dest.docs() (the implicit `_deleted = false` view) with
-    PartitionFilters intact, and must hash-match the batch IVF oracle
-    over the corpus WITH the deleted vectors excluded — centroids stay
-    the full table's write-time sample on both engines."""
+    (19th streaming==batch row), under the per-key CSN discipline
+    (operators/dml.py:merge_cdc).  The CDC feed's tombstones carry
+    their payload, so the handler computes ivf_cell for DELETES too —
+    the partition value is a pure function of the embedding — and the
+    whole batch flows through ONE merge whose touched-partition pruning
+    rides the ivf_cell column directly (no PK-semi-join fallback on
+    this path; keys-only bulk_remove keeps that fallback for callers
+    without the payload, unit-pinned in tests/test_r10_wave.py).
+    Nasty schedule certified end-to-end: the delete wave (csn=2, ids
+    with vec_id % {m} == {r} — INCLUDING second-half ids not yet
+    delivered) lands BEFORE the second insert half, and a third
+    checkpointed run re-delivers original csn=1 inserts for half the
+    deleted ids, which must not resurrect.  The probe reads dest.docs()
+    (the implicit `_deleted = false` view) with PartitionFilters
+    intact, and must hash-match the batch IVF oracle over the corpus
+    WITH the deleted vectors excluded — centroids stay the full table's
+    write-time sample on both engines."""
     import os
     import shutil
     import tempfile
@@ -1798,46 +1844,30 @@ def stream_ivf_index_delete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = ParquetTable(
         spark, os.path.join(tmp, "index"), "vec_id", partition_col="ivf_cell"
     )
-    feed = emb.select(
-        "vec_id", "embedding", F.lit(False).alias("_tombstone")
-    )
-    feed_rest = _stream_feed(spark, feed, src, "vec_id")
-    schema = "vec_id long, embedding array<float>, _tombstone boolean"
+    feed_rest = _stream_feed(spark, _cdc_feed(emb), src, "vec_id")
 
     def handler(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.cache()  # two filtered consumers, one tiny batch
-        try:
-            live = batch.where(~F.col("_tombstone"))
-            dead = batch.where(F.col("_tombstone")).select("vec_id")
-            if not live.isEmpty():
-                dest.bulk_upsert(
-                    live.withColumn(
-                        "ivf_cell",
-                        ann_scale.ivf_cell_expr(F.col("embedding"), cents),
-                    ).drop("_tombstone"),
-                    lwt=float(batch_id),
-                )
-            if not dead.isEmpty():
-                # keys-only delta: the partition_col table derives its
-                # touched cells via the PK semi-join fallback
-                dest.bulk_remove(dead, lwt=float(batch_id) + 0.5)
-        finally:
-            batch.unpersist()
+        # ivf_cell computed for every change INCLUDING tombstones (pure
+        # function of the payload) — the merge prunes on the partition
+        # column for inserts and deletes alike
+        dest.merge_cdc(
+            batch.withColumn(
+                "ivf_cell",
+                ann_scale.ivf_cell_expr(F.col("embedding"), cents),
+            ),
+            lwt=float(batch_id),
+        )
 
     try:
-        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q = streaming_pipeline(spark, src, _CDC_SCHEMA, handler, cp)
         q.awaitTermination()
+        _cdc_delete_wave(emb).write.mode("append").parquet(src)
         feed_rest()
-        emb.where(
-            (F.col("vec_id") % 2 == 0)
-            & (F.col("vec_id") % _DELETE_MOD == _DELETE_RES)
-        ).select(
-            "vec_id",
-            "embedding",
-            F.lit(True).alias("_tombstone"),
-        ).write.mode("append").parquet(src)
-        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2 = streaming_pipeline(spark, src, _CDC_SCHEMA, handler, cp)
         q2.awaitTermination()
+        _cdc_redeliver_after_delete(emb).write.mode("append").parquet(src)
+        q3 = streaming_pipeline(spark, src, _CDC_SCHEMA, handler, cp)
+        q3.awaitTermination()
         stored = dest.docs().select("vec_id", "embedding", "ivf_cell")
         out = ann_scale.ivf_search(stored, qv, cents=cents, precomputed=True)
         out = spark.createDataFrame(out.collect(), out.schema)

@@ -86,6 +86,92 @@ def dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.docs().select("doc_id", "lang", "n_chars", "_rev")
 
 
+#: ids for the findByIds probe: 10/20/30 fall to the % 10 soft delete
+_CACHE_PROBE_IDS = (1, 2, 3, 10, 20, 30)
+
+#: hit/miss ledger of the scripted call sequence (see the row docstring):
+#: count(miss) count(hit) byids(miss) byids(hit) WRITE count(miss)
+#: byids(miss) -> hits=2, misses=4 — literals the oracle re-states
+_CACHE_ORACLE = f"""
+WITH en AS (SELECT * FROM documents WHERE lang = 'en')
+SELECT 'count_before' AS probe, CAST(0 AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM en) AS BIGINT) AS v
+UNION ALL SELECT 'count_cached', 0, (SELECT count(*) FROM en)
+UNION ALL SELECT 'count_after', 0,
+  (SELECT count(*) FROM en WHERE doc_id % 10 <> 0)
+UNION ALL SELECT 'cache_hits', 0, 2
+UNION ALL SELECT 'cache_misses', 0, 4
+UNION ALL
+SELECT 'byid', doc_id, n_chars FROM documents
+WHERE doc_id IN {_CACHE_PROBE_IDS} AND doc_id % 10 <> 0
+"""
+
+
+@register("cache_collection_roundtrip", oracle=_CACHE_ORACLE)
+def cache_collection_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CachedCollection parity surface (the reference's tunnelQueryCache
+    + the rx-query fast paths, MAP#rxdb/dist/esm/rx-query.js:83-120 and
+    rx-collection.js:343-381): ``count()`` (storage-count fast path, no
+    result materialization; re-executions served from the cached count)
+    and ``findByIds`` (direct point lookup — partition-pruned
+    ``ParquetTable.get_by_ids``, reading only the PK-hash buckets the
+    ids land in — never a full query), both under write invalidation.
+
+    Script: load documents into a managed table, attach a
+    CachedCollection; count {lang:'en'} twice (miss then HIT — the
+    second call never touches storage), findByIds twice (miss then HIT
+    — the exact same persisted DataFrame instance, the reference's
+    query "tunneling"); then a ``bulk_remove`` of doc_id % 10 == 0
+    fires the write listener and drops the cache (asserted empty), so
+    the re-issued count and findByIds recompute against the
+    post-delete state.  Output: the three counts, the hit/miss ledger
+    (deterministic literals of the call sequence), and the surviving
+    findByIds rows — all oracle-checked."""
+    from javascript_vector_database_spark.operators.query_cache import (
+        CachedCollection,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = ParquetTable(
+        spark, tempfile.mkdtemp(prefix="cache_rt_") + "/t", "doc_id"
+    )
+    t.bulk_insert(docs, lwt=1.0)
+    cache = CachedCollection.attach(t)
+    sel = {"lang": "en"}
+    ids = list(_CACHE_PROBE_IDS)
+    c1 = cache.count(sel)  # miss: one pushed-down COUNT aggregate
+    c2 = cache.count(sel)  # hit: served from the cached tally
+    b1 = cache.find_by_ids(ids)  # miss: bucket-pruned point lookup
+    b1_again = cache.find_by_ids(ids)  # hit: the SAME instance
+    assert b1_again is b1, "findByIds must tunnel into the cached instance"
+    assert c1 == c2 and cache.hits == 2 and cache.misses == 2
+    t.bulk_remove(
+        docs.where(F.col("doc_id") % 10 == 0).select("doc_id"), lwt=2.0
+    )
+    assert len(cache) == 0, "write must invalidate every cached entry"
+    c3 = cache.count(sel)  # miss: recomputed on post-delete state
+    b2 = cache.find_by_ids(ids)  # miss: deleted ids gone
+    scalars = spark.createDataFrame(
+        [
+            ("count_before", 0, c1),
+            ("count_cached", 0, c2),
+            ("count_after", 0, c3),
+            ("cache_hits", 0, cache.hits),
+            ("cache_misses", 0, cache.misses),
+        ],
+        "probe string, k long, v long",
+    )
+    return scalars.unionByName(
+        b2.select(
+            F.lit("byid").alias("probe"),
+            F.col("doc_id").cast("long").alias("k"),
+            F.col("n_chars").cast("long").alias("v"),
+        )
+    )
+
+
 _PIPELINE_ORACLE = """
 SELECT doc_id AS id,
        trim(coalesce(regexp_extract(text, 'Title:(.*?)Content:', 1), ''))

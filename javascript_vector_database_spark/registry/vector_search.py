@@ -158,6 +158,92 @@ knn_ann_range_tuned.__doc__ = knn_ann_range_tuned.__doc__.format(
 )
 
 
+@register("stream_pivot_index_live", oracle=_ann_range_oracle(ORACLE_DIM))
+def stream_pivot_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE'S OWN flagship write path certified live (20th
+    streaming==batch row): the reference's entire architecture is a
+    pipeline that computes idx0..idx4 pivot distances for every arriving
+    document and persists them as the vector collection's index columns
+    (src/database.ts:176-206, idx fields :195-198); searches then
+    range-scan those stored columns (src/search.ts:19-54).  Every OTHER
+    index family (BQ/BM25/IVF/IVF-PQ/LSH) got this certification in
+    r9-r10; this row closes the one the reference actually ships.
+
+    A checkpointed Structured Streaming pipeline
+    (streaming/pipeline.py:streaming_pipeline — the offset log == the
+    reference's checkpoint doc) computes the five pivot distances per
+    arriving vector (operators/knn.py:build_pivot_index — a pure
+    scan-local projection against the FIXED write-time pivot set, no
+    shuffle) and MERGEs (vec_id, embedding, idx0..idx4) into a managed
+    ParquetTable keyed on vec_id.  The feed arrives in two halves with a
+    STOP/RESTART from the same checkpoint between them (crash/resume)
+    plus a re-delivered slice of the first half (at-least-once file
+    delivery); pivot distances are key-stable pure functions of the
+    payload, so the MERGE absorbs both invisibly.  Certification: the
+    faithful ±0.003 range probe (``ann_index_range(precomputed=True)``,
+    src/search.ts:19-54 semantics) runs against the LIVE-maintained
+    table and must hash-match the SAME DuckDB oracle as the batch
+    ``knn_ann_range`` row.  At 100 TB this is the standing service the
+    reference runs per collection: per-row distance projection at
+    ingest, MERGE touching only key-hashed buckets, probes reading the
+    maintained DOUBLE columns with parquet min/max skipping — never
+    rescanning the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    pivots = used_pivots(len(qv))
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="stream_pividx_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    dest = ParquetTable(spark, os.path.join(tmp, "index"), "vec_id")
+    feed = emb.select("vec_id", "embedding")
+    feed_rest = _stream_feed(spark, feed, src, "vec_id")
+    schema = "vec_id long, embedding array<float>"
+    idx_cols = [f"idx{i}" for i in range(len(pivots))]
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        # the reference's pipeline handler verbatim in Spark terms:
+        # five euclidean projections against fixed pivots, then MERGE
+        # keyed on vec_id (re-delivered rows recompute identical idx
+        # values, so the upsert is idempotent)
+        dest.bulk_upsert(
+            knn.build_pivot_index(batch, pivots).select(
+                "vec_id", "embedding", *idx_cols
+            ),
+            lwt=float(batch_id),
+        )
+
+    try:
+        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q.awaitTermination()  # availableNow: drains half 1, stops
+        feed_rest()
+        # at-least-once: re-deliver a slice of the ALREADY-PROCESSED
+        # first half as fresh files; the MERGE must absorb them silently
+        feed.where(
+            (F.coalesce(F.col("vec_id"), F.lit(0)) % 2 == 0)
+            & (F.col("vec_id") % 10 == 0)
+        ).write.mode("append").parquet(src)
+        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2.awaitTermination()  # checkpoint resume: only the new files
+        stored = dest.docs().select("vec_id", "embedding", *idx_cols)
+        out = knn.ann_index_range(stored, qv, pivots, precomputed=True)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # pivot-neighborhood ANN (vectorSearchIndexSimilarity, src/search.ts:56-109)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,230 @@
+"""Crafted-data pins for the r11 wave.
+
+The headline pin: ``ParquetTable.merge_cdc``'s change-sequence-number
+discipline must make deletes COMMUTE with re-delivered inserts — the
+exact order sensitivity the r10 delete-live rows had to dodge by
+restricting tombstones to checkpoint-complete ids.  Every permutation of
+{insert, delete, re-delivered insert} for one key must converge to the
+same final state.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.operators import layout
+from javascript_vector_database_spark.operators.dml import (
+    ParquetTable,
+    _escape_part_value,
+)
+from javascript_vector_database_spark.operators.query_cache import (
+    CachedCollection,
+)
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, v string, _tombstone boolean, _csn long"
+    )
+
+
+def _alive(t):
+    return sorted((r["id"], r["v"]) for r in t.docs().select("id", "v").collect())
+
+
+# ---------------------------------------------------------------------------
+# merge_cdc: the CSN discipline
+# ---------------------------------------------------------------------------
+
+
+def test_merge_cdc_orders_commute(spark, tmp_path):
+    """Every arrival order of (insert csn=1, delete csn=2, re-delivered
+    insert csn=1) for the same key converges to deleted — including
+    delete-before-insert (the tombstone parks and absorbs the late
+    insert) and insert-re-delivered-after-delete (stale csn loses)."""
+    import itertools
+
+    changes = {
+        "ins": (7, "x", False, 1),
+        "del": (7, "x", True, 2),
+        "redo": (7, "x", False, 1),
+    }
+    for perm in itertools.permutations(["ins", "del", "redo"]):
+        t = ParquetTable(
+            spark, str(tmp_path / ("o" + "_".join(perm))), "id", n_buckets=2
+        )
+        t.merge_cdc(_cdc(spark, [(1, "keep", False, 1)]), lwt=0.0)
+        for i, name in enumerate(perm):
+            t.merge_cdc(_cdc(spark, [changes[name]]), lwt=float(i + 1))
+        assert _alive(t) == [(1, "keep")], perm
+        # the tombstone row itself is retained for the change feed
+        stored = {r["id"]: r["_deleted"] for r in t.df().collect()}
+        assert stored[7] is True, perm
+
+
+def test_merge_cdc_within_batch_and_update(spark, tmp_path):
+    """Within one batch only the max-(csn, tombstone) row per key
+    survives; a genuinely newer insert (higher csn) still updates, and
+    revision heights bump per winning write only."""
+    t = ParquetTable(spark, str(tmp_path / "t"), "id", n_buckets=2)
+    # same csn, insert + tombstone in one batch: tombstone outranks
+    t.merge_cdc(
+        _cdc(spark, [(5, "e", False, 3), (5, "e", True, 3), (6, "f", False, 1)]),
+        lwt=1.0,
+    )
+    assert _alive(t) == [(6, "f")]
+    # a NEWER insert for the dead key resurrects it (csn 4 > 3) — this
+    # is a genuine re-create, not a re-delivery
+    t.merge_cdc(_cdc(spark, [(5, "e2", False, 4)]), lwt=2.0)
+    assert _alive(t) == [(5, "e2"), (6, "f")]
+    # re-delivery of the same change (csn 4 again): absorbed, rev stays
+    rev_before = {r["id"]: r["_rev"] for r in t.df().collect()}
+    t.merge_cdc(_cdc(spark, [(5, "e2", False, 4)]), lwt=3.0)
+    rev_after = {r["id"]: r["_rev"] for r in t.df().collect()}
+    assert rev_before == rev_after
+    assert rev_after[5].startswith("2-")  # create -> delete -> re-create
+
+
+def test_merge_cdc_partition_col_prunes_untouched(spark, tmp_path):
+    """Under a partition_col layout a CDC batch (tombstones included —
+    they carry the partition value) rewrites ONLY its touched cells."""
+    t = ParquetTable(
+        spark, str(tmp_path / "pc"), "id", partition_col="cell"
+    )
+    base = spark.createDataFrame(
+        [(i, i % 4, False, 1) for i in range(20)],
+        "id long, cell int, _tombstone boolean, _csn long",
+    )
+    t.merge_cdc(base, lwt=1.0)
+
+    def mtimes(cell):
+        d = os.path.join(t.path, f"cell={cell}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {c: mtimes(c) for c in range(4)}
+    # delete id=1 (cell 1) + update id=2 (cell 2): cells 0 and 3 untouched
+    t.merge_cdc(
+        spark.createDataFrame(
+            [(1, 1, True, 2), (2, 2, False, 2)],
+            "id long, cell int, _tombstone boolean, _csn long",
+        ),
+        lwt=2.0,
+    )
+    after = {c: mtimes(c) for c in range(4)}
+    assert before[0] == after[0] and before[3] == after[3]
+    assert before[1] != after[1] and before[2] != after[2]
+    assert t.docs().count() == 19
+
+
+# ---------------------------------------------------------------------------
+# partition directory escaping (r10 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_partition_value_escaping_matches_spark(spark, tmp_path):
+    """String partition values containing Spark-escaped characters must
+    round-trip through _replace_partitions: the directory this code
+    swaps must be the directory Spark wrote (%XX-escaped), or keyed DML
+    silently leaves stale data in place."""
+    assert _escape_part_value("a/b") == "a%2Fb"
+    assert _escape_part_value("x:y") == "x%3Ay"
+    assert _escape_part_value(3) == "3"
+    assert _escape_part_value(None) == "__HIVE_DEFAULT_PARTITION__"
+    t = ParquetTable(spark, str(tmp_path / "esc"), "id", partition_col="grp")
+    df = spark.createDataFrame(
+        [(1, "a/b", 10), (2, "x:y", 20), (3, "plain", 30)],
+        "id long, grp string, n int",
+    )
+    t.bulk_upsert(df, lwt=1.0)
+    # keyed update into the escaped partition — the touched-partition
+    # swap must replace grp='a/b', not create a bogus literal dir
+    t.bulk_upsert(
+        spark.createDataFrame([(1, "a/b", 99)], "id long, grp string, n int"),
+        lwt=2.0,
+    )
+    got = {r["id"]: (r["grp"], r["n"]) for r in t.docs().collect()}
+    assert got == {1: ("a/b", 99), 2: ("x:y", 20), 3: ("plain", 30)}
+    # physical layout uses Spark's escaped names; no unescaped ghost dirs
+    dirs = {d for d in os.listdir(t.path) if d.startswith("grp=")}
+    assert dirs == {"grp=a%2Fb", "grp=x%3Ay", "grp=plain"}
+
+
+# ---------------------------------------------------------------------------
+# point-lookup fast path + CachedCollection surface
+# ---------------------------------------------------------------------------
+
+
+def test_get_by_ids_prunes_buckets(spark, tmp_path):
+    """get_by_ids must restrict the scan to the PK-hash buckets the ids
+    land in (a real PartitionFilter), then apply the IN filter."""
+    t = ParquetTable(spark, str(tmp_path / "pk"), "id", n_buckets=8)
+    t.bulk_insert(
+        spark.range(0, 200).select(F.col("id"), (F.col("id") * 2).alias("n")),
+        lwt=1.0,
+    )
+    out = t.get_by_ids([3, 7])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "__pkb" in seg and seg.strip()
+    assert sorted(r["id"] for r in out.collect()) == [3, 7]
+    # soft-deleted rows are invisible to the lookup
+    t.bulk_remove([7], lwt=2.0)
+    assert [r["id"] for r in t.get_by_ids([3, 7]).collect()] == [3]
+
+
+def test_cached_collection_count_and_byids(spark, tmp_path):
+    """count(): miss -> storage count, repeat -> cached tally, a cached
+    find() result for the same selector is counted without a rescan;
+    find_by_ids tunnels into one shared instance; writes invalidate."""
+    t = ParquetTable(spark, str(tmp_path / "cc"), "id", n_buckets=4)
+    t.bulk_insert(
+        spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 5).alias("grp")
+        ),
+        lwt=1.0,
+    )
+    cache = CachedCollection.attach(t)
+    sel = {"grp": 2}
+    assert cache.count(sel) == 20 and cache.misses == 1
+    assert cache.count(sel) == 20 and cache.hits == 1
+    # a materialized find() result for ANOTHER selector serves that
+    # selector's first count() as a hit (counted in memory, no rescan)
+    sel2 = {"grp": 3}
+    cache.find(selector=sel2)
+    hits_before = cache.hits
+    assert cache.count(sel2) == 20
+    assert cache.hits == hits_before + 1
+    b = cache.find_by_ids([1, 2])
+    assert cache.find_by_ids([2, 1]) is b  # order-insensitive key
+    t.bulk_remove([2], lwt=2.0)
+    assert len(cache) == 0
+    assert cache.count(sel) == 19
+    assert sorted(r["id"] for r in cache.find_by_ids([1, 2]).collect()) == [1]
+
+
+# ---------------------------------------------------------------------------
+# z-order guards (r10 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_empty_and_null_inputs(spark, tmp_path):
+    empty = spark.createDataFrame([], "x long, y long")
+    with pytest.raises(ValueError):
+        layout.write_zorder_layout(
+            empty, str(tmp_path / "z0"), F.col("x"), F.col("y")
+        )
+    # NULL dimension values write fine (z coalesced to the origin cell)
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (None, 30), (4, 40)], "x long, y long"
+    )
+    p = str(tmp_path / "z1")
+    layout.write_zorder_layout(df, p, F.col("x"), F.col("y"), n_files=2)
+    assert spark.read.parquet(p).count() == 4
