@@ -22,23 +22,69 @@ round 10 re-probed without side effects: getaddrinfo(pypi.org, 443) and
 getaddrinfo(files.pythonhosted.org, 443) both raise "Name or service not
 known", and both modules remain unimportable).
 Same gate class as PIL for operators/multimodal.py's real decode branch.
+
+VENDORED-WHEEL RECIPE (r11, the no-network unblock path): drop wheels
+into a directory and point ``SPARK_GRAFT_WHEEL_DIR`` at it —
+``_try_vendored_install()`` below runs exactly
+``pip install --no-index --find-links $SPARK_GRAFT_WHEEL_DIR sentence-transformers``
+before the import probe, so provisioning the dir is the ONLY step.  The
+wheel list (one command on any networked machine of the same
+platform/python):
+
+    pip download --dest wheels/ sentence-transformers torch \\
+        transformers tokenizers safetensors huggingface-hub numpy
+
+plus the model weights themselves (the reference's checkpoint,
+src/vector.ts:8): ``huggingface-cli download
+sentence-transformers/all-MiniLM-L6-v2 --local-dir $SPARK_GRAFT_WHEEL_DIR/minilm``
+and set ``HF_HUB_OFFLINE=1`` — ``REFERENCE_MODEL`` resolves a local path
+first.  Re-probed this round: no SPARK_GRAFT_WHEEL_DIR present, pypi
+still unreachable; the gate stays warm.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _try_vendored_install() -> None:  # pragma: no cover - env-gated
+    """No-network install from a local wheel dir, if provisioned (see
+    module docstring).  Silent no-op when the dir is absent — this is
+    the one-command unblock path for the real-model branch."""
+    wheel_dir = os.environ.get("SPARK_GRAFT_WHEEL_DIR")
+    if not wheel_dir or not os.path.isdir(wheel_dir):
+        return
+    import subprocess
+    import sys
+
+    subprocess.run(
+        [
+            sys.executable, "-m", "pip", "install", "--no-index",
+            "--find-links", wheel_dir, "sentence-transformers",
+        ],
+        check=False,
+        capture_output=True,
+    )
+
+
 try:  # pragma: no cover - not installed in this container
     from sentence_transformers import SentenceTransformer
 
     _HAS_ST = True
 except Exception:  # pragma: no cover
-    _HAS_ST = False
+    _try_vendored_install()
+    try:
+        from sentence_transformers import SentenceTransformer
+
+        _HAS_ST = True
+    except Exception:
+        _HAS_ST = False
 
 DEFAULT_DIM = 64  # test-data dimension; the reference model uses 384
 #: the reference's model, public weights (src/vector.ts:8 'Xenova/
@@ -54,7 +100,14 @@ def _real_model_batch(texts: pd.Series, dim: int) -> list[list[float]]:
     getVectorFromText (src/vector.ts:24-39); executor-local model cache —
     the executor fleet is the worker pool."""
     if REFERENCE_MODEL not in _model_cache:
-        _model_cache[REFERENCE_MODEL] = SentenceTransformer(REFERENCE_MODEL)
+        # vendored weights first (no-network path, module docstring),
+        # hub checkout otherwise
+        local = os.path.join(
+            os.environ.get("SPARK_GRAFT_WHEEL_DIR", ""), "minilm"
+        )
+        _model_cache[REFERENCE_MODEL] = SentenceTransformer(
+            local if os.path.isdir(local) else REFERENCE_MODEL
+        )
     model = _model_cache[REFERENCE_MODEL]
     vecs = model.encode(
         [t or "" for t in texts], normalize_embeddings=True

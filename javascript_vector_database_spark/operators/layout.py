@@ -50,55 +50,145 @@ def z_norm16(col: Column, lo: Column | float, hi: Column | float) -> Column:
     return F.greatest(F.lit(0).cast("long"), F.least(scaled, F.lit((1 << Z_BITS) - 1).cast("long")))
 
 
-def z_interleave(x: Column, y: Column, bits: int = Z_BITS) -> Column:
-    """Morton interleave of two ``bits``-wide non-negative codes: bit i
-    of x lands at position 2i, bit i of y at 2i+1.  Pure shift/mask/or
-    Column fold — stays inside whole-stage codegen."""
+def z_interleave_nd(codes: list[Column], bits: int = Z_BITS) -> Column:
+    """Morton interleave of N ``bits``-wide non-negative codes: bit i of
+    dimension d lands at position i*N + d.  Pure shift/mask/or Column
+    fold — stays inside whole-stage codegen.  N*bits must fit a signed
+    long (N=2 -> 32 bits, N=3 -> 48)."""
+    n = len(codes)
+    assert 1 < n * bits < 63, (n, bits)
     z = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(x, i).bitwiseAND(one), 2 * i)
-        )
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(one), 2 * i + 1)
-        )
+        for d, c in enumerate(codes):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(one), i * n + d)
+            )
     return z
 
 
-def write_zorder_layout(
+def z_interleave(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Morton interleave of two ``bits``-wide non-negative codes: bit i
+    of x lands at position 2i, bit i of y at 2i+1."""
+    return z_interleave_nd([x, y], bits)
+
+
+#: bits per dimension in quantile mode (256 rank cells per dim)
+ZQ_BITS = 8
+
+
+def quantile_code8(col: Column, cuts: list[float]) -> Column:
+    """8-bit RANK code: how many of the 255 write-time quantile cuts
+    the value meets — the skew-proof normalization (what Delta's
+    OPTIMIZE ZORDER BY actually interleaves: range-partition ids, i.e.
+    rank cells, not a linear grid).  A min-max grid collapses a skewed
+    dimension into a few occupied cells (events.value: median 35, max
+    560 — ~90% of rows land in the bottom fifth of the grid), so files
+    can't bound it; rank cells are uniformly occupied BY CONSTRUCTION
+    regardless of the distribution.  The cuts are bounded write-time
+    constants (one approxQuantile pass, the IVF-centroid idiom) and
+    the code is one HOF fold over the 255-literal array — scan-local,
+    no shuffle, NULL -> NULL (the caller's coalesce handles it)."""
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.when(col.cast("double") >= c, 1).otherwise(0).cast("long"),
+    )
+
+
+def write_zorder_layout_nd(
     df: DataFrame,
     path: str,
-    x_col: Column,
-    y_col: Column,
+    dim_cols: list[Column],
     n_files: int = 16,
+    rowgroup_bytes: int | None = None,
+    norm: str = "minmax",
 ) -> None:
-    """Write ``df`` clustered by the z-value of (x_col, y_col): one
-    range-partition + in-partition sort on z routes neighboring z cells
-    into the same files, so every file's parquet footer carries a tight
-    min/max box in BOTH source dimensions.  The z column itself is
-    dropped — readers see the original schema and ordinary predicates."""
-    xb = df.agg(
-        F.min(x_col).alias("xlo"), F.max(x_col).alias("xhi"),
-        F.min(y_col).alias("ylo"), F.max(y_col).alias("yhi"),
+    """Write ``df`` clustered by the Morton code of ``dim_cols`` (2 or 3
+    dimensions): one range-partition + in-partition sort on z routes
+    neighboring z cells into the same files AND the same row groups, so
+    every file footer carries a tight min/max box in EVERY source
+    dimension, and every row group inside it a tighter one.  The z
+    column itself is dropped — readers see the original schema and
+    ordinary predicates.
+
+    ``rowgroup_bytes`` caps the parquet row-group size
+    (``parquet.block.size``): at 100 TB a data file holds many row
+    groups and the scan's second pruning tier — row-group skipping
+    against the SAME sorted z layout — is where most of the I/O win
+    lives (files bound the task list; row groups bound the bytes read).
+    Locally the default 128 MB block would leave one group per small
+    file, so measurements pass ~1 MB to make the tier visible.
+
+    ``norm="quantile"`` interleaves 8-bit RANK codes instead of the
+    16-bit linear grid (see :func:`quantile_code8`) — pick it when any
+    dimension is skewed; the linear grid is fine for uniform ones."""
+    if norm == "quantile":
+        probs = [i / (1 << ZQ_BITS) for i in range(1, 1 << ZQ_BITS)]
+        tmp_names = [f"__zd{d}" for d in range(len(dim_cols))]
+        flat = df.select(
+            *[c.cast("double").alias(n) for c, n in zip(dim_cols, tmp_names)]
+        )
+        allcuts = flat.stat.approxQuantile(tmp_names, probs, 0.001)
+        if any(not c for c in allcuts):
+            raise ValueError(
+                "write_zorder_layout needs >= 1 row with non-NULL values"
+                " in every dimension column"
+            )
+        z = F.coalesce(
+            z_interleave_nd(
+                [
+                    quantile_code8(c, cuts)
+                    for c, cuts in zip(dim_cols, allcuts)
+                ],
+                bits=ZQ_BITS,
+            ),
+            F.lit(0).cast("long"),
+        )
+        _write_z_sorted(df, path, z, n_files, rowgroup_bytes)
+        return
+    bounds = df.agg(
+        *[
+            f(c).alias(f"{side}{d}")
+            for d, c in enumerate(dim_cols)
+            for side, f in (("lo", F.min), ("hi", F.max))
+        ]
     ).first()  # bounded: one row of layout constants
-    if xb is None or xb["xlo"] is None or xb["ylo"] is None:
-        # empty input (or all-NULL dimension): no bounds to cluster on
+    if bounds is None or any(
+        bounds[f"lo{d}"] is None for d in range(len(dim_cols))
+    ):
+        # empty input (or an all-NULL dimension): no bounds to cluster on
         raise ValueError(
             "write_zorder_layout needs >= 1 row with non-NULL values in"
-            " both dimension columns"
+            " every dimension column"
         )
     # rows with a NULL dimension get z=0 (cluster at the origin) instead
     # of a NULL z that would range-partition arbitrarily; pruning stays
     # correct because parquet min/max bounds cover non-NULL values only
     # and a NULL dimension never satisfies a range predicate anyway
     z = F.coalesce(
-        z_interleave(
-            z_norm16(x_col, float(xb["xlo"]), float(xb["xhi"])),
-            z_norm16(y_col, float(xb["ylo"]), float(xb["yhi"])),
+        z_interleave_nd(
+            [
+                z_norm16(c, float(bounds[f"lo{d}"]), float(bounds[f"hi{d}"]))
+                for d, c in enumerate(dim_cols)
+            ]
         ),
         F.lit(0).cast("long"),
     )
+    _write_z_sorted(df, path, z, n_files, rowgroup_bytes)
+
+
+def _write_z_sorted(
+    df: DataFrame,
+    path: str,
+    z: Column,
+    n_files: int,
+    rowgroup_bytes: int | None,
+) -> None:
+    """One range-partition + in-partition sort on the z code, then
+    drop it — readers see the original schema and plain predicates."""
     spark = df.sparkSession
     ts_conf = "spark.sql.parquet.outputTimestampType"
     prev = spark.conf.get(ts_conf, None)
@@ -108,19 +198,57 @@ def write_zorder_layout(
     # the stats (and Spark's own row-group skipping along with them).
     spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
     try:
-        (
+        writer = (
             df.withColumn("__z", z)
             .repartitionByRange(n_files, F.col("__z"))
             .sortWithinPartitions("__z")
             .drop("__z")
             .write.mode("overwrite")
-            .parquet(path)
         )
+        if rowgroup_bytes is not None:
+            writer = writer.option("parquet.block.size", rowgroup_bytes)
+        writer.parquet(path)
     finally:
         if prev is None:
             spark.conf.unset(ts_conf)
         else:
             spark.conf.set(ts_conf, prev)
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    x_col: Column,
+    y_col: Column,
+    n_files: int = 16,
+) -> None:
+    """2-D Morton layout (see write_zorder_layout_nd)."""
+    write_zorder_layout_nd(df, path, [x_col, y_col], n_files)
+
+
+def compact_zorder_layout(
+    spark,
+    path: str,
+    dim_cols: list[Column],
+    n_files: int,
+    rowgroup_bytes: int | None = None,
+    norm: str = "minmax",
+) -> None:
+    """Compact a z-ordered layout to ``n_files`` files, PRESERVING the
+    clustering: recompute the (pure-function) Morton code over the
+    stored rows and rewrite through the same range-partition + sort —
+    exactly what Delta's OPTIMIZE ZORDER BY does on every rewrite,
+    because a clustering that evaporated on the first bin-packing pass
+    would be a one-shot trick, not a layout.  Atomic directory swap."""
+    import shutil
+
+    tmp = path + ".zcompact.tmp"
+    write_zorder_layout_nd(
+        spark.read.parquet(path), tmp, dim_cols, n_files, rowgroup_bytes,
+        norm=norm,
+    )
+    shutil.rmtree(path)
+    os.replace(tmp, path)
 
 
 def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
@@ -154,6 +282,34 @@ def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
                 mins[c] = st.min if mins[c] is None else min(mins[c], st.min)
                 maxs[c] = st.max if maxs[c] is None else max(maxs[c], st.max)
         out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def rowgroup_minmax_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-ROW-GROUP min/max of ``cols`` straight from the footers —
+    the second pruning tier: after file skipping bounds the task list,
+    each task skips the row groups inside its file whose stats miss the
+    predicate (Spark's parquet reader does this natively once the stats
+    exist).  Returns one dict per row group, pooled across files;
+    ``prunable_fraction`` consumes it unchanged (a "unit" is a row
+    group here instead of a file)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            rec: dict = {}
+            for c in cols:
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    rec[c] = (None, None)
+                else:
+                    rec[c] = (st.min, st.max)
+            out.append(rec)
     return out
 
 

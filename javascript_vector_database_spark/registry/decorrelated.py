@@ -596,6 +596,36 @@ def _ktruss_capped_oracle() -> str:
     )
 
 
+def _ktruss_capped_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weight-agg + cap phase of graph_ktruss_capped, factored out
+    so bench.py can time it separately from the peel (r10 verdict ask:
+    the "capped = constant peel" claim measured per phase, not
+    asserted).  Returns the eager-checkpointed bounded edge set."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
+    )
+    weighted = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return (
+        weighted.orderBy(F.col("w").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(_KTRUSS_CAP_M)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        # the bounded edge set feeds rounds+1 triangle enumerations
+        # (each reading it 3 times for the wedge sides) — pin it once
+        .localCheckpoint(eager=True)
+    )
+
+
 @register("graph_ktruss_capped", oracle=_ktruss_capped_oracle())
 def graph_ktruss_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE-SAFE k-truss routing graph_ktruss_strong_ties' cost
@@ -613,29 +643,7 @@ def graph_ktruss_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle-rich); the oracle unrolls the identical cut + rounds."""
     from javascript_vector_database_spark.operators.graph import ktruss_peel
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
-    )
-    weighted = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-    )
-    capped = (
-        weighted.orderBy(F.col("w").desc(), F.col("u").asc(), F.col("v").asc())
-        .limit(_KTRUSS_CAP_M)
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        # the bounded edge set feeds rounds+1 triangle enumerations
-        # (each reading it 3 times for the wedge sides) — pin it once
-        .localCheckpoint(eager=True)
-    )
+    capped = _ktruss_capped_edges(spark, sf_dir)
     return (
         ktruss_peel(capped, k=_KTRUSS_CAP_K, rounds=_KTRUSS_ROUNDS)
         .orderBy(

@@ -215,6 +215,91 @@ def test_cached_collection_count_and_byids(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_zorder_rowgroup_tier_and_compaction(spark, tmp_path):
+    """The row-group pruning tier must (a) be strictly finer-grained
+    than the file tier on the same layout, (b) beat the time-sorted
+    layout on the user dimension, and (c) SURVIVE compaction — the
+    z-recompute rewrite preserves both the box-query answer and the
+    clustering."""
+    from javascript_vector_database_spark.tables import load_table
+
+    # sf0.01 (10k events): small enough for a unit test, big enough for
+    # several 16 KB row groups per file
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    rg = 16 << 10
+    dims = [F.col("user_id"), F.col("ts").cast("long")]
+    zp = str(tmp_path / "z")
+    layout.write_zorder_layout_nd(ev, zp, dims, n_files=2, rowgroup_bytes=rg)
+    tp = str(tmp_path / "t")
+    ev.repartitionByRange(2, F.col("ts")).sortWithinPartitions(
+        "ts"
+    ).write.option("parquet.block.size", rg).parquet(tp)
+    user_box = {"user_id": (3, 9)}
+    z_rg = layout.rowgroup_minmax_stats(zp, ["user_id"])
+    z_files = layout.file_minmax_stats(zp, ["user_id"])
+    assert len(z_rg) > len(z_files)  # multiple groups per file
+    z_frac = layout.prunable_fraction(z_rg, user_box)
+    t_frac = layout.prunable_fraction(
+        layout.rowgroup_minmax_stats(tp, ["user_id"]), user_box
+    )
+    zf_frac = layout.prunable_fraction(z_files, user_box)
+    assert z_frac > t_frac  # time sort prunes ~nothing on the user dim
+    assert z_frac >= zf_frac  # row groups at least as sharp as files
+    assert z_frac > 0.0
+
+    def box_rows(path):
+        return sorted(
+            r["event_id"]
+            for r in spark.read.parquet(path)
+            .where(F.col("user_id").between(3, 9))
+            .select("event_id")
+            .collect()
+        )
+
+    before = box_rows(zp)
+    layout.compact_zorder_layout(spark, zp, dims, n_files=1, rowgroup_bytes=rg)
+    assert box_rows(zp) == before  # pure physical rewrite
+    z_frac_c = layout.prunable_fraction(
+        layout.rowgroup_minmax_stats(zp, ["user_id"]), user_box
+    )
+    assert z_frac_c > t_frac  # the clustering survived the bin-pack
+
+
+def test_zorder3_third_dimension_prunes(spark, tmp_path):
+    """A dimension prunes only if it participates in the interleave:
+    the 3-col QUANTILE-normalized layout must beat the 2-col layout on
+    a value-tail box (value is skewed, so rank cells — not the linear
+    grid — are what make it boundable; see quantile_code8)."""
+    from javascript_vector_database_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    z2 = str(tmp_path / "z2")
+    z3 = str(tmp_path / "z3")
+    layout.write_zorder_layout_nd(
+        ev, z2, [F.col("user_id"), F.col("ts").cast("long")], n_files=8
+    )
+    layout.write_zorder_layout_nd(
+        ev, z3,
+        [F.col("user_id"), F.col("ts").cast("long"), F.col("value")],
+        n_files=8, norm="quantile",
+    )
+    vbox = {"value": (250.0, float("inf"))}
+    f3 = layout.prunable_fraction(layout.file_minmax_stats(z3, ["value"]), vbox)
+    f2 = layout.prunable_fraction(layout.file_minmax_stats(z2, ["value"]), vbox)
+    assert f3 > f2
+    # and the quantile layout is a pure reorder: same rows as the source
+    assert spark.read.parquet(z3).count() == ev.count()
+    # 2-D backward-compat: z_interleave == z_interleave_nd([x, y])
+    df = spark.range(100).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 100).alias("y")
+    )
+    a = df.select(layout.z_interleave(F.col("x"), F.col("y")).alias("z"))
+    b = df.select(
+        layout.z_interleave_nd([F.col("x"), F.col("y")]).alias("z")
+    )
+    assert [r["z"] for r in a.collect()] == [r["z"] for r in b.collect()]
+
+
 def test_zorder_empty_and_null_inputs(spark, tmp_path):
     empty = spark.createDataFrame([], "x long, y long")
     with pytest.raises(ValueError):

@@ -24,6 +24,7 @@ from javascript_vector_database_spark import get_spark, registry  # noqa: E402
 #: missing from PLANS.md (the r8 staleness class).
 EXCLUDED = {
     "dml_roundtrip",
+    "cache_collection_roundtrip",
     "pipeline_roundtrip",
     "json_dump_roundtrip",
     "reactive_count_ivm",
