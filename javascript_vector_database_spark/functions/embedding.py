@@ -92,6 +92,31 @@ DEFAULT_DIM = 64  # test-data dimension; the reference model uses 384
 REFERENCE_MODEL = "sentence-transformers/all-MiniLM-L6-v2"
 REFERENCE_DIM = 384
 
+#: the reference's full selectable model set (src/vector.ts:8-19) with
+#: each checkpoint's embedding width (public model cards).  The
+#: reference hard-codes its index pivots for the DEFAULT model only
+#: (src/vector.ts:41-44, "only for 'Xenova/all-MiniLM-L6-v2'");
+#: pivots.make_pivots(dim) here is dim-parametric, so every listed
+#: geometry gets a working pivot index for free.  The real-weights
+#: branch is wired for the default checkpoint (the only one with a
+#: sentence-transformers mirror we can name); the other entries run
+#: the deterministic fake at their true width, seeded per (model,
+#: text) so distinct models emit distinct spaces — exactly the
+#: property a multi-model deployment has to handle (vectors from
+#: different models never mix in one index).
+MODELS: dict[str, int] = {
+    "Xenova/all-MiniLM-L6-v2": 384,
+    "Supabase/gte-small": 384,
+    "mixedbread-ai/mxbai-embed-large-v1": 1024,
+    "jinaai/jina-embeddings-v2-base-zh": 768,
+    "Xenova/paraphrase-multilingual-mpnet-base-v2": 768,
+    "jinaai/jina-embeddings-v2-base-code": 768,
+    "Xenova/multilingual-e5-large": 1024,
+    "WhereIsAI/UAE-Large-V1": 1024,
+    "jinaai/jina-embeddings-v2-base-de": 768,
+}
+DEFAULT_MODEL = "Xenova/all-MiniLM-L6-v2"
+
 _model_cache: dict[str, object] = {}
 
 
@@ -115,13 +140,20 @@ def _real_model_batch(texts: pd.Series, dim: int) -> list[list[float]]:
     return [[float(x) for x in v] for v in vecs]
 
 
-def _fake_model_batch(texts: pd.Series, dim: int) -> list[list[float]]:
-    """Deterministic stand-in for the MiniLM feature-extraction pipeline.
+def _fake_model_batch(
+    texts: pd.Series, dim: int, model: str | None = None
+) -> list[list[float]]:
+    """Deterministic stand-in for the feature-extraction pipeline.
     Replace with: model.encode(texts.tolist(), normalize_embeddings=True).
-    """
+    Seeded per (model, text) when a non-default model is named, so each
+    checkpoint emits its own space (no model name keeps the historical
+    md5(text) seed — every committed fixture stays valid)."""
+    prefix = f"{model}|" if model and model != DEFAULT_MODEL else ""
     out = []
     for t in texts:
-        seed = int.from_bytes(hashlib.md5((t or "").encode()).digest()[:4], "big")
+        seed = int.from_bytes(
+            hashlib.md5((prefix + (t or "")).encode()).digest()[:4], "big"
+        )
         rng = np.random.RandomState(seed)
         v = rng.standard_normal(dim)
         v = v / np.sqrt((v * v).sum())
@@ -129,18 +161,40 @@ def _fake_model_batch(texts: pd.Series, dim: int) -> list[list[float]]:
     return out
 
 
-def embed_udf(dim: int = DEFAULT_DIM, use_real_model: bool | None = None):
+def embed_udf(
+    dim: int = DEFAULT_DIM,
+    use_real_model: bool | None = None,
+    model: str | None = None,
+):
     """Arrow-batched embedding UDF returning unit-norm array<float>.
 
-    ``use_real_model=None`` (default) auto-selects: the real MiniLM branch
-    when sentence-transformers is importable AND dim == 384, else the
-    deterministic fake."""
+    ``model`` selects one of the reference's 9 checkpoints (``MODELS``,
+    src/vector.ts:8-19) and fixes ``dim`` to that checkpoint's width.
+    ``use_real_model=None`` (default) auto-selects: the real MiniLM
+    branch when sentence-transformers is importable AND the geometry is
+    the default checkpoint's 384, else the deterministic fake."""
+    if model is not None:
+        if model not in MODELS:
+            raise ValueError(
+                f"unknown model {model!r}; reference set: {sorted(MODELS)}"
+            )
+        dim = MODELS[model]
     if use_real_model is None:
-        use_real_model = _HAS_ST and dim == REFERENCE_DIM
-    batch_fn = _real_model_batch if use_real_model else _fake_model_batch
+        use_real_model = (
+            _HAS_ST
+            and dim == REFERENCE_DIM
+            and model in (None, DEFAULT_MODEL)
+        )
+
+    if use_real_model:
+        def batch_fn(texts: pd.Series) -> list[list[float]]:
+            return _real_model_batch(texts, dim)
+    else:
+        def batch_fn(texts: pd.Series) -> list[list[float]]:
+            return _fake_model_batch(texts, dim, model)
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _embed(texts: pd.Series) -> pd.Series:
-        return pd.Series(batch_fn(texts, dim))
+        return pd.Series(batch_fn(texts))
 
     return _embed

@@ -88,7 +88,9 @@ def quantile_code8(col: Column, cuts: list[float]) -> Column:
     regardless of the distribution.  The cuts are bounded write-time
     constants (one approxQuantile pass, the IVF-centroid idiom) and
     the code is one HOF fold over the 255-literal array — scan-local,
-    no shuffle, NULL -> NULL (the caller's coalesce handles it)."""
+    no shuffle.  A NULL value folds to cell 0 (each NULL comparison
+    takes the otherwise-0 branch), matching the minmax path's
+    origin-cell coalesce."""
     arr = F.array(*[F.lit(float(c)) for c in cuts])
     return F.aggregate(
         arr,

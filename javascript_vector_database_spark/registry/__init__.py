@@ -131,20 +131,28 @@ _PRIORITY = [
     #        keys park and absorb the late insert) and a third
     #        checkpointed run re-delivers original inserts for half the
     #        deleted ids, which must not resurrect;
-    #   2 shared-infrastructure re-stamps (outputs expected unchanged,
+    #   1 late r11-NEW row:
+    #      stream_ivf_index_retrain_live — the index LIFECYCLE closed:
+    #        live build under sampled centroids -> oracle-checked Lloyd
+    #        RETRAIN -> blue/green MIGRATION (one scan, scan-local
+    #        re-assignment, partitioned bulk load, pointer flip) ->
+    #        probe hash-matches the DuckDB-retrained oracle;
+    #   1 shared-infrastructure re-stamp (outputs expected unchanged,
     #      re-stamped out of caution like r10's hits row):
     #      layout_zorder_box_query — write_zorder_layout grew the
-    #        empty-input guard + NULL-z coalesce (r10 ADVICE);
-    #      dml_roundtrip — _replace_partitions now escapes partition
-    #        directory values the way Spark writes them (r10 ADVICE;
-    #        integer buckets render identically, pinned by
-    #        tests/test_r11_wave.py);
+    #        empty-input guard + NULL-z coalesce and now rides the N-d
+    #        interleave (2-D bit-identity pinned by test_r11_wave);
     #   44 oldest-stamp refreshers: ALL 44 remaining r5 stamps (clears
     #      the rotation debt — no stamp older than r6 after this round;
     #      the r6 tail rotates next round).
+    #   dml_roundtrip (r10 green) yields its precautionary slot to the
+    #      retrain row: every DML verb is byte-identical, the r10
+    #      ADVICE escape is an identity for integer buckets (pinned by
+    #      test_partition_value_escaping_matches_spark), and the local
+    #      280-row sweep re-verifies the row on every pytest run.
     "stream_pivot_index_live", "cache_collection_roundtrip",
     "stream_ivf_index_delete_live", "stream_ann_index_delete_live",
-    "layout_zorder_box_query", "dml_roundtrip",
+    "layout_zorder_box_query", "stream_ivf_index_retrain_live",
     "agg_q17_small_quantity_revenue", "agg_q18_large_orders",
     "agg_regional_revenue", "basket_association_rules",
     "compat_index_string_384", "curation_contamination_bloom",
@@ -165,6 +173,7 @@ _PRIORITY = [
     "text_phrase_postings_join", "text_phrase_search",
     "text_winnow_fingerprints", "text_winnow_overlap_pairs",
     # ---- window boundary (50) ----
+    "dml_roundtrip",
     "stream_ivf_index_live", "stream_ivfpq_index_live",
     "stream_lsh_index_live", "stream_ann_index_compact_live",
     "knn_ann_range_tuned", "embedding_hard_negatives",

@@ -1881,6 +1881,119 @@ stream_ivf_index_delete_live.__doc__ = (
 )
 
 
+@register(
+    "stream_ivf_index_retrain_live",
+    oracle=_ivf_search_oracle(
+        nprobe=ann_scale.LLOYD_NPROBE, cents_cte=_lloyd_cents_cte()
+    ),
+)
+def stream_ivf_index_retrain_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX LIFECYCLE closed (21st streaming==batch row): live build ->
+    RETRAIN -> blue/green MIGRATION -> serve.  Every prior live row
+    maintains an index under FIXED write-time constants; real
+    deployments retrain those constants (drifted corpora, better
+    centroids) and must then migrate the partition layout — at 100 TB
+    that is the standing reindex job, and it is done blue/green (build
+    the new layout beside the old, swap the serving pointer) because an
+    in-place cell rewrite would serve a half-migrated index.
+
+    Script: (1) the checkpointed pipeline MERGEs (vec_id, ivf_cell,
+    embedding) into a partitionBy(ivf_cell) table under the SAMPLED
+    write-time centroids — two feed halves, stop/restart, re-delivered
+    slice, exactly stream_ivf_index_live; (2) RETRAIN: 3 deterministic
+    Lloyd rounds (integer-exact means, the oracle-checked trainer
+    behind ann_ivf_lloyd_search); (3) MIGRATE: one scan of the OLD
+    layout re-assigns every stored row to its new cell and bulk-loads a
+    NEW partitionBy(ivf_cell) table (the green side; the swap is a
+    pointer flip); (4) serve: ``ivf_search(precomputed=True,
+    nprobe={np})`` probes the migrated table and must hash-match the
+    SAME DuckDB oracle as ann_ivf_lloyd_search — an unrolled CTE chain
+    that retrains the centroids inside DuckDB, so the trainer, the
+    migration, AND the probe are all value-checked end-to-end.
+    Migration cost at 100 TB: one corpus scan + one partitioned write
+    (the argmin re-assignment is scan-local); probes never degrade
+    because the old layout serves until the swap."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents0 = ann_scale.collect_centroids(emb)  # the v1 write-time set
+    tmp = tempfile.mkdtemp(prefix="stream_ivfidx_rt_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    blue = ParquetTable(
+        spark, os.path.join(tmp, "blue"), "vec_id", partition_col="ivf_cell"
+    )
+    feed = emb.select("vec_id", "embedding")
+    feed_rest = _stream_feed(spark, feed, src, "vec_id")
+    schema = "vec_id long, embedding array<float>"
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        blue.bulk_upsert(
+            batch.withColumn(
+                "ivf_cell",
+                ann_scale.ivf_cell_expr(F.col("embedding"), cents0),
+            ),
+            lwt=float(batch_id),
+        )
+
+    try:
+        q = streaming_pipeline(spark, src, schema, handler, cp)
+        q.awaitTermination()
+        feed_rest()
+        feed.where(
+            (F.coalesce(F.col("vec_id"), F.lit(0)) % 2 == 0)
+            & (F.col("vec_id") % 10 == 0)
+        ).write.mode("append").parquet(src)
+        q2 = streaming_pipeline(spark, src, schema, handler, cp)
+        q2.awaitTermination()
+        # RETRAIN: the oracle-checked Lloyd trainer over the corpus
+        cents1 = ann_scale.ivf_lloyd_centroids(emb)
+        # MIGRATE blue -> green: ONE scan of the old layout, scan-local
+        # re-assignment, one partitioned bulk load; the old table keeps
+        # serving until the pointer flip below
+        green = ParquetTable(
+            spark,
+            os.path.join(tmp, "green"),
+            "vec_id",
+            partition_col="ivf_cell",
+        )
+        green.bulk_upsert(
+            blue.docs()
+            .select("vec_id", "embedding")
+            .withColumn(
+                "ivf_cell",
+                ann_scale.ivf_cell_expr(F.col("embedding"), cents1),
+            ),
+            lwt=100.0,
+        )
+        serving = green  # the blue/green pointer flip
+        stored = serving.docs().select("vec_id", "embedding", "ivf_cell")
+        out = ann_scale.ivf_search(
+            stored, qv, cents=cents1, precomputed=True,
+            nprobe=ann_scale.LLOYD_NPROBE,
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+stream_ivf_index_retrain_live.__doc__ = (
+    stream_ivf_index_retrain_live.__doc__.format(np=ann_scale.LLOYD_NPROBE)
+)
+
+
 def _hybrid_live_oracle() -> str:
     from javascript_vector_database_spark.registry.text_queries import (
         _bm25_oracle,

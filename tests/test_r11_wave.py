@@ -300,6 +300,33 @@ def test_zorder3_third_dimension_prunes(spark, tmp_path):
     assert [r["z"] for r in a.collect()] == [r["z"] for r in b.collect()]
 
 
+def test_embed_udf_multi_model(spark):
+    """The reference's 9-checkpoint selector (src/vector.ts:8-19)
+    parameterized: each model embeds at its true width, unit-norm,
+    deterministic; distinct models emit DISTINCT spaces (a multi-model
+    deployment must never mix vectors across indexes); the default
+    checkpoint's output is bit-identical to the historical
+    embed_udf(384) so every committed 384 fixture stays valid."""
+    from javascript_vector_database_spark.functions.embedding import (
+        DEFAULT_MODEL,
+        MODELS,
+        embed_udf,
+    )
+
+    df = spark.createDataFrame([("hello world",)], "body string")
+    first4 = {}
+    for m, dim in MODELS.items():
+        v = df.select(embed_udf(model=m)("body").alias("e")).first()["e"]
+        assert len(v) == dim, m
+        assert abs(sum(x * x for x in v) ** 0.5 - 1.0) < 1e-3, m
+        first4[m] = tuple(v[:4])
+    assert len(set(first4.values())) == len(MODELS)
+    legacy = df.select(embed_udf(384)("body").alias("e")).first()["e"]
+    assert tuple(legacy[:4]) == first4[DEFAULT_MODEL]
+    with pytest.raises(ValueError):
+        embed_udf(model="not-a-model")
+
+
 def test_zorder_empty_and_null_inputs(spark, tmp_path):
     empty = spark.createDataFrame([], "x long, y long")
     with pytest.raises(ValueError):
