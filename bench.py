@@ -263,8 +263,10 @@ def main() -> None:
     # round-over-round denominator: if calib moved, the box moved, and
     # the row deltas should be read against it.
     def _calib_cpu():
+        # decimal(38,0) sum: 64-bit hash terms would overflow an
+        # ANSI-mode BIGINT sum (same as the compact digest's lesson)
         return spark.range(200_000_000).select(
-            F.sum(F.xxhash64("id"))
+            F.sum(F.xxhash64("id").cast("decimal(38,0)"))
         ).collect()
 
     def _calib_shuffle():
