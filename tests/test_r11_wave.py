@@ -340,3 +340,71 @@ def test_zorder_empty_and_null_inputs(spark, tmp_path):
     p = str(tmp_path / "z1")
     layout.write_zorder_layout(df, p, F.col("x"), F.col("y"), n_files=2)
     assert spark.read.parquet(p).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# merge_cdc convergence property (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+#: a CDC history: per key, csn k carries ONE canonical change (tombstone
+#: iff the drawn bit says so; payload derived from (key, csn) so a
+#: re-delivery is verbatim).  A schedule is any batching, in any order,
+#: with any subset re-delivered — the merge must converge to the
+#: max-delivered-csn change per key regardless.
+_change_ref = st.tuples(
+    st.integers(min_value=0, max_value=3),  # key
+    st.integers(min_value=1, max_value=4),  # csn
+)
+_schedule = st.lists(  # batches of change references
+    st.lists(_change_ref, min_size=1, max_size=6),
+    min_size=1,
+    max_size=4,
+)
+_tombstone_bits = st.dictionaries(
+    _change_ref, st.booleans(), min_size=0, max_size=16
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(schedule=_schedule, bits=_tombstone_bits)
+def test_merge_cdc_converges_for_any_schedule(spark, tmp_path_factory, schedule, bits):
+    """For EVERY delivery schedule (any batching, ordering, and
+    re-delivery pattern over a fixed per-key change history), the table
+    converges to the analytic winner: per key, the delivered change
+    with the highest csn; alive iff that change is not a tombstone."""
+    t = ParquetTable(
+        spark,
+        str(tmp_path_factory.mktemp("cdc") / "t"),
+        "id",
+        n_buckets=2,
+    )
+    delivered: dict[int, dict[int, bool]] = {}
+    for batch in schedule:
+        rows = []
+        for key, csn in batch:
+            tomb = bits.get((key, csn), False)
+            rows.append((key, f"v{key}_{csn}", tomb, csn))
+            delivered.setdefault(key, {})[csn] = tomb
+        t.merge_cdc(
+            spark.createDataFrame(
+                rows, "id long, v string, _tombstone boolean, _csn long"
+            ),
+            lwt=1.0,
+        )
+    expected = {
+        key: (max(csns), f"v{key}_{max(csns)}")
+        for key, csns in delivered.items()
+        if not csns[max(csns)]  # winner is not a tombstone
+    }
+    got = {
+        r["id"]: (r["_csn"], r["v"])
+        for r in t.docs().select("id", "_csn", "v").collect()
+    }
+    assert got == expected, (schedule, bits)
