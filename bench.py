@@ -884,6 +884,14 @@ def main() -> None:
             zl.prunable_fraction(tg_rg, user_only)
         )
 
+        # 2-D value-dim control measured BEFORE compaction rewrites
+        # zpath (16 files, matching z3's file count — a 4-file control
+        # would confound file granularity with the interleave effect)
+        vbox = {"value": (250.0, float("inf"))}
+        results["zorder2_valuedim_prunable_frac"] = zl.prunable_fraction(
+            zl.file_minmax_stats(zpath, ["value"]), vbox
+        )
+
         # r11: clustering must survive compaction (the OPTIMIZE-rewrite
         # story): bin-pack 16 -> 4 files through the z-recompute path
         # and re-measure the same box on the row-group tier
@@ -912,13 +920,9 @@ def main() -> None:
             [F.col("user_id"), F.col("ts").cast("long"), F.col("value")],
             n_files=16, norm="quantile",
         )
-        vbox = {"value": (250.0, float("inf"))}
         s3 = zl.file_minmax_stats(z3, ["user_id", "ts", "value"])
         results["zorder3_valuedim_prunable_frac"] = zl.prunable_fraction(
             s3, vbox
-        )
-        results["zorder2_valuedim_prunable_frac"] = zl.prunable_fraction(
-            zl.file_minmax_stats(zpath, ["value"]), vbox
         )
         box3 = dict(box, **vbox)
         results["zorder3_box3_prunable_frac"] = zl.prunable_fraction(

@@ -126,12 +126,12 @@ def _real_model_batch(texts: pd.Series, dim: int) -> list[list[float]]:
     the executor fleet is the worker pool."""
     if REFERENCE_MODEL not in _model_cache:
         # vendored weights first (no-network path, module docstring),
-        # hub checkout otherwise
-        local = os.path.join(
-            os.environ.get("SPARK_GRAFT_WHEEL_DIR", ""), "minilm"
-        )
+        # hub checkout otherwise; the env var must be SET — otherwise a
+        # stray ./minilm dir in the worker cwd would load as the model
+        wheel_dir = os.environ.get("SPARK_GRAFT_WHEEL_DIR")
+        local = os.path.join(wheel_dir, "minilm") if wheel_dir else ""
         _model_cache[REFERENCE_MODEL] = SentenceTransformer(
-            local if os.path.isdir(local) else REFERENCE_MODEL
+            local if local and os.path.isdir(local) else REFERENCE_MODEL
         )
     model = _model_cache[REFERENCE_MODEL]
     vecs = model.encode(
@@ -184,6 +184,13 @@ def embed_udf(
             _HAS_ST
             and dim == REFERENCE_DIM
             and model in (None, DEFAULT_MODEL)
+        )
+    elif use_real_model and model not in (None, DEFAULT_MODEL):
+        # only the default checkpoint has real weights wired; silently
+        # encoding another model's rows with MiniLM would mix spaces
+        raise ValueError(
+            f"real weights are wired for {DEFAULT_MODEL!r} only;"
+            f" {model!r} runs the deterministic fake"
         )
 
     if use_real_model:

@@ -192,13 +192,14 @@ class ParquetTable:
         self._resolve_layout()
         if not self.exists():
             raise FileNotFoundError(self.path)
-        key_df = self._key_df(ids)
         src = self._raw()
         if self._bucketed() and not self.partition_col:
-            src = src.where(F.col(BUCKET_COL).isin(self._touched(key_df)))
+            src = src.where(
+                F.col(BUCKET_COL).isin(self._touched(self._key_df(ids)))
+            )
         pk = self.primary_key
         if isinstance(ids, DataFrame):
-            src = src.join(key_df, pk, "left_semi")
+            src = src.join(self._key_df(ids), pk, "left_semi")
         else:
             # literal IN: pushes to parquet as row-group filters
             src = src.where(F.col(pk).isin(list(set(ids))))
@@ -532,9 +533,12 @@ class ParquetTable:
           monotonic per key) and ``tombstone_col`` (true = delete);
         * within one batch only the max-(csn, tombstone) row per key
           survives (a tombstone outranks an insert at the same csn);
-        * against stored state an arriving row wins ONLY if its csn
-          exceeds the stored row's — equal or lower (a re-delivery or a
-          stale change) is absorbed silently, in EITHER direction;
+        * against stored state an arriving row wins if its csn exceeds
+          the stored row's, or — the SAME tie rule as within a batch —
+          if it is a tombstone at the stored row's csn and the stored
+          row is still alive; everything else (a re-delivery or a stale
+          change) is absorbed silently, in EITHER direction, so the
+          final state never depends on micro-batch boundaries;
         * a winning tombstone is STORED as a ``_deleted=true`` row (the
           soft-delete shape ``docs()`` already filters), never removed:
           it must outlive the insert it supersedes, and a tombstone for
@@ -585,10 +589,16 @@ class ParquetTable:
                 if csn_col in cur.columns
                 else F.lit(None).cast("long")
             )
+            prev_dead = (
+                F.col("_deleted")
+                if "_deleted" in cur.columns
+                else F.lit(False)
+            )
             prev = cur.select(
                 pk,
                 F.col("_rev").alias("__prev_rev"),
                 prev_csn.alias("__prev_csn"),
+                prev_dead.alias("__prev_dead"),
             )
             winners = (
                 self._with_bucket(delta)
@@ -596,12 +606,21 @@ class ParquetTable:
                 .where(
                     F.col("__prev_csn").isNull()
                     | (F.col(csn_col) > F.col("__prev_csn"))
+                    # equal-csn tombstone vs a stored LIVE row: the same
+                    # tie rule the within-batch window applies — without
+                    # it the outcome would depend on whether the pair
+                    # shared a micro-batch
+                    | (
+                        (F.col(csn_col) == F.col("__prev_csn"))
+                        & F.col("_deleted")
+                        & ~F.coalesce(F.col("__prev_dead"), F.lit(False))
+                    )
                 )
                 .withColumn(
                     "_rev",
                     _rev_bump(F.col("__prev_rev"), _payload_hash(delta.columns)),
                 )
-                .drop("__prev_rev", "__prev_csn")
+                .drop("__prev_rev", "__prev_csn", "__prev_dead")
             )
             kept = cur.join(winners.select(pk), pk, "left_anti")
             new_state = kept.unionByName(winners, allowMissingColumns=True)

@@ -241,16 +241,27 @@ def compact_zorder_layout(
     stored rows and rewrite through the same range-partition + sort —
     exactly what Delta's OPTIMIZE ZORDER BY does on every rewrite,
     because a clustering that evaporated on the first bin-packing pass
-    would be a one-shot trick, not a layout.  Atomic directory swap."""
+    would be a one-shot trick, not a layout.  Swap discipline: the new
+    layout is fully written to a sibling dir first, the old dir is
+    renamed aside (one cheap rename, never a window with no table on
+    disk), the new one renamed in, and only then is the old one
+    deleted; a failed rewrite cleans its temp dir and leaves the
+    original untouched."""
     import shutil
 
     tmp = path + ".zcompact.tmp"
-    write_zorder_layout_nd(
-        spark.read.parquet(path), tmp, dim_cols, n_files, rowgroup_bytes,
-        norm=norm,
-    )
-    shutil.rmtree(path)
+    old = path + ".zcompact.old"
+    try:
+        write_zorder_layout_nd(
+            spark.read.parquet(path), tmp, dim_cols, n_files,
+            rowgroup_bytes, norm=norm,
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
 
 
 def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:

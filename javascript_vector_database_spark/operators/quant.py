@@ -341,17 +341,25 @@ def bq_table(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The write-time packed-word table (id, bq_words): dim/48 BIGINTs
     per vector — 32x smaller than the floats; what a deployment stores
     beside the vector column so hamming probes never read the floats
-    (the SQ8/PQ code-table discipline at 1 bit)."""
+    (the SQ8/PQ code-table discipline at 1 bit).  ``extra_cols`` ride
+    along row-locally (a CDC feed's csn/tombstone flags) — callers must
+    NOT re-join the output to the input on the id, because a key
+    delivered twice in one batch would cross-pair the changes."""
+    keep = [F.col(c) for c in extra_cols]
     if dim > BQ_WIDE_DIM:
         pack = _bq_pack_pandas(dim)
-        return emb.select(F.col(id_col), pack(F.col(vec_col)).alias("bq_words"))
+        return emb.select(
+            F.col(id_col), pack(F.col(vec_col)).alias("bq_words"), *keep
+        )
     return emb.select(
         F.col(id_col),
         F.array(*bq_word_exprs(F.col(vec_col), dim)).alias("bq_words"),
+        *keep,
     )
 
 

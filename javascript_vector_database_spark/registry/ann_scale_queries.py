@@ -1754,12 +1754,12 @@ def stream_ann_index_delete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def handler(batch: DataFrame, batch_id: int) -> None:
         # ONE CDC merge for the whole batch: the packed words are a pure
-        # projection, tombstones keep their payload so the merge window
+        # row-local projection with the CDC flags riding along (a
+        # re-join on vec_id would cross-pair a key delivered twice in
+        # one batch); tombstones keep their payload so the merge window
         # and csn comparison see every change uniformly
         dest.merge_cdc(
-            quant.bq_table(batch, dim).join(
-                batch.select("vec_id", "_tombstone", "_csn"), "vec_id"
-            ),
+            quant.bq_table(batch, dim, extra_cols=("_tombstone", "_csn")),
             lwt=float(batch_id),
         )
 

@@ -88,6 +88,32 @@ def test_merge_cdc_within_batch_and_update(spark, tmp_path):
     assert rev_after[5].startswith("2-")  # create -> delete -> re-create
 
 
+def test_merge_cdc_equal_csn_tombstone_batch_invariant(spark, tmp_path):
+    """An insert and a tombstone sharing a csn must end DELETED whether
+    they arrive in one batch or two, in either order — the final state
+    can never depend on micro-batch boundaries (r11 review finding: the
+    cross-batch tie used to absorb the tombstone).  A re-delivered
+    tombstone at the stored tombstone's csn stays a no-op (rev stable)."""
+    cases = {
+        "one_batch": [[(3, "a", False, 5), (3, "a", True, 5)]],
+        "ins_then_del": [[(3, "a", False, 5)], [(3, "a", True, 5)]],
+        "del_then_ins": [[(3, "a", True, 5)], [(3, "a", False, 5)]],
+    }
+    for name, batches in cases.items():
+        t = ParquetTable(spark, str(tmp_path / name), "id", n_buckets=2)
+        for i, rows in enumerate(batches):
+            t.merge_cdc(_cdc(spark, rows), lwt=float(i))
+        assert t.docs().count() == 0, name
+        stored = t.df().collect()
+        assert len(stored) == 1 and stored[0]["_deleted"] is True, name
+    # tombstone re-delivery vs the stored tombstone: absorbed, rev stable
+    t = ParquetTable(spark, str(tmp_path / "redeliver"), "id", n_buckets=2)
+    t.merge_cdc(_cdc(spark, [(3, "a", True, 5)]), lwt=0.0)
+    rev = t.df().first()["_rev"]
+    t.merge_cdc(_cdc(spark, [(3, "a", True, 5)]), lwt=1.0)
+    assert t.df().first()["_rev"] == rev
+
+
 def test_merge_cdc_partition_col_prunes_untouched(spark, tmp_path):
     """Under a partition_col layout a CDC batch (tombstones included —
     they carry the partition value) rewrites ONLY its touched cells."""
@@ -325,6 +351,9 @@ def test_embed_udf_multi_model(spark):
     assert tuple(legacy[:4]) == first4[DEFAULT_MODEL]
     with pytest.raises(ValueError):
         embed_udf(model="not-a-model")
+    # explicit real weights for a non-default model would mix spaces
+    with pytest.raises(ValueError):
+        embed_udf(model="Supabase/gte-small", use_real_model=True)
 
 
 def test_zorder_empty_and_null_inputs(spark, tmp_path):
