@@ -560,3 +560,107 @@ def ivf_lloyd_centroids(
             (cid, moved.get(cid, old)) for cid, old in cents
         )
     return cents
+
+
+# ---------------------------------------------------------------------------
+# radius (range) search with triangle-inequality cell pruning
+# ---------------------------------------------------------------------------
+
+
+def ivf_cell_radii(
+    assigned: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> dict[int, float]:
+    """Write-time per-cell covering radius: max dist(member, centroid)
+    over each cell's members — ONE grouped aggregate over the assigned
+    table, collected as a bounded K-row dict (the IVF-centroid idiom:
+    tiny layout constants derived once at build time).  The radius is
+    what makes a radius query's cell pruning LOSSLESS — see
+    ivf_radius_search."""
+    from javascript_vector_database_spark.functions.vector import (
+        euclidean_distance,
+    )
+
+    cent_map = {int(cid): cemb for cid, cemb in cents}
+    # dist-to-own-centroid as a when-cascade over K centroid literals,
+    # scan-local (no join); K is small by construction
+    chain = None
+    for cid, cemb in cent_map.items():
+        expr = euclidean_distance(F.col(vec_col), _qvec_lit(cemb))
+        chain = (
+            F.when(F.col("ivf_cell") == cid, expr)
+            if chain is None
+            else chain.when(F.col("ivf_cell") == cid, expr)
+        )
+    rows = (
+        assigned.withColumn("__cd", chain)
+        .groupBy("ivf_cell")
+        .agg(F.max("__cd").alias("radius"))
+        .collect()
+    )
+    return {int(r["ivf_cell"]): float(r["radius"]) for r in rows}
+
+
+def ivf_radius_search(
+    assigned: DataFrame,
+    query_vec: list[float],
+    radius: float,
+    cents: list[tuple[int, list[float]]],
+    cell_radii: dict[int, float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RADIUS (range) query: every vector within ``radius`` of the
+    query — the standard vector-DB range search (the top-k rows' fixed-
+    cardinality sibling), served from the partitioned IVF layout with
+    LOSSLESS cell pruning by the triangle inequality:
+
+        for any member x of cell c:
+            dist(q, centroid_c) <= dist(q, x) + dist(x, centroid_c)
+        so  dist(q, x) <= radius  implies
+            dist(q, centroid_c) <= radius + cell_radius_c
+
+    — a cell whose centroid sits farther than ``radius + its covering
+    radius`` from the query CANNOT contain a match and is never read.
+    Both bounds are write-time constants (centroids + ivf_cell_radii),
+    so the probe set is computed driver-side from K numbers and the
+    scan is ``WHERE ivf_cell IN (probe set) AND dist <= radius`` —
+    partition pruning on the stored layout plus one exact filter, no
+    shuffle.  At 100 TB selective radii touch a handful of cell
+    directories; a radius covering the whole space degrades gracefully
+    to the full scan it genuinely requires.
+
+    Geometry honesty (measured, tests/test_r11_wave.py): on unit-norm
+    high-dim corpora — the 64-dim synthetic draw AND the clustered 384
+    fixture — the covering radii blanket the space (a k=20 radius plus
+    any cell's max-member distance exceeds every centroid distance),
+    so the bound prunes nothing there and the query is a correct full
+    scan; the bound bites when clusters are tight relative to the
+    radius (pinned on crafted low-dim clusters: 3 of 4 cells pruned).
+    The per-cell MEAN+quantile radius or per-cell second-moment bounds
+    would prune more at the cost of a lossy guarantee — this operator
+    keeps the lossless contract.  Output:
+    (id, distance <= radius), ascending."""
+    from javascript_vector_database_spark.functions.vector import (
+        euclidean_distance,
+    )
+
+    probe = [
+        int(cid)
+        for cid, cemb in cents
+        if _py_euclid(cemb, query_vec)
+        <= radius + cell_radii.get(int(cid), 0.0)
+    ]
+    return (
+        assigned.where(F.col("ivf_cell").isin(probe))
+        .withColumn(
+            "distance",
+            F.round(
+                euclidean_distance(F.col(vec_col), _qvec_lit(query_vec)), 6
+            ),
+        )
+        .where(F.col("distance") <= radius)
+        .select(id_col, "distance")
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    )

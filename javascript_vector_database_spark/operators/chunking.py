@@ -182,3 +182,49 @@ def sql_stratified_split_assign(
     for name, bound in reversed(SPLIT_BOUNDS):
         expr = f"CASE WHEN {q} < {bound} THEN '{name}' ELSE {expr} END"
     return expr
+
+
+def leakage_safe_split_assign(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_col: str = "split",
+) -> DataFrame:
+    """Dedup-AWARE train/val/test split: near-duplicate documents must
+    land in the SAME split, or the test set silently contains
+    paraphrases of training rows and every eval number is contaminated
+    (the leakage failure mode the decontamination pass checks against
+    EXTERNAL eval sets — this closes it for the corpus's own splits).
+
+    Shape: connected components over the candidate near-dup pairs
+    (dedup.duplicate_clusters — the same min-label machinery the dedup
+    family ships) give every clustered doc its component's min-id root;
+    singletons root at themselves.  The split fraction is then
+    md5(ROOT), not md5(doc) — one broadcast-sized (doc -> root) join
+    (components are a small fraction of any real corpus; at 100 TB the
+    cluster table is the already-materialized dedup output), after
+    which the assignment is the ordinary scan-local when-cascade.  By
+    construction no pair in ``dup_pairs`` can straddle splits, because
+    both ends share a root and the label is a pure function of it."""
+    from javascript_vector_database_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    roots = duplicate_clusters(dup_pairs, id_a=id_a, id_b=id_b).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("__root")
+    )
+    rooted = df.join(F.broadcast(roots), id_col, "left").withColumn(
+        "__root", F.coalesce(F.col("__root"), F.col(id_col))
+    )
+    frac = split_frac(F.col("__root"))
+    expr = None
+    for name, bound in SPLIT_BOUNDS:
+        cond = frac < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return rooted.withColumn(out_col, expr.otherwise(F.lit("test"))).drop(
+        "__root"
+    )

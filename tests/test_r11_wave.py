@@ -437,3 +437,133 @@ def test_merge_cdc_converges_for_any_schedule(spark, tmp_path_factory, schedule,
         for r in t.docs().select("id", "_csn", "v").collect()
     }
     assert got == expected, (schedule, bits)
+
+
+# ---------------------------------------------------------------------------
+# staged-for-r12 operators (implemented + pinned now; registry rows land
+# in the r12 driver window so every registered name keeps a stamp)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_radius_search_lossless_pruning(spark):
+    """Radius search over the partitioned IVF layout must return
+    EXACTLY the brute-force radius set (triangle-inequality cell
+    pruning is lossless) while probing strictly fewer cells than the
+    corpus holds for a selective radius."""
+    from javascript_vector_database_spark.functions.vector import (
+        euclidean_distance,
+    )
+    from javascript_vector_database_spark.operators import ann_scale
+    from javascript_vector_database_spark.operators.knn import (
+        _py_euclid,
+        _qvec_lit,
+    )
+    from javascript_vector_database_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    assigned = emb.withColumn(
+        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+    ).cache()
+    radii = ann_scale.ivf_cell_radii(assigned, cents)
+    assert set(radii) == {int(c) for c, _ in cents} and all(
+        r >= 0 for r in radii.values()
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    # pick a radius that captures a small neighborhood: the 20th exact
+    # distance (data-derived, so the test holds at any sf)
+    dists = sorted(
+        r["d"]
+        for r in emb.select(
+            euclidean_distance(F.col("embedding"), _qvec_lit(qv)).alias("d")
+        ).collect()
+    )
+    radius = float(dists[19])
+    got = ann_scale.ivf_radius_search(assigned, qv, radius, cents, radii)
+    got_ids = [(r["vec_id"], r["distance"]) for r in got.collect()]
+    brute = sorted(
+        (int(r["vec_id"]), round(float(r["d"]), 6))
+        for r in emb.select(
+            "vec_id",
+            euclidean_distance(F.col("embedding"), _qvec_lit(qv)).alias("d"),
+        ).collect()
+        if round(float(r["d"]), 6) <= radius
+    )
+    assert sorted(got_ids) == brute
+    # on high-dim unit-norm corpora (this 64-dim draw AND the clustered
+    # 384 fixture — both measured) the covering radii blanket the space
+    # and every cell qualifies: honest geometry, documented on the
+    # operator.  The equality above is the lossless guarantee there;
+    # the PRUNING mechanism is pinned on crafted low-dim clusters where
+    # the bound genuinely bites.
+    assigned.unpersist()
+    import math
+
+    pts = []
+    for c, (cx, cy) in enumerate([(0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0)]):
+        for i in range(50):
+            ang = 2 * math.pi * i / 50
+            pts.append((c * 50 + i, [cx + math.cos(ang), cy + math.sin(ang)]))
+    tight = spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>"
+    )
+    cents2 = [(c, [float(cx), float(cy)]) for c, (cx, cy) in enumerate(
+        [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0)]
+    )]
+    a2 = tight.withColumn(
+        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents2)
+    ).cache()
+    radii2 = ann_scale.ivf_cell_radii(a2, cents2)
+    assert all(abs(r - 1.0) < 1e-5 for r in radii2.values())
+    qv2 = [0.5, 0.5]
+    probe2 = [
+        int(cid)
+        for cid, cemb in cents2
+        if _py_euclid(cemb, qv2) <= 3.0 + radii2[int(cid)]
+    ]
+    assert probe2 == [0]  # 3 of 4 cells pruned by the triangle bound
+    got2 = sorted(
+        r["vec_id"]
+        for r in ann_scale.ivf_radius_search(
+            a2, qv2, 3.0, cents2, radii2
+        ).collect()
+    )
+    assert got2 == list(range(50))  # the whole near cluster, nothing else
+    a2.unpersist()
+
+
+def test_leakage_safe_split_no_straddling(spark):
+    """No near-dup pair may straddle splits; singletons keep the plain
+    md5(doc) assignment; proportions stay roughly 80/10/10."""
+    from javascript_vector_database_spark.operators.chunking import (
+        leakage_safe_split_assign,
+        split_assign,
+    )
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    # chain clusters: (0,1),(1,2) — a 3-doc path — plus scattered pairs
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (100, 1100), (250, 1250), (321, 322)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split_assign(docs, pairs).cache()
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in out.where(
+            F.col("doc_id").isin([0, 1, 2, 100, 1100, 250, 1250, 321, 322])
+        ).collect()
+    }
+    assert split_of[0] == split_of[1] == split_of[2]
+    assert split_of[100] == split_of[1100]
+    assert split_of[250] == split_of[1250]
+    assert split_of[321] == split_of[322]
+    # singletons match the ordinary per-doc assignment exactly
+    plain = split_assign(docs.where(F.col("doc_id") > 1500))
+    joined = out.where(F.col("doc_id") > 1500).alias("a").join(
+        plain.alias("b"), "doc_id"
+    )
+    assert joined.where(F.col("a.split") != F.col("b.split")).count() == 0
+    # proportions: train is the bulk
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts["train"] > 1400 and set(counts) == {"train", "val", "test"}
+    out.unpersist()
