@@ -185,12 +185,16 @@ def embed_udf(
             and dim == REFERENCE_DIM
             and model in (None, DEFAULT_MODEL)
         )
-    elif use_real_model and model not in (None, DEFAULT_MODEL):
-        # only the default checkpoint has real weights wired; silently
-        # encoding another model's rows with MiniLM would mix spaces
+    elif use_real_model and (
+        model not in (None, DEFAULT_MODEL) or dim != REFERENCE_DIM
+    ):
+        # only the default checkpoint (384-wide) has real weights
+        # wired; silently encoding another model's — or another
+        # width's — rows with MiniLM would mix spaces
         raise ValueError(
-            f"real weights are wired for {DEFAULT_MODEL!r} only;"
-            f" {model!r} runs the deterministic fake"
+            f"real weights are wired for {DEFAULT_MODEL!r}"
+            f" (dim={REFERENCE_DIM}) only;"
+            f" model={model!r} dim={dim} runs the deterministic fake"
         )
 
     if use_real_model:

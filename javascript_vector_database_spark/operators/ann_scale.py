@@ -646,11 +646,15 @@ def ivf_radius_search(
         euclidean_distance,
     )
 
+    # 5e-7 slack: the row filter compares round(dist, 6) <= radius, so
+    # a vector at true distance radius + 4e-7 still matches — the probe
+    # bound must cover that rounding margin or a boundary vector's
+    # survival would depend on which cell it landed in
     probe = [
         int(cid)
         for cid, cemb in cents
         if _py_euclid(cemb, query_vec)
-        <= radius + cell_radii.get(int(cid), 0.0)
+        <= radius + 5e-7 + cell_radii.get(int(cid), 0.0)
     ]
     return (
         assigned.where(F.col("ivf_cell").isin(probe))

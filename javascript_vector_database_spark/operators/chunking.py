@@ -218,13 +218,8 @@ def leakage_safe_split_assign(
     rooted = df.join(F.broadcast(roots), id_col, "left").withColumn(
         "__root", F.coalesce(F.col("__root"), F.col(id_col))
     )
-    frac = split_frac(F.col("__root"))
-    expr = None
-    for name, bound in SPLIT_BOUNDS:
-        cond = frac < F.lit(bound)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
-            cond, F.lit(name)
-        )
-    return rooted.withColumn(out_col, expr.otherwise(F.lit("test"))).drop(
+    # the assignment IS split_assign, keyed on the root — one rule, two
+    # surfaces (the pinned singleton-equality property depends on it)
+    return split_assign(rooted, id_col="__root", out_col=out_col).drop(
         "__root"
     )

@@ -243,14 +243,18 @@ def compact_zorder_layout(
     because a clustering that evaporated on the first bin-packing pass
     would be a one-shot trick, not a layout.  Swap discipline: the new
     layout is fully written to a sibling dir first, the old dir is
-    renamed aside (one cheap rename, never a window with no table on
-    disk), the new one renamed in, and only then is the old one
-    deleted; a failed rewrite cleans its temp dir and leaves the
-    original untouched."""
+    renamed aside, the new one renamed in (the no-table window is the
+    instant between the two renames — versus the whole delete+rewrite
+    under the naive shape), and only then is the old one deleted.  A
+    failed rewrite cleans its temp dir and leaves the original
+    untouched; stale .zcompact.old/.tmp dirs from a crashed prior run
+    are pre-cleaned so the verb is self-healing."""
     import shutil
 
     tmp = path + ".zcompact.tmp"
     old = path + ".zcompact.old"
+    shutil.rmtree(old, ignore_errors=True)  # crashed-run leftovers
+    shutil.rmtree(tmp, ignore_errors=True)
     try:
         write_zorder_layout_nd(
             spark.read.parquet(path), tmp, dim_cols, n_files,

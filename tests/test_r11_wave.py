@@ -354,6 +354,9 @@ def test_embed_udf_multi_model(spark):
     # explicit real weights for a non-default model would mix spaces
     with pytest.raises(ValueError):
         embed_udf(model="Supabase/gte-small", use_real_model=True)
+    # ...and so would real weights at a non-default width
+    with pytest.raises(ValueError):
+        embed_udf(dim=1024, use_real_model=True)
 
 
 def test_zorder_empty_and_null_inputs(spark, tmp_path):
