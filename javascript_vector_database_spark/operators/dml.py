@@ -50,12 +50,35 @@ def _escape_part_value(v) -> str:
     %XX uppercase hex.  Without this, a string-valued partition_col
     containing '/', ':' etc. would make _replace_partitions look for the
     wrong directory and silently leave stale data in place (r10 ADVICE).
-    NULL/empty map to Spark's __HIVE_DEFAULT_PARTITION__ sentinel."""
+    NULL/empty map to Spark's __HIVE_DEFAULT_PARTITION__ sentinel.
+
+    Value RENDERING must also match Spark's, not Python's (r11 ADVICE):
+    booleans write as 'true'/'false' directories, so str(True) would
+    recreate the stale-directory bug for a boolean partition_col.  The
+    supported partition-col types are exactly str/int/bool/None — any
+    other type raises instead of silently diverging from Spark's
+    directory-name formatting."""
     if v is None or v == "":
         return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):  # before int: bool subclasses int
+        return "true" if v else "false"
+    if not isinstance(v, (str, int)):
+        raise TypeError(
+            "partition values must be str/int/bool/None (got "
+            f"{type(v).__name__}: {v!r}) — other types' Spark directory"
+            " renderings are not emulated"
+        )
     return "".join(
         f"%{ord(c):02X}" if c in _PART_ESCAPE else c for c in str(v)
     )
+
+
+def _is_null_part(v) -> bool:
+    """True when a touched-partition value lands in Spark's
+    __HIVE_DEFAULT_PARTITION__ directory and reads back as NULL (both
+    None and '' do — Spark folds empty strings into the null sentinel
+    at write time)."""
+    return v is None or v == ""
 
 
 def _rev_bump(prev_rev: F.Column, payload_hash: F.Column) -> F.Column:
@@ -267,8 +290,12 @@ class ParquetTable:
         self._with_bucket(parts_df).write.mode("overwrite").partitionBy(
             self._part
         ).parquet(tmp)
-        for b in buckets:
-            sub = f"{self._part}={_escape_part_value(b)}"
+        # dedupe by DIRECTORY name: None and '' both land in
+        # __HIVE_DEFAULT_PARTITION__, and swapping the same dir twice
+        # would move the staged files on the first pass and delete the
+        # result on the second
+        subs = {f"{self._part}={_escape_part_value(b)}" for b in buckets}
+        for sub in sorted(subs):
             dst = os.path.join(self.path, sub)
             src = os.path.join(tmp, sub)
             if os.path.exists(dst):
@@ -321,6 +348,24 @@ class ParquetTable:
         else:
             self._swap_in(self.df().coalesce(1))
         return {"files_before": before, "files_after": _count_files()}
+
+    def _touched_pred(self, touched: list) -> F.Column:
+        """Read-side filter matching exactly the partitions
+        ``_replace_partitions`` will swap.  NULL-safe (r11 ADVICE medium):
+        ``isin(touched)`` is three-valued — it never matches a stored
+        NULL partition value, so a delta touching the
+        __HIVE_DEFAULT_PARTITION__ directory would read back NONE of its
+        stored rows while the swap replaced the whole directory with only
+        the delta winners (silent data loss).  '' folds into the same
+        directory at write time and reads back as NULL, so it routes to
+        the isNull() arm too."""
+        non_null = [t for t in touched if not _is_null_part(t)]
+        pred = (
+            F.col(self._part).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(_is_null_part(t) for t in touched):
+            pred = pred | F.col(self._part).isNull()
+        return pred
 
     def _touched(self, keyed_df: DataFrame) -> list[int]:
         """Distinct partitions the delta lands in (≤ partition count,
@@ -382,7 +427,7 @@ class ParquetTable:
                 }
             if self._bucketed():  # resolves the stored layout first
                 touched = self._touched(rows)
-                cur = self._raw().where(F.col(self._part).isin(touched))
+                cur = self._raw().where(self._touched_pred(touched))
             else:
                 touched = None
                 cur = self.df()
@@ -435,7 +480,7 @@ class ParquetTable:
                 return
             if self._bucketed():  # resolves the stored layout first
                 touched = self._touched(rows)
-                cur = self._raw().where(F.col(self._part).isin(touched))
+                cur = self._raw().where(self._touched_pred(touched))
             else:
                 touched = None
                 cur = self.df()
@@ -506,7 +551,7 @@ class ParquetTable:
         if not touched:
             return
         self._replace_partitions(
-            out.where(F.col(self._part).isin(touched)).drop("__hit"), touched
+            out.where(self._touched_pred(touched)).drop("__hit"), touched
         )
 
     def merge_cdc(
@@ -515,6 +560,7 @@ class ParquetTable:
         csn_col: str = "_csn",
         tombstone_col: str = "_tombstone",
         lwt: float | None = None,
+        moved_keys: str = "detect",
     ) -> None:
         """CDC MERGE with per-key change-sequence-number (CSN) conflict
         resolution — upserts and deletes in ONE verb that COMMUTES under
@@ -551,7 +597,29 @@ class ParquetTable:
         tombstones included — the partition value is a pure function of
         the payload, so a CDC producer computes it for deletes too (and
         the MERGE never needs the PK-semi-join fallback).  Only touched
-        partitions are read or rewritten, same as bulk_upsert."""
+        partitions are read or rewritten, same as bulk_upsert.
+
+        ``moved_keys`` makes the key-stability contract ENFORCED rather
+        than prose (r11 ADVICE): a csn-advanced update whose payload
+        maps the key to a DIFFERENT partition value would otherwise
+        strand the stale live row in its old directory (a duplicate-key
+        ghost).  Modes, partition_col layouts only:
+
+        * ``"detect"`` (default) — the prev join carries the stored
+          partition value; any winner whose new value differs raises
+          before anything is written.  One delta-sized check job; moves
+          whose OLD partition lies outside the touched set are invisible
+          to it (their stored row was never read), which is exactly the
+          case ``"repair"`` exists for.
+        * ``"repair"`` — extend the touched set with the stored
+          partitions of the delta's keys via the documented PK-semi-join
+          fallback (a scan of the stored table, pruned only by parquet
+          PK min/max), so a moved key's old directory is rewritten
+          without the ghost.  This is what Delta MERGE does (matched
+          files found by stats); pay it when the partition value is NOT
+          a pure function of the key.
+        * ``"assume"`` — r10 behavior: trust the contract, zero checks.
+        """
         from pyspark.sql.window import Window
 
         pk = self.primary_key
@@ -578,12 +646,25 @@ class ParquetTable:
                     )
                 )
                 return
+            if moved_keys not in ("assume", "detect", "repair"):
+                raise ValueError(f"moved_keys: unknown mode {moved_keys!r}")
             if self._bucketed():
                 touched = self._touched(delta)
-                cur = self._raw().where(F.col(self._part).isin(touched))
+                if self.partition_col and moved_keys == "repair":
+                    old_parts = [
+                        r[0]
+                        for r in self._raw()
+                        .join(delta.select(pk), pk, "left_semi")
+                        .select(self._part)
+                        .distinct()
+                        .collect()
+                    ]
+                    touched = list({*touched, *old_parts})
+                cur = self._raw().where(self._touched_pred(touched))
             else:
                 touched = None
                 cur = self.df()
+            check_moved = bool(self.partition_col) and moved_keys == "detect"
             prev_csn = (
                 F.col(csn_col)
                 if csn_col in cur.columns
@@ -594,12 +675,15 @@ class ParquetTable:
                 if "_deleted" in cur.columns
                 else F.lit(False)
             )
-            prev = cur.select(
+            prev_sel = [
                 pk,
                 F.col("_rev").alias("__prev_rev"),
                 prev_csn.alias("__prev_csn"),
                 prev_dead.alias("__prev_dead"),
-            )
+            ]
+            if check_moved:
+                prev_sel.append(F.col(self._part).alias("__prev_part"))
+            prev = cur.select(*prev_sel)
             winners = (
                 self._with_bucket(delta)
                 .join(prev, pk, "left")
@@ -622,6 +706,30 @@ class ParquetTable:
                 )
                 .drop("__prev_rev", "__prev_csn", "__prev_dead")
             )
+            if check_moved:
+                # directory-name equality: '' and NULL share the
+                # __HIVE_DEFAULT_PARTITION__ dir, so nullif-fold both
+                # sides before comparing (a ''<->NULL "move" is not one)
+                new_p = F.nullif(F.col(self._part).cast("string"), F.lit(""))
+                old_p = F.nullif(F.col("__prev_part").cast("string"), F.lit(""))
+                moved = (
+                    winners.where(
+                        F.col("__prev_part").isNotNull() & ~new_p.eqNullSafe(old_p)
+                    )
+                    .select(pk, self._part, "__prev_part")
+                    .limit(3)
+                    .collect()
+                )
+                if moved:
+                    raise ValueError(
+                        "merge_cdc key-stability violation: partition value"
+                        f" changed for key(s) {[r[0] for r in moved]}"
+                        f" ({moved[0]['__prev_part']!r} ->"
+                        f" {moved[0][self._part]!r}) — the stored row would"
+                        " be stranded in its old partition; re-run with"
+                        " moved_keys='repair' to rewrite old directories"
+                    )
+                winners = winners.drop("__prev_part")
             kept = cur.join(winners.select(pk), pk, "left_anti")
             new_state = kept.unionByName(winners, allowMissingColumns=True)
             if touched is None:
@@ -655,7 +763,7 @@ class ParquetTable:
         key_df = self._key_df(ids)
         if self._bucketed():
             touched = self._touched(key_df)
-            cur = self._raw().where(F.col(self._part).isin(touched))
+            cur = self._raw().where(self._touched_pred(touched))
         else:
             touched = None
             cur = self.df()
@@ -692,5 +800,5 @@ class ParquetTable:
             self._swap_in(self.df().join(key_df, pk, "left_anti"))
             return
         touched = self._touched(key_df)
-        cur = self._raw().where(F.col(self._part).isin(touched))
+        cur = self._raw().where(self._touched_pred(touched))
         self._replace_partitions(cur.join(key_df, pk, "left_anti"), touched)

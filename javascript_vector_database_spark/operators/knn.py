@@ -27,7 +27,9 @@ Spark-first design notes (scale: 100 TB, 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from javascript_vector_database_spark.functions.vector import (
@@ -143,6 +145,93 @@ def ann_index_range(
         cond = c if cond is None else (cond | c)
     return (
         with_distance(src.where(cond), query_vec, vec_col)
+        .select(id_col, "distance")
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def write_pivot_index_tables(
+    df: DataFrame,
+    pivots: list[list[float]],
+    base_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_files: int = 8,
+) -> None:
+    """Materialize the reference's pivot index as STORED tables — the
+    write-time path behind ``ann_index_range_stored``.
+
+    The reference keeps FIVE secondary indexes, one per pivot, each a
+    sorted (idxN, id) structure range-scanned at query time
+    (src/database.ts:103-109 declares indexes ['idx0']..['idx4'];
+    src/search.ts:27-36 range-scans them).  The parquet translation:
+    per pivot a skinny (id, idxN) table written range-partitioned AND
+    sorted by its own key, so a probe's band predicate prunes at BOTH
+    granularities — row groups via min/max footer stats, files via the
+    range layout — exactly the I/O the reference's index buys it.  The
+    base (id, vector) table is written beside them for the doc-read
+    re-rank.  One source scan feeds all five index writes plus the base
+    (the pivot distances are scan-local projections, no shuffle); at
+    100 TB this is a per-collection build job, amortized over every
+    subsequent query like any secondary index."""
+    src = build_pivot_index(df, pivots, vec_col).cache()
+    try:
+        for i in range(len(pivots)):
+            (
+                src.select(id_col, f"idx{i}")
+                .repartitionByRange(n_files, F.col(f"idx{i}"))
+                .sortWithinPartitions(f"idx{i}")
+                .write.mode("overwrite")
+                .parquet(os.path.join(base_dir, f"idx{i}"))
+            )
+        src.select(id_col, vec_col).write.mode("overwrite").parquet(
+            os.path.join(base_dir, "base")
+        )
+    finally:
+        src.unpersist()
+
+
+def ann_index_range_stored(
+    spark: SparkSession,
+    base_dir: str,
+    query_vec: list[float],
+    pivots: list[list[float]],
+    k: int = TOP_K,
+    index_distance: float = INDEX_DISTANCE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range-ANN served from the STORED pivot index tables (see
+    write_pivot_index_tables) — the reference's actual query plan, five
+    index range scans + doc reads (src/search.ts:19-54), rather than the
+    recompute-the-index-per-query shape the faithful ``knn_ann_range``
+    row keeps for oracle fidelity.
+
+    Per pivot i the band predicate ``idx_i IN (d_i ± d_i·w)`` hits a
+    table sorted by idx_i, so it pushes to parquet and row groups whose
+    [min,max] miss the band are never decoded (the measured fraction is
+    the ``pivot_idx_prunable_frac`` bench extra).  Candidate ids
+    union-dedup across the five scans — the reference's Set union
+    (src/search.ts:38-40) — then ONE semi-join back to the base table
+    re-ranks exactly and takes top-k.  The candidate set is band-bounded
+    (tiny by construction: ±0.003 of each pivot distance), so AQE
+    broadcasts the semi-join; the base side stays partition-local, no
+    corpus shuffle."""
+    cands = None
+    for i, p in enumerate(pivots):
+        d_i = _py_euclid(p, query_vec)
+        lo, hi = d_i - d_i * index_distance, d_i + d_i * index_distance
+        idx = spark.read.parquet(os.path.join(base_dir, f"idx{i}"))
+        c = idx.where(
+            (F.col(f"idx{i}") > F.lit(lo)) & (F.col(f"idx{i}") < F.lit(hi))
+        ).select(id_col)
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates([id_col])
+    base = spark.read.parquet(os.path.join(base_dir, "base"))
+    hits = base.join(cands, id_col, "left_semi")
+    return (
+        with_distance(hits, query_vec, vec_col)
         .select(id_col, "distance")
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)

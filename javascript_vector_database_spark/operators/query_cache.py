@@ -146,8 +146,27 @@ class CachedCollection:
         attached to a ``ParquetTable`` this delegates to its
         partition-pruned ``get_by_ids`` (read only the PK-hash buckets
         the ids land in); otherwise an IN filter over the source.
-        Cached under its own key like any query."""
-        key = "byids:" + json.dumps(sorted(map(repr, ids)))
+        Cached under its own key like any query.
+
+        Ids must be PRIMITIVES (str/int/float/bool) — the cache key is
+        their canonical JSON, and a non-primitive (or a DataFrame, which
+        the underlying ``get_by_ids`` would happily take) has no stable
+        key: repr() embeds memory addresses, so every call would be a
+        guaranteed miss that persists a fresh DataFrame until the next
+        invalidate — a quiet persisted-memory leak, not an error (r11
+        ADVICE).  Raise instead; DataFrame callers want the uncached
+        ``table.get_by_ids`` directly."""
+        ids = list(ids)
+        bad = [i for i in ids if not isinstance(i, (str, int, float, bool))]
+        if bad:
+            raise TypeError(
+                "find_by_ids takes primitive ids (str/int/float/bool); got "
+                f"{type(bad[0]).__name__} — for a DataFrame of keys call "
+                "the table's get_by_ids (uncacheable: no stable cache key)"
+            )
+        key = "byids:" + json.dumps(
+            sorted(ids, key=lambda i: (type(i).__name__, str(i)))
+        )
         hit = self._entries.get(key)
         if hit is not None:
             self.hits += 1

@@ -103,60 +103,69 @@ from javascript_vector_database_spark.registry.vector_search import (  # noqa: E
 # back (they stay value-verified by the local DuckDB harness on every
 # pytest run — tests/oracle_harness.py applies the identical contract).
 _PRIORITY = [
-    # DRIVER WINDOW (first 50), round 11.  Composition (exact):
-    #   2 r11-NEW rows:
-    #      stream_pivot_index_live — the 20th streaming==batch row and
-    #        the one the reference actually ships: the checkpointed
-    #        pipeline computes idx0..idx4 pivot distances per arriving
-    #        vector (src/database.ts:176-206, :195-198) and MERGEs them
-    #        into a managed table; the faithful +-0.003 range probe
-    #        (src/search.ts:19-54) over the LIVE table hash-matches the
-    #        batch knn_ann_range oracle across stop/restart +
-    #        re-delivery;
-    #      cache_collection_roundtrip — the rx-query fast paths
-    #        (rx-query.js:83-120, rx-collection.js:343-381): count()
-    #        served from the cached tally / a materialized find()
-    #        instance, findByIds via the partition-pruned
-    #        ParquetTable.get_by_ids, instance tunneling asserted, and
-    #        write invalidation recomputing both — counts, the
-    #        deterministic hit/miss ledger, and surviving lookups all
-    #        oracle-checked;
-    #   2 r11-CHANGED rows (the r10 verdict's CSN ask):
-    #      stream_ivf_index_delete_live / stream_ann_index_delete_live
-    #        — rebuilt on merge_cdc (operators/dml.py): per-key change
-    #        sequence numbers make deletes COMMUTE with re-delivered
-    #        inserts, so the r10 "tombstones only for checkpoint-
-    #        complete ids" caveat is GONE — the delete wave now lands
-    #        BEFORE the second insert half (tombstones for undelivered
-    #        keys park and absorb the late insert) and a third
-    #        checkpointed run re-delivers original inserts for half the
-    #        deleted ids, which must not resurrect;
-    #   1 late r11-NEW row:
-    #      stream_ivf_index_retrain_live — the index LIFECYCLE closed:
-    #        live build under sampled centroids -> oracle-checked Lloyd
-    #        RETRAIN -> blue/green MIGRATION (one scan, scan-local
-    #        re-assignment, partitioned bulk load, pointer flip) ->
-    #        probe hash-matches the DuckDB-retrained oracle;
-    #   1 shared-infrastructure re-stamp (outputs expected unchanged,
-    #      re-stamped out of caution like r10's hits row):
-    #      layout_zorder_box_query — write_zorder_layout grew the
-    #        empty-input guard + NULL-z coalesce and now rides the N-d
-    #        interleave (2-D bit-identity pinned by test_r11_wave);
-    #   44 oldest-stamp refreshers: ALL 44 remaining r5 stamps (clears
-    #      the rotation debt — no stamp older than r6 after this round;
-    #      the r6 tail rotates next round).
-    #   dml_roundtrip (r10 green) yields its precautionary slot to the
-    #      retrain row: every DML verb is byte-identical, the r10
-    #      ADVICE escape is an identity for integer buckets (pinned by
-    #      test_partition_value_escaping_matches_spark), and the local
-    #      280-row sweep re-verifies the row on every pytest run.
-    "stream_pivot_index_live", "cache_collection_roundtrip",
+    # DRIVER WINDOW (first 50), round 12.  Composition (exact):
+    #   4 r12-NEW rows:
+    #      ann_ivf_radius_search — the radius (range) query over the IVF
+    #        layout with LOSSLESS triangle-inequality cell pruning
+    #        (operators/ann_scale.py:ivf_radius_search); the radius is
+    #        data-derived (20th exact-NN distance) so DuckDB computes
+    #        the identical constant;
+    #      ann_ivf_radius_search_partitioned — the same query probing a
+    #        partitionBy(ivf_cell) layout: the probe list is a real
+    #        PartitionFilter (plan-pinned, tests/test_plans.py) and the
+    #        pruned-cell fraction on a clustered fixture is a bench
+    #        extra (radius_cells_pruned_frac);
+    #      curation_leakage_safe_split — dedup-aware train/val/test
+    #        split: LSH pairs -> connected components -> md5(ROOT)
+    #        assignment, so no near-dup pair straddles splits; oracle
+    #        reuses the dedup_duplicate_clusters recursive-CTE closure;
+    #      knn_ann_range_indexed — the reference's pivot index STORED
+    #        and probed (five per-pivot sorted secondary-index tables,
+    #        src/database.ts:103-109): band predicates push to parquet
+    #        and skip row groups on footer min/max (PushedFilters
+    #        plan-pinned; pivot_idx_prunable_frac bench extra) — the
+    #        r11 verdict's "measured, not asserted" ask;
+    #   3 r12-CHANGED re-stamps:
+    #      stream_ivf_index_delete_live / stream_ann_index_delete_live —
+    #        merge_cdc grew NULL-safe touched-partition reads, Spark-
+    #        faithful partition-value rendering, and the enforced
+    #        key-stability contract (detect/repair modes) — the r11
+    #        ADVICE list (tests/test_r12_wave.py pins all of it);
+    #      cache_collection_roundtrip — find_by_ids now keys on
+    #        canonical JSON of primitive ids (rejects non-primitives)
+    #        instead of repr(), closing the guaranteed-miss persist
+    #        leak (r11 ADVICE low);
+    #   43 oldest-stamp refreshers: the ENTIRE r6 tail (clears the
+    #      rotation debt — after this round no stamp is older than r7).
+    "ann_ivf_radius_search", "ann_ivf_radius_search_partitioned",
+    "curation_leakage_safe_split", "knn_ann_range_indexed",
     "stream_ivf_index_delete_live", "stream_ann_index_delete_live",
-    "layout_zorder_box_query", "stream_ivf_index_retrain_live",
-    "agg_q17_small_quantity_revenue", "agg_q18_large_orders",
-    "agg_regional_revenue", "basket_association_rules",
-    "compat_index_string_384", "curation_contamination_bloom",
-    "curation_domain_cap", "curation_lm_quality", "curation_luhn_cc_detect",
+    "cache_collection_roundtrip", "agg_q10_returned_items",
+    "agg_q11_important_shares", "agg_q13_customer_distribution",
+    "agg_q15_top_supplier", "agg_q22_dormant_customers",
+    "agg_q2_min_cost_supplier", "agg_q4_late_orders",
+    "agg_q6_forecast_revenue", "agg_q7_nation_volume", "ann_sq8_384",
+    "curation_universe_sample", "curation_weighted_sample",
+    "customer_pareto_share", "dedup_jaccard_clusters",
+    "embedding_norm_profile", "events_attribution_last_touch",
+    "events_cohort_ltv", "events_props_json_stats", "events_retention_rate",
+    "events_session_funnel", "events_stickiness", "events_top_journeys",
+    "graph_clustering_coefficient", "graph_common_neighbors",
+    "graph_degree_histogram", "graph_triangle_count", "lineitem_ship_latency",
+    "mango_all", "orders_basket_size_hist", "orders_percent_rank_top",
+    "orders_trailing_week_revenue", "orders_wow_growth",
+    "profile_split_drift", "quality_checks_report",
+    "sketch_comparison_report", "sketch_hll_rolling_distinct",
+    "sketch_kmv_set_ops", "supplier_fill_rate", "supplier_sole_late_q21",
+    "text_collocations_lift", "text_lang_confusion",
+    "text_tfidf_similar_pairs", "text_zipf_profile",
+    # ---- window boundary (50) ----
+    "stream_pivot_index_live", "layout_zorder_box_query",
+    "stream_ivf_index_retrain_live", "agg_q17_small_quantity_revenue",
+    "agg_q18_large_orders", "agg_regional_revenue",
+    "basket_association_rules", "compat_index_string_384",
+    "curation_contamination_bloom", "curation_domain_cap",
+    "curation_lm_quality", "curation_luhn_cc_detect",
     "curation_remove_boilerplate", "dedup_simhash_hamming",
     "division_suppliers_full_brand", "events_anomaly_hours",
     "events_asof_join_forward", "events_corr_pairs", "events_dwell_stats",
@@ -171,54 +180,33 @@ _PRIORITY = [
     "sketch_cms_token_freq", "sketch_hll_distinct_users",
     "sketch_hll_users_by_type", "text_bpe_pair_counts", "text_keywords",
     "text_phrase_postings_join", "text_phrase_search",
-    "text_winnow_fingerprints", "text_winnow_overlap_pairs",
-    # ---- window boundary (50) ----
-    "dml_roundtrip",
+    "text_winnow_fingerprints", "text_winnow_overlap_pairs", "dml_roundtrip",
     "stream_ivf_index_live", "stream_ivfpq_index_live",
     "stream_lsh_index_live", "stream_ann_index_compact_live",
-    "knn_ann_range_tuned", "embedding_hard_negatives",
-    "ann_ivf_lloyd_search", "graph_hits_authorities",
-    "curation_normalize_dedup", "curation_pack_sequences",
-    "curation_pii_scrub", "curation_pipeline", "curation_repetition_stats",
-    "curation_split_stratified", "dedup_duplicate_clusters",
-    "dedup_duplicate_clusters_star", "dedup_exact_groups", "dedup_lsh_pairs",
-    "dedup_minhash_signatures", "dedup_ngram_jaccard", "dedup_simhash",
-    "events_asof_join", "events_range_join", "events_rollup_multires",
+    "knn_ann_range_tuned", "embedding_hard_negatives", "ann_ivf_lloyd_search",
+    "graph_hits_authorities", "curation_normalize_dedup",
+    "curation_pack_sequences", "curation_pii_scrub", "curation_pipeline",
+    "curation_repetition_stats", "curation_split_stratified",
+    "dedup_duplicate_clusters", "dedup_duplicate_clusters_star",
+    "dedup_exact_groups", "dedup_lsh_pairs", "dedup_minhash_signatures",
+    "dedup_ngram_jaccard", "dedup_simhash", "events_asof_join",
+    "events_range_join", "events_rollup_multires",
     "events_session_window_agg", "events_sessionize", "events_windowed_agg",
     "json_dump_roundtrip", "mango_bool_combinators", "mango_elemmatch_size",
-    "mango_eq_ne", "mango_exists", "mango_in_nin", "mango_mod",
-    "mango_range", "mango_regex", "multimodal_frame_sample",
-    "profile_cube_source_lang", "profile_length_histogram",
-    "profile_pivot_lang_counts", "profile_sample_per_source",
-    "profile_top_tokens", "rollup_orders_by_status_priority",
-    "sketch_kmv_distinct_users", "state_fold_last_per_user",
-    "text_bm25_batch_search", "window_top_customers_per_nation",
-    "agg_q10_returned_items", "agg_q11_important_shares",
-    "agg_q13_customer_distribution", "agg_q15_top_supplier",
-    "agg_q22_dormant_customers", "agg_q2_min_cost_supplier",
-    "agg_q4_late_orders", "agg_q6_forecast_revenue", "agg_q7_nation_volume",
-    "ann_sq8_384", "curation_universe_sample", "curation_weighted_sample",
-    "customer_pareto_share", "dedup_jaccard_clusters",
-    "embedding_norm_profile", "events_attribution_last_touch",
-    "events_cohort_ltv", "events_props_json_stats", "events_retention_rate",
-    "events_session_funnel", "events_stickiness", "events_top_journeys",
-    "graph_clustering_coefficient", "graph_common_neighbors",
-    "graph_degree_histogram", "graph_triangle_count",
-    "lineitem_ship_latency", "mango_all", "orders_basket_size_hist",
-    "orders_percent_rank_top", "orders_trailing_week_revenue",
-    "orders_wow_growth", "profile_split_drift", "quality_checks_report",
-    "sketch_comparison_report", "sketch_hll_rolling_distinct",
-    "sketch_kmv_set_ops", "supplier_fill_rate", "supplier_sole_late_q21",
-    "text_collocations_lift", "text_lang_confusion",
-    "text_tfidf_similar_pairs", "text_zipf_profile",
-    "agg_grouping_sets_revenue", "agg_q14_promo_effect",
-    "agg_q19_disjunctive_revenue", "agg_q3_shipping_priority",
-    "agg_q5_local_supplier_volume", "agg_q8_market_share",
-    "ann_ivfpq_search", "ann_ivfpq_search_partitioned", "ann_pq_384",
-    "ann_pq_batch_search", "ann_pq_search", "ann_pq_search_precomputed",
-    "brand_price_size_skyline", "customer_rfm_segments",
-    "dedup_containment_pairs", "dedup_cosine_pairs_384",
-    "dedup_jaccard_prefix", "dedup_multipass_pairs",
+    "mango_eq_ne", "mango_exists", "mango_in_nin", "mango_mod", "mango_range",
+    "mango_regex", "multimodal_frame_sample", "profile_cube_source_lang",
+    "profile_length_histogram", "profile_pivot_lang_counts",
+    "profile_sample_per_source", "profile_top_tokens",
+    "rollup_orders_by_status_priority", "sketch_kmv_distinct_users",
+    "state_fold_last_per_user", "text_bm25_batch_search",
+    "window_top_customers_per_nation", "agg_grouping_sets_revenue",
+    "agg_q14_promo_effect", "agg_q19_disjunctive_revenue",
+    "agg_q3_shipping_priority", "agg_q5_local_supplier_volume",
+    "agg_q8_market_share", "ann_ivfpq_search", "ann_ivfpq_search_partitioned",
+    "ann_pq_384", "ann_pq_batch_search", "ann_pq_search",
+    "ann_pq_search_precomputed", "brand_price_size_skyline",
+    "customer_rfm_segments", "dedup_containment_pairs",
+    "dedup_cosine_pairs_384", "dedup_jaccard_prefix", "dedup_multipass_pairs",
     "dedup_semantic_medoids", "dedup_semantic_prune",
     "events_activity_streaks", "events_attribution_linear",
     "events_attribution_time_decay", "events_ewma_hourly",
@@ -239,29 +227,29 @@ _PRIORITY = [
     "ann_lsh_search", "ann_lsh_search_precomputed", "ann_sq8_codes",
     "ann_sq8_search", "ann_sq8_search_precomputed", "compat_index_string",
     "curation_chunk_documents", "curation_k_anonymity",
-    "curation_split_assign", "customer_gini_revenue",
-    "dedup_batch_vs_corpus", "dedup_minhash_calibration",
-    "dedup_substring_profile", "dedup_top_passages",
-    "events_conversion_propensity", "graph_jaccard_neighbors",
-    "graph_resource_allocation", "join_anti_missing_vectors",
-    "join_zip_documents_embeddings", "mango_count", "mango_sort_skip_limit",
-    "multimodal_audio_windows", "orders_mann_kendall",
-    "orders_theil_sen_trend", "point_lookup", "profile_chi_square",
-    "profile_equidepth_bins", "scan_documents", "stream_late_drop_live",
-    "stream_reactive_topk_384", "union_dedup", "agg_pricing_summary",
-    "agg_top_revenue_orders", "ann_ivf_search_partitioned", "ann_pq_codes",
-    "changefeed_page", "curation_chunk_dedup", "curation_contamination",
+    "curation_split_assign", "customer_gini_revenue", "dedup_batch_vs_corpus",
+    "dedup_minhash_calibration", "dedup_substring_profile",
+    "dedup_top_passages", "events_conversion_propensity",
+    "graph_jaccard_neighbors", "graph_resource_allocation",
+    "join_anti_missing_vectors", "join_zip_documents_embeddings",
+    "mango_count", "mango_sort_skip_limit", "multimodal_audio_windows",
+    "orders_mann_kendall", "orders_theil_sen_trend", "point_lookup",
+    "profile_chi_square", "profile_equidepth_bins", "scan_documents",
+    "stream_late_drop_live", "stream_reactive_topk_384", "union_dedup",
+    "agg_pricing_summary", "agg_top_revenue_orders",
+    "ann_ivf_search_partitioned", "ann_pq_codes", "changefeed_page",
+    "curation_chunk_dedup", "curation_contamination",
     "curation_mixture_sample", "dedup_cosine_pairs", "events_cusum_alarms",
     "events_hourly_acf", "events_peak_concurrency", "events_spend_burst",
-    "graph_ktruss_capped", "graph_ktruss_strong_ties",
-    "graph_lpa_modularity", "graph_pagerank_weighted", "hybrid_rrf_batch",
-    "hybrid_rrf_search", "join_salted_skew", "knn_ann_range",
-    "knn_ann_range_compat", "knn_ann_similarity", "knn_batch_exact",
-    "knn_cosine", "knn_exact", "multimodal_byte_stats",
-    "multimodal_decode_fake", "multimodal_phash_clusters",
-    "multimodal_phash_neardup", "multimodal_resize_fake",
-    "profile_length_quantiles", "reactive_count_ivm", "reactive_query_ivm",
-    "reactive_topk_ivm", "set_ops_intersect_except", "stream_ann_index_live",
+    "graph_ktruss_capped", "graph_ktruss_strong_ties", "graph_lpa_modularity",
+    "graph_pagerank_weighted", "hybrid_rrf_batch", "hybrid_rrf_search",
+    "join_salted_skew", "knn_ann_range", "knn_ann_range_compat",
+    "knn_ann_similarity", "knn_batch_exact", "knn_cosine", "knn_exact",
+    "multimodal_byte_stats", "multimodal_decode_fake",
+    "multimodal_phash_clusters", "multimodal_phash_neardup",
+    "multimodal_resize_fake", "profile_length_quantiles",
+    "reactive_count_ivm", "reactive_query_ivm", "reactive_topk_ivm",
+    "set_ops_intersect_except", "stream_ann_index_live",
     "stream_bm25_index_live", "stream_cusum_live", "stream_hybrid_live",
     "stream_spend_burst_live", "text_bm25_search", "text_bpe_token_count",
     "text_fingerprint", "text_lang_id", "text_quality_score",

@@ -297,6 +297,105 @@ def ann_ivf_search_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# radius (range) search over the IVF layout
+# ---------------------------------------------------------------------------
+
+#: the radius is DATA-DERIVED so DuckDB computes the identical constant:
+#: the distance of the RADIUS_NN-th exact nearest neighbor of the query
+RADIUS_NN = 20
+
+
+def _radius_cte() -> str:
+    d = osql.sql_euclid("embedding", "qv")
+    return f"""rad AS (
+  SELECT max(d) AS radius FROM (
+    SELECT round({d}, 6) AS d FROM embeddings, q
+    ORDER BY d ASC, vec_id ASC LIMIT {RADIUS_NN}))"""
+
+
+_IVF_RADIUS_ORACLE = f"""
+WITH {osql.QVEC_CTE},
+{_radius_cte()}
+SELECT e.vec_id,
+       round({osql.sql_euclid('e.embedding', 'qv')}, 6) AS distance
+FROM embeddings e, q, rad
+WHERE round({osql.sql_euclid('e.embedding', 'qv')}, 6) <= rad.radius
+ORDER BY distance ASC, e.vec_id ASC
+"""
+
+
+def _nn_radius(emb: DataFrame, qv: list[float], n: int = RADIUS_NN) -> float:
+    """The n-th exact-NN distance (rounded like every emitted distance) —
+    a bounded n-row driver collect, the deterministic stand-in for a
+    user-supplied radius."""
+    from javascript_vector_database_spark.operators import knn as knn_ops
+
+    rows = knn_ops.exact_knn(emb, qv, k=n).collect()
+    return max(float(r["distance"]) for r in rows)
+
+
+@register("ann_ivf_radius_search", oracle=_IVF_RADIUS_ORACLE)
+def ann_ivf_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS (range) query over the IVF index: every vector within r of
+    the query (r = the 20th exact-NN distance, data-derived so the
+    DuckDB oracle computes the same constant).  Cell pruning is the
+    triangle inequality over write-time constants — centroid distances
+    plus per-cell covering radii (operators/ann_scale.ivf_cell_radii) —
+    and is LOSSLESS, so the result must equal the brute-force radius
+    set exactly.  Geometry honesty (measured, operator docstring): on
+    this unit-norm high-dim corpus the covering radii blanket the space
+    and no cell prunes — the query degrades to the correct full scan;
+    the bound bites on clustered data (3/4 cells pruned in the crafted
+    low-dim pin, tests/test_r11_wave.py)."""
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    assigned = emb.withColumn(
+        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+    )
+    radii = ann_scale.ivf_cell_radii(assigned, cents)
+    return ann_scale.ivf_radius_search(
+        assigned, qv, _nn_radius(emb, qv), cents, radii
+    )
+
+
+@register("ann_ivf_radius_search_partitioned", oracle=_IVF_RADIUS_ORACLE)
+def ann_ivf_radius_search_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The radius query's 100 TB shape: the corpus stored
+    ``partitionBy(ivf_cell)`` at write time (same layout as
+    ann_ivf_search_partitioned), so the triangle-bound probe list
+    becomes a PartitionFilter — pruned cells are whole directories
+    never opened.  Same oracle as the inline sibling (the pruning is
+    lossless); the PartitionFilters shape is plan-pinned in
+    tests/test_r12_wave.py and the pruned-cell fraction on a clustered
+    fixture is a bench extra (radius_cells_pruned_frac)."""
+    import os
+    import tempfile
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    layout = os.path.join(
+        tempfile.mkdtemp(prefix="ivf_radius_layout_"), "emb_by_cell"
+    )
+    (
+        emb.withColumn(
+            "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+        )
+        .write.partitionBy("ivf_cell")
+        .mode("overwrite")
+        .parquet(layout)
+    )
+    stored = spark.read.parquet(layout)
+    radii = ann_scale.ivf_cell_radii(stored, cents)
+    return ann_scale.ivf_radius_search(
+        stored, qv, _nn_radius(emb, qv), cents, radii
+    )
+
+
+# ---------------------------------------------------------------------------
 # hyperplane LSH: bucket table + multi-probe search
 # ---------------------------------------------------------------------------
 

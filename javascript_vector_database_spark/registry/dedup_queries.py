@@ -411,6 +411,61 @@ def dedup_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# leakage-safe train/val/test split (dedup-aware)
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    """The split fraction is md5(component ROOT), not md5(doc): reuse the
+    dedup_duplicate_clusters transitive-closure CTE for the roots, then
+    the ordinary split when-cascade keyed on COALESCE(root, doc_id) —
+    singletons keep their plain assignment by construction."""
+    from javascript_vector_database_spark.operators.chunking import (
+        sql_split_assign,
+    )
+
+    return f"""
+WITH RECURSIVE {_lsh_pairs_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+roots AS (
+  SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS root
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       {sql_split_assign('COALESCE(r.root, d.doc_id)')} AS split
+FROM documents d LEFT JOIN roots r ON r.doc_id = d.doc_id
+"""
+
+
+@register("curation_leakage_safe_split", oracle=_leakage_split_oracle())
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split: near-duplicate documents land in
+    the SAME split (no test-set paraphrase of a training row — the
+    self-contamination hole the plain md5(doc) split leaves open).  The
+    LSH candidate pairs feed connected components; the split label is a
+    pure function of the component ROOT, broadcast-joined back (the
+    cluster table is a small fraction of any real corpus; at 100 TB it
+    is the already-materialized dedup output).  No pair can straddle
+    splits by construction (pinned tests/test_r11_wave.py)."""
+    from javascript_vector_database_spark.operators.chunking import (
+        leakage_safe_split_assign,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_band_pairs(docs)
+    return leakage_safe_split_assign(docs, pairs).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -158,6 +158,36 @@ knn_ann_range_tuned.__doc__ = knn_ann_range_tuned.__doc__.format(
 )
 
 
+@register("knn_ann_range_indexed", oracle=_ann_range_oracle(ORACLE_DIM))
+def knn_ann_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pivot index STORED and probed — the plan it
+    actually runs, demonstrated in our engine rather than asserted:
+    five skinny (id, idxN) secondary-index tables are written at build
+    time, each sorted by its own key (src/database.ts:103-109's five
+    declared indexes), and the query is five band range-scans +
+    union-dedup + doc-read re-rank (src/search.ts:19-54).  Unlike the
+    sibling ``knn_ann_range`` (which recomputes the pivot distances per
+    query for oracle-shape fidelity), here the band predicates hit
+    SORTED stored columns: they push to parquet and row groups outside
+    the band are skipped via footer min/max — the index's I/O value,
+    measured as the ``pivot_idx_prunable_frac`` bench extra and
+    plan-pinned (PushedFilters) in tests/test_r12_wave.py.  Same oracle
+    as ``knn_ann_range``: the stored probe must return hash-identical
+    results to the recomputed scan."""
+    import os
+    import tempfile
+
+    qv = get_query_vec(spark, sf_dir)
+    pivots = used_pivots(len(qv))
+    base_dir = os.path.join(
+        tempfile.mkdtemp(prefix="pivot_idx_"), "pivot_index"
+    )
+    knn.write_pivot_index_tables(
+        load_table(spark, sf_dir, "embeddings"), pivots, base_dir
+    )
+    return knn.ann_index_range_stored(spark, base_dir, qv, pivots)
+
+
 @register("stream_pivot_index_live", oracle=_ann_range_oracle(ORACLE_DIM))
 def stream_pivot_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE REFERENCE'S OWN flagship write path certified live (20th

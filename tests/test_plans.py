@@ -593,3 +593,33 @@ def test_weighted_median_pid_scan(spark):
     assert "windowspecdefinition(__pid" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_range_indexed_pushes_bands_to_stored_index(spark):
+    """The stored-pivot-index probe (knn_ann_range_indexed): every band
+    predicate must reach its skinny index table's parquet scan as a
+    PushedFilter on that idx column — the I/O the reference's five
+    secondary indexes exist to buy (src/database.ts:103-109)."""
+    probe = registry.queries()["knn_ann_range_indexed"](spark, SF)
+    plan = _plan(probe)
+    segs = [
+        p.split("]", 1)[0] for p in plan.split("PushedFilters: [")[1:]
+    ]
+    for i in range(5):
+        assert any(
+            f"GreaterThan(idx{i}" in s and f"LessThan(idx{i}" in s
+            for s in segs
+        ), (i, segs)
+    # the doc-read re-rank never shuffles the corpus into a cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_radius_partitioned_probe_prunes(spark):
+    """The partitioned radius row's probe list must become a real
+    PartitionFilter on ivf_cell (pruned cells = directories never
+    opened), like the top-k partitioned sibling."""
+    probe = registry.queries()["ann_ivf_radius_search_partitioned"](spark, SF)
+    plan = _plan(probe)
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "ivf_cell" in seg and seg.strip()

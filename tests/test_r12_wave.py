@@ -1,0 +1,268 @@
+"""Crafted-data pins for the r12 wave.
+
+Headline pins: the r11 ADVICE findings on ``ParquetTable`` partition
+handling — NULL/empty partition values must survive touched-partition
+DML (the read filter was three-valued and silently dropped stored
+NULL-partition rows), boolean partition values must render to Spark's
+directory names, and ``merge_cdc``'s key-stability contract is now
+enforced (detect) or healed (repair) instead of prose.  Plus the
+``CachedCollection.find_by_ids`` cache-key discipline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from javascript_vector_database_spark.operators.dml import (
+    ParquetTable,
+    _escape_part_value,
+)
+from javascript_vector_database_spark.operators.query_cache import (
+    CachedCollection,
+)
+
+
+def _cdc(spark, rows):
+    """(id, v, cell, tombstone, csn) CDC delta with a data partition col."""
+    return spark.createDataFrame(
+        rows, "id long, v string, cell string, _tombstone boolean, _csn long"
+    )
+
+
+def _alive(t):
+    return sorted(
+        (r["id"], r["v"]) for r in t.docs().select("id", "v").collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULL / empty-string partition values (r11 ADVICE medium)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_cdc_null_partition_no_loss(spark, tmp_path):
+    """The exact ADVICE repro: three stored NULL-cell rows, a merge_cdc
+    update of ONE of them must not delete the unrelated two.  The old
+    read filter `isin([None])` matched nothing, so the directory swap
+    replaced __HIVE_DEFAULT_PARTITION__ with only the delta winner."""
+    t = ParquetTable(spark, str(tmp_path / "nullcell"), "id", partition_col="cell")
+    t.merge_cdc(
+        _cdc(spark, [(1, "a", None, False, 1), (2, "b", None, False, 1),
+                     (3, "c", None, False, 1)]),
+        lwt=0.0,
+    )
+    t.merge_cdc(_cdc(spark, [(2, "b2", None, False, 2)]), lwt=1.0)
+    assert _alive(t) == [(1, "a"), (2, "b2"), (3, "c")]
+
+
+def test_bulk_upsert_and_remove_null_partition(spark, tmp_path):
+    """bulk_upsert / bulk_remove over a partition_col layout with NULL
+    cells: the same three-valued-isin hole, every verb."""
+    t = ParquetTable(spark, str(tmp_path / "nullbulk"), "id", partition_col="cell")
+    base = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", "k")],
+        "id long, v string, cell string",
+    )
+    t.bulk_insert(base, lwt=0.0)
+    t.bulk_upsert(
+        spark.createDataFrame([(2, "b2", None)], "id long, v string, cell string"),
+        lwt=1.0,
+    )
+    assert _alive(t) == [(1, "a"), (2, "b2"), (3, "c")]
+    t.bulk_remove([1], lwt=2.0)
+    assert _alive(t) == [(2, "b2"), (3, "c")]
+
+
+def test_empty_string_partition_folds_into_null_dir(spark, tmp_path):
+    """'' partition values land in __HIVE_DEFAULT_PARTITION__ (Spark
+    folds them to NULL at write time); a delta carrying '' must read the
+    stored NULL rows back and the swap must not double-process the
+    shared directory."""
+    t = ParquetTable(spark, str(tmp_path / "empty"), "id", partition_col="cell")
+    t.merge_cdc(
+        _cdc(spark, [(1, "a", "", False, 1), (2, "b", None, False, 1)]),
+        lwt=0.0,
+    )
+    # both stored rows live in the null dir; update one via '' spelling
+    t.merge_cdc(_cdc(spark, [(1, "a2", "", False, 2)]), lwt=1.0)
+    assert _alive(t) == [(1, "a2"), (2, "b")]
+    dirs = [d for d in os.listdir(t.path) if d.startswith("cell=")]
+    assert dirs == ["cell=__HIVE_DEFAULT_PARTITION__"]
+
+
+# ---------------------------------------------------------------------------
+# partition-value rendering (r11 ADVICE low: booleans)
+# ---------------------------------------------------------------------------
+
+
+def test_escape_part_value_boolean_matches_spark(spark, tmp_path):
+    assert _escape_part_value(True) == "true"
+    assert _escape_part_value(False) == "false"
+    # a boolean partition_col table: the verb must swap the REAL
+    # directory (flag=true), not a phantom flag=True
+    t = ParquetTable(spark, str(tmp_path / "boolcell"), "id", partition_col="flag")
+    base = spark.createDataFrame(
+        [(1, "a", True), (2, "b", True), (3, "c", False)],
+        "id long, v string, flag boolean",
+    )
+    t.bulk_insert(base, lwt=0.0)
+    t.bulk_upsert(
+        spark.createDataFrame([(1, "a2", True)], "id long, v string, flag boolean"),
+        lwt=1.0,
+    )
+    assert _alive(t) == [(1, "a2"), (2, "b"), (3, "c")]
+    assert sorted(d for d in os.listdir(t.path) if d.startswith("flag=")) == [
+        "flag=false", "flag=true",
+    ]
+
+
+def test_escape_part_value_rejects_unsupported_types():
+    """Types whose Spark directory rendering is not emulated raise
+    instead of silently writing a directory name Spark would not."""
+    with pytest.raises(TypeError):
+        _escape_part_value(1.5)
+    with pytest.raises(TypeError):
+        _escape_part_value(b"bytes")
+
+
+# ---------------------------------------------------------------------------
+# merge_cdc key-stability enforcement (r11 ADVICE low)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_cdc_moved_key_detected(spark, tmp_path):
+    """A csn-advanced update that changes the key's partition value
+    raises under the default detect mode (both partitions in the touched
+    set, so the prev join sees the move)."""
+    t = ParquetTable(spark, str(tmp_path / "moved"), "id", partition_col="cell")
+    t.merge_cdc(
+        _cdc(spark, [(1, "a", "p0", False, 1), (2, "b", "p1", False, 1)]),
+        lwt=0.0,
+    )
+    with pytest.raises(ValueError, match="key-stability"):
+        # the delta touches p0 (id 3's insert), so id 1's stored row IS
+        # read and its p0 -> p1 move is visible to the prev join
+        t.merge_cdc(
+            _cdc(spark, [(1, "a2", "p1", False, 2), (3, "c", "p0", False, 1)]),
+            lwt=1.0,
+        )
+
+
+def test_merge_cdc_moved_key_repaired(spark, tmp_path):
+    """repair mode extends the touched set with the stored rows' old
+    partitions (PK semi-join fallback): the moved key's old directory is
+    rewritten without the ghost, so the key count stays 1 and the old
+    dir disappears.  Also covers the detect blind spot: the old
+    partition is NOT in the delta's own partition set."""
+    t = ParquetTable(spark, str(tmp_path / "repair"), "id", partition_col="cell")
+    t.merge_cdc(
+        _cdc(spark, [(1, "a", "p0", False, 1), (2, "b", "p1", False, 1)]),
+        lwt=0.0,
+    )
+    t.merge_cdc(
+        _cdc(spark, [(1, "a2", "p2", False, 2)]), lwt=1.0, moved_keys="repair"
+    )
+    assert _alive(t) == [(1, "a2"), (2, "b")]
+    rows = t.docs().where(F.col("id") == 1).collect()
+    assert len(rows) == 1 and rows[0]["cell"] == "p2"
+    assert not os.path.exists(os.path.join(t.path, "cell=p0"))
+    # untouched partition's files were not rewritten
+    assert os.path.exists(os.path.join(t.path, "cell=p1"))
+
+
+def test_merge_cdc_detect_blindspot_is_documented_not_silent_dup(spark, tmp_path):
+    """detect mode cannot see a move whose old partition lies outside
+    the touched set — assert the documented failure shape (the ghost)
+    so a future fix that widens detection shows up as an xpass here."""
+    t = ParquetTable(spark, str(tmp_path / "blind"), "id", partition_col="cell")
+    t.merge_cdc(_cdc(spark, [(1, "a", "p0", False, 1)]), lwt=0.0)
+    # move key 1 to p2; p0 is untouched by the delta -> ghost remains
+    t.merge_cdc(_cdc(spark, [(1, "a2", "p2", False, 2)]), lwt=1.0)
+    assert t.docs().where(F.col("id") == 1).count() == 2  # documented ghost
+    # same schedule under repair converges to 1 (proved above)
+
+
+def test_merge_cdc_stable_partition_value_passes_detect(spark, tmp_path):
+    """Key-stable updates (same partition value) sail through detect —
+    the default must not tax the contract-compliant hot path."""
+    t = ParquetTable(spark, str(tmp_path / "stable"), "id", partition_col="cell")
+    t.merge_cdc(_cdc(spark, [(1, "a", "p0", False, 1)]), lwt=0.0)
+    t.merge_cdc(_cdc(spark, [(1, "a2", "p0", False, 2)]), lwt=1.0)
+    t.merge_cdc(_cdc(spark, [(1, "a2", "p0", True, 3)]), lwt=2.0)
+    assert _alive(t) == []
+
+
+# ---------------------------------------------------------------------------
+# CachedCollection.find_by_ids key discipline (r11 ADVICE low)
+# ---------------------------------------------------------------------------
+
+
+def test_find_by_ids_primitive_ids_hit_cache(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "cachet"), "id", n_buckets=2)
+    t.bulk_insert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        lwt=0.0,
+    )
+    cache = CachedCollection.attach(t)
+    a = cache.find_by_ids([2, 1])
+    b = cache.find_by_ids([1, 2])  # order-insensitive canonical key
+    assert a is b
+    assert cache.hits == 1 and cache.misses == 1
+
+
+def test_find_by_ids_rejects_nonprimitive_ids(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "cachenp"), "id", n_buckets=2)
+    t.bulk_insert(
+        spark.createDataFrame([(1, "a")], "id long, v string"), lwt=0.0
+    )
+    cache = CachedCollection.attach(t)
+    with pytest.raises(TypeError, match="primitive"):
+        cache.find_by_ids([object()])
+    with pytest.raises(TypeError, match="primitive"):
+        cache.find_by_ids(t.docs().select("id"))
+    assert len(cache) == 0  # nothing persisted by the rejected calls
+
+
+# ---------------------------------------------------------------------------
+# stored pivot index: the band predicate's footer-stats value (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_index_rowgroups_prunable_on_band(spark, tmp_path):
+    """The written per-pivot index tables are sorted by their own key, so
+    the ±0.003 band skips most row groups on footer min/max alone —
+    the measured I/O win knn_ann_range_indexed claims (also emitted as
+    the pivot_idx_prunable_frac bench extra)."""
+    from javascript_vector_database_spark.operators import knn, layout
+    from javascript_vector_database_spark.pivots import INDEX_DISTANCE
+    from javascript_vector_database_spark.registry import (
+        get_query_vec,
+        used_pivots,
+    )
+    from javascript_vector_database_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    qv = get_query_vec(spark, sf)
+    pivots = used_pivots(len(qv))
+    base = str(tmp_path / "pividx")
+    knn.write_pivot_index_tables(emb, pivots, base, n_files=8)
+    fracs = []
+    for i, p in enumerate(pivots):
+        d_i = knn._py_euclid(p, qv)
+        lo, hi = d_i - d_i * INDEX_DISTANCE, d_i + d_i * INDEX_DISTANCE
+        stats = layout.rowgroup_minmax_stats(
+            os.path.join(base, f"idx{i}"), [f"idx{i}"]
+        )
+        assert len(stats) >= 8  # range layout actually produced files
+        fracs.append(layout.prunable_fraction(stats, {f"idx{i}": (lo, hi)}))
+    # a narrow band over a sorted key skips nearly everything; demand a
+    # conservative floor so the pin is robust to row-group sizing
+    assert min(fracs) >= 0.5, fracs
+    # and the stored probe returns exactly the recompute-path rows
+    got = knn.ann_index_range_stored(spark, base, qv, pivots).collect()
+    ref = knn.ann_index_range(emb, qv, pivots).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
