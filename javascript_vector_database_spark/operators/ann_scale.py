@@ -331,6 +331,53 @@ def knn_batch_ivf(
     )
 
 
+def ivf_radius_batch(
+    assigned: DataFrame,
+    queries: list[tuple[int, list[float], float]],
+    cents: list[tuple[int, list[float]]],
+    cell_radii: dict[int, float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch RADIUS search: every (query, corpus row) pair within that
+    query's radius — the multi-query sibling of ivf_radius_search, same
+    knn_batch_ivf fan-out discipline.  ``queries`` is
+    [(query_id, qvec, radius)].
+
+    The per-query probe set is computed driver-side from |Q| x K
+    centroid distances (bounded), with each query's triangle bound
+    (radius + 5e-7 rounding slack + the cell's covering radius) deciding
+    which cells it must read — LOSSLESS per query, exactly like the
+    single-query operator.  Probes ship as a broadcast
+    (query_id, ivf_cell, qvec, radius) table and candidates come from
+    an EQUI-join on ivf_cell: the corpus never fans out by |Q|, each
+    row joins only the queries whose bound reaches its cell.  No window
+    needed (radius output is unbounded-cardinality by design, not
+    top-k).  Output: (query_id, id, distance <= radius)."""
+    probe_rows = []
+    for qid, qv, radius in queries:
+        for cid, cemb in cents:
+            bound = radius + 5e-7 + cell_radii.get(int(cid), 0.0)
+            if _py_euclid(cemb, qv) <= bound:
+                probe_rows.append(
+                    (int(qid), int(cid), [float(x) for x in qv], float(radius))
+                )
+    probes = assigned.sparkSession.createDataFrame(
+        probe_rows,
+        schema="query_id long, ivf_cell long, qvec array<double>,"
+        " radius double",
+    )
+    return (
+        assigned.join(F.broadcast(probes), "ivf_cell")
+        .withColumn(
+            "distance",
+            F.round(euclidean_distance(F.col(vec_col), F.col("qvec")), 6),
+        )
+        .where(F.col("distance") <= F.col("radius"))
+        .select("query_id", id_col, "distance")
+    )
+
+
 def hyperplanes(dim: int, bits: int = LSH_BITS, seed: int = LSH_SEED) -> list[list[float]]:
     return make_pivots(dim, n=bits, seed=seed)
 
@@ -571,13 +618,20 @@ def ivf_cell_radii(
     assigned: DataFrame,
     cents: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
+    cells: list[int] | None = None,
 ) -> dict[int, float]:
     """Write-time per-cell covering radius: max dist(member, centroid)
     over each cell's members — ONE grouped aggregate over the assigned
     table, collected as a bounded K-row dict (the IVF-centroid idiom:
     tiny layout constants derived once at build time).  The radius is
     what makes a radius query's cell pruning LOSSLESS — see
-    ivf_radius_search."""
+    ivf_radius_search.
+
+    ``cells`` restricts the aggregate to the listed cells — the
+    incremental-maintenance path (see update_cell_radii): under a
+    ``partitionBy(ivf_cell)`` layout the IN filter is a PartitionFilter,
+    so refreshing the radii a CDC batch touched reads only those
+    directories, never the corpus."""
     from javascript_vector_database_spark.functions.vector import (
         euclidean_distance,
     )
@@ -593,13 +647,44 @@ def ivf_cell_radii(
             if chain is None
             else chain.when(F.col("ivf_cell") == cid, expr)
         )
+    src = assigned
+    if cells is not None:
+        src = src.where(F.col("ivf_cell").isin([int(c) for c in cells]))
     rows = (
-        assigned.withColumn("__cd", chain)
+        src.withColumn("__cd", chain)
         .groupBy("ivf_cell")
         .agg(F.max("__cd").alias("radius"))
         .collect()
     )
     return {int(r["ivf_cell"]): float(r["radius"]) for r in rows}
+
+
+def update_cell_radii(
+    radii: dict[int, float],
+    assigned: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    touched_cells: list[int],
+    vec_col: str = "embedding",
+) -> dict[int, float]:
+    """Incremental covering-radius maintenance after a CDC batch: the
+    touched cells' radii are RECOMPUTED from the live table (one
+    partition-pruned grouped max over exactly those directories) and
+    merged over the standing dict.
+
+    Recompute-not-adjust is deliberate: a max is insertion-monotone but
+    NOT deletion-monotone — after a delete the stored bound can only be
+    kept sound by keeping it stale-high (still lossless, probes a cell
+    it could skip) or re-deriving it from the survivors.  Touched-cell
+    recompute re-derives at touched-partition cost, the same pruning
+    contract the DML verbs themselves run under; a cell whose members
+    all vanished drops OUT of the dict (no members -> nothing a radius
+    query could find there -> the probe bound never admits it)."""
+    fresh = ivf_cell_radii(assigned, cents, vec_col, cells=touched_cells)
+    out = {
+        c: r for c, r in radii.items() if int(c) not in set(map(int, touched_cells))
+    }
+    out.update(fresh)
+    return out
 
 
 def ivf_radius_search(

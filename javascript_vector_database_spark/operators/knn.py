@@ -238,6 +238,62 @@ def ann_index_range_stored(
     )
 
 
+def ann_index_similarity_stored(
+    spark: SparkSession,
+    base_dir: str,
+    query_vec: list[float],
+    pivots: list[list[float]],
+    k: int = TOP_K,
+    docs_per_side: int = DOCS_PER_INDEX_SIDE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pivot-neighborhood ANN served from the STORED per-pivot index
+    tables (write_pivot_index_tables) — the second of the reference's
+    two search modes run against its real index shape
+    (src/search.ts:56-109: per pivot, two Mango queries with $lt / $gt
+    + limit over the sorted idxN index).
+
+    Per pivot each side is a sargable one-column predicate + top-N over
+    a table SORTED by that column: the predicate pushes to parquet, and
+    TakeOrderedAndProject takes per-partition partial top-Ns — on the
+    range layout only the files straddling d_i contribute candidates,
+    the rest are bounded by their min/max.  2·n_pivots skinny mini-scans
+    + one semi-join doc-read re-rank; the candidate set is
+    ≤ 2·n_pivots·docs_per_side rows by construction, so the join
+    broadcasts.  Hash-matches the recomputed ``ann_index_similarity``
+    (same bounds, same dedup, same re-rank)."""
+    sides: list[DataFrame] = []
+    for i, p in enumerate(pivots):
+        d_i = _py_euclid(p, query_vec)
+        idx = spark.read.parquet(os.path.join(base_dir, f"idx{i}"))
+        below = (
+            idx.where(F.col(f"idx{i}") < F.lit(d_i))
+            .orderBy(F.col(f"idx{i}").desc(), F.col(id_col).asc())
+            .limit(docs_per_side)
+            .select(id_col)
+        )
+        above = (
+            idx.where(F.col(f"idx{i}") > F.lit(d_i))
+            .orderBy(F.col(f"idx{i}").asc(), F.col(id_col).asc())
+            .limit(docs_per_side)
+            .select(id_col)
+        )
+        sides.extend([below, above])
+    cands = sides[0]
+    for s in sides[1:]:
+        cands = cands.unionByName(s)
+    cands = cands.dropDuplicates([id_col])
+    base = spark.read.parquet(os.path.join(base_dir, "base"))
+    hits = base.join(F.broadcast(cands), id_col, "left_semi")
+    return (
+        with_distance(hits, query_vec, vec_col)
+        .select(id_col, "distance")
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ann_index_similarity(
     df: DataFrame,
     query_vec: list[float],

@@ -266,3 +266,130 @@ def test_pivot_index_rowgroups_prunable_on_band(spark, tmp_path):
     got = knn.ann_index_range_stored(spark, base, qv, pivots).collect()
     ref = knn.ann_index_range(emb, qv, pivots).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
+# ---------------------------------------------------------------------------
+# staged-for-r13 operators (implemented + pinned now; registry rows land
+# in the r13 driver window so every registered name keeps a stamp)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_index_similarity_stored_matches_recompute(spark, tmp_path):
+    """The stored-index similarity probe (2 sargable mini-scans per
+    pivot over the sorted skinny tables + doc-read re-rank) must return
+    exactly the recompute-path rows, and its side predicates must push
+    to the parquet scans."""
+    from javascript_vector_database_spark.operators import knn
+    from javascript_vector_database_spark.registry import (
+        get_query_vec,
+        used_pivots,
+    )
+    from javascript_vector_database_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    qv = get_query_vec(spark, sf)
+    pivots = used_pivots(len(qv))
+    base = str(tmp_path / "pividx_sim")
+    knn.write_pivot_index_tables(emb, pivots, base)
+    got = knn.ann_index_similarity_stored(spark, base, qv, pivots)
+    ref = knn.ann_index_similarity(emb, qv, pivots)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in ref.collect()
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    segs = [p.split("]", 1)[0] for p in plan.split("PushedFilters: [")[1:]]
+    for i in range(5):
+        assert any(f"LessThan(idx{i}" in s for s in segs), (i, segs)
+        assert any(f"GreaterThan(idx{i}" in s for s in segs), (i, segs)
+
+
+def test_ivf_radius_batch_matches_single(spark):
+    """Batch radius must equal per-query single radius searches (the
+    lossless bound applied per query), with the corpus joined once."""
+    from javascript_vector_database_spark.operators import ann_scale
+    from javascript_vector_database_spark.operators.knn import exact_knn
+    from javascript_vector_database_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    assigned = emb.withColumn(
+        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+    ).cache()
+    radii = ann_scale.ivf_cell_radii(assigned, cents)
+    queries = []
+    for qid in (1, 2, 7):
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        r = max(
+            float(row["distance"]) for row in exact_knn(emb, qv, k=5).collect()
+        )
+        queries.append((qid, qv, r))
+    batch = {
+        (r["query_id"], r["vec_id"], r["distance"])
+        for r in ann_scale.ivf_radius_batch(
+            assigned, queries, cents, radii
+        ).collect()
+    }
+    single = set()
+    for qid, qv, r in queries:
+        for row in ann_scale.ivf_radius_search(
+            assigned, qv, r, cents, radii
+        ).collect():
+            single.add((qid, row["vec_id"], row["distance"]))
+    assert batch == single and len(batch) >= 15  # >= k per query
+    assigned.unpersist()
+
+
+def test_update_cell_radii_matches_full_recompute(spark, tmp_path):
+    """Incremental covering-radius maintenance (touched-cell recompute
+    over the live partitioned table) must equal the full recompute
+    after a CDC schedule containing inserts, an update that shrinks a
+    cell's max, and deletes that empty a cell entirely."""
+    import math
+
+    from javascript_vector_database_spark.operators import ann_scale
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+
+    cents = [(0, [0.0, 0.0]), (1, [100.0, 0.0]), (2, [0.0, 100.0])]
+    def ring(cell, cx, cy, n, rad, base):
+        return [
+            (base + i, [cx + rad * math.cos(2 * math.pi * i / n),
+                        cy + rad * math.sin(2 * math.pi * i / n)], cell)
+            for i in range(n)
+        ]
+
+    rows = ring(0, 0.0, 0.0, 8, 1.0, 0) + ring(1, 100.0, 0.0, 8, 2.0, 100) \
+        + ring(2, 0.0, 100.0, 4, 3.0, 200)
+    def df(rws, dead=False, csn=1):
+        return spark.createDataFrame(
+            [(i, v, c, dead, csn) for i, v, c in rws],
+            "vec_id long, embedding array<double>, ivf_cell long,"
+            " _tombstone boolean, _csn long",
+        )
+
+    t = ParquetTable(spark, str(tmp_path / "rad"), "vec_id",
+                     partition_col="ivf_cell")
+    t.merge_cdc(df(rows), lwt=0.0)
+    live = t.docs().select("vec_id", "embedding", "ivf_cell")
+    radii = ann_scale.ivf_cell_radii(live, cents)
+    assert radii == pytest.approx({0: 1.0, 1: 2.0, 2: 3.0}, abs=1e-6)
+
+    # batch 2: grow cell 0 (insert at r=5), DELETE all of cell 2, and
+    # re-deliver a cell-1 row (absorbed, radius unchanged)
+    batch2 = df([(50, [5.0, 0.0], 0)], csn=2) \
+        .unionByName(df([r for r in rows if r[2] == 2], dead=True, csn=2)) \
+        .unionByName(df([rows[8]], csn=1))
+    t.merge_cdc(batch2, lwt=1.0)
+    live = t.docs().select("vec_id", "embedding", "ivf_cell")
+    inc = ann_scale.update_cell_radii(radii, live, cents, [0, 1, 2])
+    full = ann_scale.ivf_cell_radii(live, cents)
+    assert inc == pytest.approx(full, abs=1e-9)
+    assert 2 not in inc and inc[0] == pytest.approx(5.0, abs=1e-6)
+    # untouched-cell path: only cell 0 in the touched list -> cell 1's
+    # standing value carries over verbatim
+    inc2 = ann_scale.update_cell_radii(radii, live, cents, [0])
+    assert inc2[1] == radii[1] and inc2[0] == pytest.approx(5.0, abs=1e-6)
