@@ -297,6 +297,69 @@ def main() -> None:
         for r in emb.orderBy("vec_id").limit(N_SEARCH_QUERIES).collect()
     ]
 
+    # GATE-METRIC ORDERING (r11 verdict ask #4): the contract extras
+    # the 2x baseline gate grades (pipeline/bulk/knn/ann families) are
+    # timed FIRST, immediately after the start calibration probe --
+    # before the ~200-row headline pass and the 10x/30x columns age
+    # the JVM or a co-tenant ramps.  gate_calib_cpu_sec (below, taken
+    # right after the gate block) + gate_calib_drift make the gate
+    # numbers self-defending: a drifted box is machine-readable in
+    # the artifact, not an appendix anecdote.
+    # pipeline throughput: embed + pivot-index + merge, batch flavor.
+    # A pipeline run is stateful (second pass over the same dest would
+    # process 0 new docs), so best-of-2 means two runs against FRESH
+    # dest/checkpoint dirs, keeping the better throughput.
+    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"),
+            F.col("text").alias("body"),
+            F.col("doc_id").cast("double").alias("_lwt"),
+        )
+        src_path = os.path.join(tmp, "items")
+        docs.write.parquet(src_path)
+        n_docs = docs.count()
+
+        def run_pipeline(run: int) -> float:
+            dest = ParquetTable(
+                spark, os.path.join(tmp, f"vectors{run}"), "id"
+            )
+
+            def handler(batch):
+                new = anti_join_new(batch, dest, "id", "id")
+                e = new.withColumn("embedding", embed_udf(dim)(F.col("body")))
+                return knn.build_pivot_index(e, pivots).select(
+                    "id", "embedding", *[f"idx{i}" for i in range(len(pivots))]
+                )
+
+            pipe = Pipeline(
+                spark, "bench", src_path, dest, handler,
+                os.path.join(tmp, f"cp{run}"), source_pk="id",
+                batch_size=max(1000, n_docs // 4),
+            )
+            t, total = _timed(pipe.await_idle)
+            return total / t
+
+        results["pipeline_docs_per_sec"] = max(
+            run_pipeline(0), run_pipeline(1)
+        )
+
+        # bulk-load throughput: two-table load (importData(true) path);
+        # overwrite-idempotent, so min-of-2 applies directly
+        t, _ = _timed_best2(
+            lambda: (
+                load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
+                    os.path.join(tmp, "load_docs")
+                ),
+                emb.write.mode("overwrite").parquet(os.path.join(tmp, "load_emb")),
+            ),
+            label="bulk_load_rows_per_sec",
+        )
+        results["bulk_load_rows_per_sec"] = (n_docs + n_vec) / t
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
     # exact kNN
     t, exact_sets = _timed_best2(
         lambda: [
@@ -379,6 +442,62 @@ def main() -> None:
     reads = knn.candidate_count(indexed, qvecs[0], pivots, precomputed=True)
     results["ann_docs_read_ratio"] = reads / n_vec
 
+    # gate block ends here: re-probe the box so every gate metric above
+    # carries a same-run drift denominator (r11: the end-of-run probe
+    # read 17x the start probe, and the gate extras of record were the
+    # casualties)
+    results["gate_calib_cpu_sec"], _ = _timed_best2(
+        _calib_cpu, label="gate_calib_cpu_sec"
+    )
+
+    # the reference's pivot index STORED (knn_ann_range_indexed's path):
+    # five per-pivot sorted secondary-index tables + doc-read re-rank.
+    # Timed beside the recompute-per-query ann_range row, with the
+    # footer-stats fraction of row groups the band skips (the index's
+    # measured I/O value -- r11 verdict: "measured, not asserted").
+    from javascript_vector_database_spark.operators import layout as _lay
+    from javascript_vector_database_spark.pivots import INDEX_DISTANCE
+
+    pividx_dir = tempfile.mkdtemp(prefix="bench_pividx_")
+    try:
+        t, _ = _timed(
+            lambda: knn.write_pivot_index_tables(
+                emb, pivots, pividx_dir
+            )
+        )
+        results["pivot_idx_build_sec"] = t
+        # open the table handles once (the reference holds its
+        # collections open for the process lifetime; listing/footer
+        # resolution is not part of the probe)
+        _idx_tabs = knn.open_pivot_index_tables(
+            spark, pividx_dir, len(pivots)
+        )
+        t, idx_sets = _timed_best2(
+            lambda: [
+                {
+                    r["vec_id"]
+                    for r in knn.ann_index_range_stored(
+                        spark, pividx_dir, qv, pivots, tables=_idx_tabs
+                    ).collect()
+                }
+                for qv in qvecs
+            ],
+            label="ann_range_indexed_sec_per_query",
+        )
+        results["ann_range_indexed_sec_per_query"] = t / len(qvecs)
+        assert idx_sets == ann_sets, "stored index != recomputed index"
+        fracs = []
+        for i, p in enumerate(pivots):
+            d_i = knn._py_euclid(p, qvecs[0])
+            band = (d_i - d_i * INDEX_DISTANCE, d_i + d_i * INDEX_DISTANCE)
+            stats = _lay.rowgroup_minmax_stats(
+                os.path.join(pividx_dir, f"idx{i}"), [f"idx{i}"]
+            )
+            fracs.append(_lay.prunable_fraction(stats, {f"idx{i}": band}))
+        results["pivot_idx_prunable_frac"] = sum(fracs) / len(fracs)
+    finally:
+        shutil.rmtree(pividx_dir, ignore_errors=True)
+
     # scale-path ANN (IVF nprobe=2, multi-probe LSH) over precomputed
     # write-time assignments — sec/query + recall vs exact
     from javascript_vector_database_spark.operators import ann_scale
@@ -404,6 +523,59 @@ def main() -> None:
     results["ivf_recall_at_10"] = sum(
         len(a & e) / len(e) for a, e in zip(ivf_sets, exact_sets)
     ) / len(qvecs)
+
+    # radius (range) search over the same IVF layout: triangle-bound
+    # cell pruning measured, not asserted (r11 verdict ask #8).  On this
+    # unit-norm corpus the covering radii blanket the space -- the
+    # corpus fraction is expected ~0.0 and that honesty IS the metric;
+    # the crafted 4-cluster fixture shows the bound biting (3/4 pruned).
+    radii = ann_scale.ivf_cell_radii(assigned, cents)
+    from javascript_vector_database_spark.registry.ann_scale_queries import (
+        RADIUS_NN,
+        _nn_radius,
+    )
+
+    r_q = _nn_radius(emb, qvecs[0], RADIUS_NN)
+    probe = [
+        int(cid)
+        for cid, cemb in cents
+        if knn._py_euclid(cemb, qvecs[0]) <= r_q + 5e-7 + radii[int(cid)]
+    ]
+    results["radius_cells_pruned_frac_corpus"] = 1.0 - len(probe) / len(cents)
+    t, _ = _timed_best2(
+        lambda: ann_scale.ivf_radius_search(
+            assigned, qvecs[0], r_q, cents, radii
+        ).collect(),
+        label="ivf_radius_sec_per_query",
+    )
+    results["ivf_radius_sec_per_query"] = t
+    import math as _math
+
+    _cl_pts = [
+        (c * 50 + i, [cx + _math.cos(2 * _math.pi * i / 50),
+                      cy + _math.sin(2 * _math.pi * i / 50)])
+        for c, (cx, cy) in enumerate(
+            [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0)]
+        )
+        for i in range(50)
+    ]
+    _cl = spark.createDataFrame(_cl_pts, "vec_id long, embedding array<float>")
+    _cl_cents = [
+        (c, [float(cx), float(cy)])
+        for c, (cx, cy) in enumerate(
+            [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0)]
+        )
+    ]
+    _cl_a = _cl.withColumn(
+        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), _cl_cents)
+    )
+    _cl_radii = ann_scale.ivf_cell_radii(_cl_a, _cl_cents)
+    _cl_probe = [
+        cid
+        for cid, cemb in _cl_cents
+        if knn._py_euclid(cemb, [0.5, 0.5]) <= 3.0 + 5e-7 + _cl_radii[cid]
+    ]
+    results["radius_cells_pruned_frac_clustered"] = 1.0 - len(_cl_probe) / 4.0
 
     # Lloyd-trained centroids (the oracle-checked trainer behind the
     # registered ann_ivf_lloyd_search row) at its registered nprobe
@@ -733,60 +905,6 @@ def main() -> None:
     first_qid = min(batch_sets)
     assert batch_sets[first_qid] == exact_sets[0], "batch kNN != exact kNN"
 
-    # pipeline throughput: embed + pivot-index + merge, batch flavor.
-    # A pipeline run is stateful (second pass over the same dest would
-    # process 0 new docs), so best-of-2 means two runs against FRESH
-    # dest/checkpoint dirs, keeping the better throughput.
-    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
-    try:
-        docs = load_table(spark, sf_dir, "documents").select(
-            F.col("doc_id").alias("id"),
-            F.col("text").alias("body"),
-            F.col("doc_id").cast("double").alias("_lwt"),
-        )
-        src_path = os.path.join(tmp, "items")
-        docs.write.parquet(src_path)
-        n_docs = docs.count()
-
-        def run_pipeline(run: int) -> float:
-            dest = ParquetTable(
-                spark, os.path.join(tmp, f"vectors{run}"), "id"
-            )
-
-            def handler(batch):
-                new = anti_join_new(batch, dest, "id", "id")
-                e = new.withColumn("embedding", embed_udf(dim)(F.col("body")))
-                return knn.build_pivot_index(e, pivots).select(
-                    "id", "embedding", *[f"idx{i}" for i in range(len(pivots))]
-                )
-
-            pipe = Pipeline(
-                spark, "bench", src_path, dest, handler,
-                os.path.join(tmp, f"cp{run}"), source_pk="id",
-                batch_size=max(1000, n_docs // 4),
-            )
-            t, total = _timed(pipe.await_idle)
-            return total / t
-
-        results["pipeline_docs_per_sec"] = max(
-            run_pipeline(0), run_pipeline(1)
-        )
-
-        # bulk-load throughput: two-table load (importData(true) path);
-        # overwrite-idempotent, so min-of-2 applies directly
-        t, _ = _timed_best2(
-            lambda: (
-                load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
-                    os.path.join(tmp, "load_docs")
-                ),
-                emb.write.mode("overwrite").parquet(os.path.join(tmp, "load_emb")),
-            ),
-            label="bulk_load_rows_per_sec",
-        )
-        results["bulk_load_rows_per_sec"] = (n_docs + n_vec) / t
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
     # z-order clustering evidence (r10): footer-level prunable-file
     # fraction of the registered 2-D box query under the z-ordered
     # layout vs a single-column time-sorted layout — the user-dimension
@@ -954,6 +1072,24 @@ def main() -> None:
         label="ktruss_peel_sec",
     )
     results["ktruss_peel_sec"] = t_p
+
+    # HITS phase split at 1x (r11 verdict ask #5): the corpus-linear
+    # edge build vs the Pregel iteration itemized -- the combined row's
+    # noisy 30x ratio (3.98 recorded; 3.31/0.86 across solo runs)
+    # couldn't say which phase moved.  The 30x pair lands below.
+    t_e, _hits_e1 = _timed_best2(
+        lambda: _dc._hits_edges(spark, sf_dir),
+        label="hits_edges_sec",
+    )
+    results["hits_edges_sec"] = t_e
+    t_i, _ = _timed_best2(
+        lambda: _gph.hits(_hits_e1)
+        .orderBy(F.col("authority").desc(), F.col("node").asc())
+        .limit(20)
+        .collect(),
+        label="hits_iterate_sec",
+    )
+    results["hits_iterate_sec"] = t_i
 
     # headline registry queries (one pass each).  The historically
     # contention-sensitive heavy graph/dedup rows go FIRST: when the
@@ -1191,6 +1327,12 @@ def main() -> None:
         "knn_ann_range_tuned",
         "layout_zorder_box_query",
         "embedding_hard_negatives",
+        # r12 rows: the stored-index probe beside its recompute sibling,
+        # the radius pair, and the dedup-aware split
+        "knn_ann_range_indexed",
+        "ann_ivf_radius_search",
+        "ann_ivf_radius_search_partitioned",
+        "curation_leakage_safe_split",
     ]
     # warmup: run every headline query once at the smallest SF (sf0.001,
     # ~100x less data) so the timed sf pass below measures steady-state
@@ -1293,6 +1435,20 @@ def main() -> None:
         )
         results["ktruss30_peel_sec"] = t_p
 
+        t_e, _hits_e30 = _timed_best2(
+            lambda: dc._hits_edges(spark, sf30_dir),
+            label="hits30_edges_sec",
+        )
+        results["hits30_edges_sec"] = t_e
+        t_i, _ = _timed_best2(
+            lambda: gph.hits(_hits_e30)
+            .orderBy(F.col("authority").desc(), F.col("node").asc())
+            .limit(20)
+            .collect(),
+            label="hits30_iterate_sec",
+        )
+        results["hits30_iterate_sec"] = t_i
+
     # end-of-run calibration: start-vs-end drift flags contention that
     # arrived DURING the run (the start pair alone can't)
     results["calib_cpu_sec_end"], _ = _timed_best2(
@@ -1300,6 +1456,15 @@ def main() -> None:
     )
     results["calib_shuffle_sec_end"], _ = _timed_best2(
         _calib_shuffle, label="calib_shuffle_sec_end"
+    )
+
+    # machine-readable drift annotations (r11 verdict ask #4): gate
+    # metrics vs the box state they were measured under
+    results["gate_calib_drift"] = (
+        results["gate_calib_cpu_sec"] / results["calib_cpu_sec"]
+    )
+    results["end_calib_drift"] = (
+        results["calib_cpu_sec_end"] / results["calib_cpu_sec"]
     )
 
     total_sec = sum(queries.values())

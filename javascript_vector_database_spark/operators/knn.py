@@ -192,6 +192,22 @@ def write_pivot_index_tables(
         src.unpersist()
 
 
+def open_pivot_index_tables(
+    spark: SparkSession, base_dir: str, n_pivots: int = 5
+) -> dict[str, DataFrame]:
+    """Open the stored index/base tables ONCE (lazy handles — schema +
+    file listing resolved here, reused by every probe).  The reference
+    holds its collections open for the process lifetime; re-opening per
+    query would re-pay listing/footer costs that are not part of the
+    probe."""
+    out = {
+        f"idx{i}": spark.read.parquet(os.path.join(base_dir, f"idx{i}"))
+        for i in range(n_pivots)
+    }
+    out["base"] = spark.read.parquet(os.path.join(base_dir, "base"))
+    return out
+
+
 def ann_index_range_stored(
     spark: SparkSession,
     base_dir: str,
@@ -201,6 +217,7 @@ def ann_index_range_stored(
     index_distance: float = INDEX_DISTANCE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Range-ANN served from the STORED pivot index tables (see
     write_pivot_index_tables) — the reference's actual query plan, five
@@ -218,18 +235,17 @@ def ann_index_range_stored(
     (tiny by construction: ±0.003 of each pivot distance), so AQE
     broadcasts the semi-join; the base side stays partition-local, no
     corpus shuffle."""
+    tables = tables or open_pivot_index_tables(spark, base_dir, len(pivots))
     cands = None
     for i, p in enumerate(pivots):
         d_i = _py_euclid(p, query_vec)
         lo, hi = d_i - d_i * index_distance, d_i + d_i * index_distance
-        idx = spark.read.parquet(os.path.join(base_dir, f"idx{i}"))
-        c = idx.where(
+        c = tables[f"idx{i}"].where(
             (F.col(f"idx{i}") > F.lit(lo)) & (F.col(f"idx{i}") < F.lit(hi))
         ).select(id_col)
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.dropDuplicates([id_col])
-    base = spark.read.parquet(os.path.join(base_dir, "base"))
-    hits = base.join(cands, id_col, "left_semi")
+    hits = tables["base"].join(cands, id_col, "left_semi")
     return (
         with_distance(hits, query_vec, vec_col)
         .select(id_col, "distance")
@@ -247,6 +263,7 @@ def ann_index_similarity_stored(
     docs_per_side: int = DOCS_PER_INDEX_SIDE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Pivot-neighborhood ANN served from the STORED per-pivot index
     tables (write_pivot_index_tables) — the second of the reference's
@@ -263,10 +280,11 @@ def ann_index_similarity_stored(
     ≤ 2·n_pivots·docs_per_side rows by construction, so the join
     broadcasts.  Hash-matches the recomputed ``ann_index_similarity``
     (same bounds, same dedup, same re-rank)."""
+    tables = tables or open_pivot_index_tables(spark, base_dir, len(pivots))
     sides: list[DataFrame] = []
     for i, p in enumerate(pivots):
         d_i = _py_euclid(p, query_vec)
-        idx = spark.read.parquet(os.path.join(base_dir, f"idx{i}"))
+        idx = tables[f"idx{i}"]
         below = (
             idx.where(F.col(f"idx{i}") < F.lit(d_i))
             .orderBy(F.col(f"idx{i}").desc(), F.col(id_col).asc())
@@ -284,8 +302,7 @@ def ann_index_similarity_stored(
     for s in sides[1:]:
         cands = cands.unionByName(s)
     cands = cands.dropDuplicates([id_col])
-    base = spark.read.parquet(os.path.join(base_dir, "base"))
-    hits = base.join(F.broadcast(cands), id_col, "left_semi")
+    hits = tables["base"].join(F.broadcast(cands), id_col, "left_semi")
     return (
         with_distance(hits, query_vec, vec_col)
         .select(id_col, "distance")

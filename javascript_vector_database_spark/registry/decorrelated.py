@@ -706,6 +706,28 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_edges(spark: SparkSession, sf_dir: str):
+    """The HITS row's phase 1, exposed for bench itemization (r11
+    verdict ask #5): the corpus-linear buyer -> part edge build (one
+    orders-lineitem equi-join + distinct), materialized once because it
+    feeds 2 x rounds + 1 consumers — same discipline as
+    _copurchase_edges.  Phase 2 (operators/graph.py:hits) is the
+    iteration: per half-round one equi-join + map-side-combined groupBy
+    plus a 1-row broadcast renorm."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("src")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        orders.join(li, "k")
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def _hits_oracle() -> str:
     from javascript_vector_database_spark.operators.graph import sql_hits
 
@@ -742,22 +764,8 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (buyer, part, weight) grain before iterating."""
     from javascript_vector_database_spark.operators.graph import hits
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("src")
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        orders.join(li, "k")
-        .select("src", "dst")
-        .distinct()
-        # feeds 2 x rounds + 1 consumers (each half-round joins it);
-        # materialize once, same discipline as _copurchase_edges
-        .localCheckpoint(eager=True)
-    )
     return (
-        hits(edges)
+        hits(_hits_edges(spark, sf_dir))
         .orderBy(F.col("authority").desc(), F.col("node").asc())
         .limit(20)
     )
