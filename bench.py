@@ -311,6 +311,38 @@ def main() -> None:
     # dest/checkpoint dirs, keeping the better throughput.
     tmp = tempfile.mkdtemp(prefix="bench_pipe_")
     try:
+        # warmup (r12): the gate block now runs FIRST, so the pipeline
+        # would otherwise pay first-touch JIT/codegen for the Arrow UDF
+        # + MERGE machinery inside its timed window (measured: ~370 vs
+        # ~540 docs/s warm).  One tiny sf0.001 run warms the exact code
+        # paths; throughput is a steady-state claim, not a cold-start
+        # one — same discipline as the headline warmup pass.
+        _warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        if os.path.isdir(_warm_sf):
+            _wdocs = load_table(spark, _warm_sf, "documents").select(
+                F.col("doc_id").alias("id"),
+                F.col("text").alias("body"),
+                F.col("doc_id").cast("double").alias("_lwt"),
+            )
+            _wsrc = os.path.join(tmp, "warm_items")
+            _wdocs.write.parquet(_wsrc)
+            _wdest = ParquetTable(spark, os.path.join(tmp, "warm_vec"), "id")
+
+            def _whandler(batch):
+                new = anti_join_new(batch, _wdest, "id", "id")
+                e = new.withColumn(
+                    "embedding", embed_udf(dim)(F.col("body"))
+                )
+                return knn.build_pivot_index(e, pivots).select(
+                    "id", "embedding",
+                    *[f"idx{i}" for i in range(len(pivots))],
+                )
+
+            Pipeline(
+                spark, "bench_warm", _wsrc, _wdest, _whandler,
+                os.path.join(tmp, "warm_cp"), source_pk="id",
+            ).await_idle()
+
         docs = load_table(spark, sf_dir, "documents").select(
             F.col("doc_id").alias("id"),
             F.col("text").alias("body"),

@@ -97,6 +97,24 @@ LOOP_BACKED = {
         "3 Lloyd rounds: scan-local argmin + k-group integer-mean agg "
         "(one 16-row collect) per round before the audited probe"
     ),
+    "curation_leakage_safe_split": (
+        "broadcasts the min-label CC roots (same per-round join + min "
+        "agg loop as dedup_duplicate_clusters) before the audited "
+        "scan-local md5(root) assignment"
+    ),
+    "knn_ann_range_indexed": (
+        "not a loop but the same audit caveat: the row WRITES the five "
+        "sorted per-pivot index tables + base before the audited probe "
+        "(5 band scans with PushedFilters + union-dedup + broadcast "
+        "semi-join re-rank); build cost is the pivot_idx_build_sec "
+        "bench extra, row-group skipping the pivot_idx_prunable_frac "
+        "extra"
+    ),
+    "ann_ivf_radius_search_partitioned": (
+        "same caveat: writes the partitionBy(ivf_cell) layout before "
+        "the audited probe (PartitionFilters pinned by "
+        "tests/test_plans.py::test_ivf_radius_partitioned_probe_prunes)"
+    ),
     "layout_zorder_box_query": (
         "not a loop but the same audit caveat: the row writes the "
         "z-clustered layout then freezes the probe result, so the "
