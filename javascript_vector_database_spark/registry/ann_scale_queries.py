@@ -305,23 +305,30 @@ def ann_ivf_search_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 RADIUS_NN = 20
 
 
-def _radius_cte() -> str:
+def _radius_cte(table: str = "embeddings") -> str:
     d = osql.sql_euclid("embedding", "qv")
     return f"""rad AS (
   SELECT max(d) AS radius FROM (
-    SELECT round({d}, 6) AS d FROM embeddings, q
+    SELECT round({d}, 6) AS d FROM {table} t0, q
     ORDER BY d ASC, vec_id ASC LIMIT {RADIUS_NN}))"""
 
 
-_IVF_RADIUS_ORACLE = f"""
+def _ivf_radius_oracle(table: str = "embeddings") -> str:
+    """``table`` parametrizes the corpus (e.g. the alive-only subquery
+    the live-index delete rows use) — radius derivation and the scan
+    both read the same source."""
+    return f"""
 WITH {osql.QVEC_CTE},
-{_radius_cte()}
+{_radius_cte(table)}
 SELECT e.vec_id,
        round({osql.sql_euclid('e.embedding', 'qv')}, 6) AS distance
-FROM embeddings e, q, rad
+FROM {table} e, q, rad
 WHERE round({osql.sql_euclid('e.embedding', 'qv')}, 6) <= rad.radius
 ORDER BY distance ASC, e.vec_id ASC
 """
+
+
+_IVF_RADIUS_ORACLE = _ivf_radius_oracle()
 
 
 def _nn_radius(emb: DataFrame, qv: list[float], n: int = RADIUS_NN) -> float:
@@ -393,6 +400,149 @@ def ann_ivf_radius_search_partitioned(
     return ann_scale.ivf_radius_search(
         stored, qv, _nn_radius(emb, qv), cents, radii
     )
+
+
+#: STAGED r13 (no @register yet: the r12 window is exactly full).  The
+#: batch-radius query-id set and its oracle; value-checked locally by
+#: tests/test_r12_wave.py through the identical compare contract.
+RADIUS_BATCH_IDS = (1, 2, 7)
+
+_IVF_RADIUS_BATCH_ORACLE = f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN {RADIUS_BATCH_IDS}),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
+  FROM embeddings e CROSS JOIN qs q
+),
+rad AS (
+  SELECT query_id, max(distance) AS radius FROM (
+    SELECT query_id, distance, row_number() OVER (
+      PARTITION BY query_id ORDER BY distance ASC, vec_id ASC) AS rn
+    FROM d
+  ) WHERE rn <= {RADIUS_NN} GROUP BY query_id
+)
+SELECT d.query_id, d.vec_id, d.distance
+FROM d JOIN rad USING (query_id)
+WHERE d.distance <= rad.radius
+"""
+
+
+def ann_ivf_radius_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r13: batch radius search — every vector within each
+    query's own radius (the 20th exact-NN distance per query,
+    data-derived on both engines).  Per-query triangle-bound probe sets
+    ship as ONE broadcast (query_id, cell, qvec, radius) table and the
+    corpus is joined once on ivf_cell (operators/ann_scale.py:
+    ivf_radius_batch) — the radius sibling of ann_ivf_batch_search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)
+    assigned = emb.withColumn(
+        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+    )
+    radii = ann_scale.ivf_cell_radii(assigned, cents)
+    q_rows = (
+        emb.where(F.col("vec_id").isin(list(RADIUS_BATCH_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (
+            int(r["vec_id"]),
+            [float(x) for x in r["embedding"]],
+            _nn_radius(emb, [float(x) for x in r["embedding"]]),
+        )
+        for r in q_rows
+    ]
+    return ann_scale.ivf_radius_batch(assigned, queries, cents, radii)
+
+
+def stream_radius_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r13: the radius query's standing 100 TB service — a live
+    ``partitionBy(ivf_cell)`` table maintained by merge_cdc under the
+    NASTY CDC schedule (delete wave before the second insert half,
+    csn=1 re-delivery after the deletes), with the per-cell COVERING
+    RADII maintained INCREMENTALLY: after each micro-batch,
+    update_cell_radii recomputes exactly the batch's touched cells from
+    the live table (partition-pruned grouped max) and merges over the
+    standing dict.  The final radius probe uses those maintained radii
+    for its triangle-bound cell pruning — pruning is lossless ONLY if
+    every maintained radius still covers its cell, so the oracle hash
+    match certifies the maintenance itself (an under-estimate would
+    drop matching vectors; the deletes force the recompute path, a max
+    is not deletion-monotone).  Radius = 20th exact-NN distance over
+    the ALIVE corpus, derived identically by DuckDB
+    (_ivf_radius_oracle over the alive-only subquery)."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.operators.dml import ParquetTable
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ann_scale.collect_centroids(emb)  # fixed BEFORE any delete
+    tmp = tempfile.mkdtemp(prefix="stream_radius_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    dest = ParquetTable(
+        spark, os.path.join(tmp, "index"), "vec_id", partition_col="ivf_cell"
+    )
+    feed_rest = _stream_feed(spark, _cdc_feed(emb), src, "vec_id")
+    radii: dict[int, float] = {}
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        delta = batch.withColumn(
+            "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
+        )
+        if not delta.isStreaming:
+            delta = delta.cache()
+        try:
+            touched = [
+                int(r[0])
+                for r in delta.select("ivf_cell").distinct().collect()
+            ]
+            dest.merge_cdc(delta, lwt=float(batch_id))
+            # wholesale replace: update_cell_radii already recomputes
+            # the touched cells AND drops the ones this batch emptied —
+            # dict.update() alone would resurrect a dropped cell's bound
+            new_radii = ann_scale.update_cell_radii(
+                radii,
+                dest.docs().select("vec_id", "embedding", "ivf_cell"),
+                cents,
+                touched,
+            )
+            radii.clear()
+            radii.update(new_radii)
+        finally:
+            if not delta.isStreaming:
+                delta.unpersist()
+
+    try:
+        q = streaming_pipeline(spark, src, _CDC_SCHEMA, handler, cp)
+        q.awaitTermination()
+        _cdc_delete_wave(emb).write.mode("append").parquet(src)
+        feed_rest()
+        q2 = streaming_pipeline(spark, src, _CDC_SCHEMA, handler, cp)
+        q2.awaitTermination()
+        _cdc_redeliver_after_delete(emb).write.mode("append").parquet(src)
+        q3 = streaming_pipeline(spark, src, _CDC_SCHEMA, handler, cp)
+        q3.awaitTermination()
+        stored = dest.docs().select("vec_id", "embedding", "ivf_cell")
+        alive = emb.where(~(F.col("vec_id") % _DELETE_MOD == _DELETE_RES))
+        out = ann_scale.ivf_radius_search(
+            stored, qv, _nn_radius(alive, qv), cents, dict(radii)
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

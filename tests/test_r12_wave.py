@@ -393,3 +393,38 @@ def test_update_cell_radii_matches_full_recompute(spark, tmp_path):
     # standing value carries over verbatim
     inc2 = ann_scale.update_cell_radii(radii, live, cents, [0])
     assert inc2[1] == radii[1] and inc2[0] == pytest.approx(5.0, abs=1e-6)
+
+
+def test_staged_r13_rows_match_their_oracles(spark):
+    """The three r13-staged registry rows value-checked NOW through the
+    identical driver compare contract (rows + schema-by-name + values),
+    so r13's registration is a mechanical @register flip:
+
+    * knn_ann_similarity_indexed vs the knn_ann_similarity oracle
+      (stored probe == recompute),
+    * ann_ivf_radius_batch vs the per-query-radius batch oracle,
+    * stream_radius_index_live vs the alive-only radius oracle — the
+      hash match certifies the INCREMENTALLY maintained covering radii
+      (an under-covering radius would prune a matching cell)."""
+    from javascript_vector_database_spark.registry import (
+        ann_scale_queries as asq,
+    )
+    from javascript_vector_database_spark.registry import (
+        vector_search as vs,
+    )
+    from tests.oracle_harness import compare
+
+    sf = "/root/testdata/sf0.01"
+    compare(
+        spark, sf, vs.knn_ann_similarity_indexed,
+        vs._ann_similarity_oracle(vs.ORACLE_DIM),
+    )
+    compare(spark, sf, asq.ann_ivf_radius_batch, asq._IVF_RADIUS_BATCH_ORACLE)
+    alive = (
+        f"(SELECT * FROM embeddings"
+        f" WHERE NOT (vec_id % {asq._DELETE_MOD} = {asq._DELETE_RES})) "
+    )
+    compare(
+        spark, sf, asq.stream_radius_index_live,
+        asq._ivf_radius_oracle(table=alive),
+    )
