@@ -192,6 +192,76 @@ def write_pivot_index_tables(
         src.unpersist()
 
 
+def append_pivot_index_delta(
+    df_delta: DataFrame,
+    pivots: list[list[float]],
+    base_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest NEW vectors into the stored pivot index (LSM discipline):
+    each batch appends one unsorted segment file per index table plus
+    the base rows — O(|delta|) work, no rewrite of the sorted history.
+    Probes stay CORRECT immediately (they read the whole directory);
+    what degrades is the delta segments' footer prunability (an
+    unsorted file's [min,max] spans the key range, so band predicates
+    can't skip it) — the classic LSM read-amplification tax, repaid by
+    compact_pivot_index_tables.  Insert-only by design: keyed
+    upsert/delete maintenance is the ParquetTable MERGE path
+    (stream_pivot_index_live); these five tables are the SORTED
+    secondary projections whose lifecycle is append -> compact, like
+    any LSM level."""
+    src = build_pivot_index(df_delta, pivots, vec_col).cache()
+    try:
+        for i in range(len(pivots)):
+            (
+                src.select(id_col, f"idx{i}")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(os.path.join(base_dir, f"idx{i}"))
+            )
+        src.select(id_col, vec_col).write.mode("append").parquet(
+            os.path.join(base_dir, "base")
+        )
+    finally:
+        src.unpersist()
+
+
+def compact_pivot_index_tables(
+    spark: SparkSession,
+    base_dir: str,
+    n_pivots: int = 5,
+    n_files: int = 8,
+) -> None:
+    """Re-sort each index table after a run of delta appends — the LSM
+    compaction that restores footer prunability: range-partition +
+    sort each table by its own key and atomically swap the directory
+    (write to a sibling, os.replace).  Base table is compacted to
+    bounded file count without a sort (point lookups don't need one).
+    Cost: one shuffle per index table over that table's rows —
+    schedule it off the query path, like any OPTIMIZE."""
+    import shutil
+
+    for name, key in [(f"idx{i}", f"idx{i}") for i in range(n_pivots)] + [
+        ("base", None)
+    ]:
+        path = os.path.join(base_dir, name)
+        tmp = path + ".compact.tmp"
+        df = spark.read.parquet(path)
+        if key is not None:
+            w = (
+                df.repartitionByRange(n_files, F.col(key))
+                .sortWithinPartitions(key)
+            )
+        else:
+            w = df.coalesce(n_files)
+        w.write.mode("overwrite").parquet(tmp)
+        old = path + ".compact.old"
+        os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old)
+
+
 def open_pivot_index_tables(
     spark: SparkSession, base_dir: str, n_pivots: int = 5
 ) -> dict[str, DataFrame]:

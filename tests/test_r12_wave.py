@@ -428,3 +428,59 @@ def test_staged_r13_rows_match_their_oracles(spark):
         spark, sf, asq.stream_radius_index_live,
         asq._ivf_radius_oracle(table=alive),
     )
+
+
+def test_pivot_index_append_compact_lifecycle(spark, tmp_path):
+    """LSM lifecycle of the stored pivot index: delta appends keep the
+    probe CORRECT immediately (equal to a from-scratch build over the
+    full corpus), degrade footer prunability on the delta segments, and
+    compaction restores it — with the probe still equal after."""
+    from javascript_vector_database_spark.operators import knn, layout
+    from javascript_vector_database_spark.pivots import INDEX_DISTANCE
+    from javascript_vector_database_spark.registry import (
+        get_query_vec,
+        used_pivots,
+    )
+    from javascript_vector_database_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    qv = get_query_vec(spark, sf)
+    pivots = used_pivots(len(qv))
+    base = str(tmp_path / "lsm_idx")
+    first = emb.where(F.col("vec_id") % 3 != 0)
+    knn.write_pivot_index_tables(first, pivots, base)
+
+    def frac0():
+        d0 = knn._py_euclid(pivots[0], qv)
+        band = (d0 - d0 * INDEX_DISTANCE, d0 + d0 * INDEX_DISTANCE)
+        stats = layout.rowgroup_minmax_stats(
+            os.path.join(base, "idx0"), ["idx0"]
+        )
+        return layout.prunable_fraction(stats, {"idx0": band}), len(stats)
+
+    sorted_frac, n0 = frac0()
+    # two delta batches (LSM segments)
+    knn.append_pivot_index_delta(
+        emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 0)),
+        pivots, base,
+    )
+    knn.append_pivot_index_delta(
+        emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 != 0)),
+        pivots, base,
+    )
+    ref = knn.ann_index_range(emb, qv, pivots).collect()
+    got = knn.ann_index_range_stored(spark, base, qv, pivots).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+    appended_frac, n1 = frac0()
+    assert n1 == n0 + 2  # one unsorted row group per delta batch
+    assert appended_frac < sorted_frac  # the read-amplification tax
+    knn.compact_pivot_index_tables(spark, base)
+    compacted_frac, _ = frac0()
+    assert compacted_frac >= sorted_frac  # compaction repays it
+    got2 = knn.ann_index_range_stored(spark, base, qv, pivots).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in ref]
+    # the similarity mode survives the lifecycle too
+    sim_ref = knn.ann_index_similarity(emb, qv, pivots).collect()
+    sim_got = knn.ann_index_similarity_stored(spark, base, qv, pivots).collect()
+    assert [tuple(r) for r in sim_got] == [tuple(r) for r in sim_ref]
