@@ -568,11 +568,7 @@ def main() -> None:
     )
 
     r_q = _nn_radius(emb, qvecs[0], RADIUS_NN)
-    probe = [
-        int(cid)
-        for cid, cemb in cents
-        if knn._py_euclid(cemb, qvecs[0]) <= r_q + 5e-7 + radii[int(cid)]
-    ]
+    probe = ann_scale.ivf_radius_probe_cells(cents, qvecs[0], r_q, radii)
     results["radius_cells_pruned_frac_corpus"] = 1.0 - len(probe) / len(cents)
     t, _ = _timed_best2(
         lambda: ann_scale.ivf_radius_search(
@@ -602,11 +598,9 @@ def main() -> None:
         "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), _cl_cents)
     )
     _cl_radii = ann_scale.ivf_cell_radii(_cl_a, _cl_cents)
-    _cl_probe = [
-        cid
-        for cid, cemb in _cl_cents
-        if knn._py_euclid(cemb, [0.5, 0.5]) <= 3.0 + 5e-7 + _cl_radii[cid]
-    ]
+    _cl_probe = ann_scale.ivf_radius_probe_cells(
+        _cl_cents, [0.5, 0.5], 3.0, _cl_radii
+    )
     results["radius_cells_pruned_frac_clustered"] = 1.0 - len(_cl_probe) / 4.0
 
     # Lloyd-trained centroids (the oracle-checked trainer behind the

@@ -354,14 +354,11 @@ def ivf_radius_batch(
     row joins only the queries whose bound reaches its cell.  No window
     needed (radius output is unbounded-cardinality by design, not
     top-k).  Output: (query_id, id, distance <= radius)."""
-    probe_rows = []
-    for qid, qv, radius in queries:
-        for cid, cemb in cents:
-            bound = radius + 5e-7 + cell_radii.get(int(cid), 0.0)
-            if _py_euclid(cemb, qv) <= bound:
-                probe_rows.append(
-                    (int(qid), int(cid), [float(x) for x in qv], float(radius))
-                )
+    probe_rows = [
+        (int(qid), cid, [float(x) for x in qv], float(radius))
+        for qid, qv, radius in queries
+        for cid in ivf_radius_probe_cells(cents, qv, radius, cell_radii)
+    ]
     probes = assigned.sparkSession.createDataFrame(
         probe_rows,
         schema="query_id long, ivf_cell long, qvec array<double>,"
@@ -680,11 +677,36 @@ def update_cell_radii(
     all vanished drops OUT of the dict (no members -> nothing a radius
     query could find there -> the probe bound never admits it)."""
     fresh = ivf_cell_radii(assigned, cents, vec_col, cells=touched_cells)
-    out = {
-        c: r for c, r in radii.items() if int(c) not in set(map(int, touched_cells))
-    }
+    touched = set(map(int, touched_cells))
+    out = {c: r for c, r in radii.items() if int(c) not in touched}
     out.update(fresh)
     return out
+
+
+#: rounding slack for radius probe bounds: the row filter compares
+#: round(dist, 6) <= radius, so the probe bound must cover the margin or
+#: a boundary vector's survival would depend on which cell it landed in
+RADIUS_ROUND_SLACK = 5e-7
+
+
+def ivf_radius_probe_cells(
+    cents: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    radius: float,
+    cell_radii: dict[int, float],
+) -> list[int]:
+    """Driver-side probe list for a radius query — the triangle-bound
+    cell filter shared by the single-query / batch operators and the
+    bench evidence (one definition, no copy-paste slack drift).  A cell
+    absent from ``cell_radii`` (no members) gets bound 0.0: it is
+    probed only if its centroid itself lies inside the radius, where
+    the empty scan is a no-op either way."""
+    return [
+        int(cid)
+        for cid, cemb in cents
+        if _py_euclid(cemb, query_vec)
+        <= radius + RADIUS_ROUND_SLACK + cell_radii.get(int(cid), 0.0)
+    ]
 
 
 def ivf_radius_search(
@@ -731,16 +753,7 @@ def ivf_radius_search(
         euclidean_distance,
     )
 
-    # 5e-7 slack: the row filter compares round(dist, 6) <= radius, so
-    # a vector at true distance radius + 4e-7 still matches — the probe
-    # bound must cover that rounding margin or a boundary vector's
-    # survival would depend on which cell it landed in
-    probe = [
-        int(cid)
-        for cid, cemb in cents
-        if _py_euclid(cemb, query_vec)
-        <= radius + 5e-7 + cell_radii.get(int(cid), 0.0)
-    ]
+    probe = ivf_radius_probe_cells(cents, query_vec, radius, cell_radii)
     return (
         assigned.where(F.col("ivf_cell").isin(probe))
         .withColumn(

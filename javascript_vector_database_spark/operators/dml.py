@@ -637,6 +637,7 @@ class ParquetTable:
         )
         if not delta.isStreaming:
             delta = delta.cache()
+        cached_winners = None
         try:
             if not self.exists():
                 self._swap_in(
@@ -683,6 +684,12 @@ class ParquetTable:
             ]
             if check_moved:
                 prev_sel.append(F.col(self._part).alias("__prev_part"))
+                # explicit existence flag: __prev_part IS NULL must mean
+                # "stored row lives in the null-sentinel directory", not
+                # "no stored row" — overloading its nullability made
+                # moves OUT of the NULL/'' partition invisible to detect
+                # (r12 review finding)
+                prev_sel.append(F.lit(True).alias("__prev_exists"))
             prev = cur.select(*prev_sel)
             winners = (
                 self._with_bucket(delta)
@@ -707,6 +714,10 @@ class ParquetTable:
                 .drop("__prev_rev", "__prev_csn", "__prev_dead")
             )
             if check_moved:
+                # the check materializes the delta-prev join once; cache
+                # it so the write below reuses it instead of re-scanning
+                # the touched partitions for a second join (r12 review)
+                cached_winners = winners = winners.cache()
                 # directory-name equality: '' and NULL share the
                 # __HIVE_DEFAULT_PARTITION__ dir, so nullif-fold both
                 # sides before comparing (a ''<->NULL "move" is not one)
@@ -714,7 +725,8 @@ class ParquetTable:
                 old_p = F.nullif(F.col("__prev_part").cast("string"), F.lit(""))
                 moved = (
                     winners.where(
-                        F.col("__prev_part").isNotNull() & ~new_p.eqNullSafe(old_p)
+                        F.coalesce(F.col("__prev_exists"), F.lit(False))
+                        & ~new_p.eqNullSafe(old_p)
                     )
                     .select(pk, self._part, "__prev_part")
                     .limit(3)
@@ -729,7 +741,7 @@ class ParquetTable:
                         " be stranded in its old partition; re-run with"
                         " moved_keys='repair' to rewrite old directories"
                     )
-                winners = winners.drop("__prev_part")
+                winners = winners.drop("__prev_part", "__prev_exists")
             kept = cur.join(winners.select(pk), pk, "left_anti")
             new_state = kept.unionByName(winners, allowMissingColumns=True)
             if touched is None:
@@ -737,6 +749,8 @@ class ParquetTable:
             else:
                 self._replace_partitions(new_state, touched)
         finally:
+            if cached_winners is not None:
+                cached_winners.unpersist()
             if not delta.isStreaming:
                 delta.unpersist()
 

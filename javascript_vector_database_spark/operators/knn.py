@@ -235,11 +235,19 @@ def compact_pivot_index_tables(
 ) -> None:
     """Re-sort each index table after a run of delta appends — the LSM
     compaction that restores footer prunability: range-partition +
-    sort each table by its own key and atomically swap the directory
-    (write to a sibling, os.replace).  Base table is compacted to
-    bounded file count without a sort (point lookups don't need one).
-    Cost: one shuffle per index table over that table's rows —
-    schedule it off the query path, like any OPTIMIZE."""
+    sort each table by its own key, write to a sibling dir, swap in.
+    Base table is compacted to bounded file count without a sort (point
+    lookups don't need one).  Cost: one shuffle per index table over
+    that table's rows — schedule it off the query path, like any
+    OPTIMIZE.
+
+    Swap discipline matches ParquetTable._swap_in: rmtree(live) then
+    os.replace(staged, live) — the rename is atomic, the pair is NOT
+    (a crash between them leaves that one table absent until re-run;
+    the staged data survives in the .tmp sibling).  The transactional
+    version is a Delta OPTIMIZE commit.  Stale .tmp siblings from a
+    crashed prior run are removed up front so a re-run always
+    completes instead of wedging on leftovers (r12 review)."""
     import shutil
 
     for name, key in [(f"idx{i}", f"idx{i}") for i in range(n_pivots)] + [
@@ -247,6 +255,8 @@ def compact_pivot_index_tables(
     ]:
         path = os.path.join(base_dir, name)
         tmp = path + ".compact.tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # crashed prior run's staging
         df = spark.read.parquet(path)
         if key is not None:
             w = (
@@ -256,10 +266,8 @@ def compact_pivot_index_tables(
         else:
             w = df.coalesce(n_files)
         w.write.mode("overwrite").parquet(tmp)
-        old = path + ".compact.old"
-        os.replace(path, old)
+        shutil.rmtree(path)
         os.replace(tmp, path)
-        shutil.rmtree(old)
 
 
 def open_pivot_index_tables(
@@ -314,7 +322,8 @@ def ann_index_range_stored(
             (F.col(f"idx{i}") > F.lit(lo)) & (F.col(f"idx{i}") < F.lit(hi))
         ).select(id_col)
         cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates([id_col])
+    # no dropDuplicates: left_semi already ignores duplicate right-side
+    # keys — the reference's Set union happens implicitly in the join
     hits = tables["base"].join(cands, id_col, "left_semi")
     return (
         with_distance(hits, query_vec, vec_col)
@@ -371,7 +380,8 @@ def ann_index_similarity_stored(
     cands = sides[0]
     for s in sides[1:]:
         cands = cands.unionByName(s)
-    cands = cands.dropDuplicates([id_col])
+    # no dropDuplicates: left_semi already ignores duplicate right-side
+    # keys (the Set-union dedup is implicit in the join semantics)
     hits = tables["base"].join(F.broadcast(cands), id_col, "left_semi")
     return (
         with_distance(hits, query_vec, vec_col)

@@ -114,7 +114,7 @@ _PRIORITY = [
     #        partitionBy(ivf_cell) layout: the probe list is a real
     #        PartitionFilter (plan-pinned, tests/test_plans.py) and the
     #        pruned-cell fraction on a clustered fixture is a bench
-    #        extra (radius_cells_pruned_frac);
+    #        extras (radius_cells_pruned_frac_corpus / _clustered);
     #      curation_leakage_safe_split — dedup-aware train/val/test
     #        split: LSH pairs -> connected components -> md5(ROOT)
     #        assignment, so no near-dup pair straddles splits; oracle

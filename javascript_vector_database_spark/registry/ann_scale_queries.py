@@ -377,7 +377,8 @@ def ann_ivf_radius_search_partitioned(
     never opened.  Same oracle as the inline sibling (the pruning is
     lossless); the PartitionFilters shape is plan-pinned in
     tests/test_r12_wave.py and the pruned-cell fraction on a clustered
-    fixture is a bench extra (radius_cells_pruned_frac)."""
+    fixture is a bench extra (radius_cells_pruned_frac_clustered,
+    beside the honest-zero radius_cells_pruned_frac_corpus)."""
     import os
     import tempfile
 

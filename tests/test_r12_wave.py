@@ -484,3 +484,50 @@ def test_pivot_index_append_compact_lifecycle(spark, tmp_path):
     sim_ref = knn.ann_index_similarity(emb, qv, pivots).collect()
     sim_got = knn.ann_index_similarity_stored(spark, base, qv, pivots).collect()
     assert [tuple(r) for r in sim_got] == [tuple(r) for r in sim_ref]
+
+
+def test_merge_cdc_moved_key_out_of_null_partition_detected(spark, tmp_path):
+    """r12 review finding: a key moving OUT of the NULL/'' partition must
+    raise under detect when the null directory is in the touched set —
+    __prev_part IS NULL means 'stored in the null dir', not 'no stored
+    row' (the explicit __prev_exists flag carries existence)."""
+    t = ParquetTable(spark, str(tmp_path / "nullmove"), "id", partition_col="cell")
+    t.merge_cdc(
+        _cdc(spark, [(1, "a", None, False, 1), (2, "b", None, False, 1)]),
+        lwt=0.0,
+    )
+    with pytest.raises(ValueError, match="key-stability"):
+        # id 2's update keeps the null dir in the touched set, so id 1's
+        # NULL -> p1 move is visible to the prev join
+        t.merge_cdc(
+            _cdc(spark, [(1, "a2", "p1", False, 2), (2, "b2", None, False, 2)]),
+            lwt=1.0,
+        )
+    # and the ''<->NULL spelling difference is still NOT a move
+    t2 = ParquetTable(spark, str(tmp_path / "nullsame"), "id", partition_col="cell")
+    t2.merge_cdc(_cdc(spark, [(1, "a", None, False, 1)]), lwt=0.0)
+    t2.merge_cdc(_cdc(spark, [(1, "a2", "", False, 2)]), lwt=1.0)
+    assert _alive(t2) == [(1, "a2")]
+
+
+def test_compact_pivot_index_recovers_from_stale_staging(spark, tmp_path):
+    """r12 review finding: a leftover .compact.tmp from a crashed prior
+    compaction must not wedge the next run."""
+    from javascript_vector_database_spark.operators import knn
+    from javascript_vector_database_spark.registry import (
+        get_query_vec,
+        used_pivots,
+    )
+    from javascript_vector_database_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qv = get_query_vec(spark, sf)
+    pivots = used_pivots(len(qv))
+    base = str(tmp_path / "stale")
+    knn.write_pivot_index_tables(emb, pivots, base)
+    os.makedirs(os.path.join(base, "idx0.compact.tmp", "junk"))
+    knn.compact_pivot_index_tables(spark, base)
+    got = knn.ann_index_range_stored(spark, base, qv, pivots).collect()
+    ref = knn.ann_index_range(emb, qv, pivots).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
