@@ -213,6 +213,75 @@ def knn_ann_similarity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.ann_index_similarity_stored(spark, base_dir, qv, pivots)
 
 
+def stream_pivot_index_tables_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STAGED r13: the SORTED secondary-index lifecycle certified live —
+    the sibling of stream_pivot_index_live (which maintains the keyed
+    MERGE table); this row maintains the five per-pivot SORTED index
+    tables (the reference's declared indexes, src/database.ts:103-109)
+    under streaming ingest with the LSM discipline:
+
+    * each micro-batch ANTI-JOINS against the stored base ids first
+      (the reference pipeline's idempotence gate, src/database.ts:182 —
+      an append-only sink must dedup BEFORE appending, unlike the MERGE
+      path where re-delivery is absorbed by the upsert), then appends
+      one unsorted segment per index table (append_pivot_index_delta);
+    * the feed arrives in two halves with a STOP/RESTART from the same
+      checkpoint between them, plus a RE-DELIVERED slice of the first
+      half that the anti-join must swallow;
+    * after the drain, compact_pivot_index_tables re-sorts every table
+      (the footer-prunability repayment measured by
+      tests/test_r12_wave.py and the pivot_idx_prunable_frac extra);
+    * the faithful ±0.003 band probe over the compacted stored tables
+      must hash-match the batch knn_ann_range oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from javascript_vector_database_spark.registry.feed_state import (
+        _stream_feed,
+    )
+    from javascript_vector_database_spark.streaming.pipeline import (
+        streaming_pipeline,
+    )
+
+    qv = get_query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pivots = used_pivots(len(qv))
+    tmp = tempfile.mkdtemp(prefix="stream_pividx_tabs_")
+    src = os.path.join(tmp, "src")
+    cp = os.path.join(tmp, "cp")
+    base_dir = os.path.join(tmp, "index")
+    feed_rest = _stream_feed(spark, emb, src, "vec_id")
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        base_path = os.path.join(base_dir, "base")
+        if os.path.exists(base_path):
+            seen = spark.read.parquet(base_path).select("vec_id")
+            batch = batch.join(seen, "vec_id", "left_anti")
+        knn.append_pivot_index_delta(batch, pivots, base_dir)
+
+    try:
+        q = streaming_pipeline(spark, src, emb.schema, handler, cp)
+        q.awaitTermination()
+        # re-deliver a slice of the first half (at-least-once file
+        # source), then the second half, resuming from the checkpoint
+        emb.where(
+            (F.coalesce(F.col("vec_id"), F.lit(0)) % 2 == 0)
+            & (F.col("vec_id") % 5 == 0)
+        ).write.mode("append").parquet(src)
+        feed_rest()
+        q2 = streaming_pipeline(spark, src, emb.schema, handler, cp)
+        q2.awaitTermination()
+        knn.compact_pivot_index_tables(spark, base_dir)
+        out = knn.ann_index_range_stored(spark, base_dir, qv, pivots)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @register("stream_pivot_index_live", oracle=_ann_range_oracle(ORACLE_DIM))
 def stream_pivot_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE REFERENCE'S OWN flagship write path certified live (20th

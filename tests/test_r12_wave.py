@@ -531,3 +531,20 @@ def test_compact_pivot_index_recovers_from_stale_staging(spark, tmp_path):
     got = knn.ann_index_range_stored(spark, base, qv, pivots).collect()
     ref = knn.ann_index_range(emb, qv, pivots).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
+def test_staged_stream_pivot_index_tables_live(spark):
+    """The LSM sorted-index lifecycle certified live (staged r13 row):
+    two-halves + stop/restart + re-delivered slice through the
+    anti-join idempotence gate, compaction, then the stored band probe
+    must hash-match the batch knn_ann_range oracle."""
+    from javascript_vector_database_spark.registry import (
+        vector_search as vs,
+    )
+    from tests.oracle_harness import compare
+
+    compare(
+        spark, "/root/testdata/sf0.01",
+        vs.stream_pivot_index_tables_live,
+        vs._ann_range_oracle(vs.ORACLE_DIM),
+    )
