@@ -429,8 +429,9 @@ WHERE d.distance <= rad.radius
 """
 
 
+@register("ann_ivf_radius_batch", oracle=_IVF_RADIUS_BATCH_ORACLE)
 def ann_ivf_radius_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r13: batch radius search — every vector within each
+    """Batch radius search — every vector within each
     query's own radius (the 20th exact-NN distance per query,
     data-derived on both engines).  Per-query triangle-bound probe sets
     ship as ONE broadcast (query_id, cell, qvec, radius) table and the
@@ -459,7 +460,8 @@ def ann_ivf_radius_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_radius_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r13: the radius query's standing 100 TB service — a live
+    """The radius query's standing 100 TB service (registered below,
+    after the CDC delete constants its alive-only oracle needs) — a live
     ``partitionBy(ivf_cell)`` table maintained by merge_cdc under the
     NASTY CDC schedule (delete wave before the second insert half,
     csn=1 re-delivery after the deletes), with the per-cell COVERING
@@ -1902,6 +1904,20 @@ _DELETE_RES = 3
 #: discipline removes the restriction.
 _CSN_INSERT = 1
 _CSN_DELETE = 2
+
+# r13: registration of stream_radius_index_live (defined above with the
+# other radius rows) sits here because its alive-only oracle needs the
+# delete-wave constants; the hash match certifies update_cell_radii — an
+# under-covering maintained radius would prune a matching cell.
+register(
+    "stream_radius_index_live",
+    oracle=_ivf_radius_oracle(
+        table=(
+            f"(SELECT * FROM embeddings"
+            f" WHERE NOT (vec_id % {_DELETE_MOD} = {_DELETE_RES})) "
+        )
+    ),
+)(stream_radius_index_live)
 
 _BQ_DELETED_ORACLE = _bq_search_oracle(
     ORACLE_DIM,

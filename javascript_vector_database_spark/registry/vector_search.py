@@ -188,35 +188,13 @@ def knn_ann_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.ann_index_range_stored(spark, base_dir, qv, pivots)
 
 
-def knn_ann_similarity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r13 (no @register yet: the r12 window is exactly full):
-    the reference's SECOND search mode over its stored index —
-    vectorSearchIndexSimilarity's per-pivot $lt/$gt + limit Mango
-    queries (src/search.ts:56-109) run as sargable mini-scans of the
-    five sorted per-pivot secondary-index tables
-    (operators/knn.py:ann_index_similarity_stored), union-dedup +
-    broadcast doc-read re-rank.  Same oracle as knn_ann_similarity:
-    the stored probe must hash-match the recompute path.  Value-checked
-    locally by tests/test_r12_wave.py through the identical compare
-    contract."""
-    import os
-    import tempfile
-
-    qv = get_query_vec(spark, sf_dir)
-    pivots = used_pivots(len(qv))
-    base_dir = os.path.join(
-        tempfile.mkdtemp(prefix="pivot_idx_sim_"), "pivot_index"
-    )
-    knn.write_pivot_index_tables(
-        load_table(spark, sf_dir, "embeddings"), pivots, base_dir
-    )
-    return knn.ann_index_similarity_stored(spark, base_dir, qv, pivots)
-
-
+@register(
+    "stream_pivot_index_tables_live", oracle=_ann_range_oracle(ORACLE_DIM)
+)
 def stream_pivot_index_tables_live(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """STAGED r13: the SORTED secondary-index lifecycle certified live —
+    """The SORTED secondary-index lifecycle certified live —
     the sibling of stream_pivot_index_live (which maintains the keyed
     MERGE table); this row maintains the five per-pivot SORTED index
     tables (the reference's declared indexes, src/database.ts:103-109)
@@ -413,6 +391,33 @@ def knn_ann_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = get_query_vec(spark, sf_dir)
     pivots = used_pivots(len(qv))
     return knn.ann_index_similarity(load_table(spark, sf_dir, "embeddings"), qv, pivots)
+
+
+@register(
+    "knn_ann_similarity_indexed", oracle=_ann_similarity_oracle(ORACLE_DIM)
+)
+def knn_ann_similarity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND search mode over its stored index —
+    vectorSearchIndexSimilarity's per-pivot $lt/$gt + limit Mango
+    queries (src/search.ts:56-109) run as sargable mini-scans of the
+    five sorted per-pivot secondary-index tables
+    (operators/knn.py:ann_index_similarity_stored), union-dedup +
+    broadcast doc-read re-rank.  Same oracle as knn_ann_similarity:
+    the stored probe must hash-match the recompute path.  The in-row
+    index build is itemized separately in bench
+    (ann_similarity_indexed_sec_per_query is the steady-state probe)."""
+    import os
+    import tempfile
+
+    qv = get_query_vec(spark, sf_dir)
+    pivots = used_pivots(len(qv))
+    base_dir = os.path.join(
+        tempfile.mkdtemp(prefix="pivot_idx_sim_"), "pivot_index"
+    )
+    knn.write_pivot_index_tables(
+        load_table(spark, sf_dir, "embeddings"), pivots, base_dir
+    )
+    return knn.ann_index_similarity_stored(spark, base_dir, qv, pivots)
 
 
 # ---------------------------------------------------------------------------
