@@ -285,6 +285,32 @@ def main() -> None:
         _calib_shuffle, label="calib_shuffle_sec"
     )
 
+    # r13 (r12 verdict ask #2): self-correcting start probe.  A
+    # contended start calib poisons every drift denominator downstream
+    # (r12: 4.08x disagreement at start, and the gate extra of record
+    # breached 2x while three solo runs sat at 1.1-1.2x).  If either
+    # start probe's two back-to-back runs disagreed >2x, back off
+    # briefly and re-probe, bounded; the cleanest (min) probe is the
+    # denominator of record and the attempt count ships in the artifact.
+    start_calib_attempts = 1
+    while (
+        "calib_cpu_sec" in _CONTENDED_EXTRA
+        or "calib_shuffle_sec" in _CONTENDED_EXTRA
+    ) and start_calib_attempts < 3:
+        time.sleep(10)
+        _CONTENDED_EXTRA.pop("calib_cpu_sec", None)
+        _CONTENDED_EXTRA.pop("calib_shuffle_sec", None)
+        c1, _ = _timed_best2(_calib_cpu, label="calib_cpu_sec")
+        c2, _ = _timed_best2(_calib_shuffle, label="calib_shuffle_sec")
+        results["calib_cpu_sec"] = min(results["calib_cpu_sec"], c1)
+        results["calib_shuffle_sec"] = min(results["calib_shuffle_sec"], c2)
+        start_calib_attempts += 1
+    results["start_calib_attempts"] = start_calib_attempts
+    start_contended = (
+        "calib_cpu_sec" in _CONTENDED_EXTRA
+        or "calib_shuffle_sec" in _CONTENDED_EXTRA
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     n_vec = emb.count()
     dim = len(emb.select("embedding").first()[0])
@@ -301,186 +327,293 @@ def main() -> None:
     # the 2x baseline gate grades (pipeline/bulk/knn/ann families) are
     # timed FIRST, immediately after the start calibration probe --
     # before the ~200-row headline pass and the 10x/30x columns age
-    # the JVM or a co-tenant ramps.  gate_calib_cpu_sec (below, taken
-    # right after the gate block) + gate_calib_drift make the gate
-    # numbers self-defending: a drifted box is machine-readable in
-    # the artifact, not an appendix anecdote.
-    # pipeline throughput: embed + pivot-index + merge, batch flavor.
-    # A pipeline run is stateful (second pass over the same dest would
-    # process 0 new docs), so best-of-2 means two runs against FRESH
-    # dest/checkpoint dirs, keeping the better throughput.
-    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
-    try:
-        # warmup (r12): the gate block now runs FIRST, so the pipeline
-        # would otherwise pay first-touch JIT/codegen for the Arrow UDF
-        # + MERGE machinery inside its timed window (measured: ~370 vs
-        # ~540 docs/s warm).  One tiny sf0.001 run warms the exact code
-        # paths; throughput is a steady-state claim, not a cold-start
-        # one — same discipline as the headline warmup pass.
-        _warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-        if os.path.isdir(_warm_sf):
-            _wdocs = load_table(spark, _warm_sf, "documents").select(
+    # the JVM or a co-tenant ramps.  gate_calib_cpu_sec (probed at the
+    # end of every attempt) + gate_calib_drift make the gate numbers
+    # self-defending: a drifted box is machine-readable in the
+    # artifact, not an appendix anecdote.
+    #
+    # r13 (r12 verdict ask #2): self-CORRECTING, not just self-
+    # defending.  The whole gate block runs as an attempt; the block
+    # re-runs on the same warmed JVM (bounded) when the box self-flags:
+    # the start probe was contended, the attempt's own drift probe read
+    # > GATE_DRIFT_RETRY vs the start calib, or any gate row's
+    # best-of-2 disagreed >2x.  Per metric the recorded value is the
+    # best across attempts — contention is one-sided noise, the same
+    # justification as best-of-2 — and when >1 attempt ran, every
+    # attempt's full metric set + contended flags ship in
+    # gate_attempt_metrics / gate_attempt_contended for audit.
+    # <m>_drift_normalized columns (scaled by the cleanest attempt's
+    # same-run drift) give the driver a gateable number even when the
+    # box never quiets inside the attempt budget.
+    GATE_MAX_ATTEMPTS = 3
+    GATE_DRIFT_RETRY = 1.5
+    GATE_THROUGHPUT = ("pipeline_docs_per_sec", "bulk_load_rows_per_sec")
+    GATE_LATENCY = (
+        "knn_exact_sec_per_query",
+        "ann_range_sec_per_query",
+        "ann_range_tuned_sec_per_query",
+        "ann_similarity_sec_per_query",
+    )
+    _gate_labels = (
+        set(GATE_THROUGHPUT) | set(GATE_LATENCY) | {"gate_calib_cpu_sec"}
+    )
+
+    from javascript_vector_database_spark.pivots import TUNED_INDEX_DISTANCE
+
+    gate_sets: dict[str, list] = {}
+
+    def _gate_attempt(first: bool) -> dict[str, float]:
+        g: dict[str, float] = {}
+        # pipeline throughput: embed + pivot-index + merge, batch
+        # flavor.  A pipeline run is stateful (a second pass over the
+        # same dest would process 0 new docs), so best-of-2 means two
+        # runs against FRESH dest/checkpoint dirs, keeping the better
+        # throughput.
+        tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+        try:
+            if first:
+                # warmup (r12): the gate block runs FIRST, so the
+                # pipeline would otherwise pay first-touch JIT/codegen
+                # for the Arrow UDF + MERGE machinery inside its timed
+                # window.  One tiny sf0.001 run warms the exact code
+                # paths; throughput is a steady-state claim, not a
+                # cold-start one.  The steady quiet-box number is
+                # ~340-375 docs/s (confirmed by three r12 solo runs) —
+                # NOT the 540 single-run anecdote; treat that range as
+                # the expectation when reading this column.
+                _warm_sf = os.path.join(
+                    os.path.dirname(sf_dir.rstrip("/")), "sf0.001"
+                )
+                if os.path.isdir(_warm_sf):
+                    _wdocs = load_table(spark, _warm_sf, "documents").select(
+                        F.col("doc_id").alias("id"),
+                        F.col("text").alias("body"),
+                        F.col("doc_id").cast("double").alias("_lwt"),
+                    )
+                    _wsrc = os.path.join(tmp, "warm_items")
+                    _wdocs.write.parquet(_wsrc)
+                    _wdest = ParquetTable(
+                        spark, os.path.join(tmp, "warm_vec"), "id"
+                    )
+
+                    def _whandler(batch):
+                        new = anti_join_new(batch, _wdest, "id", "id")
+                        e = new.withColumn(
+                            "embedding", embed_udf(dim)(F.col("body"))
+                        )
+                        return knn.build_pivot_index(e, pivots).select(
+                            "id", "embedding",
+                            *[f"idx{i}" for i in range(len(pivots))],
+                        )
+
+                    Pipeline(
+                        spark, "bench_warm", _wsrc, _wdest, _whandler,
+                        os.path.join(tmp, "warm_cp"), source_pk="id",
+                    ).await_idle()
+
+            docs = load_table(spark, sf_dir, "documents").select(
                 F.col("doc_id").alias("id"),
                 F.col("text").alias("body"),
                 F.col("doc_id").cast("double").alias("_lwt"),
             )
-            _wsrc = os.path.join(tmp, "warm_items")
-            _wdocs.write.parquet(_wsrc)
-            _wdest = ParquetTable(spark, os.path.join(tmp, "warm_vec"), "id")
+            src_path = os.path.join(tmp, "items")
+            docs.write.parquet(src_path)
+            n_docs = docs.count()
 
-            def _whandler(batch):
-                new = anti_join_new(batch, _wdest, "id", "id")
-                e = new.withColumn(
-                    "embedding", embed_udf(dim)(F.col("body"))
-                )
-                return knn.build_pivot_index(e, pivots).select(
-                    "id", "embedding",
-                    *[f"idx{i}" for i in range(len(pivots))],
+            def run_pipeline(run: int) -> float:
+                dest = ParquetTable(
+                    spark, os.path.join(tmp, f"vectors{run}"), "id"
                 )
 
-            Pipeline(
-                spark, "bench_warm", _wsrc, _wdest, _whandler,
-                os.path.join(tmp, "warm_cp"), source_pk="id",
-            ).await_idle()
+                def handler(batch):
+                    new = anti_join_new(batch, dest, "id", "id")
+                    e = new.withColumn(
+                        "embedding", embed_udf(dim)(F.col("body"))
+                    )
+                    return knn.build_pivot_index(e, pivots).select(
+                        "id", "embedding",
+                        *[f"idx{i}" for i in range(len(pivots))],
+                    )
 
-        docs = load_table(spark, sf_dir, "documents").select(
-            F.col("doc_id").alias("id"),
-            F.col("text").alias("body"),
-            F.col("doc_id").cast("double").alias("_lwt"),
-        )
-        src_path = os.path.join(tmp, "items")
-        docs.write.parquet(src_path)
-        n_docs = docs.count()
+                pipe = Pipeline(
+                    spark, "bench", src_path, dest, handler,
+                    os.path.join(tmp, f"cp{run}"), source_pk="id",
+                    batch_size=max(1000, n_docs // 4),
+                )
+                t, total = _timed(pipe.await_idle)
+                return total / t
 
-        def run_pipeline(run: int) -> float:
-            dest = ParquetTable(
-                spark, os.path.join(tmp, f"vectors{run}"), "id"
+            g["pipeline_docs_per_sec"] = max(
+                run_pipeline(0), run_pipeline(1)
             )
 
-            def handler(batch):
-                new = anti_join_new(batch, dest, "id", "id")
-                e = new.withColumn("embedding", embed_udf(dim)(F.col("body")))
-                return knn.build_pivot_index(e, pivots).select(
-                    "id", "embedding", *[f"idx{i}" for i in range(len(pivots))]
-                )
-
-            pipe = Pipeline(
-                spark, "bench", src_path, dest, handler,
-                os.path.join(tmp, f"cp{run}"), source_pk="id",
-                batch_size=max(1000, n_docs // 4),
-            )
-            t, total = _timed(pipe.await_idle)
-            return total / t
-
-        results["pipeline_docs_per_sec"] = max(
-            run_pipeline(0), run_pipeline(1)
-        )
-
-        # bulk-load throughput: two-table load (importData(true) path);
-        # overwrite-idempotent, so min-of-2 applies directly
-        t, _ = _timed_best2(
-            lambda: (
-                load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(
-                    os.path.join(tmp, "load_docs")
+            # bulk-load throughput: two-table load (importData(true)
+            # path); overwrite-idempotent, so min-of-2 applies directly
+            t, _ = _timed_best2(
+                lambda: (
+                    load_table(spark, sf_dir, "documents")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(tmp, "load_docs")),
+                    emb.write.mode("overwrite").parquet(
+                        os.path.join(tmp, "load_emb")
+                    ),
                 ),
-                emb.write.mode("overwrite").parquet(os.path.join(tmp, "load_emb")),
-            ),
-            label="bulk_load_rows_per_sec",
+                label="bulk_load_rows_per_sec",
+            )
+            g["bulk_load_rows_per_sec"] = (n_docs + n_vec) / t
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        # exact kNN
+        t, gate_sets["exact"] = _timed_best2(
+            lambda: [
+                {r["vec_id"] for r in knn.exact_knn(emb, qv).collect()}
+                for qv in qvecs
+            ],
+            label="knn_exact_sec_per_query",
         )
-        results["bulk_load_rows_per_sec"] = (n_docs + n_vec) / t
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        g["knn_exact_sec_per_query"] = t / len(qvecs)
 
-
-    # exact kNN
-    t, exact_sets = _timed_best2(
-        lambda: [
-            {r["vec_id"] for r in knn.exact_knn(emb, qv).collect()} for qv in qvecs
-        ],
-        label="knn_exact_sec_per_query"
-    )
-    results["knn_exact_sec_per_query"] = t / len(qvecs)
-
-    # ANN range (precomputed index) + recall
-    t, ann_sets = _timed_best2(
-        lambda: [
-            {
-                r["vec_id"]
-                for r in knn.ann_index_range(indexed, qv, pivots, precomputed=True).collect()
-            }
-            for qv in qvecs
-        ],
-        label="ann_range_sec_per_query"
-    )
-    results["ann_range_sec_per_query"] = t / len(qvecs)
-    results["ann_range_recall_at_10"] = sum(
-        len(a & e) / len(e) for a, e in zip(ann_sets, exact_sets)
-    ) / len(qvecs)
-
-    # tuned band (r10): the band knob demonstrated — recall/docs-read at
-    # pivots.TUNED_INDEX_DISTANCE alongside the faithful 0.003 row
-    from javascript_vector_database_spark.pivots import TUNED_INDEX_DISTANCE
-
-    t, tuned_sets = _timed_best2(
-        lambda: [
-            {
-                r["vec_id"]
-                for r in knn.ann_index_range(
-                    indexed,
-                    qv,
-                    pivots,
-                    index_distance=TUNED_INDEX_DISTANCE,
-                    precomputed=True,
-                ).collect()
-            }
-            for qv in qvecs
-        ],
-        label="ann_range_tuned_sec_per_query"
-    )
-    results["ann_range_tuned_sec_per_query"] = t / len(qvecs)
-    results["ann_range_tuned_recall_at_10"] = sum(
-        len(a & e) / len(e) for a, e in zip(tuned_sets, exact_sets)
-    ) / len(qvecs)
-    results["ann_range_tuned_docs_read_ratio"] = (
-        knn.candidate_count(
-            indexed,
-            qvecs[0],
-            pivots,
-            index_distance=TUNED_INDEX_DISTANCE,
-            precomputed=True,
+        # ANN range (precomputed index) + recall
+        t, gate_sets["ann"] = _timed_best2(
+            lambda: [
+                {
+                    r["vec_id"]
+                    for r in knn.ann_index_range(
+                        indexed, qv, pivots, precomputed=True
+                    ).collect()
+                }
+                for qv in qvecs
+            ],
+            label="ann_range_sec_per_query",
         )
-        / n_vec
-    )
+        g["ann_range_sec_per_query"] = t / len(qvecs)
+        g["ann_range_recall_at_10"] = sum(
+            len(a & e) / len(e)
+            for a, e in zip(gate_sets["ann"], gate_sets["exact"])
+        ) / len(qvecs)
 
-    # ANN similarity
-    t, sim_sets = _timed_best2(
-        lambda: [
-            {
-                r["vec_id"]
-                for r in knn.ann_index_similarity(
-                    indexed, qv, pivots, precomputed=True
-                ).collect()
-            }
-            for qv in qvecs
-        ],
-        label="ann_similarity_sec_per_query"
-    )
-    results["ann_similarity_sec_per_query"] = t / len(qvecs)
-    results["ann_similarity_recall_at_10"] = sum(
-        len(a & e) / len(e) for a, e in zip(sim_sets, exact_sets)
-    ) / len(qvecs)
+        # tuned band (r10): the band knob demonstrated — recall/docs-read
+        # at pivots.TUNED_INDEX_DISTANCE alongside the faithful 0.003 row
+        t, gate_sets["tuned"] = _timed_best2(
+            lambda: [
+                {
+                    r["vec_id"]
+                    for r in knn.ann_index_range(
+                        indexed,
+                        qv,
+                        pivots,
+                        index_distance=TUNED_INDEX_DISTANCE,
+                        precomputed=True,
+                    ).collect()
+                }
+                for qv in qvecs
+            ],
+            label="ann_range_tuned_sec_per_query",
+        )
+        g["ann_range_tuned_sec_per_query"] = t / len(qvecs)
+        g["ann_range_tuned_recall_at_10"] = sum(
+            len(a & e) / len(e)
+            for a, e in zip(gate_sets["tuned"], gate_sets["exact"])
+        ) / len(qvecs)
+        g["ann_range_tuned_docs_read_ratio"] = (
+            knn.candidate_count(
+                indexed,
+                qvecs[0],
+                pivots,
+                index_distance=TUNED_INDEX_DISTANCE,
+                precomputed=True,
+            )
+            / n_vec
+        )
 
-    # docs-read ratio for the range ANN (reference docReads metric)
-    reads = knn.candidate_count(indexed, qvecs[0], pivots, precomputed=True)
-    results["ann_docs_read_ratio"] = reads / n_vec
+        # ANN similarity
+        t, gate_sets["sim"] = _timed_best2(
+            lambda: [
+                {
+                    r["vec_id"]
+                    for r in knn.ann_index_similarity(
+                        indexed, qv, pivots, precomputed=True
+                    ).collect()
+                }
+                for qv in qvecs
+            ],
+            label="ann_similarity_sec_per_query",
+        )
+        g["ann_similarity_sec_per_query"] = t / len(qvecs)
+        g["ann_similarity_recall_at_10"] = sum(
+            len(a & e) / len(e)
+            for a, e in zip(gate_sets["sim"], gate_sets["exact"])
+        ) / len(qvecs)
 
-    # gate block ends here: re-probe the box so every gate metric above
-    # carries a same-run drift denominator (r11: the end-of-run probe
-    # read 17x the start probe, and the gate extras of record were the
-    # casualties)
-    results["gate_calib_cpu_sec"], _ = _timed_best2(
-        _calib_cpu, label="gate_calib_cpu_sec"
+        # docs-read ratio for the range ANN (reference docReads metric)
+        reads = knn.candidate_count(
+            indexed, qvecs[0], pivots, precomputed=True
+        )
+        g["ann_docs_read_ratio"] = reads / n_vec
+
+        # attempt-local drift probe: the same fixed CPU workload as the
+        # start calib, timed right where the gate numbers ended
+        g["gate_calib_cpu_sec"], _ = _timed_best2(
+            _calib_cpu, label="gate_calib_cpu_sec"
+        )
+        return g
+
+    gate_attempts: list[dict[str, float]] = []
+    gate_attempt_flags: list[dict[str, float]] = []
+    for _att in range(GATE_MAX_ATTEMPTS):
+        # clear the previous attempt's gate flags (already recorded in
+        # gate_attempt_flags) so this attempt's flags are its own
+        for k in list(_CONTENDED_EXTRA):
+            if k in _gate_labels:
+                del _CONTENDED_EXTRA[k]
+        g = _gate_attempt(first=(_att == 0))
+        flags = {
+            k: v for k, v in _CONTENDED_EXTRA.items() if k in _gate_labels
+        }
+        gate_attempts.append(g)
+        gate_attempt_flags.append(flags)
+        drift = g["gate_calib_cpu_sec"] / results["calib_cpu_sec"]
+        if (
+            drift <= GATE_DRIFT_RETRY
+            and not flags
+            and not (_att == 0 and start_contended)
+        ):
+            break
+
+    # per-metric merge: deterministic companions (recalls, docs-read
+    # ratios) from the cleanest attempt; throughput = max, latency = min
+    # across attempts (contention only ever slows a correct plan).
+    _best_att = min(gate_attempts, key=lambda a: a["gate_calib_cpu_sec"])
+    results.update(_best_att)
+    for m in GATE_THROUGHPUT:
+        results[m] = max(a[m] for a in gate_attempts)
+    for m in GATE_LATENCY:
+        results[m] = min(a[m] for a in gate_attempts)
+    results["gate_attempts"] = len(gate_attempts)
+    if len(gate_attempts) > 1:
+        results["gate_attempt_metrics"] = gate_attempts
+        results["gate_attempt_contended"] = gate_attempt_flags
+
+    # drift-normalized gate columns (r12 verdict ask #2): the cleanest
+    # attempt's same-run drift scales each gate metric to what a quiet
+    # box would have measured.  Normalization never moves a metric when
+    # the box was quiet (drift <= 1 -> factor 1), so on a clean run the
+    # _drift_normalized column equals the raw one; under contention it
+    # is the column the gate should read, with the raw value and the
+    # drift both beside it in the same artifact.
+    _gate_norm = max(
+        1.0, results["gate_calib_cpu_sec"] / results["calib_cpu_sec"]
     )
+    results["gate_drift_norm_factor"] = _gate_norm
+    for m in GATE_THROUGHPUT:
+        results[m + "_drift_normalized"] = results[m] * _gate_norm
+    for m in GATE_LATENCY:
+        results[m + "_drift_normalized"] = results[m] / _gate_norm
+
+    exact_sets = gate_sets["exact"]
+    ann_sets = gate_sets["ann"]
+    sim_sets = gate_sets["sim"]
 
     # the reference's pivot index STORED (knn_ann_range_indexed's path):
     # five per-pivot sorted secondary-index tables + doc-read re-rank.
@@ -527,8 +660,95 @@ def main() -> None:
             )
             fracs.append(_lay.prunable_fraction(stats, {f"idx{i}": band}))
         results["pivot_idx_prunable_frac"] = sum(fracs) / len(fracs)
+
+        # the SECOND search mode over the same stored tables
+        # (vectorSearchIndexSimilarity, src/search.ts:56-109) — the
+        # steady-state probe beside the registered
+        # knn_ann_similarity_indexed row (whose headline time includes
+        # its in-row index build)
+        t, simidx_sets = _timed_best2(
+            lambda: [
+                {
+                    r["vec_id"]
+                    for r in knn.ann_index_similarity_stored(
+                        spark, pividx_dir, qv, pivots, tables=_idx_tabs
+                    ).collect()
+                }
+                for qv in qvecs
+            ],
+            label="ann_similarity_indexed_sec_per_query",
+        )
+        results["ann_similarity_indexed_sec_per_query"] = t / len(qvecs)
+        assert simidx_sets == sim_sets, (
+            "stored similarity != recomputed similarity"
+        )
     finally:
         shutil.rmtree(pividx_dir, ignore_errors=True)
+
+    # LSM lifecycle measured (r12 verdict ask #4): the append tax and
+    # the compaction repayment in the artifact, not only pinned in
+    # tests (operators/knn.py:195,230).  Base = 2/3 of the corpus
+    # sorted, then two unsorted delta segments, then compaction; band
+    # prunability measured at each state — appended drops below the
+    # sorted fraction (an unsorted segment's [min,max] spans the key
+    # range, so the band can't skip it), compaction restores it.  Probe
+    # equality vs the recomputed path asserted at both states.
+    lsm_dir = tempfile.mkdtemp(prefix="bench_pividx_lsm_")
+    try:
+        knn.write_pivot_index_tables(
+            emb.where(F.col("vec_id") % 3 != 0), pivots, lsm_dir
+        )
+        knn.append_pivot_index_delta(
+            emb.where(
+                (F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 0)
+            ),
+            pivots, lsm_dir,
+        )
+        knn.append_pivot_index_delta(
+            emb.where(
+                (F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 != 0)
+            ),
+            pivots, lsm_dir,
+        )
+
+        def _lsm_frac() -> float:
+            fr = []
+            for i, p in enumerate(pivots):
+                d_i = knn._py_euclid(p, qvecs[0])
+                band = (
+                    d_i - d_i * INDEX_DISTANCE,
+                    d_i + d_i * INDEX_DISTANCE,
+                )
+                stats = _lay.rowgroup_minmax_stats(
+                    os.path.join(lsm_dir, f"idx{i}"), [f"idx{i}"]
+                )
+                fr.append(
+                    _lay.prunable_fraction(stats, {f"idx{i}": band})
+                )
+            return sum(fr) / len(fr)
+
+        results["pivot_idx_prunable_frac_appended"] = _lsm_frac()
+        app_set = {
+            r["vec_id"]
+            for r in knn.ann_index_range_stored(
+                spark, lsm_dir, qvecs[0], pivots
+            ).collect()
+        }
+        assert app_set == ann_sets[0], "appended stored != recomputed"
+        t, _ = _timed(
+            lambda: knn.compact_pivot_index_tables(spark, lsm_dir)
+        )
+        results["pivot_idx_compact_sec"] = t
+        results["pivot_idx_prunable_frac_compacted"] = _lsm_frac()
+        comp_set = {
+            r["vec_id"]
+            for r in knn.ann_index_range_stored(
+                spark, lsm_dir, qvecs[0], pivots
+            ).collect()
+        }
+        assert comp_set == ann_sets[0], "compacted stored != recomputed"
+    finally:
+        shutil.rmtree(lsm_dir, ignore_errors=True)
 
     # scale-path ANN (IVF nprobe=2, multi-probe LSH) over precomputed
     # write-time assignments — sec/query + recall vs exact

@@ -38,8 +38,10 @@ plus the model weights themselves (the reference's checkpoint,
 src/vector.ts:8): ``huggingface-cli download
 sentence-transformers/all-MiniLM-L6-v2 --local-dir $SPARK_GRAFT_WHEEL_DIR/minilm``
 and set ``HF_HUB_OFFLINE=1`` — ``REFERENCE_MODEL`` resolves a local path
-first.  Re-probed this round: no SPARK_GRAFT_WHEEL_DIR present, pypi
-still unreachable; the gate stays warm.
+first.  Re-probed round 13 (as every round): no SPARK_GRAFT_WHEEL_DIR
+present, getaddrinfo still fails for pypi.org and
+files.pythonhosted.org, sentence_transformers/PIL still unimportable;
+the gate stays warm.
 """
 
 from __future__ import annotations

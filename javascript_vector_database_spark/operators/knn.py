@@ -158,6 +158,7 @@ def write_pivot_index_tables(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_files: int = 8,
+    compat_strings: bool = False,
 ) -> None:
     """Materialize the reference's pivot index as STORED tables — the
     write-time path behind ``ann_index_range_stored``.
@@ -174,14 +175,25 @@ def write_pivot_index_tables(
     re-rank.  One source scan feeds all five index writes plus the base
     (the pivot distances are scan-local projections, no shuffle); at
     100 TB this is a per-collection build job, amortized over every
-    subsequent query like any secondary index."""
-    src = build_pivot_index(df, pivots, vec_col).cache()
+    subsequent query like any secondary index.
+
+    ``compat_strings=True`` stores the key the reference PHYSICALLY
+    stores — the 10-char lexicographic string of
+    ``indexNrToString`` (src/database.ts:223-225) — instead of the
+    double: each table becomes (id, idxN_str) sorted by the string.
+    Parquet keeps binary min/max stats for strings, so string band
+    predicates prune row groups exactly like the double mode; probe
+    with ``ann_index_range_compat_stored``."""
+    src = build_pivot_index(
+        df, pivots, vec_col, compat_strings=compat_strings
+    ).cache()
     try:
         for i in range(len(pivots)):
+            key = f"idx{i}_str" if compat_strings else f"idx{i}"
             (
-                src.select(id_col, f"idx{i}")
-                .repartitionByRange(n_files, F.col(f"idx{i}"))
-                .sortWithinPartitions(f"idx{i}")
+                src.select(id_col, key)
+                .repartitionByRange(n_files, F.col(key))
+                .sortWithinPartitions(key)
                 .write.mode("overwrite")
                 .parquet(os.path.join(base_dir, f"idx{i}"))
             )
@@ -324,6 +336,49 @@ def ann_index_range_stored(
         cands = c if cands is None else cands.unionByName(c)
     # no dropDuplicates: left_semi already ignores duplicate right-side
     # keys — the reference's Set union happens implicitly in the join
+    hits = tables["base"].join(cands, id_col, "left_semi")
+    return (
+        with_distance(hits, query_vec, vec_col)
+        .select(id_col, "distance")
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ann_index_range_compat_stored(
+    spark: SparkSession,
+    base_dir: str,
+    query_vec: list[float],
+    pivots: list[list[float]],
+    k: int = TOP_K,
+    index_distance: float = INDEX_DISTANCE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """The reference's PHYSICAL index probed as stored: the 10-char
+    lexicographic string keys (indexNrToString,
+    src/database.ts:223-225) persisted as the five sorted per-pivot
+    secondary tables (``write_pivot_index_tables(compat_strings=True)``)
+    and range-scanned with STRING band bounds (src/search.ts:27-36) —
+    quirk-faithful, so it diverges from the double-key stored mode
+    across digit-count regime boundaries exactly like
+    ``ann_index_range_compat`` (SURVEY §1.3), and hash-matches that
+    row's oracle.  Parquet keeps binary min/max footer stats for
+    strings, so the string band prunes row groups the same way the
+    double tables do; candidates union-dedup via the shared left_semi
+    doc-read re-rank, no corpus shuffle."""
+    tables = tables or open_pivot_index_tables(spark, base_dir, len(pivots))
+    cands = None
+    for i, p in enumerate(pivots):
+        d_i = _py_euclid(p, query_vec)
+        lo = _py_index_string(d_i - d_i * index_distance)
+        hi = _py_index_string(d_i + d_i * index_distance)
+        c = tables[f"idx{i}"].where(
+            (F.col(f"idx{i}_str") > F.lit(lo))
+            & (F.col(f"idx{i}_str") < F.lit(hi))
+        ).select(id_col)
+        cands = c if cands is None else cands.unionByName(c)
     hits = tables["base"].join(cands, id_col, "left_semi")
     return (
         with_distance(hits, query_vec, vec_col)

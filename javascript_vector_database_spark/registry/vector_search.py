@@ -520,6 +520,36 @@ def knn_ann_range_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ann_range_compat_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STAGED r14 (no @register yet: the r13 window is exactly full —
+    compare-checked at sf0.01 by tests/test_r13_wave.py through the
+    identical driver contract): the last fidelity seam between "what
+    the reference stores" and "what we store" closed — the stored
+    secondary-index tables carry the reference's PHYSICAL key, the
+    10-char lexicographic string (src/database.ts:223-225), and the
+    probe range-scans them with STRING band bounds (src/search.ts:27-36)
+    via operators/knn.py:ann_index_range_compat_stored.  Same oracle as
+    knn_ann_range_compat: the stored string probe must hash-match the
+    recompute-per-query string path, quirks included."""
+    import os
+    import tempfile
+
+    qv = get_query_vec(spark, sf_dir)
+    pivots = used_pivots(len(qv))
+    base_dir = os.path.join(
+        tempfile.mkdtemp(prefix="pivot_idx_compat_"), "pivot_index"
+    )
+    knn.write_pivot_index_tables(
+        load_table(spark, sf_dir, "embeddings"),
+        pivots,
+        base_dir,
+        compat_strings=True,
+    )
+    return knn.ann_index_range_compat_stored(spark, base_dir, qv, pivots)
+
+
 @register("compat_index_string", oracle=_compat_oracle(ORACLE_DIM))
 def compat_index_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 10-char lexicographic index key, reproduced for
