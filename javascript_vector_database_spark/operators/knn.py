@@ -388,6 +388,80 @@ def ann_index_range_compat_stored(
     )
 
 
+def ann_index_range_stored_batch(
+    spark: SparkSession,
+    base_dir: str,
+    queries: list[tuple[int, list[float]]],
+    pivots: list[list[float]],
+    k: int = TOP_K,
+    index_distance: float = INDEX_DISTANCE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Batch probe of the STORED pivot index — eval-set retrieval over
+    the reference's physical index shape (the batch sibling of
+    ``ann_index_range_stored``, completing the batch family beside
+    ``knn_batch``/``ivf_batch_search``/``pq_batch_search``).
+
+    |Q|·n_pivots band mini-scans of the sorted skinny tables — the SAME
+    sargable pushed predicates the single-query probe runs, planned in
+    ONE job DAG so the driver submits once and every scan's row-group
+    skipping still applies — each tagged with its query_id, then
+    per-query dedup (the reference's Set union), ONE hash join back to
+    the base table for the doc reads (candidate side is band-bounded
+    tiny, so it broadcasts), a broadcast join to the (query_id, qvec)
+    table for the exact distances, and per-query top-k through a
+    row_number window Catalyst rewrites into a two-phase
+    WindowGroupLimit.  The corpus is never fanned out by |Q| and never
+    shuffled; scan count grows with |Q|·n_pivots, so for huge eval
+    batches prefer the IVF batch path (equi-join on stored cells) —
+    this is the faithful stored-index shape for bounded batches.
+    Output: (query_id, vec_id, distance)."""
+    from pyspark.sql.window import Window
+
+    tables = tables or open_pivot_index_tables(spark, base_dir, len(pivots))
+    cands = None
+    for qid, qv in queries:
+        for i, p in enumerate(pivots):
+            d_i = _py_euclid(p, qv)
+            lo, hi = d_i - d_i * index_distance, d_i + d_i * index_distance
+            c = (
+                tables[f"idx{i}"]
+                .where(
+                    (F.col(f"idx{i}") > F.lit(lo))
+                    & (F.col(f"idx{i}") < F.lit(hi))
+                )
+                .select(F.lit(qid).alias("query_id"), id_col)
+            )
+            cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["query_id", id_col])
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        schema="query_id int, qvec array<double>",
+    )
+    scored = (
+        tables["base"]
+        .join(F.broadcast(cands), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                euclidean_distance(F.col(vec_col), F.col("qvec")), 6
+            ).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", id_col, "distance")
+    )
+
+
 def ann_index_similarity_stored(
     spark: SparkSession,
     base_dir: str,

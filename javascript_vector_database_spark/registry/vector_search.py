@@ -188,6 +188,78 @@ def knn_ann_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.ann_index_range_stored(spark, base_dir, qv, pivots)
 
 
+#: the batch-probe query-id set (rows of the embeddings table, so the
+#: oracle derives identical query vectors)
+IDX_BATCH_IDS = (1, 2, 7)
+
+
+def _ann_range_batch_oracle(
+    dim: int,
+    ids: tuple[int, ...] = IDX_BATCH_IDS,
+    index_distance: float = INDEX_DISTANCE,
+) -> str:
+    conds = []
+    for lit in _pivot_lits(dim):
+        d_i = osql.sql_euclid(lit, "q.qv")
+        e_i = osql.sql_euclid("e.embedding", lit)
+        conds.append(
+            f"({e_i} > {d_i} - {d_i} * {index_distance}"
+            f" AND {e_i} < {d_i} + {d_i} * {index_distance})"
+        )
+    cond = "\n   OR ".join(conds)
+    return f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id IN {ids}),
+cand AS (
+  SELECT q.query_id, e.vec_id,
+         round({osql.sql_euclid('e.embedding', 'q.qv')}, 6) AS distance
+  FROM embeddings e CROSS JOIN qs q
+  WHERE {cond}
+)
+SELECT query_id, vec_id, distance FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY distance ASC, vec_id ASC) AS rn
+  FROM cand
+) WHERE rn <= 10
+"""
+
+
+def knn_ann_range_indexed_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STAGED r14 (no @register yet: the r13 window is exactly full —
+    compare-checked at sf0.01 by tests/test_r13_wave.py through the
+    identical driver contract): eval-set retrieval over the reference's
+    STORED index — the batch sibling of knn_ann_range_indexed,
+    completing the batch family (knn_batch_exact / ann_ivf_batch_search
+    / ann_pq_batch_search) on the index shape the reference actually
+    ships.  |Q|·5 sargable band mini-scans planned in ONE job (each
+    still pushes to parquet and skips row groups), per-query Set-union
+    dedup, one broadcast doc-read join, per-query top-10 through a
+    WindowGroupLimit (operators/knn.py:ann_index_range_stored_batch)."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.where(F.col("vec_id").isin(list(IDX_BATCH_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in q_rows
+    ]
+    pivots = used_pivots(len(queries[0][1]))
+    base_dir = os.path.join(
+        tempfile.mkdtemp(prefix="pivot_idx_batch_"), "pivot_index"
+    )
+    knn.write_pivot_index_tables(emb, pivots, base_dir)
+    return knn.ann_index_range_stored_batch(
+        spark, base_dir, queries, pivots
+    )
+
+
 @register(
     "stream_pivot_index_tables_live", oracle=_ann_range_oracle(ORACLE_DIM)
 )

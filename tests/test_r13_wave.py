@@ -93,6 +93,57 @@ def test_compat_stored_pushes_string_bands(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_staged_r14_indexed_batch_matches_oracle(spark):
+    """The batch stored-index probe value-checked at sf0.01 through the
+    driver contract before its r14 registration flip."""
+    from javascript_vector_database_spark.registry import vector_search as vs
+    from tests.oracle_harness import compare
+
+    compare(
+        spark,
+        SF_ORACLE,
+        vs.knn_ann_range_indexed_batch,
+        vs._ann_range_batch_oracle(vs.ORACLE_DIM),
+    )
+
+
+def test_indexed_batch_equals_singles_and_plan(spark, tmp_path):
+    """Batch == per-query single probes row-for-row, and the plan keeps
+    the 100 TB shape: no cartesian, rank filter rewritten into a
+    WindowGroupLimit, band predicates pushed to the index scans."""
+    from javascript_vector_database_spark.registry import vector_search as vs
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pivots = used_pivots(len(get_query_vec(spark, SF_SMOKE)))
+    base = str(tmp_path / "batch_idx")
+    knn.write_pivot_index_tables(emb, pivots, base)
+    q_rows = (
+        emb.where(F.col("vec_id").isin(list(vs.IDX_BATCH_IDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in q_rows
+    ]
+    batch = knn.ann_index_range_stored_batch(spark, base, queries, pivots)
+    got = {
+        (r["query_id"], r["vec_id"], r["distance"])
+        for r in batch.collect()
+    }
+    want = set()
+    for qid, qv in queries:
+        for r in knn.ann_index_range_stored(spark, base, qv, pivots).collect():
+            want.add((qid, r["vec_id"], r["distance"]))
+    assert got == want
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan, plan
+    segs = [p.split("]", 1)[0] for p in plan.split("PushedFilters: [")[1:]]
+    assert any("GreaterThan(idx0" in s and "LessThan(idx0" in s for s in segs)
+
+
 def test_r13_window_composition():
     """The driver stamps the first 50 registered names: the four
     r13-new rows must sit inside, every window row must carry an
@@ -111,5 +162,6 @@ def test_r13_window_composition():
         assert n in window, n
     oracles = registry.oracle_sql()
     assert all(n in oracles for n in names[:50])
-    # staged r14 row is NOT registered yet (window full)
+    # staged r14 rows are NOT registered yet (window full)
     assert "knn_ann_range_compat_indexed" not in names
+    assert "knn_ann_range_indexed_batch" not in names
