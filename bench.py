@@ -72,6 +72,74 @@ def _timed_best2(fn, label: str | None = None):
     return min(t1, t2), out
 
 
+#: the contract extras the 2x baseline gate grades, and the bounded
+#: self-correction knobs (r13, r12 verdict ask #2) — see the gate block
+#: in main() for the full rationale
+GATE_MAX_ATTEMPTS = 3
+GATE_DRIFT_RETRY = 1.5
+GATE_THROUGHPUT = ("pipeline_docs_per_sec", "bulk_load_rows_per_sec")
+GATE_LATENCY = (
+    "knn_exact_sec_per_query",
+    "ann_range_sec_per_query",
+    "ann_range_tuned_sec_per_query",
+    "ann_similarity_sec_per_query",
+)
+
+
+def _gate_should_retry(
+    drift: float,
+    flags: dict,
+    attempt_idx: int,
+    start_contended: bool,
+    retry_threshold: float = GATE_DRIFT_RETRY,
+) -> bool:
+    """Re-run the gate block iff the box self-flagged: the attempt's own
+    drift probe ran slow vs the start calib, any gate row's best-of-2
+    disagreed >2x, or (first attempt only) the start probe itself was
+    still contended after its bounded re-probes."""
+    if drift > retry_threshold:
+        return True
+    if flags:
+        return True
+    return attempt_idx == 0 and start_contended
+
+
+def _merge_gate_attempts(
+    attempts: list[dict],
+    attempt_flags: list[dict],
+    calib_cpu_sec: float,
+) -> dict:
+    """Fold N gate-block attempts into the metrics of record.
+
+    Deterministic companions (recalls, docs-read ratios) come from the
+    cleanest attempt (lowest drift probe); per gate metric the record is
+    the best across attempts — throughput max, latency min — on the
+    same one-sided-noise justification as best-of-2.  When more than
+    one attempt ran, the full per-attempt metric sets + contended flags
+    ship as gate_attempt_metrics / gate_attempt_contended so the
+    correction is auditable, and <m>_drift_normalized columns scale each
+    gate metric by the cleanest attempt's same-run drift (clamped at 1:
+    a quiet box's normalized column EQUALS the raw one)."""
+    out: dict = {}
+    best = min(attempts, key=lambda a: a["gate_calib_cpu_sec"])
+    out.update(best)
+    for m in GATE_THROUGHPUT:
+        out[m] = max(a[m] for a in attempts)
+    for m in GATE_LATENCY:
+        out[m] = min(a[m] for a in attempts)
+    out["gate_attempts"] = len(attempts)
+    if len(attempts) > 1:
+        out["gate_attempt_metrics"] = attempts
+        out["gate_attempt_contended"] = attempt_flags
+    norm = max(1.0, out["gate_calib_cpu_sec"] / calib_cpu_sec)
+    out["gate_drift_norm_factor"] = norm
+    for m in GATE_THROUGHPUT:
+        out[m + "_drift_normalized"] = out[m] * norm
+    for m in GATE_LATENCY:
+        out[m + "_drift_normalized"] = out[m] / norm
+    return out
+
+
 #: integer-key columns shifted per scale-up copy.  ONE shared offset per
 #: copy (1e9 * copy) keeps cross-table joins intact (l_orderkey matches
 #: o_orderkey, o_custkey matches c_custkey) and copy 0 unshifted, so
@@ -345,15 +413,6 @@ def main() -> None:
     # <m>_drift_normalized columns (scaled by the cleanest attempt's
     # same-run drift) give the driver a gateable number even when the
     # box never quiets inside the attempt budget.
-    GATE_MAX_ATTEMPTS = 3
-    GATE_DRIFT_RETRY = 1.5
-    GATE_THROUGHPUT = ("pipeline_docs_per_sec", "bulk_load_rows_per_sec")
-    GATE_LATENCY = (
-        "knn_exact_sec_per_query",
-        "ann_range_sec_per_query",
-        "ann_range_tuned_sec_per_query",
-        "ann_similarity_sec_per_query",
-    )
     _gate_labels = (
         set(GATE_THROUGHPUT) | set(GATE_LATENCY) | {"gate_calib_cpu_sec"}
     )
@@ -574,42 +633,14 @@ def main() -> None:
         gate_attempts.append(g)
         gate_attempt_flags.append(flags)
         drift = g["gate_calib_cpu_sec"] / results["calib_cpu_sec"]
-        if (
-            drift <= GATE_DRIFT_RETRY
-            and not flags
-            and not (_att == 0 and start_contended)
-        ):
+        if not _gate_should_retry(drift, flags, _att, start_contended):
             break
 
-    # per-metric merge: deterministic companions (recalls, docs-read
-    # ratios) from the cleanest attempt; throughput = max, latency = min
-    # across attempts (contention only ever slows a correct plan).
-    _best_att = min(gate_attempts, key=lambda a: a["gate_calib_cpu_sec"])
-    results.update(_best_att)
-    for m in GATE_THROUGHPUT:
-        results[m] = max(a[m] for a in gate_attempts)
-    for m in GATE_LATENCY:
-        results[m] = min(a[m] for a in gate_attempts)
-    results["gate_attempts"] = len(gate_attempts)
-    if len(gate_attempts) > 1:
-        results["gate_attempt_metrics"] = gate_attempts
-        results["gate_attempt_contended"] = gate_attempt_flags
-
-    # drift-normalized gate columns (r12 verdict ask #2): the cleanest
-    # attempt's same-run drift scales each gate metric to what a quiet
-    # box would have measured.  Normalization never moves a metric when
-    # the box was quiet (drift <= 1 -> factor 1), so on a clean run the
-    # _drift_normalized column equals the raw one; under contention it
-    # is the column the gate should read, with the raw value and the
-    # drift both beside it in the same artifact.
-    _gate_norm = max(
-        1.0, results["gate_calib_cpu_sec"] / results["calib_cpu_sec"]
+    results.update(
+        _merge_gate_attempts(
+            gate_attempts, gate_attempt_flags, results["calib_cpu_sec"]
+        )
     )
-    results["gate_drift_norm_factor"] = _gate_norm
-    for m in GATE_THROUGHPUT:
-        results[m + "_drift_normalized"] = results[m] * _gate_norm
-    for m in GATE_LATENCY:
-        results[m + "_drift_normalized"] = results[m] / _gate_norm
 
     exact_sets = gate_sets["exact"]
     ann_sets = gate_sets["ann"]
