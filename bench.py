@@ -140,6 +140,20 @@ def _merge_gate_attempts(
     return out
 
 
+def _round_extra(results: dict) -> dict:
+    """Serialize the extras map: round scalars, pass structured values
+    through.  A self-corrected gate block (>1 attempt) merges
+    LIST-valued audit columns (gate_attempt_metrics /
+    gate_attempt_contended) into ``results``; ``round()`` on those
+    crashed the whole artifact at serialization time — after every
+    measurement had already run — exactly when the self-correction
+    fired (r13 inherited mid-build bug)."""
+    return {
+        k: (round(v, 6) if isinstance(v, (int, float)) else v)
+        for k, v in results.items()
+    }
+
+
 #: integer-key columns shifted per scale-up copy.  ONE shared offset per
 #: copy (1e9 * copy) keeps cross-table joins intact (l_orderkey matches
 #: o_orderkey, o_custkey matches c_custkey) and copy 0 unshifted, so
@@ -1759,7 +1773,7 @@ def main() -> None:
         "sf1_contended": sf1_contended,
         "sf30_contended": sf30_contended,
         "extra_contended": _CONTENDED_EXTRA,
-        "extra": {k: round(v, 6) for k, v in results.items()},
+        "extra": _round_extra(results),
         "sf": sf,
         "sf1_gen_sec": round(sf1_gen_sec, 3),
         "sf1_total_sec": round(sum(sf1_queries.values()), 3),

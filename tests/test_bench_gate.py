@@ -82,6 +82,26 @@ def test_merge_takes_best_per_metric_and_keeps_audit_trail():
     assert out["gate_attempt_contended"] == flags
 
 
+def test_round_extra_survives_multi_attempt_audit_columns():
+    """The r13 inherited crash: a merged multi-attempt gate block puts
+    LIST-valued audit columns into results, and the artifact
+    serialization must not round() them — the bug destroyed a complete
+    ~25-min bench run at the final print, firing exactly when the gate
+    self-correction did (i.e. only on a contended box)."""
+    slow = _attempt(calib=3.0, pipe=180.0, exact=0.6)
+    fast = _attempt(calib=1.0, pipe=360.0, exact=0.3)
+    merged = bench._merge_gate_attempts(
+        [slow, fast], [{"pipeline_docs_per_sec": 2.2}, {}], calib_cpu_sec=1.0
+    )
+    results = {"calib_cpu_sec": 1.2345678, **merged}
+    out = bench._round_extra(results)
+    assert out["calib_cpu_sec"] == 1.234568
+    assert out["gate_attempt_metrics"] == [slow, fast]  # passed through
+    import json
+
+    json.dumps(out)  # JSON-serializable end to end
+
+
 def test_merge_normalization_scales_by_cleanest_drift():
     a = _attempt(calib=2.0, pipe=200.0, exact=0.5)
     out = bench._merge_gate_attempts([a], [{}], calib_cpu_sec=1.0)
