@@ -810,7 +810,17 @@ def hits(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
     renormalized side feeds the NEXT half-round — without pinning, the
     final plan contains ~2^(2*rounds) copies of the base subtree
     (measured: 89 Exchanges at rounds=2 before the checkpoints, ~10
-    after).  Eager, for rank.py's broadcast-thread deadlock reason."""
+    after).  Eager, for rank.py's broadcast-thread deadlock reason.
+
+    r14: the scalar max rides an ``Observation`` on the SAME job that
+    materializes the half-round's checkpoint (one job per half-round
+    instead of checkpoint + a separate max pass), and the renormalizing
+    DIV inlines it as a literal — the identical floor division on the
+    identical max.  The score join is hinted SHUFFLE_HASH: the build
+    side is the node-sized score table, and a sort-merge join would
+    re-sort the edge list every half-round."""
+    from pyspark.sql import Observation
+
     if rounds < 1:
         raise ValueError(f"hits() needs rounds >= 1, got {rounds}")
     e = edges.select("src", "dst")
@@ -818,29 +828,33 @@ def hits(edges: DataFrame, rounds: int = HITS_ROUNDS) -> DataFrame:
         "src", F.lit(HITS_SCALE).cast("long").alias("h")
     )
 
+    _obs_n = iter(range(10_000))
+
     def renorm(df: DataFrame, col: str) -> DataFrame:
-        df = df.localCheckpoint(eager=True)  # consumed by max AND project
-        mx = df.agg(F.max(col).cast("long").alias("__mx"))
-        # coalesce keeps the empty-edge-list case lazy (zero rows ride
-        # through every join; the 1-row NULL max never meets a row) —
-        # no driver-side isEmpty() action on the hot path
-        return df.crossJoin(F.broadcast(mx)).select(
+        # the max is observed while the checkpoint job materializes the
+        # half-round's raw sums — no second pass, no 1-row crossJoin.
+        # coalesce(.., 1): an empty edge list publishes a NULL max; the
+        # zero rows then ride every join either way.
+        obs = Observation(f"hits_mx_{next(_obs_n)}")
+        df = df.observe(obs, F.max(F.col(col)).cast("long").alias("__mx"))
+        df = df.localCheckpoint(eager=True)
+        mx = obs.get["__mx"]
+        mx = 1 if mx is None else int(mx)
+        return df.select(
             *[c for c in df.columns if c != col],
-            F.expr(
-                f"({col} * {HITS_SCALE}) DIV coalesce(__mx, 1)"
-            ).alias(col),
+            F.expr(f"({col} * {HITS_SCALE}) DIV {mx}").alias(col),
         )
 
     auth = None
     for _ in range(rounds):
         auth = renorm(
-            e.join(hubs, "src").groupBy("dst").agg(
+            e.join(hubs.hint("shuffle_hash"), "src").groupBy("dst").agg(
                 F.sum("h").cast("long").alias("a")
             ),
             "a",
         )
         hubs = renorm(
-            e.join(auth, "dst").groupBy("src").agg(
+            e.join(auth.hint("shuffle_hash"), "dst").groupBy("src").agg(
                 F.sum("a").cast("long").alias("h")
             ),
             "h",
