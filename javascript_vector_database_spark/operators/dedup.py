@@ -729,66 +729,87 @@ def duplicate_clusters(
     large-star/small-star formulation bounds rounds to O(log n) — this
     driver loop keeps the simpler shape and logs a hard ``max_iter`` so
     the cap is never silent.  ``localCheckpoint`` truncates the growing
-    plan lineage each round (the classic iterative-DataFrame footgun)."""
+    plan lineage each round (the classic iterative-DataFrame footgun).
+
+    r14 round shape (same labels, fewer exchanges):
+
+    * the INIT is the first propagation round fused into one grouped
+      min — label0(v) = min(v, neighbors(v)) — for the same single
+      shuffle the old identity init paid, saving one full round;
+    * each round is ONE edge join + ONE union-grouped min (3 exchanges:
+      labels to the join, the edge side, the partial-agged group) —
+      the old shape re-joined labels onto the neighbor mins (5).  The
+      self leg carries the old label through the aggregation, so the
+      fixpoint probe (min label undercuts old label — valid for ANY id
+      type) still rides the materializing checkpoint job as an
+      Observation;
+    * no ``distinct`` on the symmetric edge list: a grouped min is
+      multiset-invariant, every candidate-pair generator in the repo
+      already emits distinct (id_a < id_b) pairs, and the union of the
+      two orientations of a distinct oriented list is distinct by
+      construction — the old dedup shuffle bought nothing."""
+    from pyspark.sql import Observation
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     # materialize the edge list ONCE: every round joins it, and without
     # this each round would recompute the (possibly expensive) candidate-
     # pair pipeline feeding `pairs` from scratch
     sym = sym.localCheckpoint()
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("cluster_id", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__mn")).alias("cluster_id"),
+        )
         .localCheckpoint()
     )
-    from pyspark.sql import Observation
-
+    lbl_type = labels.schema["cluster_id"].dataType
     for it in range(max_iter):
-        nbr_min = (
-            sym.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("cluster_id").alias("dlbl")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dlbl").alias("nlbl"))
+        contrib = sym.join(
+            labels.select(
+                F.col("node").alias("src"), F.col("cluster_id").alias("lbl")
+            ).hint("shuffle_hash"),
+            "src",
+        ).select(
+            F.col("dst").alias("node"),
+            "lbl",
+            F.lit(None).cast(lbl_type).alias("__own"),
+        )
+        own = labels.select(
+            "node",
+            F.col("cluster_id").alias("lbl"),
+            F.col("cluster_id").alias("__own"),
         )
         # the fixpoint probe rides the SAME job that materializes the
-        # round's labels: a changed row is exactly one whose neighbor min
-        # undercuts its label (valid for ANY id type — a numeric label-sum
-        # probe would NULL out on string ids), and the observed metric is
-        # published when localCheckpoint materializes the frame — one job
-        # per round instead of checkpoint + a separate probe join+count
+        # round's labels (Observation published by the checkpoint):
+        # exactly one __own per node (labels is keyed), so min(__own)
+        # IS the old label and a changed row is min(lbl) < it.
+        # coalesce: sum over ZERO rows publishes NULL, and an empty
+        # candidate-pair input must converge on round 0, not spin to
+        # the max_iter RuntimeError
         obs = Observation(f"cc_round_{it}")
         upd = (
-            labels.join(
-                nbr_min.select(F.col("src").alias("node"), "nlbl"), "node", "left"
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nlbl"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-                F.coalesce(
-                    F.col("nlbl") < F.col("cluster_id"), F.lit(False)
-                ).alias("__chg"),
+            contrib.unionByName(own)
+            .groupBy("node")
+            .agg(
+                F.min("lbl").alias("cluster_id"),
+                F.min("__own").alias("__old"),
             )
             .observe(
                 obs,
-                # coalesce: sum over ZERO rows publishes NULL, and an empty
-                # candidate-pair input must converge on round 0, not spin to
-                # the max_iter RuntimeError
                 F.coalesce(
-                    F.sum(F.col("__chg").cast("long")), F.lit(0)
+                    F.sum(
+                        (F.col("cluster_id") < F.col("__old")).cast("long")
+                    ),
+                    F.lit(0),
                 ).alias("n_changed"),
             )
         )
-        labels = upd.drop("__chg").localCheckpoint()
+        labels = upd.drop("__old").localCheckpoint()
         if obs.get["n_changed"] == 0:
             break
     else:
