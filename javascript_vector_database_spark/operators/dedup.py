@@ -1021,7 +1021,7 @@ def duplicate_clusters_star(
             .select("u", F.least("__mn", "u").alias("m"))
         )
         large = (
-            nbrs.join(m_all, "u")
+            nbrs.join(m_all.hint("shuffle_hash"), "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -1030,27 +1030,42 @@ def duplicate_clusters_star(
         # -- small-star: per node x over its SMALLER-or-equal neighbors,
         # m = min; connect those neighbors (and x) to m
         m_small = large.groupBy("u").agg(F.min("v").alias("m"))
-        joined = large.join(m_small, "u")
+        joined = large.join(m_small.hint("shuffle_hash"), "u")
         small = (
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(joined.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
-        # fixpoint: oriented edge sets identical — ONE symmetric-
-        # difference count via a full-outer join of the two (checkpointed,
-        # tiny) edge frames instead of two anti-join count jobs
-        changed = (
+        # fixpoint: oriented edge sets identical — the symmetric-
+        # difference count is OBSERVED on the full-outer join whose
+        # matched side IS the next round's edge set, so one job per
+        # round materializes the new edges AND publishes the diff
+        # (the old shape checkpointed small, then ran a second
+        # full-outer count job over the two frames)
+        obs = Observation(f"star_round_{it}")
+        merged = (
             small.withColumn("__a", F.lit(1))
             .join(
                 edges.withColumn("__b", F.lit(1)), ["u", "v"], "full_outer"
             )
-            .where(F.col("__a").isNull() | F.col("__b").isNull())
-            .count()
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        (F.col("__a").isNull() | F.col("__b").isNull())
+                        .cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("n_diff"),
+            )
         )
-        edges = small
-        if changed == 0:
+        edges = (
+            merged.where(F.col("__a") == 1)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        if obs.get["n_diff"] == 0:
             break
     else:
         raise RuntimeError(
