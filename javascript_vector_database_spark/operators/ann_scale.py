@@ -766,3 +766,143 @@ def ivf_radius_search(
         .select(id_col, "distance")
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
     )
+
+
+def ivf_radius_narrow_table(
+    assigned_or_emb: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: bool = False,
+) -> DataFrame:
+    """ONE scan that derives every number a radius query needs from the
+    wide corpus: per row the ivf cell, the distance to its own centroid
+    (the covering-radius input), and the ROUNDED distance to each query
+    vector — materialized as an eager localCheckpoint so the follow-up
+    probes (K-row radii aggregate, top-nn radius derivation, the final
+    band filter) run over a 4-column table instead of re-folding the
+    vector column once per consumer (guide §1.2/§2.3: the registered
+    radius row previously paid the 384-element fold 3·K+2 times per
+    row across its sequential passes; this pays K+|Q| once).
+
+    ``assigned=True`` means the input already carries ``ivf_cell`` (the
+    stored ``partitionBy(ivf_cell)`` layout) and only the cdist
+    when-cascade (one fold per row) plus the query distances are
+    computed.  Output: (id, ivf_cell, cdist, __qd<i> per query)."""
+    from javascript_vector_database_spark.functions.vector import (
+        euclidean_distance,
+    )
+
+    qd_cols = [
+        F.round(
+            euclidean_distance(F.col(vec_col), _qvec_lit(qv)), 6
+        ).alias(f"__qd{i}")
+        for i, (_qid, qv) in enumerate(query_vecs)
+    ]
+    if assigned:
+        cent_map = {int(cid): cemb for cid, cemb in cents}
+        chain = None
+        for cid, cemb in cent_map.items():
+            expr = euclidean_distance(F.col(vec_col), _qvec_lit(cemb))
+            chain = (
+                F.when(F.col("ivf_cell") == cid, expr)
+                if chain is None
+                else chain.when(F.col("ivf_cell") == cid, expr)
+            )
+        narrow = assigned_or_emb.select(
+            F.col(id_col), F.col("ivf_cell"), chain.alias("cdist"), *qd_cols
+        )
+    else:
+        narrow = ivf_assign_dist(
+            assigned_or_emb, id_col, vec_col, cents=cents
+        ).select(F.col(id_col), "ivf_cell", "cdist", *qd_cols)
+    return narrow.localCheckpoint(eager=True)
+
+
+def radius_from_narrow(
+    narrow: DataFrame, qd_col: str, nn: int, id_col: str = "vec_id"
+) -> float:
+    """The data-derived radius (nn-th exact-NN rounded distance) off the
+    narrow table — the same value _nn_radius derives with a full corpus
+    fold, for a bounded top-nn over one double column."""
+    rows = (
+        narrow.select(qd_col, id_col)
+        .orderBy(F.col(qd_col).asc(), F.col(id_col).asc())
+        .limit(nn)
+        .collect()
+    )
+    return max(float(r[qd_col]) for r in rows)
+
+
+def cell_radii_from_narrow(narrow: DataFrame) -> dict[int, float]:
+    """Covering radii off the narrow table — same K-row dict as
+    ivf_cell_radii, without re-folding the vector column."""
+    rows = (
+        narrow.groupBy("ivf_cell")
+        .agg(F.max("cdist").alias("radius"))
+        .collect()
+    )
+    return {int(r["ivf_cell"]): float(r["radius"]) for r in rows}
+
+
+def ivf_radius_search_fused(
+    emb: DataFrame,
+    query_vec: list[float],
+    cents: list[tuple[int, list[float]]],
+    nn: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query radius search where assignment, covering radii, the
+    data-derived radius, and the final band filter all come from ONE
+    corpus scan (ivf_radius_narrow_table).  Result rows are identical
+    to ivf_radius_search over the same inputs: the cell pruning is the
+    same lossless triangle bound and the emitted distance is the same
+    rounded fold."""
+    narrow = ivf_radius_narrow_table(
+        emb, [(0, query_vec)], cents, id_col, vec_col
+    )
+    radii = cell_radii_from_narrow(narrow)
+    radius = radius_from_narrow(narrow, "__qd0", nn, id_col)
+    probe = ivf_radius_probe_cells(cents, query_vec, radius, radii)
+    return (
+        narrow.where(F.col("ivf_cell").isin(probe))
+        .where(F.col("__qd0") <= radius)
+        .select(id_col, F.col("__qd0").alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    )
+
+
+def ivf_radius_batch_fused(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    cents: list[tuple[int, list[float]]],
+    nn: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch radius search off one narrow scan: each query's radius is
+    its nn-th exact-NN distance (same derivation the single-query row
+    uses), the per-query probe sets are the same driver-side triangle
+    bounds, and the final emission explodes the per-query rounded
+    distances already sitting in the narrow table — the corpus is
+    never re-folded per query.  Output: (query_id, id, distance),
+    exactly ivf_radius_batch's rows."""
+    narrow = ivf_radius_narrow_table(emb, queries, cents, id_col, vec_col)
+    radii = cell_radii_from_narrow(narrow)
+    sel = None
+    for i, (qid, qv) in enumerate(queries):
+        radius = radius_from_narrow(narrow, f"__qd{i}", nn, id_col)
+        probe = ivf_radius_probe_cells(cents, qv, radius, radii)
+        cond = (
+            F.col("ivf_cell").isin(probe)
+            & (F.col(f"__qd{i}") <= F.lit(radius))
+        )
+        leg = narrow.where(cond).select(
+            F.lit(int(qid)).cast("long").alias("query_id"),
+            F.col(id_col),
+            F.col(f"__qd{i}").alias("distance"),
+        )
+        sel = leg if sel is None else sel.unionByName(leg)
+    return sel

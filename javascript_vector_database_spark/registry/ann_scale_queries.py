@@ -353,16 +353,18 @@ def ann_ivf_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     this unit-norm high-dim corpus the covering radii blanket the space
     and no cell prunes — the query degrades to the correct full scan;
     the bound bites on clustered data (3/4 cells pruned in the crafted
-    low-dim pin, tests/test_r11_wave.py)."""
+    low-dim pin, tests/test_r11_wave.py).
+
+    r14: assignment, covering radii, the data-derived radius, and the
+    band filter all come from ONE corpus scan
+    (ann_scale.ivf_radius_search_fused) — the old shape re-folded the
+    vector column in four sequential passes (radii when-cascade, the
+    exact-NN radius scan, the final assignment+distance scan)."""
     qv = get_query_vec(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ann_scale.collect_centroids(emb)
-    assigned = emb.withColumn(
-        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
-    )
-    radii = ann_scale.ivf_cell_radii(assigned, cents)
-    return ann_scale.ivf_radius_search(
-        assigned, qv, _nn_radius(emb, qv), cents, radii
+    return ann_scale.ivf_radius_search_fused(
+        emb, qv, cents, RADIUS_NN
     )
 
 
@@ -397,10 +399,17 @@ def ann_ivf_radius_search_partitioned(
         .parquet(layout)
     )
     stored = spark.read.parquet(layout)
-    radii = ann_scale.ivf_cell_radii(stored, cents)
-    return ann_scale.ivf_radius_search(
-        stored, qv, _nn_radius(emb, qv), cents, radii
+    # r14: radii + the data-derived radius come from ONE narrow pass
+    # over the stored layout (cdist when-cascade + rounded query
+    # distance) instead of a radii scan over `stored` plus a separate
+    # exact-NN scan over the original table.  The final probe still
+    # scans `stored`, keeping the plan-pinned PartitionFilters shape.
+    narrow = ann_scale.ivf_radius_narrow_table(
+        stored, [(0, qv)], cents, assigned=True
     )
+    radii = ann_scale.cell_radii_from_narrow(narrow)
+    radius = ann_scale.radius_from_narrow(narrow, "__qd0", RADIUS_NN)
+    return ann_scale.ivf_radius_search(stored, qv, radius, cents, radii)
 
 
 #: STAGED r13 (no @register yet: the r12 window is exactly full).  The
@@ -439,24 +448,22 @@ def ann_ivf_radius_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_radius_batch) — the radius sibling of ann_ivf_batch_search."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ann_scale.collect_centroids(emb)
-    assigned = emb.withColumn(
-        "ivf_cell", ann_scale.ivf_cell_expr(F.col("embedding"), cents)
-    )
-    radii = ann_scale.ivf_cell_radii(assigned, cents)
     q_rows = (
         emb.where(F.col("vec_id").isin(list(RADIUS_BATCH_IDS)))
         .select("vec_id", "embedding")
         .collect()
     )
     queries = [
-        (
-            int(r["vec_id"]),
-            [float(x) for x in r["embedding"]],
-            _nn_radius(emb, [float(x) for x in r["embedding"]]),
-        )
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in q_rows
     ]
-    return ann_scale.ivf_radius_batch(assigned, queries, cents, radii)
+    # r14: one narrow corpus scan feeds the radii, every per-query
+    # radius derivation, and the final per-query band emission
+    # (ann_scale.ivf_radius_batch_fused) — the old shape ran one
+    # exact-NN scan PER query plus a radii scan plus the final join.
+    return ann_scale.ivf_radius_batch_fused(
+        emb, queries, cents, RADIUS_NN
+    )
 
 
 def stream_radius_index_live(spark: SparkSession, sf_dir: str) -> DataFrame:
