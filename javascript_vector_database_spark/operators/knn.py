@@ -184,11 +184,23 @@ def write_pivot_index_tables(
     Parquet keeps binary min/max stats for strings, so string band
     predicates prune row groups exactly like the double mode; probe
     with ``ann_index_range_compat_stored``."""
+    from concurrent.futures import ThreadPoolExecutor
+
     src = build_pivot_index(
         df, pivots, vec_col, compat_strings=compat_strings
     ).cache()
     try:
-        for i in range(len(pivots)):
+        # materialize the cache ONCE before the concurrent writers (a
+        # cold cache offers no cross-job computation lock, so parallel
+        # first-touch would redo the pivot folds per writer)
+        src.count()
+
+        # the six writes are independent jobs over the same cached
+        # input — submit them from a small thread pool so each write's
+        # range-sampling pass and output tail back-fill the cores the
+        # others leave idle (guide §2.6); Spark's scheduler interleaves
+        # concurrent jobs in one application safely
+        def _write_idx(i: int) -> None:
             key = f"idx{i}_str" if compat_strings else f"idx{i}"
             (
                 src.select(id_col, key)
@@ -197,9 +209,17 @@ def write_pivot_index_tables(
                 .write.mode("overwrite")
                 .parquet(os.path.join(base_dir, f"idx{i}"))
             )
-        src.select(id_col, vec_col).write.mode("overwrite").parquet(
-            os.path.join(base_dir, "base")
-        )
+
+        def _write_base() -> None:
+            src.select(id_col, vec_col).write.mode("overwrite").parquet(
+                os.path.join(base_dir, "base")
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(_write_idx, i) for i in range(len(pivots))]
+            futs.append(pool.submit(_write_base))
+            for f in futs:
+                f.result()
     finally:
         src.unpersist()
 
@@ -261,10 +281,9 @@ def compact_pivot_index_tables(
     crashed prior run are removed up front so a re-run always
     completes instead of wedging on leftovers (r12 review)."""
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
-    for name, key in [(f"idx{i}", f"idx{i}") for i in range(n_pivots)] + [
-        ("base", None)
-    ]:
+    def _compact_one(name: str, key: str | None) -> None:
         path = os.path.join(base_dir, name)
         tmp = path + ".compact.tmp"
         if os.path.exists(tmp):
@@ -280,6 +299,18 @@ def compact_pivot_index_tables(
         w.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path)
         os.replace(tmp, path)
+
+    # each table compacts independently (own dir, own swap) — overlap
+    # the six rewrite jobs (guide §2.6); per-table swap discipline is
+    # unchanged, so crash behavior is the same as the sequential form
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(_compact_one, f"idx{i}", f"idx{i}")
+            for i in range(n_pivots)
+        ]
+        futs.append(pool.submit(_compact_one, "base", None))
+        for f in futs:
+            f.result()
 
 
 def open_pivot_index_tables(

@@ -78,20 +78,38 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per anchor, so the corpus is read once for the whole anchor set and
     never fans out by |anchors| (the knn_batch shape).  Output
     (query_id, vec_id, cos_sim, neg_rank)."""
+    from javascript_vector_database_spark.functions.vector import (
+        dot,
+        l2_norm,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.where(
         F.col("vec_id").isin(list(HARD_NEG_ANCHORS))
     ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        # r14: anchor norms computed once on the 5-row side instead of
+        # re-folded per (row, anchor) pair
+        l2_norm(F.col("embedding")).alias("__qn"),
     )
     from pyspark.sql.window import Window
 
-    scored = emb.crossJoin(F.broadcast(anchors)).select(
-        "query_id",
-        "vec_id",
-        F.round(
-            cosine_similarity(F.col("embedding"), F.col("qv")), 6
-        ).alias("cos_sim"),
+    # corpus norm folded once per row (not once per anchor); the cosine
+    # is then one dot fold per pair — same dot/(|a||b|) doubles in the
+    # same order, so the rounded value is bit-identical
+    scored = (
+        emb.withColumn("__en", l2_norm(F.col("embedding")))
+        .crossJoin(F.broadcast(anchors))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (F.col("__en") * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
