@@ -62,7 +62,8 @@ def pagerank(edges: DataFrame, rounds: int = PAGERANK_ROUNDS) -> DataFrame:
     withdeg = edges.join(deg, "src")
     for _ in range(rounds):
         contrib = withdeg.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src",
         ).select("dst", F.expr("rank DIV outdeg").alias("c"))
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
             (
@@ -562,7 +563,8 @@ def personalized_pagerank(
     is_seed = F.col("__s").isNotNull()
     for _ in range(rounds):
         contrib = withdeg.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src",
         ).select("dst", F.expr("rank DIV outdeg").alias("c"))
         summed = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.sum("c").alias("s")
@@ -659,7 +661,10 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         F.col("cnt").desc(), F.col("label").asc()
     )
     for _ in range(rounds):
-        nbr = edges.join(labels.withColumnRenamed("node", "dst"), "dst").select(
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+            "dst",
+        ).select(
             F.col("src").alias("node"), "label"
         )
         cnt = nbr.groupBy("node", "label").agg(
@@ -985,7 +990,8 @@ def pagerank_weighted(
     withs = edges.join(strength, "src")
     for _ in range(rounds):
         contrib = withs.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src",
         ).select("dst", F.expr("(rank * w) DIV s").alias("c"))
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
             (
