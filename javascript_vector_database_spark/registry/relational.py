@@ -1201,15 +1201,21 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-purchase graph — the structure
     profile run before any iterative graph algorithm (a heavy tail
     here predicts PageRank/CC hot keys; see graph_pagerank_copurchase).
-    Edge build as in the PageRank query; two map-side-combined
-    groupBys, final key domain = distinct degrees."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "k").where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+
+    r14: reads the SHARED materialized pair list (_copurchase_edges —
+    the same write-time edge table every other graph row consumes)
+    instead of replaying the lineitem self-join + distinct; a node's
+    degree is its appearance count across both pair endpoints, which
+    equals the symmetric edge list's per-src count row for row."""
+    from javascript_vector_database_spark.registry.decorrelated import (
+        _copurchase_edges,
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+
+    pairs = _copurchase_edges(spark, sf_dir)
+    ends = pairs.select(F.col("src").alias("n")).unionAll(
+        pairs.select(F.col("dst").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("degree"))
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
