@@ -56,6 +56,8 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
+        if not times:
+            times = [float("nan")]
         if args.plans:
             buf = io.StringIO()
             with redirect_stdout(buf):
