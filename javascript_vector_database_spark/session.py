@@ -66,6 +66,14 @@ def get_spark(
             ),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # JVM unified logging writes [warning][gc,alloc] lines to STDOUT
+        # (observed: a GCLocker retry warning landed in front of bench.py's
+        # one-JSON-line output); disable it so the driver contract's stdout
+        # stays machine-parseable under memory pressure
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xlog:disable"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
